@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{MinHashDedup, Multimodal, SimilaritySearch}
+import graft.streaming.StatefulOps
+
+/** Engine-side-only operators (SURVEY §2.9 tail): approximate,
+  * stateful, or not expressible in the DuckDB oracle dialect. Each
+  * appears in `SparkEntry.queries` WITHOUT an `oracleSql` entry
+  * (driver records a rows-only check) and has a deterministic unit
+  * test in src/test instead.
+  *
+  * Every query returns a small, totally-ordered, deterministic
+  * result so repeated runs are stable. */
+object EngineOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(spark, dir, name)
+
+  /** MinHash-LSH near-dup candidates (scale path of ql3). */
+  private def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    MinHashDedup.candidatePairs(t(spark, dir, "documents"),
+        idCol = "doc_id", textCol = "text",
+        shingleK = 2, bands = 12, rowsPerBand = 2, threshold = 0.1)
+      .orderBy(col("est_jaccard").desc_nulls_last, col("doc_a"), col("doc_b"))
+      .limit(50)
+
+  /** SimHash banded near-dup pairs. */
+  private def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    MinHashDedup.simHashPairs(t(spark, dir, "documents"),
+        idCol = "doc_id", textCol = "text", maxHamming = 24)
+      .orderBy(col("hamming").asc_nulls_last, col("doc_a"), col("doc_b"))
+      .limit(50)
+
+  /** Exact-dup clusters by md5 (engine spelling of ql2). */
+  private def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    // summary row keeps the result non-empty when no dups exist
+    d.select(count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"))
+  }
+
+  /** Brute-force cosine top-k against the vec_id=0 probe. */
+  private def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
+      .withColumn("cosine", round(col("cosine"), 4))
+  }
+
+  /** LSH-bucketed approximate top-k against the same probe. */
+  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    SimilaritySearch.lshTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe,
+        k = 10, nBits = 10, probeHamming = 3)
+      .withColumn("cosine", round(col("cosine"), 4))
+  }
+
+  /** All-pairs LSH near-neighbor join (scale path of qv4). */
+  private def annPairJoin(spark: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.lshPairJoin(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.2, nBits = 8)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .orderBy(col("cosine").desc_nulls_last, col("id_a"), col("id_b"))
+      .limit(50)
+
+  /** True recursive EMA per user (ref IIR low-pass) — batch spelling
+    * of the flatMapGroupsWithState recurrence. */
+  private def emaBatch(spark: SparkSession, dir: String): DataFrame =
+    StatefulOps.emaBatch(t(spark, dir, "events"), alpha = 0.3)
+      .withColumn("ema", round(col("ema"), 4))
+      .orderBy(col("user_id"), col("eventId"))
+
+  /** Language-ID heuristic vs the labeled lang column: per-language
+    * accuracy of the n-gram/stopword scorer. */
+  private def langId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(when(col("pred") === col("lang"), 1.0).otherwise(0.0)), 4).as("accuracy"))
+      .orderBy(col("lang"))
+
+  /** Quality scoring distribution per source. */
+  private def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), TextFunctions.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(round(avg(col("q")), 4).as("avg_quality"),
+        round(min(col("q")), 4).as("min_quality"),
+        round(max(col("q")), 4).as("max_quality"))
+      .orderBy(col("source"))
+
+  /** Rolling-hash document fingerprints + token counts. */
+  private def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.docFingerprint(col("text")).as("fingerprint"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal binary-column pipeline (stubbed decode, real
+    * plumbing): per-kind feature summary. */
+  private def multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(t(spark, dir, "documents"))
+    val feats = Multimodal.featurize(media).toDF()
+    feats.select(col("kind"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("f0")), 4).as("avg_f0"))
+      .orderBy(col("kind"))
+  }
+
+  /** HLL approximate distinct (declared engine-side: approximate). */
+  private def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("event_id")).as("approx_events"))
+      .orderBy(col("event_type"))
+
+  /** Symmetric int8 quantize/dequantize via the typed function
+    * library (engine spelling of qv6, exercising VectorFunctions). */
+  private def quantizeLib(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    emb.select(col("vec_id"),
+        VectorFunctions.quantScale(col("embedding")).as("scale"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"), round(col("scale"), 8).as("scale"),
+        element_at(col("q"), 1).as("q0"),
+        size(filter(col("q"), x => abs(x) > 100)).as("n_large"))
+      .orderBy(col("vec_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eng_minhash_lsh_dedup" -> minhashDedup,
+    "eng_simhash_dedup" -> simhashDedup,
+    "eng_exact_dedup" -> exactDedup,
+    "eng_ann_brute_topk" -> annBrute,
+    "eng_ann_lsh_topk" -> annLsh,
+    "eng_ann_lsh_pairs" -> annPairJoin,
+    "eng_ema_stateful" -> emaBatch,
+    "eng_lang_id" -> langId,
+    "eng_quality_score" -> qualityScore,
+    "eng_doc_fingerprint" -> fingerprints,
+    "eng_multimodal_features" -> multimodal,
+    "eng_approx_distinct" -> approxDistinct,
+    "eng_quantize_int8" -> quantizeLib)
+}

@@ -1,0 +1,898 @@
+package graft
+
+/** The declared query contract of SURVEY.md §2.9: every entry has a
+  * Spark SQL spelling (run verbatim through `spark.sql` over the
+  * registered `Tables`) and a DuckDB oracle spelling (same semantics,
+  * dialect-translated only — `split`↔`string_split`,
+  * `get_json_object`↔`json_extract_string`, `percentile`↔
+  * `quantile_cont`, `sequence`/`explode`↔`generate_series`/`unnest`,
+  * Spark HOFs `transform`/`aggregate`/`zip_with`↔DuckDB `list_*`).
+  *
+  * Determinism discipline (SURVEY §2.9):
+  *  - every query ends in a total ORDER BY over all output columns
+  *    with explicit NULLS FIRST/LAST (Spark and DuckDB defaults
+  *    differ);
+  *  - every double produced by an aggregate is ROUND(x, 4);
+  *  - output types are aligned across engines with explicit CASTs
+  *    (DuckDB `sum(int)` → HUGEINT, `row_number()` → BIGINT,
+  *    `floor()` → DOUBLE, while Spark yields BIGINT/INT/BIGINT);
+  *  - timestamps never appear raw in output — event-time arithmetic
+  *    goes through integer microseconds (`unix_micros`↔`epoch_us`).
+  */
+final case class Q(
+    name: String,
+    sparkSql: String,
+    oracleSql: Option[String],
+    tags: String = "")
+
+object QueryInventory {
+
+  /** Shared spelling: identical SQL runs on both engines. */
+  private def shared(name: String, sql: String, tags: String = ""): Q =
+    Q(name, sql, Some(sql), tags)
+
+  // ---------------------------------------------------------------
+  // Scans / projection / filter / predicates (Q-F*)
+  // ---------------------------------------------------------------
+
+  val qf1 = shared("qf1_project_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_quantity NULLS FIRST""".stripMargin,
+    "scan,filter,pushdown")
+
+  val qf2 = shared("qf2_predicates",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_totalprice BETWEEN 50000 AND 150000
+      |  AND o_orderstatus LIKE 'F%'
+      |ORDER BY o_orderkey NULLS FIRST, o_totalprice NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "filter,in,between,like")
+
+  val qf3 = shared("qf3_null_logic",
+    """SELECT event_id, v
+      |FROM (SELECT event_id,
+      |             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |      FROM events) t
+      |WHERE NOT (v > 100) OR v IS NULL
+      |ORDER BY event_id NULLS FIRST, v NULLS FIRST""".stripMargin,
+    "null,3vl")
+
+  val qf4 = shared("qf4_date_pred",
+    """SELECT l_orderkey, l_linenumber
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+    "date,filter")
+
+  val qf5 = Q("qf5_string_funcs",
+    """SELECT p_partkey,
+      |       upper(p_brand) AS brand_u,
+      |       CAST(length(p_name) AS INT) AS name_len,
+      |       substr(p_name, 1, 8) AS name_pre,
+      |       concat(p_brand, '#', p_type) AS brand_type,
+      |       trim(replace(p_name, 'a', '_')) AS name_repl,
+      |       split(p_name, ' ')[0] AS first_tok
+      |FROM part
+      |ORDER BY p_partkey NULLS FIRST, brand_u NULLS FIRST, name_len NULLS FIRST,
+      |         name_pre NULLS FIRST, brand_type NULLS FIRST, name_repl NULLS FIRST,
+      |         first_tok NULLS FIRST""".stripMargin,
+    Some("""SELECT p_partkey,
+      |       upper(p_brand) AS brand_u,
+      |       CAST(length(p_name) AS INT) AS name_len,
+      |       substr(p_name, 1, 8) AS name_pre,
+      |       concat(p_brand, '#', p_type) AS brand_type,
+      |       trim(replace(p_name, 'a', '_')) AS name_repl,
+      |       string_split(p_name, ' ')[1] AS first_tok
+      |FROM part
+      |ORDER BY p_partkey NULLS FIRST, brand_u NULLS FIRST, name_len NULLS FIRST,
+      |         name_pre NULLS FIRST, brand_type NULLS FIRST, name_repl NULLS FIRST,
+      |         first_tok NULLS FIRST""".stripMargin),
+    "string")
+
+  val qf6 = shared("qf6_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |       round(abs(l_extendedprice - 1000.0), 4) AS abs_v,
+      |       CAST(floor(l_quantity) AS BIGINT) AS floor_q,
+      |       CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_d,
+      |       round(sqrt(l_extendedprice), 4) AS sqrt_p,
+      |       round(exp(l_discount), 4) AS exp_d,
+      |       round(ln(l_extendedprice + 1), 4) AS ln_p,
+      |       round(power(l_quantity, 2), 4) AS pow_q,
+      |       CAST(sign(l_quantity - 25) AS INT) AS sign_q
+      |FROM lineitem
+      |WHERE l_orderkey < 200
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, abs_v NULLS FIRST,
+      |         floor_q NULLS FIRST, ceil_d NULLS FIRST, sqrt_p NULLS FIRST,
+      |         exp_d NULLS FIRST, ln_p NULLS FIRST, pow_q NULLS FIRST, sign_q NULLS FIRST""".stripMargin,
+    "math")
+
+  /** RLE expansion — reference Decompress_RLE
+    * (/root/reference/firmware/middleware/compression.c:23-58):
+    * (value, count) run pairs expanded back to rows. */
+  val qf7 = Q("qf7_rle_expand",
+    """SELECT value, pos
+      |FROM (SELECT CAST(l_quantity AS INT) AS value, count(*) AS cnt
+      |      FROM lineitem WHERE l_orderkey < 50
+      |      GROUP BY CAST(l_quantity AS INT)) r
+      |LATERAL VIEW explode(sequence(1, cnt)) t AS pos
+      |ORDER BY value NULLS FIRST, pos NULLS FIRST""".stripMargin,
+    Some("""SELECT value, pos FROM (
+      |  SELECT value, unnest(generate_series(1, cnt)) AS pos
+      |  FROM (SELECT CAST(l_quantity AS INT) AS value, count(*) AS cnt
+      |        FROM lineitem WHERE l_orderkey < 50
+      |        GROUP BY CAST(l_quantity AS INT)) r) t
+      |ORDER BY value NULLS FIRST, pos NULLS FIRST""".stripMargin),
+    "explode,rle")
+
+  val qf8 = Q("qf8_json_extract",
+    """SELECT event_id, CAST(get_json_object(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE event_id < 500
+      |ORDER BY event_id NULLS FIRST, k NULLS FIRST""".stripMargin,
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE event_id < 500
+      |ORDER BY event_id NULLS FIRST, k NULLS FIRST""".stripMargin),
+    "json,semistructured")
+
+  // ---------------------------------------------------------------
+  // Aggregation (Q-A*)
+  // ---------------------------------------------------------------
+
+  /** TPC-H Q1 analog — the flagship pricing summary. */
+  val qa1 = shared("qa1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4) AS sum_qty,
+      |       round(sum(l_extendedprice), 4) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg,flagship")
+
+  /** Calibration-stats analog (reference
+    * /root/reference/mlir_compiler/quantization.py:59-113). */
+  val qa2 = shared("qa2_calib_stats",
+    """SELECT event_type,
+      |       round(min(value), 4) AS min_v,
+      |       round(max(value), 4) AS max_v,
+      |       round(avg(value), 4) AS avg_v,
+      |       round(stddev_samp(value), 4) AS std_v,
+      |       count(*) AS cnt
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "agg,stats")
+
+  val qa3 = shared("qa3_distinct",
+    """SELECT o_orderpriority,
+      |       count(DISTINCT o_custkey) AS n_cust,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+    "distinct")
+
+  /** Pruning-threshold analog (reference
+    * /root/reference/mlir_compiler/sparsity_optimizer.py:136-162). */
+  val qa4 = Q("qa4_percentile",
+    """SELECT o_orderstatus,
+      |       round(percentile(o_totalprice, 0.5), 4) AS p50,
+      |       round(percentile(o_totalprice, 0.9), 4) AS p90
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    Some("""SELECT o_orderstatus,
+      |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin),
+    "percentile")
+
+  /** Sparsity-bucketing analog (reference
+    * /root/reference/mlir_compiler/sparsity_optimizer.py:66-112):
+    * ratio aggregation + recommended-mode CASE. */
+  val qa5 = shared("qa5_sparsity_buckets",
+    """SELECT event_type,
+      |       round(avg(CASE WHEN value < 0.02 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS frac_tiny,
+      |       round(avg(CASE WHEN value < 1.0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS frac_lt1,
+      |       CASE WHEN avg(CASE WHEN value < 50.0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) > 0.7 THEN 'csr'
+      |            WHEN avg(CASE WHEN value < 50.0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) > 0.3 THEN 'sparse'
+      |            ELSE 'dense' END AS rec_mode
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST, frac_tiny NULLS FIRST, frac_lt1 NULLS FIRST,
+      |         rec_mode NULLS FIRST""".stripMargin,
+    "agg,case")
+
+  /** Argmax analog (reference classification head,
+    * /root/reference/firmware/middleware/cascade_model.c:203-229) —
+    * spelled as a deterministic window top-1 (tie-broken by event_id)
+    * so Spark and DuckDB agree on ties. */
+  val qa6 = shared("qa6_argmax",
+    """SELECT user_id, event_type AS top_type, round(value, 4) AS top_value
+      |FROM (SELECT user_id, event_type, value,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY value DESC, event_id ASC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id NULLS FIRST, top_type NULLS FIRST, top_value NULLS FIRST""".stripMargin,
+    "argmax")
+
+  val qa7 = shared("qa7_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |       round(sum(l_quantity), 4) AS sum_qty,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_flag NULLS FIRST, g_status NULLS FIRST, l_returnflag NULLS FIRST,
+      |         l_linestatus NULLS FIRST, sum_qty NULLS FIRST, cnt NULLS FIRST""".stripMargin,
+    "rollup")
+
+  val qa7b = shared("qa7_cube",
+    """SELECT n_name, o_orderpriority,
+      |       CAST(grouping(n_name) AS INT) AS g_nation,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |       count(*) AS cnt
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE(n_name, o_orderpriority)
+      |ORDER BY g_nation NULLS FIRST, g_prio NULLS FIRST, n_name NULLS FIRST,
+      |         o_orderpriority NULLS FIRST, cnt NULLS FIRST""".stripMargin,
+    "cube")
+
+  val qa8 = shared("qa8_conditional_agg",
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 4) AS rev_highdisc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST, n_f NULLS FIRST, n_o NULLS FIRST,
+      |         rev_highdisc NULLS FIRST""".stripMargin,
+    "pivot,case")
+
+  val qa9 = shared("qa9_having",
+    """SELECT o_custkey, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(*) > 12
+      |ORDER BY o_custkey NULLS FIRST, n_orders NULLS FIRST""".stripMargin,
+    "having")
+
+  // ---------------------------------------------------------------
+  // Joins (Q-J*)
+  // ---------------------------------------------------------------
+
+  /** TPC-H Q5 analog: star-join chain with filters. At scale:
+    * lineitem⋈orders shuffles on orderkey; customer/nation/region are
+    * broadcast (Spark picks this automatically under the 10 MB
+    * autoBroadcastJoinThreshold; nation/region always qualify). */
+  val qj1 = shared("qj1_star_join",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name NULLS FIRST""".stripMargin,
+    "join,star,broadcast")
+
+  /** TPC-H Q14 analog (promo revenue share; part side broadcastable). */
+  val qj2 = shared("qj2_broadcast_join",
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |                              THEN l_extendedprice * (1 - l_discount)
+      |                              ELSE 0.0 END)
+      |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "join,broadcast")
+
+  val qj3 = shared("qj3_outer_join",
+    """SELECT c_custkey, count(o_orderkey) AS n_big_orders
+      |FROM customer
+      |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |       ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey NULLS FIRST, n_big_orders NULLS FIRST""".stripMargin,
+    "join,outer")
+
+  val qj3b = shared("qj3_full_outer",
+    """SELECT coalesce(c.k, s.k2) AS nationkey, c.c_cnt, s.s_cnt
+      |FROM (SELECT c_nationkey AS k, count(*) AS c_cnt FROM customer GROUP BY c_nationkey) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS k2, count(*) AS s_cnt FROM supplier GROUP BY s_nationkey) s
+      |  ON c.k = s.k2
+      |ORDER BY nationkey NULLS FIRST, c_cnt NULLS FIRST, s_cnt NULLS FIRST""".stripMargin,
+    "join,fullouter")
+
+  val qj4 = shared("qj4_semi_join",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin,
+    "join,semi")
+
+  val qj5 = shared("qj5_anti_join",
+    """SELECT p_partkey, p_name
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 40)
+      |ORDER BY p_partkey NULLS FIRST, p_name NULLS FIRST""".stripMargin,
+    "join,anti")
+
+  /** Cross join (small×small) — power-estimator domains×modes analog
+    * (/root/reference/tools/power_estimator.py:24-200). */
+  val qj6 = shared("qj6_cross_join",
+    """SELECT r.r_name, n.n_name
+      |FROM region r
+      |CROSS JOIN nation n
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "join,cross")
+
+  /** Equi+range self-join over event time (as-of flavor). At scale
+    * this is an equi-shuffle on user_id with a per-partition range
+    * probe, never a cross product. */
+  val qj7 = shared("qj7_range_join",
+    """SELECT a.user_id AS uid, count(*) AS n_pairs
+      |FROM events a
+      |JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_id <> b.event_id
+      | AND a.ts > b.ts
+      | AND a.ts <= b.ts + INTERVAL 1 MINUTE
+      |GROUP BY a.user_id
+      |ORDER BY uid NULLS FIRST, n_pairs NULLS FIRST""".stripMargin,
+    "join,range")
+
+  val qj8 = shared("qj8_correlated_subq",
+    """SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey NULLS FIRST, acctbal NULLS FIRST""".stripMargin,
+    "join,subquery,decorrelation")
+
+  // ---------------------------------------------------------------
+  // Window functions (Q-W*)
+  // ---------------------------------------------------------------
+
+  val qw1 = shared("qw1_ranking",
+    """SELECT o_custkey, o_orderkey, rn, rnk, drnk
+      |FROM (SELECT o_custkey, o_orderkey,
+      |             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+      |             CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rnk,
+      |             CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS drnk
+      |      FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST, rn NULLS FIRST,
+      |         rnk NULLS FIRST, drnk NULLS FIRST""".stripMargin,
+    "window,rank")
+
+  /** Predictive-filter analog (reference linear extrapolation,
+    * /root/reference/firmware/middleware/fixed_point_filter.c:144-199). */
+  val qw2 = shared("qw2_lag_predict",
+    """SELECT user_id, event_id,
+      |       round(2 * lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |             - lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS predicted,
+      |       round(value, 4) AS actual
+      |FROM events
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, predicted NULLS FIRST,
+      |         actual NULLS FIRST""".stripMargin,
+    "window,lag")
+
+  /** Moving-average analog (reference 8-sample ring buffer,
+    * /root/reference/firmware/middleware/fixed_point_filter.c:103-138). */
+  /** `value` is exact 2-decimal money, so the moving average is
+    * computed over exact integer cents (sum BIGINT) and divided once —
+    * both engines produce the bit-identical double, so no ROUND is
+    * applied (ROUND itself diverges on exact .xxxx5 quotients: Spark
+    * HALF_UPs the shortest decimal string while DuckDB rounds the
+    * binary value, which sits below the boundary). */
+  val qw3 = shared("qw3_moving_avg",
+    """SELECT user_id, event_id,
+      |       sum(CAST(round(value * 100) AS BIGINT))
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |       / (CAST(100 AS DOUBLE) *
+      |          count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS mavg
+      |FROM events
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, mavg NULLS FIRST""".stripMargin,
+    "window,frame")
+
+  /** Prefix-sum / delta-decode analog (reference
+    * /root/reference/firmware/middleware/compression.c:119-143). */
+  val qw4 = shared("qw4_prefix_sum",
+    """SELECT user_id, event_id,
+      |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING), 4) AS run_sum,
+      |       round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+      |FROM events
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, run_sum NULLS FIRST,
+      |         delta NULLS FIRST""".stripMargin,
+    "window,prefixsum")
+
+  val qw5 = shared("qw5_ntile",
+    """SELECT c_custkey,
+      |       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile,
+      |       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 4) AS pr
+      |FROM customer
+      |ORDER BY c_custkey NULLS FIRST, quartile NULLS FIRST, pr NULLS FIRST""".stripMargin,
+    "window,ntile")
+
+  val qw6 = shared("qw6_range_frame",
+    """SELECT user_id, event_id,
+      |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+      |                              RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW), 4) AS win_sum
+      |FROM events
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, win_sum NULLS FIRST""".stripMargin,
+    "window,rangeframe")
+
+  // ---------------------------------------------------------------
+  // Sort / limit / top-k (Q-T*)
+  // ---------------------------------------------------------------
+
+  val qt1 = shared("qt1_global_sort",
+    """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS totalprice
+      |FROM orders
+      |ORDER BY o_orderpriority ASC NULLS FIRST, totalprice DESC NULLS LAST,
+      |         o_orderkey ASC NULLS FIRST
+      |LIMIT 100""".stripMargin,
+    "sort,limit")
+
+  /** Distributed top-k-per-group pattern (window + filter, no global
+    * sort of the full table). */
+  val qt2 = shared("qt2_topk_per_group",
+    """SELECT l_suppkey, l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+      |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |             row_number() OVER (PARTITION BY l_suppkey
+      |                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |      FROM lineitem) t
+      |WHERE rn <= 5
+      |ORDER BY l_suppkey NULLS FIRST, price DESC NULLS LAST, l_orderkey NULLS FIRST,
+      |         l_linenumber NULLS FIRST""".stripMargin,
+    "topk")
+
+  // ---------------------------------------------------------------
+  // Set operations (Q-U*)
+  // ---------------------------------------------------------------
+
+  val qu1 = shared("qu1_union_all",
+    """SELECT nationkey, count(*) AS cnt
+      |FROM (SELECT c_nationkey AS nationkey FROM customer
+      |      UNION ALL
+      |      SELECT s_nationkey FROM supplier) t
+      |GROUP BY nationkey
+      |ORDER BY nationkey NULLS FIRST, cnt NULLS FIRST""".stripMargin,
+    "union")
+
+  val qu2 = shared("qu2_union_distinct",
+    """SELECT nationkey
+      |FROM (SELECT c_nationkey AS nationkey FROM customer
+      |      UNION
+      |      SELECT s_nationkey FROM supplier) t
+      |ORDER BY nationkey NULLS FIRST""".stripMargin,
+    "union,distinct")
+
+  val qu3 = shared("qu3_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey NULLS FIRST""".stripMargin,
+    "intersect")
+
+  val qu4 = shared("qu4_except",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier WHERE s_nationkey < 15
+      |ORDER BY nationkey NULLS FIRST""".stripMargin,
+    "except")
+
+  // ---------------------------------------------------------------
+  // Vector / tensor queries over embeddings (Q-V*)
+  // Heirs of the reference's linear-algebra operators
+  // (/root/reference/simulator/sim_reflex.py:43-91,
+  //  /root/reference/imc22_sdk/imc22_cim.c:87-142).
+  // ---------------------------------------------------------------
+
+  val qv1 = Q("qv1_vector_norm",
+    """SELECT vec_id,
+      |       round(sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x),
+      |                            CAST(0 AS DOUBLE), (s, v) -> s + v)), 4) AS l2_norm,
+      |       round(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                       CAST(0 AS DOUBLE), (s, v) -> s + v), 4) AS sum_v,
+      |       CAST(size(embedding) AS INT) AS dim
+      |FROM embeddings
+      |ORDER BY vec_id NULLS FIRST, l2_norm NULLS FIRST, sum_v NULLS FIRST, dim NULLS FIRST""".stripMargin,
+    Some("""SELECT vec_id,
+      |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm,
+      |       round(list_sum(embedding::DOUBLE[]), 4) AS sum_v,
+      |       CAST(len(embedding) AS INT) AS dim
+      |FROM embeddings
+      |ORDER BY vec_id NULLS FIRST, l2_norm NULLS FIRST, sum_v NULLS FIRST, dim NULLS FIRST""".stripMargin),
+    "vector,norm")
+
+  /** GEMV analog (reference CIM_FullyConnected,
+    * /root/reference/imc22_sdk/imc22_cim.c:227-272): dot of every
+    * vector against a fixed probe, top-20. */
+  val qv2 = Q("qv2_dot_topk",
+    """SELECT e.vec_id,
+      |       round(aggregate(zip_with(e.embedding, p.embedding, (x, y) -> CAST(x AS DOUBLE) * y),
+      |                       CAST(0 AS DOUBLE), (s, v) -> s + v), 4) AS dot_score
+      |FROM embeddings e
+      |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+      |WHERE e.vec_id <> 0
+      |ORDER BY dot_score DESC NULLS LAST, vec_id ASC NULLS FIRST
+      |LIMIT 20""".stripMargin,
+    Some("""SELECT e.vec_id,
+      |       round(list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]), 4) AS dot_score
+      |FROM embeddings e
+      |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+      |WHERE e.vec_id <> 0
+      |ORDER BY dot_score DESC NULLS LAST, vec_id ASC NULLS FIRST
+      |LIMIT 20""".stripMargin),
+    "vector,gemv,topk")
+
+  /** Relational GEMM (reference CIM_MatMul,
+    * /root/reference/imc22_sdk/imc22_cim.c:87-142): explode to
+    * (vec_id, pos, val), join a constant 64×4 matrix on the inner
+    * dim, group-sum. The matrix is generated from exact integer
+    * arithmetic so both engines agree bit-for-bit pre-round. */
+  val qv3 = Q("qv3_gemm",
+    """WITH m AS (
+      |  SELECT pos, j, ((pos * 7 + j * 13) % 11 - 5) / 10.0 AS mval
+      |  FROM (SELECT explode(sequence(1, 64)) AS pos) p
+      |  CROSS JOIN (SELECT explode(sequence(1, 4)) AS j) q),
+      |x AS (
+      |  SELECT vec_id, pos + 1 AS pos, CAST(val AS DOUBLE) AS xval
+      |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50) e
+      |  LATERAL VIEW posexplode(embedding) t AS pos, val)
+      |SELECT x.vec_id, CAST(m.j AS INT) AS j, round(sum(x.xval * m.mval), 4) AS yval
+      |FROM x JOIN m ON x.pos = m.pos
+      |GROUP BY x.vec_id, m.j
+      |ORDER BY vec_id NULLS FIRST, j NULLS FIRST, yval NULLS FIRST""".stripMargin,
+    Some("""WITH m AS (
+      |  SELECT pos, j, ((pos * 7 + j * 13) % 11 - 5) / 10.0 AS mval
+      |  FROM (SELECT unnest(generate_series(1, 64)) AS pos) p
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) q),
+      |x AS (
+      |  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS xval
+      |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50) e
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) s)
+      |SELECT x.vec_id, CAST(m.j AS INT) AS j, round(sum(x.xval * m.mval), 4) AS yval
+      |FROM x JOIN m ON x.pos = m.pos
+      |GROUP BY x.vec_id, m.j
+      |ORDER BY vec_id NULLS FIRST, j NULLS FIRST, yval NULLS FIRST""".stripMargin),
+    "vector,gemm")
+
+  /** Cosine similarity join — similarity-search seed (north-star op;
+    * attention analog /root/reference/model_zoo/export_tinyllama.py:29-56). */
+  val qv4 = Q("qv4_cosine_join",
+    """WITH n AS (
+      |  SELECT vec_id,
+      |         transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |         sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x),
+      |                        CAST(0 AS DOUBLE), (s, v) -> s + v)) AS nrm
+      |  FROM embeddings WHERE vec_id < 100)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(aggregate(zip_with(a.e, b.e, (x, y) -> x * y),
+      |                       CAST(0 AS DOUBLE), (s, v) -> s + v) / (a.nrm * b.nrm), 4) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |ORDER BY cosine DESC NULLS LAST, vec_a NULLS FIRST, vec_b NULLS FIRST
+      |LIMIT 10""".stripMargin,
+    Some("""WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings WHERE vec_id < 100)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |ORDER BY cosine DESC NULLS LAST, vec_a NULLS FIRST, vec_b NULLS FIRST
+      |LIMIT 10""".stripMargin),
+    "vector,cosine,similarity")
+
+  /** Numerically-stable softmax (reference
+    * /root/reference/firmware/middleware/cascade_model.c:203-229)
+    * over per-label mean element-sums, via max/sum windows. */
+  val qv5 = Q("qv5_softmax",
+    """WITH s AS (
+      |  SELECT label, avg(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                              CAST(0 AS DOUBLE), (a, x) -> a + x)) AS score
+      |  FROM embeddings GROUP BY label),
+      |m AS (SELECT label, score, max(score) OVER () AS mx FROM s),
+      |e AS (SELECT label, exp(score - mx) AS ex FROM m)
+      |SELECT label, round(ex / sum(ex) OVER (), 4) AS softmax
+      |FROM e
+      |ORDER BY label NULLS FIRST, softmax NULLS FIRST""".stripMargin,
+    Some("""WITH s AS (
+      |  SELECT label, avg(list_sum(embedding::DOUBLE[])) AS score
+      |  FROM embeddings GROUP BY label),
+      |m AS (SELECT label, score, max(score) OVER () AS mx FROM s),
+      |e AS (SELECT label, exp(score - mx) AS ex FROM m)
+      |SELECT label, round(ex / sum(ex) OVER (), 4) AS softmax
+      |FROM e
+      |ORDER BY label NULLS FIRST, softmax NULLS FIRST""".stripMargin),
+    "vector,softmax")
+
+  /** Symmetric int8 quantize/dequantize round-trip (reference
+    * /root/reference/mlir_compiler/quantization.py:18-57,
+    * /root/reference/distillation/qat_ops.py:12-23): scale=absmax/127,
+    * report max abs reconstruction error per vector. */
+  val qv6 = Q("qv6_quantize_roundtrip",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |         greatest(aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |                            CAST(0 AS DOUBLE), (s, v) -> greatest(s, v)),
+      |                  CAST(0.000000000001 AS DOUBLE)) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       round(scale, 8) AS scale,
+      |       round(aggregate(transform(e, x -> abs(round(x / scale) * scale - x)),
+      |                       CAST(0 AS DOUBLE), (s, v) -> greatest(s, v)), 6) AS max_err
+      |FROM q
+      |ORDER BY vec_id NULLS FIRST, scale NULLS FIRST, max_err NULLS FIRST""".stripMargin,
+    Some("""WITH q AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))),
+      |                  0.000000000001) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       round(scale, 8) AS scale,
+      |       round(list_max(list_transform(e, x -> abs(round(x / scale) * scale - x))), 6) AS max_err
+      |FROM q
+      |ORDER BY vec_id NULLS FIRST, scale NULLS FIRST, max_err NULLS FIRST""".stripMargin),
+    "vector,quantize")
+
+  /** Sparsity threshold filter (reference
+    * /root/reference/mlir_compiler/sparsity_optimizer.py:66-112):
+    * per-vector fraction of near-zero elements, bucketed by the
+    * reference's 0.3/0.7 thresholds. */
+  val qv7 = Q("qv7_sparsity_filter",
+    """SELECT vec_id,
+      |       round(CAST(size(filter(embedding, x -> abs(x) < 0.05)) AS DOUBLE)
+      |             / size(embedding), 4) AS frac_small,
+      |       CASE WHEN CAST(size(filter(embedding, x -> abs(x) < 0.05)) AS DOUBLE)
+      |                 / size(embedding) > 0.7 THEN 'csr'
+      |            WHEN CAST(size(filter(embedding, x -> abs(x) < 0.05)) AS DOUBLE)
+      |                 / size(embedding) > 0.3 THEN 'sparse'
+      |            ELSE 'dense' END AS rec_mode
+      |FROM embeddings
+      |ORDER BY vec_id NULLS FIRST, frac_small NULLS FIRST, rec_mode NULLS FIRST""".stripMargin,
+    Some("""SELECT vec_id,
+      |       round(CAST(len(list_filter(embedding, x -> abs(x) < 0.05)) AS DOUBLE)
+      |             / len(embedding), 4) AS frac_small,
+      |       CASE WHEN CAST(len(list_filter(embedding, x -> abs(x) < 0.05)) AS DOUBLE)
+      |                 / len(embedding) > 0.7 THEN 'csr'
+      |            WHEN CAST(len(list_filter(embedding, x -> abs(x) < 0.05)) AS DOUBLE)
+      |                 / len(embedding) > 0.3 THEN 'sparse'
+      |            ELSE 'dense' END AS rec_mode
+      |FROM embeddings
+      |ORDER BY vec_id NULLS FIRST, frac_small NULLS FIRST, rec_mode NULLS FIRST""".stripMargin),
+    "vector,sparsity")
+
+  // ---------------------------------------------------------------
+  // LLM-data-pipeline queries over documents (Q-L*)
+  // ---------------------------------------------------------------
+
+  val ql1 = Q("ql1_text_stats",
+    """SELECT lang,
+      |       count(*) AS n_docs,
+      |       round(avg(n_chars), 4) AS avg_chars,
+      |       round(avg(length(text)), 4) AS avg_len,
+      |       round(avg(size(split(text, ' '))), 4) AS avg_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, avg_chars NULLS FIRST,
+      |         avg_len NULLS FIRST, avg_tokens NULLS FIRST""".stripMargin,
+    Some("""SELECT lang,
+      |       count(*) AS n_docs,
+      |       round(avg(n_chars), 4) AS avg_chars,
+      |       round(avg(length(text)), 4) AS avg_len,
+      |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST, avg_chars NULLS FIRST,
+      |         avg_len NULLS FIRST, avg_tokens NULLS FIRST""".stripMargin),
+    "text,stats")
+
+  /** Exact dedup by content hash (md5 in both engines). */
+  val ql2 = shared("ql2_exact_dedup",
+    """SELECT count(*) AS n_docs,
+      |       count(DISTINCT md5(text)) AS n_unique,
+      |       count(*) - count(DISTINCT md5(text)) AS n_dups
+      |FROM documents""".stripMargin,
+    "dedup,exact")
+
+  /** Near-dup via 3-gram shingle Jaccard, exact on a small prefix of
+    * the corpus (the oracle-checkable spelling; MinHash-LSH is the
+    * engine-side 100 TB path, see MinHashDedup). */
+  val ql3 = Q("ql3_shingle_jaccard",
+    """WITH w AS (SELECT doc_id, split(text, ' ') AS words FROM documents WHERE doc_id < 60),
+      |sh AS (SELECT doc_id, explode(array_distinct(
+      |         transform(sequence(1, greatest(size(words) - 2, 1)),
+      |                   i -> concat_ws(' ', slice(words, i, 3))))) AS shingle
+      |       FROM w),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 4) AS jaccard
+      |FROM common
+      |JOIN cnt ca ON da = ca.doc_id
+      |JOIN cnt cb ON db = cb.doc_id
+      |ORDER BY jaccard DESC NULLS LAST, da NULLS FIRST, db NULLS FIRST
+      |LIMIT 10""".stripMargin,
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 60),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+      |                        i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+      |       FROM w),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 4) AS jaccard
+      |FROM common
+      |JOIN cnt ca ON da = ca.doc_id
+      |JOIN cnt cb ON db = cb.doc_id
+      |ORDER BY jaccard DESC NULLS LAST, da NULLS FIRST, db NULLS FIRST
+      |LIMIT 10""".stripMargin),
+    "dedup,jaccard,shingle")
+
+  /** Text↔vector similarity search: documents joined to embeddings,
+    * ranked by cosine to the probe vector (unit-norm vectors → dot). */
+  val ql4 = Q("ql4_sim_search",
+    """WITH p AS (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT d.doc_id, d.lang,
+      |       round(aggregate(zip_with(e.embedding, p.pe, (x, y) -> CAST(x AS DOUBLE) * y),
+      |                       CAST(0 AS DOUBLE), (s, v) -> s + v), 4) AS cos_score
+      |FROM documents d
+      |JOIN embeddings e ON d.doc_id = e.vec_id
+      |CROSS JOIN p
+      |WHERE d.doc_id <> 0
+      |ORDER BY cos_score DESC NULLS LAST, doc_id NULLS FIRST, lang NULLS FIRST
+      |LIMIT 15""".stripMargin,
+    Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
+      |SELECT d.doc_id, d.lang,
+      |       round(list_dot_product(e.embedding::DOUBLE[], p.pe), 4) AS cos_score
+      |FROM documents d
+      |JOIN embeddings e ON d.doc_id = e.vec_id
+      |CROSS JOIN p
+      |WHERE d.doc_id <> 0
+      |ORDER BY cos_score DESC NULLS LAST, doc_id NULLS FIRST, lang NULLS FIRST
+      |LIMIT 15""".stripMargin),
+    "similarity,search")
+
+  val ql5 = shared("ql5_source_rollup",
+    """SELECT source, lang,
+      |       CAST(grouping(source) AS INT) AS g_source,
+      |       CAST(grouping(lang) AS INT) AS g_lang,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY ROLLUP(source, lang)
+      |ORDER BY g_source NULLS FIRST, g_lang NULLS FIRST, source NULLS FIRST,
+      |         lang NULLS FIRST, n_docs NULLS FIRST, total_chars NULLS FIRST""".stripMargin,
+    "rollup,text")
+
+  // ---------------------------------------------------------------
+  // Event-stream queries (Q-S*) — batch expressions of the
+  // reference's streaming semantics (ref ops #31-37). Event-time
+  // arithmetic uses integer microseconds on both engines.
+  // ---------------------------------------------------------------
+
+  val qs1 = Q("qs1_tumbling_window",
+    """SELECT bucket, event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
+      |FROM (SELECT unix_micros(ts) DIV 300000000 AS bucket, event_type, value
+      |      FROM events) t
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket NULLS FIRST, event_type NULLS FIRST, cnt NULLS FIRST,
+      |         sum_v NULLS FIRST""".stripMargin,
+    Some("""SELECT bucket, event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
+      |FROM (SELECT epoch_us(ts) // 300000000 AS bucket, event_type, value
+      |      FROM events) t
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket NULLS FIRST, event_type NULLS FIRST, cnt NULLS FIRST,
+      |         sum_v NULLS FIRST""".stripMargin),
+    "window,tumbling")
+
+  /** Fixed-depth EMA approximation (reference IIR low-pass,
+    * /root/reference/firmware/middleware/fixed_point_filter.c:63-97);
+    * true recursive EMA is the engine-side StatefulOps path. */
+  val qs2 = shared("qs2_ema_approx",
+    """SELECT user_id, round(sum(value * power(0.5, rn - 1)), 4) AS ema8
+      |FROM (SELECT user_id, value,
+      |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn <= 8
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST, ema8 NULLS FIRST""".stripMargin,
+    "ema,stream")
+
+  /** Sessionization (reference heartbeat/sync protocol,
+    * /root/reference/hive_arch.md §4): 30-min-gap boundaries via lag
+    * + running boundary-flag sum. */
+  val qs3 = Q("qs3_sessionize",
+    """WITH d AS (
+      |  SELECT user_id, event_id, unix_micros(ts) AS tus,
+      |         lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id,
+      |         sum(CASE WHEN prev_tus IS NULL OR tus - prev_tus > 1800000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM d)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, n_events NULLS FIRST""".stripMargin,
+    Some("""WITH d AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id,
+      |         sum(CASE WHEN prev_tus IS NULL OR tus - prev_tus > 1800000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM d)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, n_events NULLS FIRST""".stripMargin),
+    "session,stream")
+
+  /** Watermark-delay distribution (late-data semantics analog). */
+  val qs4 = Q("qs4_late_data",
+    """WITH d AS (
+      |  SELECT user_id, unix_micros(ts) AS tus,
+      |         max(unix_micros(ts)) OVER (PARTITION BY user_id) AS mx
+      |  FROM events)
+      |SELECT user_id, CAST((mx - tus) DIV 600000000 AS INT) AS delay_bucket, count(*) AS cnt
+      |FROM d
+      |GROUP BY user_id, CAST((mx - tus) DIV 600000000 AS INT)
+      |ORDER BY user_id NULLS FIRST, delay_bucket NULLS FIRST, cnt NULLS FIRST""".stripMargin,
+    Some("""WITH d AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |         max(epoch_us(ts)) OVER (PARTITION BY user_id) AS mx
+      |  FROM events)
+      |SELECT user_id, CAST((mx - tus) // 600000000 AS INT) AS delay_bucket, count(*) AS cnt
+      |FROM d
+      |GROUP BY user_id, CAST((mx - tus) // 600000000 AS INT)
+      |ORDER BY user_id NULLS FIRST, delay_bucket NULLS FIRST, cnt NULLS FIRST""".stripMargin),
+    "watermark,stream")
+
+  /** Full oracle-checked inventory, in declaration order. */
+  val all: Seq[Q] = Seq(
+    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa8, qa9,
+    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8,
+    qw1, qw2, qw3, qw4, qw5, qw6,
+    qt1, qt2,
+    qu1, qu2, qu3, qu4,
+    qv1, qv2, qv3, qv4, qv5, qv6, qv7,
+    ql1, ql2, ql3, ql4, ql5,
+    qs1, qs2, qs3, qs4)
+}

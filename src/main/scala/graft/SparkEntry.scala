@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle-checked operator of SURVEY §2.9 is an entry in
+  * `queries` (run verbatim via `spark.sql` over the registered
+  * tables) with a DuckDB spelling in `oracleSql`. Engine-side-only
+  * operators (approximate / stateful / streaming) are additional
+  * `queries` entries without an oracle (driver records a rows-only
+  * check); each has a deterministic unit test instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (TPC-H Q1 analog) on sf0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    spark.sql(QueryInventory.qa1.sparkSql)
+  }
+
+  private def sqlQuery(q: Q): (String, (SparkSession, String) => DataFrame) =
+    q.name -> { (spark: SparkSession, dir: String) =>
+      Tables.register(spark, dir)
+      spark.sql(q.sparkSql)
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryInventory.all.map(sqlQuery).toMap ++ EngineOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    QueryInventory.all.flatMap(q => q.oracleSql.map(q.name -> _)).toMap
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** MinHash + banded-LSH near-duplicate detection — the 100 TB scale
+  * path for dedup (the oracle-checked small-N exact Jaccard lives in
+  * QueryInventory.ql3).
+  *
+  * Pipeline (all join-based; NEVER a cross product):
+  *   1. shingle each doc (distinct word k-grams)           — narrow
+  *   2. H minhashes per doc via seeded xxhash64 min-fold   — narrow
+  *   3. split signature into b bands of r rows; explode    — narrow
+  *   4. group by (band index, band hash) → candidate pairs — ONE
+  *      shuffle on the band key; bucket sizes are bounded by data
+  *      similarity, and the `maxBucket` guard drops degenerate
+  *      buckets (boilerplate collisions) the way production dedup
+  *      pipelines do, keeping the pair-join skew-safe
+  *   5. estimate Jaccard from full signatures of candidates — narrow
+  *
+  * Scale notes: per-doc state is O(H) ints; the only shuffles are the
+  * band-key groupBy and the final pair dedup. At 100 TB with b≈20,
+  * r≈6 the candidate set is ~linear in true-duplicate count, and AQE
+  * handles residual bucket skew.
+  *
+  * Spirit of the reference's sparse dot products / attention
+  * similarity (/root/reference/imc22_sdk/python/imc22.py:507-530),
+  * re-expressed as the standard MinHash estimator (Broder '97).
+  */
+object MinHashDedup {
+
+  /** Adds `minhash_sig: array<bigint>` of length `numHashes`.
+    *
+    * The shingle set is materialized as its own projection first and
+    * the per-seed minhashes fold over hashed shingles — without this,
+    * each of the `numHashes` aggregate expressions would re-tokenize,
+    * re-slice, and re-distinct the document (numHashes× the work;
+    * CollapseProject keeps the two projections separate because the
+    * shingle column is referenced many times). */
+  def withSignature(docs: DataFrame, textCol: String, shingleK: Int = 3,
+                    numHashes: Int = 24): DataFrame = {
+    val withShingles = docs.withColumn("_sh",
+      transform(TextFunctions.shingles(col(textCol), shingleK), s => xxhash64(s)))
+    val sig = array((0 until numHashes).map { i =>
+      // seeded re-hash of the precomputed 64-bit shingle hash — one
+      // cheap xxhash64(long, seed) per (shingle, seed) pair
+      aggregate(col("_sh"), lit(Long.MaxValue),
+        (acc, h) => least(acc, xxhash64(h, lit(i))))
+    }: _*)
+    withShingles.withColumn("minhash_sig", sig).drop("_sh")
+  }
+
+  /** Candidate near-dup pairs (idA < idB) with estimated Jaccard ≥
+    * `threshold`. `bands` × `rowsPerBand` must equal the signature
+    * length used in withSignature. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 3,
+                     threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val signed = withSignature(docs, textCol, shingleK, numHashes)
+      .select(col(idCol).as("doc"), col("minhash_sig"))
+
+    // band keys: hash of each r-slice of the signature
+    val banded = signed.select(
+      col("doc"), col("minhash_sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "band_key")))
+
+    // degenerate-bucket guard: drop buckets larger than maxBucket
+    val bucketed = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucket)
+
+    val a = bucketed.select(col("band"), col("band_key"),
+      col("doc").as("doc_a"), col("minhash_sig").as("sig_a"))
+    val b = bucketed.select(col("band"), col("band_key"),
+      col("doc").as("doc_b"), col("minhash_sig").as("sig_b"))
+
+    val est: Column =
+      size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+        when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / numHashes
+
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact-dup clusters by content hash (md5) — one shuffle. */
+  def exactDupClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_doc"))
+      .filter(col("n_docs") > 1)
+
+  /** SimHash banding dedup: 64-bit signature split into 4 16-bit
+    * bands; docs sharing a band are candidates, ranked by hamming
+    * distance of full signatures (≤ `maxHamming` kept). */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 12, maxBucket: Int = 64): DataFrame = {
+    val signed = docs.select(col(idCol).as("doc"),
+      TextFunctions.simHash(col(textCol)).as("sig"))
+    val banded = signed.select(col("doc"), col("sig"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("band", "band_key")))
+    val bucketed = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = bucketed.select(col("band"), col("band_key"),
+      col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val b = bucketed.select(col("band"), col("band_key"),
+      col("doc").as("doc_b"), col("sig").as("sig_b"))
+    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column —
+  * north-star similarity-search operator (attention analog,
+  * /root/reference/model_zoo/export_tinyllama.py:29-56).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine against a probe, distributed
+  *    TopK (Spark's sort+limit is a per-partition top-k then a
+  *    driver-side k-merge — no global sort materialization).
+  *  - `lshTopK`: random-hyperplane LSH (SimHash for vectors,
+  *    Charikar '02). Probe and corpus hash to `nBits`-bit buckets;
+  *    only same-bucket (or ≤ `probeHamming`-distant bucket) vectors
+  *    are scored. At 100 TB the bucket join replaces the full scan:
+  *    shuffle is on bucket id, candidate set is corpus/2^bits per
+  *    bucket in expectation.
+  *
+  * Hyperplanes are deterministic (seeded) literal arrays — broadcast
+  * as part of the plan, zero runtime state. */
+object SimilaritySearch {
+
+  /** Deterministic pseudo-random hyperplanes: nBits × dim in {-1,+1}.
+    * (±1 planes preserve cosine-LSH guarantees and keep the
+    * expression integer-friendly.) */
+  private def planes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Bit signature of a vector column under the given planes. */
+  def lshBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    val ps = planes(nBits, dim, seed)
+    val bits: Seq[Column] = (0 until nBits).map { i =>
+      val plane = array(ps(i).map(lit): _*)
+      when(vecDot(vec, plane) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact cosine top-k of `corpus` against one probe vector. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     probe: Array[Float], k: Int): DataFrame = {
+    val probeCol = array(probe.map(f => lit(f.toDouble)): _*)
+    corpus.select(col(idCol).as("id"),
+        vecCosine(col(vecCol), probeCol).as("cosine"))
+      .orderBy(col("cosine").desc_nulls_last, col("id").asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed approximate top-k: score only vectors whose bucket
+    * is within `probeHamming` bits of the probe's bucket. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              probe: Array[Float], k: Int, nBits: Int = 12,
+              probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
+    val dim = probe.length
+    val probeCol = array(probe.map(f => lit(f.toDouble)): _*)
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), nBits, dim, seed).as("bucket"))
+    val probeBucket = lshBucket(probeCol, nBits, dim, seed)
+    bucketed
+      .filter(bit_count(col("bucket").bitwiseXOR(probeBucket)) <= probeHamming)
+      .select(col("id"), vecCosine(col("v"), probeCol).as("cosine"))
+      .orderBy(col("cosine").desc_nulls_last, col("id").asc)
+      .limit(k)
+  }
+
+  /** All-pairs near-neighbor join via shared LSH buckets (the scale
+    * path for Q-V4-style pair search): one shuffle on bucket id, no
+    * cross product. */
+  def lshPairJoin(corpus: DataFrame, idCol: String, vecCol: String,
+                  minCosine: Double, nBits: Int = 10, seed: Long = 42L,
+                  dim: Int = 64): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), nBits, dim, seed).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), vecCosine(col("va"), col("vb")).as("cosine"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}
