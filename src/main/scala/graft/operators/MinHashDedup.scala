@@ -99,16 +99,18 @@ object MinHashDedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_doc"))
       .filter(col("n_docs") > 1)
 
-  /** SimHash banding dedup: 64-bit signature split into 4 16-bit
-    * bands; docs sharing a band are candidates, ranked by hamming
-    * distance of full signatures (≤ `maxHamming` kept). */
+  /** SimHash banding dedup: 64-bit signature split into 8 8-bit
+    * bands; docs sharing (band, value) are candidates — pigeonhole
+    * guarantees a shared band for hamming distance ≤ 7 and catches
+    * most pairs well beyond — ranked by hamming distance of full
+    * signatures (≤ `maxHamming` kept). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 12, maxBucket: Int = 64): DataFrame = {
+                   maxHamming: Int = 12, maxBucket: Int = 256): DataFrame = {
     val signed = docs.select(col(idCol).as("doc"),
       TextFunctions.simHash(col(textCol)).as("sig"))
     val banded = signed.select(col("doc"), col("sig"),
-      posexplode(array((0 until 4).map { b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+      posexplode(array((0 until 8).map { b =>
+        shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL))
       }: _*)).as(Seq("band", "band_key")))
     val bucketed = banded
       .withColumn("bucket_n",

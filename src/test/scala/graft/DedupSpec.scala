@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MinHashDedup
+
+/** Dedup fixtures per FIXTURES.md §B.9: byte-identical texts cluster
+  * exactly; one-token-of-20 difference is a near-dup (Jaccard > 0.5);
+  * unrelated docs are not candidates. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+  val near = ((1 to 10).map(i => s"tok$i") ++ Seq("CHANGED") ++
+    (12 to 20).map(i => s"tok$i")).mkString(" ")
+  val far = (1 to 20).map(i => s"other$i").mkString(" ")
+
+  test("exact-dup clusters by md5") {
+    val docs = Seq((1L, base), (2L, base), (3L, far)).toDF("doc_id", "text")
+    val clusters = MinHashDedup.exactDupClusters(docs, "doc_id", "text").collect()
+    assert(clusters.length == 1)
+    assert(clusters.head.getAs[Long]("n_docs") == 2)
+    assert(clusters.head.getAs[Long]("keep_doc") == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not the unrelated one") {
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+      shingleK = 2, bands = 12, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("minhash estimate is high for identical docs") {
+    val docs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val est = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+      shingleK = 2, bands = 12, rowsPerBand = 2, threshold = 0.5)
+      .collect().head.getAs[Double]("est_jaccard")
+    assert(est == 1.0)
+  }
+
+  test("simhash pairs: near-dup within hamming budget, unrelated outside") {
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = MinHashDedup.simHashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}

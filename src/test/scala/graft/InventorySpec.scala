@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + plan-shape checks over the declared inventory at sf0.001,
+  * in the reference's plan-assertion style
+  * (/root/reference/mlir_compiler/test_partitioner.py:10-50 asserts
+  * on IR structure, not just results). */
+class InventorySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("inventory has no duplicate names and every oracle key exists") {
+    val names = QueryInventory.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("flagship entry returns the 6 pricing-summary groups") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 6)
+    assert(rows.head.schema.fieldNames.contains("sum_qty"))
+  }
+
+  test("representative queries return rows at sf0.001") {
+    val expectNonEmpty = Seq("qf1_project_filter", "qa1_pricing_summary",
+      "qj1_star_join", "qw1_ranking", "qt2_topk_per_group", "qu1_union_all",
+      "qv1_vector_norm", "ql1_text_stats", "qs1_tumbling_window")
+    expectNonEmpty.foreach { n =>
+      val c = SparkEntry.queries(n)(spark, dir).count()
+      assert(c > 0, s"$n returned no rows")
+    }
+  }
+
+  test("filters are pushed into the parquet scan (qf1)") {
+    Tables.register(spark, dir)
+    val plan = spark.sql(QueryInventory.qf1.sparkSql)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("l_returnflag"), "filter column missing from scan")
+  }
+
+  test("star join broadcasts the small dimensions (qj1)") {
+    Tables.register(spark, dir)
+    val plan = spark.sql(QueryInventory.qj1.sparkSql)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("scan prunes columns to the projection (qf1 reads 3 columns)") {
+    Tables.register(spark, dir)
+    val plan = spark.sql(QueryInventory.qf1.sparkSql)
+      .queryExecution.executedPlan.toString
+    // ReadSchema should mention only projected/filtered columns
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_extendedprice"), read)
+  }
+
+  test("top-k per group uses the window-group-limit pushdown (qt2)") {
+    Tables.register(spark, dir)
+    val plan = spark.sql(QueryInventory.qt2.sparkSql)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SimilaritySearch
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 40 deterministic unit-ish vectors in 8 dims
+  val rnd = new scala.util.Random(7)
+  val vecs: Seq[(Long, Seq[Float])] =
+    (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextGaussian().toFloat))
+  val probe: Array[Float] = vecs.head._2.toArray
+
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    dot / (na * nb)
+  }
+
+  test("brute-force top-k matches exhaustive ranking") {
+    val corpus = vecs.tail.toDF("vec_id", "embedding")
+    val got = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", probe, 5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val expected = vecs.tail
+      .map { case (id, v) => (id, cosine(v, probe.toSeq)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got == expected)
+  }
+
+  test("LSH top-k with full hamming budget equals brute force") {
+    val corpus = vecs.tail.toDF("vec_id", "embedding")
+    val brute = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", probe, 5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val lsh = SimilaritySearch.lshTopK(corpus, "vec_id", "embedding", probe,
+      k = 5, nBits = 8, probeHamming = 8)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(lsh == brute)
+  }
+
+  test("LSH bucketing is deterministic and restricts candidates") {
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val a = SimilaritySearch.lshTopK(corpus, "vec_id", "embedding", probe,
+      k = 3, nBits = 8, probeHamming = 1).collect().map(_.getAs[Long]("id")).toSeq
+    val b = SimilaritySearch.lshTopK(corpus, "vec_id", "embedding", probe,
+      k = 3, nBits = 8, probeHamming = 1).collect().map(_.getAs[Long]("id")).toSeq
+    assert(a == b)
+    assert(a.headOption.contains(0L)) // probe itself hashes to its own bucket
+  }
+
+  test("LSH pair join finds identical vectors as top pair") {
+    val withDup = vecs :+ (99L -> vecs.head._2)
+    val corpus = withDup.toDF("vec_id", "embedding")
+    val pairs = SimilaritySearch.lshPairJoin(corpus, "vec_id", "embedding",
+      minCosine = 0.99, nBits = 6, dim = 8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 99L)))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps._
+
+class StatefulOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("EMA recurrence golden: values 1,2,3 at alpha=0.5 -> 1, 1.5, 2.25") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 10L, 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 11L, 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 12L, 3.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = StatefulOps.emaBatch(events, alpha = 0.5)
+      .orderBy("eventId").collect().map(_.getAs[Double]("ema")).toSeq
+    assert(out == Seq(1.0, 1.5, 2.25))
+  }
+
+  test("streaming EMA equals batch EMA on bounded replay (state across batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      Sample(1L, 1000L, 1L, 1.0), Sample(1L, 2000L, 2L, 2.0),
+      Sample(2L, 1500L, 3L, 10.0), Sample(1L, 3000L, 4L, 3.0),
+      Sample(2L, 2500L, 5L, 20.0))
+    val stream = MemoryStream[Sample]
+    val q = StatefulOps.emaStreaming(stream.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(all.take(3))
+      q.processAllAvailable()
+      stream.addData(all.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ema_out")
+      .collect().map(r => (r.getAs[Long]("eventId"), r.getAs[Double]("ema"))).toMap
+    val batchDf = all.toDF()
+      .select(col("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
+        col("eventId").as("event_id"), col("value"))
+    val batch = StatefulOps.emaBatch(batchDf, alpha = 0.5)
+      .collect().map(r => (r.getAs[Long]("eventId"), r.getAs[Double]("ema"))).toMap
+    assert(streamed == batch)
+  }
+
+  test("complementary filter: alpha=0 reduces to accel passthrough") {
+    val in = Seq(
+      FusedSample(1L, 1000000L, 5.0, 1.5),
+      FusedSample(1L, 2000000L, 5.0, 2.5)).toDS()
+    val out = StatefulOps.complementaryBatch(in, alpha = 0.0)
+      .collect().sortBy(_.tsMicros).map(_.fused).toSeq
+    assert(out == Seq(1.5, 2.5))
+  }
+
+  test("streaming windowed counts equal batch group-by on bounded input") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 00:01:00", "a", 1.0), ("2024-01-01 00:02:00", "a", 2.0),
+      ("2024-01-01 00:07:00", "a", 3.0), ("2024-01-01 00:03:30", "b", 4.0))
+      .map { case (t, ty, v) => (java.sql.Timestamp.valueOf(t), ty, v) }
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDS().toDF("ts", "event_type", "value")
+    val q = StatefulOps.windowedCounts(sdf)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("win_out")
+      .select(col("window.start").cast("long"), col("event_type"), col("cnt"), col("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = rows.toDF("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").cast("long"), col("event_type"), col("cnt"), col("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+}
