@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session facade — the engine's public entry point (API analog of
+  * the reference's `CIM(config)` SDK object,
+  * /root/reference/imc22_sdk/python/imc22.py:133-187).
+  *
+  * Centralizes the scale-tuned configuration so Verify, Bench, tests
+  * and library users build identical sessions:
+  *  - AQE on (runtime re-plan, skew-join splitting — the engine's
+  *    answer to the reference's cost-based partitioner §4);
+  *  - shuffle partitions sized to cores for local mode (a cluster
+  *    deployment overrides via --conf; AQE coalesces down anyway);
+  *  - UTC session time zone (oracle comparability);
+  *  - broadcast threshold left at default 10 MB — all dimension
+  *    tables (region/nation/customer/supplier/part) broadcast at
+  *    every tested SF.
+  */
+object GraftSession {
+
+  def builder(cores: String = "4"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def create(cores: String = "4"): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Session + tables registered: ready to run any inventory query. */
+  def createWithTables(dir: String, cores: String = "4"): SparkSession = {
+    val s = create(cores)
+    Tables.register(s, dir)
+    s
+  }
+}

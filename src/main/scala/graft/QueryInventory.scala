@@ -23,7 +23,11 @@ final case class Q(
     name: String,
     sparkSql: String,
     oracleSql: Option[String],
-    tags: String = "")
+    tags: String = "",
+    /** Optional DataFrame-API implementation used instead of
+      * `sparkSql` by the runner (same result contract — asserted by
+      * test); lets scale-path operators back oracle-checked queries. */
+    impl: Option[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = None)
 
 object QueryInventory {
 
@@ -350,10 +354,12 @@ object QueryInventory {
       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "join,cross")
 
-  /** Equi+range self-join over event time (as-of flavor). At scale
-    * this is an equi-shuffle on user_id with a per-partition range
-    * probe, never a cross product. */
-  val qj7 = shared("qj7_range_join",
+  /** Equi+range self-join over event time (as-of flavor). The oracle
+    * keeps the declarative spelling; the runner uses the bucketed
+    * range join (graft.plans.RangeJoin) whose shuffle key is
+    * (user_id, time_bucket) — per-key work is bounded by bucket
+    * population instead of O(per-user-history²). */
+  val qj7 = Q("qj7_range_join",
     """SELECT a.user_id AS uid, count(*) AS n_pairs
       |FROM events a
       |JOIN events b
@@ -363,7 +369,27 @@ object QueryInventory {
       | AND a.ts <= b.ts + INTERVAL 1 MINUTE
       |GROUP BY a.user_id
       |ORDER BY uid NULLS FIRST, n_pairs NULLS FIRST""".stripMargin,
-    "join,range")
+    Some("""SELECT a.user_id AS uid, count(*) AS n_pairs
+      |FROM events a
+      |JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_id <> b.event_id
+      | AND a.ts > b.ts
+      | AND a.ts <= b.ts + INTERVAL 1 MINUTE
+      |GROUP BY a.user_id
+      |ORDER BY uid NULLS FIRST, n_pairs NULLS FIRST""".stripMargin),
+    "join,range",
+    impl = Some { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(spark, dir)
+      graft.plans.RangeJoin.timeWindowSelfPairs(
+          spark.table("events"), "user_id", "event_id",
+          unix_micros(col("ts")), 60000000L)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("k").as("uid"), col("n_pairs"))
+        .orderBy(asc_nulls_first("uid"), asc_nulls_first("n_pairs"))
+    })
 
   val qj8 = shared("qj8_correlated_subq",
     """SELECT c_custkey, round(c_acctbal, 4) AS acctbal

@@ -20,7 +20,7 @@ object SparkEntry {
   }
 
   private def sqlQuery(q: Q): (String, (SparkSession, String) => DataFrame) =
-    q.name -> { (spark: SparkSession, dir: String) =>
+    q.name -> q.impl.getOrElse { (spark: SparkSession, dir: String) =>
       Tables.register(spark, dir)
       spark.sql(q.sparkSql)
     }

@@ -30,25 +30,39 @@ import graft.functions.TextFunctions
   */
 object MinHashDedup {
 
-  /** Adds `minhash_sig: array<bigint>` of length `numHashes`.
-    *
-    * The shingle set is materialized as its own projection first and
-    * the per-seed minhashes fold over hashed shingles — without this,
-    * each of the `numHashes` aggregate expressions would re-tokenize,
-    * re-slice, and re-distinct the document (numHashes× the work;
-    * CollapseProject keeps the two projections separate because the
-    * shingle column is referenced many times). */
+  /** `(doc, minhash_sig)` pairs: shingle hashes exploded to rows,
+    * then one hash-aggregate computes all `numHashes` seeded minima
+    * map-side (partial aggregation compacts each partition to one
+    * row per doc before the shuffle — the row explosion never crosses
+    * the wire). This relational shape both scales and stays inside
+    * whole-stage codegen; the equivalent single-expression fold (24
+    * nested array-aggregate lambdas) generates a method large enough
+    * to dominate runtime via janino compilation. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int, numHashes: Int): DataFrame =
+    docs
+      // spread the CPU-heavy shingle/hash work across all cores: a
+      // small input file arrives as one partition and would serialize
+      // the whole pipeline (at cluster scale inputs are already
+      // many-partitioned; this is a no-op cost there)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc"),
+        explode(transform(TextFunctions.shingles(col(textCol), shingleK),
+          s => xxhash64(s))).as("h"))
+      .groupBy(col("doc"))
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(col("h"), lit(i)))): _*).as("minhash_sig"))
+
+  /** Adds `minhash_sig: array<bigint>` of length `numHashes`. */
   def withSignature(docs: DataFrame, textCol: String, shingleK: Int = 3,
                     numHashes: Int = 24): DataFrame = {
-    val withShingles = docs.withColumn("_sh",
-      transform(TextFunctions.shingles(col(textCol), shingleK), s => xxhash64(s)))
-    val sig = array((0 until numHashes).map { i =>
-      // seeded re-hash of the precomputed 64-bit shingle hash — one
-      // cheap xxhash64(long, seed) per (shingle, seed) pair
-      aggregate(col("_sh"), lit(Long.MaxValue),
-        (acc, h) => least(acc, xxhash64(h, lit(i))))
-    }: _*)
-    withShingles.withColumn("minhash_sig", sig).drop("_sh")
+    val idTmp = "_graft_row_id"
+    val withId = docs.withColumn(idTmp, monotonically_increasing_id())
+    withId.join(
+        signatures(withId, idTmp, textCol, shingleK, numHashes)
+          .withColumnRenamed("doc", idTmp),
+        Seq(idTmp))
+      .drop(idTmp)
   }
 
   /** Candidate near-dup pairs (idA < idB) with estimated Jaccard ≥
@@ -58,8 +72,7 @@ object MinHashDedup {
                      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 3,
                      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val signed = withSignature(docs, textCol, shingleK, numHashes)
-      .select(col(idCol).as("doc"), col("minhash_sig"))
+    val signed = signatures(docs, idCol, textCol, shingleK, numHashes)
 
     // band keys: hash of each r-slice of the signature
     val banded = signed.select(
@@ -106,8 +119,10 @@ object MinHashDedup {
     * signatures (≤ `maxHamming` kept). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 12, maxBucket: Int = 256): DataFrame = {
-    val signed = docs.select(col(idCol).as("doc"),
-      TextFunctions.simHash(col(textCol)).as("sig"))
+    val signed = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc"),
+        TextFunctions.simHash(col(textCol)).as("sig"))
     val banded = signed.select(col("doc"), col("sig"),
       posexplode(array((0 until 8).map { b =>
         shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL))
