@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{MinHashDedup, Multimodal, SimilaritySearch}
+import graft.operators.{Cascade, MinHashDedup, Multimodal, SimilaritySearch}
 import graft.streaming.StatefulOps
 
 /** Engine-side-only operators (SURVEY §2.9 tail): approximate,
@@ -142,7 +142,19 @@ object EngineOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Cascade early-exit over embeddings (ref cascade_model.c): two
+    * deterministic linear scorer "layers", exit-layer distribution. */
+  private def cascade(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    // deterministic scorers: layer l, class c, dim d -> fixed small weights
+    def w(l: Int) = Array.tabulate(4, 64)((c, d) => ((d * 7 + c * 13 + l * 3) % 11 - 5) / 2.0)
+    val layers = Seq((w(0), Array.fill(4)(0.0)), (w(1), Array.fill(4)(0.0)))
+    Cascade.exitStats(
+      Cascade.earlyExit(emb, "embedding", layers, threshold = 0.6), layers.size)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eng_cascade_early_exit" -> cascade,
     "eng_minhash_lsh_dedup" -> minhashDedup,
     "eng_simhash_dedup" -> simhashDedup,
     "eng_exact_dedup" -> exactDedup,

@@ -33,6 +33,7 @@ object GraftSession {
   def create(cores: String = "4"): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table source layer: the co-located-join storage layout
+  * (the engine analog of the reference's ahead-of-time memory
+  * planning, /root/reference/mlir_compiler/memory_planner.py:31-129 —
+  * decide data placement at write time so runtime does no movement).
+  *
+  * Writing fact tables bucketed by their join key lets every
+  * subsequent equi-join/aggregation on that key run WITHOUT a
+  * shuffle exchange: at 100 TB the lineitem⋈orders shuffle is the
+  * single largest cost in the star-join family, and bucketing
+  * amortizes it into the one-time write. The no-exchange property is
+  * asserted by test (plan contains no ShuffleExchange on the
+  * bucketed side). */
+object BucketedTables {
+
+  /** Writes `df` as a bucketed, sorted managed table (drops any
+    * previous table AND its orphaned location — a stale warehouse dir
+    * from a crashed run otherwise blocks the create). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new java.net.URI(warehouse.stripSuffix("/") + "/" + table.toLowerCase)
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table) // managed: lives in spark.sql.warehouse.dir
+  }
+
+  /** Bucket-aligns the two big fact tables of the star schema. */
+  def bucketFacts(spark: SparkSession, dir: String, nBuckets: Int = 8): Unit = {
+    graft.Tables.register(spark, dir)
+    writeBucketed(spark.table("lineitem"), "lineitem_b", "l_orderkey", nBuckets)
+    writeBucketed(spark.table("orders"), "orders_b", "o_orderkey", nBuckets)
+  }
+}
