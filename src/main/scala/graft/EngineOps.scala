@@ -23,7 +23,7 @@ object EngineOps {
   private def minhashDedup(spark: SparkSession, dir: String): DataFrame =
     MinHashDedup.candidatePairs(t(spark, dir, "documents"),
         idCol = "doc_id", textCol = "text",
-        shingleK = 2, bands = 12, rowsPerBand = 2, threshold = 0.1)
+        shingleK = 2, bands = 8, rowsPerBand = 2, threshold = 0.1)
       .orderBy(col("est_jaccard").desc_nulls_last, col("doc_a"), col("doc_b"))
       .limit(50)
 

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.VectorFunctions._
+import graft.operators.MinHashDedup
+
+/** Property-based invariants (SURVEY §5: the property-test layer the
+  * reference lacks). Raw ScalaCheck generators sampled with fixed
+  * seeds — deterministic across runs. */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  val vecGen: Gen[List[Float]] =
+    Gen.chooseNum(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f)))
+
+  test("property: quantize∘dequantize error ≤ scale/2 for any vector") {
+    // batch all sampled vectors through one plan: stays a single job
+    val vs = samples(vecGen, 20)
+    val df = vs.map(Tuple1(_)).toDF("v")
+    df.select(
+        quantScale(col("v")).as("s"),
+        aggregate(zip_with(
+          dequantizeInt8(quantizeInt8(col("v")), quantScale(col("v"))),
+          vecToDouble(col("v")), (a, b) => abs(a - b)),
+          lit(0.0), (m, e) => greatest(m, e)).as("err"))
+      .collect().foreach { r =>
+        assert(r.getDouble(1) <= r.getDouble(0) / 2 + 1e-9)
+      }
+  }
+
+  test("property: softmax sums to 1 and preserves argmax") {
+    val vs = samples(vecGen, 20)
+    val rows = vs.map(Tuple1(_)).toDF("v")
+      .select(col("v"), vecSoftmax(col("v")).as("s")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val sm = r.getSeq[Double](1)
+      assert(math.abs(sm.sum - 1.0) < 1e-9)
+      assert(sm.indexOf(sm.max) == v.indexOf(v.max))
+    }
+  }
+
+  test("property: delta-encode then prefix-sum-decode is the identity (delta codec)") {
+    val seriesGen = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)))
+    samples(seriesGen, 10).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pos", "x")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("pos")
+      val decoded = df
+        .withColumn("delta", col("x") - lag(col("x"), 1, 0L).over(w))
+        .withColumn("decoded", sum(col("delta")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .orderBy("pos").collect()
+      decoded.foreach(r => assert(r.getAs[Long]("decoded") == r.getAs[Long]("x")))
+    }
+  }
+
+  test("property: exact dedup clusters account for every duplicate") {
+    val textGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma")).map(_.mkString(" ")))
+    samples(Gen.listOfN(8, textGen), 8).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val clusters = MinHashDedup.exactDupClusters(docs, "doc_id", "text").collect()
+      val dupClusters = texts.groupBy(identity).count(_._2.size > 1)
+      assert(clusters.length == dupClusters)
+      assert(texts.distinct.size + clusters.map(_.getAs[Long]("n_docs") - 1).sum == texts.size)
+    }
+  }
+
+  test("property: minhash estimate is 1 for identical docs, regardless of text") {
+    val textGen = Gen.chooseNum(3, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    samples(textGen, 5).foreach { t =>
+      val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+      val pairs = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+        shingleK = 2, bands = 4, rowsPerBand = 2, threshold = 0.0).collect()
+      assert(pairs.length == 1 && pairs.head.getAs[Double]("est_jaccard") == 1.0)
+    }
+  }
+}

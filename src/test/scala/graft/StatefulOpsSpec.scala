@@ -47,6 +47,34 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("file-source streaming replay of events matches batch windowed counts") {
+    // replay the real events table through a parquet file stream with
+    // a watermark (SURVEY M4): bounded replay must equal batch
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      tmp.resolve("part-00000.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(tmp.toString)
+    val fix = (df: org.apache.spark.sql.DataFrame) => df.withColumn("ts",
+      expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+    val sdf = fix(spark.readStream.schema(raw.schema).parquet(tmp.toString))
+    val q = StatefulOps.windowedCounts(sdf)
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("long"), col("event_type"), col("cnt"), col("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100))).toSet
+    val streamed = canon(spark.table("file_win"))
+    val batch = canon(fix(raw)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v")))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("complementary filter: alpha=0 reduces to accel passthrough") {
     val in = Seq(
       FusedSample(1L, 1000000L, 5.0, 1.5),
