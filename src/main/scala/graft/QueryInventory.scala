@@ -578,7 +578,18 @@ object QueryInventory {
       |WHERE e.vec_id <> 0
       |ORDER BY dot_score DESC NULLS LAST, vec_id ASC NULLS FIRST
       |LIMIT 20""".stripMargin),
-    "vector,gemv,topk")
+    "vector,gemv,topk",
+    impl = Some { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions.vecDot
+      graft.Tables.register(spark, dir)
+      val e = spark.table("embeddings")
+      val p = e.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+      e.filter(col("vec_id") =!= 0).crossJoin(p)
+        .select(col("vec_id"), round(vecDot(col("embedding"), col("p")), 4).as("dot_score"))
+        .orderBy(col("dot_score").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(20)
+    })
 
   /** Relational GEMM (reference CIM_MatMul,
     * /root/reference/imc22_sdk/imc22_cim.c:87-142): explode to
@@ -636,7 +647,22 @@ object QueryInventory {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |ORDER BY cosine DESC NULLS LAST, vec_a NULLS FIRST, vec_b NULLS FIRST
       |LIMIT 10""".stripMargin),
-    "vector,cosine,similarity")
+    "vector,cosine,similarity",
+    impl = Some { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions.{vecDot, vecL2}
+      graft.Tables.register(spark, dir)
+      val n = spark.table("embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").as("e"), vecL2(col("embedding")).as("nrm"))
+      val a = n.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cosine"))
+        .orderBy(col("cosine").desc_nulls_last,
+          col("vec_a").asc_nulls_first, col("vec_b").asc_nulls_first)
+        .limit(10)
+    })
 
   /** Numerically-stable softmax (reference
     * /root/reference/firmware/middleware/cascade_model.c:203-229)
@@ -810,7 +836,22 @@ object QueryInventory {
       |WHERE d.doc_id <> 0
       |ORDER BY cos_score DESC NULLS LAST, doc_id NULLS FIRST, lang NULLS FIRST
       |LIMIT 15""".stripMargin),
-    "similarity,search")
+    "similarity,search",
+    impl = Some { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions.vecDot
+      graft.Tables.register(spark, dir)
+      val e = spark.table("embeddings")
+      val p = e.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+      spark.table("documents").filter(col("doc_id") =!= 0)
+        .join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(p)
+        .select(col("doc_id"), col("lang"),
+          round(vecDot(col("embedding"), col("p")), 4).as("cos_score"))
+        .orderBy(col("cos_score").desc_nulls_last,
+          col("doc_id").asc_nulls_first, col("lang").asc_nulls_first)
+        .limit(15)
+    })
 
   val ql5 = shared("ql5_source_rollup",
     """SELECT source, lang,

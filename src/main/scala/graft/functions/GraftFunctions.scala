@@ -22,9 +22,15 @@ object GraftFunctions {
     exprs => ColumnBridge.expr(
       f(ColumnBridge.column(exprs(0)), ColumnBridge.column(exprs(1))))
 
+  /** Column-API access to the native codegen dot product. */
+  def vecDotFast(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.expressions.VecDotExpr(
+      ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
   /** name → (builder, arity) for everything the engine exposes to SQL. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> b2(VectorFunctions.vecDot),
+    "vec_dot_fast" -> (exprs => graft.expressions.VecDotExpr(exprs(0), exprs(1))),
     "vec_cosine" -> b2(VectorFunctions.vecCosine),
     "vec_l2" -> b1(VectorFunctions.vecL2),
     "vec_sum" -> b1(VectorFunctions.vecSum),
