@@ -63,6 +63,17 @@ object EngineOps {
       .withColumn("cosine", round(col("cosine"), 4))
   }
 
+  /** IVF-flat approximate top-k (sampled codebook + cell pruning). */
+  private def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    SimilaritySearch.ivfTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe,
+        k = 10, nCentroids = 16, nProbe = 4)
+      .withColumn("cosine", round(col("cosine"), 4))
+  }
+
   /** All-pairs LSH near-neighbor join (scale path of qv4). */
   private def annPairJoin(spark: SparkSession, dir: String): DataFrame =
     SimilaritySearch.lshPairJoin(t(spark, dir, "embeddings"),
@@ -160,6 +171,7 @@ object EngineOps {
     "eng_exact_dedup" -> exactDedup,
     "eng_ann_brute_topk" -> annBrute,
     "eng_ann_lsh_topk" -> annLsh,
+    "eng_ann_ivf_topk" -> annIvf,
     "eng_ann_lsh_pairs" -> annPairJoin,
     "eng_ema_stateful" -> emaBatch,
     "eng_lang_id" -> langId,

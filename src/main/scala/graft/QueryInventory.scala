@@ -259,6 +259,18 @@ object QueryInventory {
       |         o_orderpriority NULLS FIRST, cnt NULLS FIRST""".stripMargin,
     "cube")
 
+  val qa7c = shared("qa7_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |       count(*) AS cnt,
+      |       round(sum(l_extendedprice), 4) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag NULLS FIRST, g_status NULLS FIRST, l_returnflag NULLS FIRST,
+      |         l_linestatus NULLS FIRST, cnt NULLS FIRST, sum_price NULLS FIRST""".stripMargin,
+    "groupingsets")
+
   val qa8 = shared("qa8_conditional_agg",
     """SELECT l_returnflag,
       |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -954,7 +966,7 @@ object QueryInventory {
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa8, qa9,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8,
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,

