@@ -19,16 +19,27 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(cores: String = "4"): SparkSession.Builder =
+  def builder(cores: String = "4"): SparkSession.Builder = {
+    // Hive-compatible catalog (the north-star "Spark SQL + Hive
+    // metastore" layer): managed/external tables, databases, and
+    // DDL resolve through a real HMS client. The embedded derby
+    // metastore gets a per-JVM path so concurrent driver runs never
+    // contend on derby's single-instance lock; a cluster deployment
+    // points ConnectionURL at the shared metastore instead.
+    val metastoreDir = s"${System.getProperty("java.io.tmpdir")}/graft_metastore_${ProcessHandle.current().pid()}"
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .enableHiveSupport()
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$metastoreDir;create=true")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   def create(cores: String = "4"): SparkSession = {
     val s = builder(cores).getOrCreate()

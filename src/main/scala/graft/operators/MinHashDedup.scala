@@ -106,6 +106,28 @@ object MinHashDedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** `(doc, sig)` SimHash signatures, relational shape: token hashes
+    * exploded, one hash-aggregate maintains the 64 per-bit counters
+    * (sum of ±1) map-side, then a projection assembles the sign bits.
+    * Same result as TextFunctions.simHash (kept as the expression
+    * spelling for SQL/Column use); this shape avoids the 64-wide
+    * nested lambda fold whose generated code dominates runtime. */
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.tokenHashes(col(textCol))).as("h"))
+      .groupBy(col("doc"))
+      .agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("c0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"c$b")): _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"c$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counts.select(col("doc"), sig.as("sig"))
+  }
+
   /** Exact-dup clusters by content hash (md5) — one shuffle. */
   def exactDupClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))
@@ -119,10 +141,7 @@ object MinHashDedup {
     * signatures (≤ `maxHamming` kept). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 12, maxBucket: Int = 256): DataFrame = {
-    val signed = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("doc"),
-        TextFunctions.simHash(col(textCol)).as("sig"))
+    val signed = simHashSignatures(docs, idCol, textCol)
     val banded = signed.select(col("doc"), col("sig"),
       posexplode(array((0 until 8).map { b =>
         shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL))

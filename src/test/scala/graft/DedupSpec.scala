@@ -42,6 +42,18 @@ class DedupSpec extends AnyFunSuite {
     assert(est == 1.0)
   }
 
+  test("relational simhash signatures equal the expression spelling") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val docs = spark.table("documents").limit(50)
+    val rel = MinHashDedup.simHashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expr = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.simHash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == expr)
+    assert(rel.size == 50)
+  }
+
   test("simhash pairs: near-dup within hamming budget, unrelated outside") {
     val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
     val pairs = MinHashDedup.simHashPairs(docs, "doc_id", "text", maxHamming = 16)

@@ -4,15 +4,6 @@ import org.apache.spark.sql.SparkSession
 
 /** Shared local session for all specs. */
 object TestSpark {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  /** Hive-catalog-backed session (same facade the engine ships). */
+  lazy val spark: SparkSession = GraftSession.create("4")
 }
