@@ -32,6 +32,15 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // optional per-operator profile dump (M5): PROFILE_OUT=<path.csv>
+    sys.env.get("PROFILE_OUT").foreach { out =>
+      val profiles = QueryInventory.all.take(8).map { q =>
+        Profiler.profile(q.name, fns(q.name)(spark, sfDir))
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        Profiler.toCsv(profiles))
+    }
+
     val headlineNames = QueryInventory.all.map(_.name).toSet
     val headline = results.filter(r => headlineNames(r._1)).map(_._2).sum
     val engine = results.filterNot(r => headlineNames(r._1)).map(_._2).sum

@@ -33,6 +33,9 @@ object GraftSession {
       .enableHiveSupport()
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$metastoreDir;create=true")
+      // warehouse lives beside the metastore: a fresh metastore must
+      // not see a previous JVM's managed-table directories
+      .config("spark.sql.warehouse.dir", s"$metastoreDir-warehouse")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
