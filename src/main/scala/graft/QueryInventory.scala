@@ -143,6 +143,62 @@ object QueryInventory {
       |ORDER BY event_id NULLS FIRST, k NULLS FIRST""".stripMargin),
     "json,semistructured")
 
+  val qf9 = Q("qf9_date_parts",
+    """SELECT o_orderkey,
+      |       CAST(year(o_orderdate) AS INT) AS y,
+      |       CAST(month(o_orderdate) AS INT) AS m,
+      |       CAST(day(o_orderdate) AS INT) AS d,
+      |       CAST(quarter(o_orderdate) AS INT) AS q,
+      |       CAST(weekofyear(o_orderdate) AS INT) AS woy,
+      |       CAST(dayofweek(o_orderdate) AS INT) AS dow
+      |FROM orders
+      |WHERE o_orderkey < 300
+      |ORDER BY o_orderkey NULLS FIRST, y NULLS FIRST, m NULLS FIRST, d NULLS FIRST,
+      |         q NULLS FIRST, woy NULLS FIRST, dow NULLS FIRST""".stripMargin,
+    Some("""SELECT o_orderkey,
+      |       CAST(year(o_orderdate) AS INT) AS y,
+      |       CAST(month(o_orderdate) AS INT) AS m,
+      |       CAST(day(o_orderdate) AS INT) AS d,
+      |       CAST(quarter(o_orderdate) AS INT) AS q,
+      |       CAST(weekofyear(o_orderdate) AS INT) AS woy,
+      |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+      |FROM orders
+      |WHERE o_orderkey < 300
+      |ORDER BY o_orderkey NULLS FIRST, y NULLS FIRST, m NULLS FIRST, d NULLS FIRST,
+      |         q NULLS FIRST, woy NULLS FIRST, dow NULLS FIRST""".stripMargin),
+    "date,extract")
+
+  val qf10 = Q("qf10_regexp",
+    """SELECT p_partkey,
+      |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |       length(regexp_replace(p_name, '[aeiou ]', '')) AS consonants,
+      |       CASE WHEN regexp_like(p_name, '^[a-m]') THEN 1 ELSE 0 END AS starts_am
+      |FROM part
+      |WHERE p_partkey < 300
+      |ORDER BY p_partkey NULLS FIRST, first_word NULLS FIRST, consonants NULLS FIRST,
+      |         starts_am NULLS FIRST""".stripMargin,
+    Some("""SELECT p_partkey,
+      |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |       CAST(length(regexp_replace(p_name, '[aeiou ]', '', 'g')) AS INT) AS consonants,
+      |       CASE WHEN regexp_matches(p_name, '^[a-m]') THEN 1 ELSE 0 END AS starts_am
+      |FROM part
+      |WHERE p_partkey < 300
+      |ORDER BY p_partkey NULLS FIRST, first_word NULLS FIRST, consonants NULLS FIRST,
+      |         starts_am NULLS FIRST""".stripMargin),
+    "regexp,string")
+
+  val qf11 = shared("qf11_conditional_funcs",
+    """SELECT event_id,
+      |       coalesce(nullif(event_type, 'error'), 'ERR') AS et,
+      |       round(least(value, CAST(100 AS DOUBLE)), 4) AS capped,
+      |       round(greatest(value, CAST(10 AS DOUBLE)), 4) AS floored,
+      |       CASE WHEN value IS NULL THEN -1 ELSE 1 END AS has_value
+      |FROM events
+      |WHERE event_id < 400
+      |ORDER BY event_id NULLS FIRST, et NULLS FIRST, capped NULLS FIRST,
+      |         floored NULLS FIRST, has_value NULLS FIRST""".stripMargin,
+    "conditional")
+
   // ---------------------------------------------------------------
   // Aggregation (Q-A*)
   // ---------------------------------------------------------------
@@ -289,6 +345,19 @@ object QueryInventory {
       |HAVING count(*) > 12
       |ORDER BY o_custkey NULLS FIRST, n_orders NULLS FIRST""".stripMargin,
     "having")
+
+  /** Bivariate stats (weight-distribution-stats analog, ref
+    * /root/reference/mlir_compiler/optimizer.py:220-257). */
+  val qa10 = shared("qa10_corr",
+    """SELECT l_returnflag,
+      |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+      |       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST, corr_qp NULLS FIRST, covar_qp NULLS FIRST,
+      |         covar_pop_qp NULLS FIRST""".stripMargin,
+    "agg,stats,corr")
 
   // ---------------------------------------------------------------
   // Joins (Q-J*)
@@ -965,8 +1034,8 @@ object QueryInventory {
 
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
-    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9,
+    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8,
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,
