@@ -113,18 +113,30 @@ object MinHashDedup {
     * spelling for SQL/Column use); this shape avoids the 64-wide
     * nested lambda fold whose generated code dominates runtime. */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // 64 per-bit one-counters packed 4-per-aggregate into 16-bit
+    // lanes (lane values are non-negative so no cross-lane borrows;
+    // safe up to 65k tokens/doc): 16 sum columns + count instead of
+    // 64 — the generated aggregate class stays small enough that
+    // janino compilation doesn't dominate one-shot runs.
+    // Bit b is set iff 2·ones(b) > n  ⟺  Σ(±1) > 0 (ties → unset),
+    // matching TextFunctions.simHash exactly.
+    val laneAggs = (0 until 16).map { g =>
+      val packed = (0 until 4).map { j =>
+        shiftright(col("h"), g * 4 + j).bitwiseAND(lit(1L)) * lit(1L << (j * 16))
+      }.reduce(_ + _)
+      sum(packed).as(s"p$g")
+    }
     val counts = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc"),
         explode(TextFunctions.tokenHashes(col(textCol))).as("h"))
       .groupBy(col("doc"))
-      .agg(
-        sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("c0"),
-        (1 until 64).map(b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"c$b")): _*)
-    val sig = (0 until 64)
-      .map(b => when(col(s"c$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
+      .agg(count(lit(1)).as("n"), laneAggs: _*)
+    val sig = (0 until 64).map { b =>
+      val (g, j) = (b / 4, b % 4)
+      val ones = shiftright(col(s"p$g"), j * 16).bitwiseAND(lit(0xffffL))
+      when(ones * 2 > col("n"), lit(1L << b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
     counts.select(col("doc"), sig.as("sig"))
   }
 
