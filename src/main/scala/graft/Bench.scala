@@ -24,12 +24,20 @@ object Bench {
     val ordered: Seq[String] =
       QueryInventory.all.map(_.name) ++ EngineOps.queries.keys.toSeq.sorted
     val fns = SparkEntry.queries
+    // Timed work is a noop-sink write, not .count(): a count lets
+    // Catalyst drop the final sort (EliminateSorts) and prune every
+    // projected column, under-measuring scan/projection-heavy
+    // queries; the noop sink executes the full plan and discards
+    // rows. A query that throws is recorded as failed (value -1)
+    // and excluded from the headline total — a regression must not
+    // read as a speedup.
     val results: Seq[(String, Double)] = ordered.map { name =>
       val t0 = System.nanoTime()
-      try { fns(name)(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // optional per-operator profile dump (M5): PROFILE_OUT=<path.csv>
@@ -42,12 +50,14 @@ object Bench {
     }
 
     val headlineNames = QueryInventory.all.map(_.name).toSet
-    val headline = results.filter(r => headlineNames(r._1)).map(_._2).sum
-    val engine = results.filterNot(r => headlineNames(r._1)).map(_._2).sum
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0).map(_._2).sum
+    val engine = results.filter(r => !headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$qs,"engine_ops_sec":$engine,"sf":"$sfDir"}""")
+      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$qs,"engine_ops_sec":$engine,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,18 +19,24 @@ object EngineOps {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(spark, dir, name)
 
-  /** MinHash-LSH near-dup candidates (scale path of ql3). */
+  /** MinHash-LSH near-dup candidates (scale path of ql3). r=4
+    * banding puts the LSH S-curve knee near J≈0.5 — shared
+    * boilerplate between moderately-similar synthetic docs does not
+    * explode the candidate set the way r=2 did. */
   private def minhashDedup(spark: SparkSession, dir: String): DataFrame =
     MinHashDedup.candidatePairs(t(spark, dir, "documents"),
         idCol = "doc_id", textCol = "text",
-        shingleK = 2, bands = 8, rowsPerBand = 2, threshold = 0.1)
+        shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
       .orderBy(col("est_jaccard").desc_nulls_last, col("doc_a"), col("doc_b"))
       .limit(50)
 
-  /** SimHash banded near-dup pairs. */
+  /** SimHash banded near-dup pairs. maxHamming=7 matches the 8×8-band
+    * pigeonhole guarantee (every pair at hamming ≤7 shares a band);
+    * a looser budget would both miss pairs the banding can't see and
+    * drag ~1M moderately-similar candidate pairs through the filter. */
   private def simhashDedup(spark: SparkSession, dir: String): DataFrame =
     MinHashDedup.simHashPairs(t(spark, dir, "documents"),
-        idCol = "doc_id", textCol = "text", maxHamming = 24)
+        idCol = "doc_id", textCol = "text", maxHamming = 7, maxBucket = 128)
       .orderBy(col("hamming").asc_nulls_last, col("doc_a"), col("doc_b"))
       .limit(50)
 

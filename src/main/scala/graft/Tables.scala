@@ -17,12 +17,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Tracks which (session, dir) combinations are already registered
-    * so repeated query invocations don't re-read parquet footers. */
-  private val registered = scala.collection.mutable.Set[(SparkSession, String)]()
+  /** Tracks the LAST dir registered per session (temp views are
+    * session-global, so only one dir's views exist at a time —
+    * memoizing on (session, dir) would let register(A); register(B);
+    * register(A) silently leave the views pointing at B). */
+  private val registered = scala.collection.mutable.Map[SparkSession, String]()
 
   def register(spark: SparkSession, dir: String): Unit = synchronized {
-    if (!registered.contains((spark, dir))) {
+    if (!registered.get(spark).contains(dir)) {
       // events.ts is parquet TIMESTAMP(NANOS): Spark has no ns
       // timestamp type, so read it as a raw ns long and convert to a
       // µs timestamp (lossless here — the generated data is µs-aligned;
@@ -37,7 +39,7 @@ object Tables {
           else df
         fixed.createOrReplaceTempView(n)
       }
-      registered += ((spark, dir))
+      registered(spark) = dir
     }
   }
 

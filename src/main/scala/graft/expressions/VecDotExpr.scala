@@ -16,15 +16,25 @@ import org.apache.spark.sql.types._
   * Generates a tight scalar loop over the ArrayData, accumulating in
   * double with left-to-right order — bit-identical to the sequential
   * `aggregate(zip_with(...))` fold it replaces, so oracle-checked
-  * queries can swap spellings without result drift. */
+  * queries can swap spellings without result drift. That parity
+  * includes the null cases: a length mismatch or a null element
+  * yields NULL, exactly as `zip_with` + `aggregate` (and DuckDB's
+  * `list_*` spellings) do — never a silent truncation.
+  */
 case class VecDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+
+  /** Nullable regardless of child nullability: a dim mismatch or a
+    * null array element produces NULL even from non-null inputs. */
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def mayHaveNullElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -42,12 +52,14 @@ case class VecDotExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val la = elemType(left) == FloatType
     val rb = elemType(right) == FloatType
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rb) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -63,13 +75,31 @@ case class VecDotExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // element null checks only emitted when the array type admits
+      // null elements — the common containsNull=false scan data pays
+      // no per-element branch
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right)) {
+          val checks = Seq(
+            if (mayHaveNullElems(left)) Some(s"$a.isNullAt($i)") else None,
+            if (mayHaveNullElems(right)) Some(s"$b.isNullAt($i)") else None
+          ).flatten.mkString(" || ")
+          s"if ($checks) { ${ev.isNull} = true; break; }"
+        } else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

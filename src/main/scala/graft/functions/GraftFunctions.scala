@@ -37,11 +37,23 @@ object GraftFunctions {
     "vec_mean" -> b1(VectorFunctions.vecMean),
     "vec_abs_max" -> b1(VectorFunctions.vecAbsMax),
     "vec_relu" -> b1(VectorFunctions.vecRelu),
+    "vec_sigmoid" -> b1(VectorFunctions.vecSigmoid),
+    "vec_tanh" -> b1(VectorFunctions.vecTanh),
+    "vec_silu" -> b1(VectorFunctions.vecSilu),
+    "vec_gelu" -> b1(VectorFunctions.vecGelu),
+    "vec_layer_norm" -> b1(VectorFunctions.vecLayerNorm(_)),
+    "vec_rms_norm" -> b1(VectorFunctions.vecRmsNorm(_)),
     "vec_softmax" -> b1(VectorFunctions.vecSoftmax),
     "vec_sparsity" -> b1(VectorFunctions.vecSparsity(_)),
     "quantize_int8" -> b1(VectorFunctions.quantizeInt8),
     "quant_scale" -> b1(VectorFunctions.quantScale),
     "dequantize_int8" -> b2(VectorFunctions.dequantizeInt8),
+    "quant_scale_asym" -> b1(VectorFunctions.quantScaleAsym(_)),
+    "quant_zero_point_asym" -> b1(VectorFunctions.quantZeroPointAsym(_)),
+    "quantize_uint8_asym" -> b1(VectorFunctions.quantizeUint8Asym),
+    "quantize_int4_asym" -> b1(VectorFunctions.quantizeInt4Asym),
+    "pack_int4" -> b1(VectorFunctions.packInt4),
+    "unpack_int4" -> b1(VectorFunctions.unpackInt4),
     "token_count" -> b1(TextFunctions.tokenCount),
     "subword_count" -> b1(TextFunctions.subwordCount),
     "doc_fingerprint" -> b1(TextFunctions.docFingerprint),

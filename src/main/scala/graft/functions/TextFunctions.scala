@@ -40,8 +40,12 @@ object TextFunctions {
     "es" -> Seq("el", "los", "las", "es", "en", "por", "para", "una"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "人"))
 
+  /** Per-language marker-hit counts over ONE shared token array —
+    * the lowered tokenization subtree is identical (and
+    * deterministic) across languages, so whole-stage codegen's
+    * subexpression elimination evaluates it once per row. */
   def langScores(text: Column): Column = {
-    val toks = transform(tokens(lower(text)), t => t)
+    val toks = tokens(lower(text))
     map_from_arrays(
       array(markers.keys.toSeq.sorted.map(lit): _*),
       array(markers.keys.toSeq.sorted.map { lang =>
@@ -51,9 +55,10 @@ object TextFunctions {
 
   /** Best-scoring language code, or 'und' when no marker hits. */
   def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
     val scored = markers.keys.toSeq.sorted.map { lang =>
       struct(
-        size(filter(tokens(lower(text)), t =>
+        size(filter(toks, t =>
           t.isin(markers(lang).map(_.asInstanceOf[Any]): _*))).as("score"),
         lit(lang).as("lang"))
     }

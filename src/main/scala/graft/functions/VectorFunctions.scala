@@ -75,6 +75,55 @@ object VectorFunctions {
     transform(ex, x => x / sm)
   }
 
+  /** Elementwise sigmoid 1/(1+e^-x) (ref
+    * /root/reference/imc22_sdk/imc22_cim.c:282-287). */
+  def vecSigmoid(v: Column): Column =
+    transform(v, x => lit(1.0) / (lit(1.0) + exp(-x.cast("double"))))
+
+  /** Elementwise tanh (ref /root/reference/imc22_sdk/imc22_cim.c:289-293). */
+  def vecTanh(v: Column): Column =
+    transform(v, x => tanh(x.cast("double")))
+
+  /** SiLU / Swish: x·sigmoid(x) (ref
+    * /root/reference/mlir_compiler/transformer_ops.py:45-50,128-133;
+    * model_zoo/export_tinyllama.py:64 nn.SiLU). */
+  def vecSilu(v: Column): Column =
+    transform(v, x => {
+      val d = x.cast("double")
+      d / (lit(1.0) + exp(-d))
+    })
+
+  /** GELU, tanh approximation
+    * 0.5·x·(1+tanh(√(2/π)·(x+0.044715·x³))) — the hardware-friendly
+    * spelling the reference compiles to (CIM_Gelu_Approx,
+    * /root/reference/mlir_compiler/transformer_ops.py:43-44,117-121). */
+  def vecGelu(v: Column): Column =
+    transform(v, x => {
+      val d = x.cast("double")
+      lit(0.5) * d * (lit(1.0) +
+        tanh(lit(0.7978845608028654) * (d + lit(0.044715) * d * d * d)))
+    })
+
+  /** LayerNorm (x−μ)/√(σ²+ε) with population variance, no affine
+    * (ref /root/reference/mlir_compiler/transformer_ops.py:84-97,
+    * 109-116; scale/bias handled downstream per the reference). */
+  def vecLayerNorm(v: Column, eps: Double = 1e-5): Column = {
+    val d = vecToDouble(v)
+    val n = size(v).cast("double")
+    val mu = aggregate(d, D0, (s, x) => s + x) / n
+    val varPop = aggregate(d, D0, (s, x) => s + x * x) / n - mu * mu
+    transform(d, x => (x - mu) / sqrt(varPop + lit(eps)))
+  }
+
+  /** RMSNorm x·rsqrt(mean(x²)+ε), Llama style
+    * (ref /root/reference/mlir_compiler/transformer_ops.py:54-67;
+    * /root/reference/model_zoo/export_tinyllama.py:5-14). */
+  def vecRmsNorm(v: Column, eps: Double = 1e-6): Column = {
+    val d = vecToDouble(v)
+    val meanSq = aggregate(d, D0, (s, x) => s + x * x) / size(v).cast("double")
+    transform(d, x => x / sqrt(meanSq + lit(eps)))
+  }
+
   /** Symmetric int8 quantization scale (absmax/127, guarded). */
   def quantScale(v: Column): Column =
     greatest(vecAbsMax(v), lit(1e-12)) / lit(127.0)
@@ -92,6 +141,60 @@ object VectorFunctions {
     * (ref /root/reference/mlir_compiler/quantization.py:54-57). */
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  // --- asymmetric (min-max zero-point) quantization — the
+  // reference's DEFAULT compile path
+  // (/root/reference/mlir_compiler/quantization.py:18-52 int8;
+  //  /root/reference/tools/quantizer.py:28-72 uint8 + int4 pack) ---
+
+  /** Asymmetric scale (max−min)/(qmax−qmin), guarded against
+    * constant vectors. */
+  def quantScaleAsym(v: Column, levels: Int = 255): Column = {
+    val d = vecToDouble(v)
+    greatest(array_max(d) - array_min(d), lit(1e-12)) / lit(levels.toDouble)
+  }
+
+  /** Asymmetric zero point: trunc(−min/scale) toward zero, the
+    * Python `int()` semantics of quantizer.py:31. */
+  def quantZeroPointAsym(v: Column, levels: Int = 255): Column =
+    (-array_min(vecToDouble(v)) / quantScaleAsym(v, levels)).cast("int")
+
+  /** Asymmetric uint8 quantize: clip(round(x/scale + zp), 0, 255)
+    * (ref quantizer.py:28-38). */
+  def quantizeUint8Asym(v: Column): Column = {
+    val s = quantScaleAsym(v, 255)
+    val zp = quantZeroPointAsym(v, 255).cast("double")
+    transform(v, x =>
+      greatest(lit(0), least(lit(255),
+        round(x.cast("double") / s + zp).cast("int"))))
+  }
+
+  /** Asymmetric int4 quantize to 0..15 (ref quantizer.py:40-51). */
+  def quantizeInt4Asym(v: Column): Column = {
+    val s = quantScaleAsym(v, 15)
+    val zp = quantZeroPointAsym(v, 15).cast("double")
+    transform(v, x =>
+      greatest(lit(0), least(lit(15),
+        round(x.cast("double") / s + zp).cast("int"))))
+  }
+
+  /** Dequantize an asymmetric code: (q − zp)·scale
+    * (ref quantization.py:54-57). */
+  def dequantizeAsym(q: Column, scale: Column, zp: Column): Column =
+    transform(q, x => (x.cast("double") - zp.cast("double")) * scale)
+
+  /** Pack an even-length int4 array two-per-byte, high nibble first
+    * (ref quantizer.py:59-72 `_pack_int4`). */
+  def packInt4(q: Column): Column =
+    transform(sequence(lit(1), size(q) / 2), i =>
+      shiftleft(element_at(q, i * 2 - 1), 4)
+        .bitwiseOR(element_at(q, i * 2)))
+
+  /** Unpack int4 bytes back to the nibble array (inverse of
+    * packInt4). */
+  def unpackInt4(p: Column): Column =
+    flatten(transform(p, b => array(
+      shiftright(b, 4).bitwiseAND(lit(0xf)), b.bitwiseAND(lit(0xf)))))
 
   /** Fraction of near-zero elements (ref sparsity analysis,
     * /root/reference/mlir_compiler/sparsity_optimizer.py:66-112). */

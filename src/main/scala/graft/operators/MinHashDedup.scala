@@ -53,23 +53,53 @@ object MinHashDedup {
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("h"), lit(i)))): _*).as("minhash_sig"))
 
-  /** Adds `minhash_sig: array<bigint>` of length `numHashes`. */
+  /** Adds `minhash_sig: array<bigint>` of length `numHashes`. The
+    * join key is a deterministic content hash (identical texts get
+    * identical signatures, so text-keyed attachment is semantically
+    * exact) — NOT monotonically_increasing_id, whose value can differ
+    * between the two branches of the self-join under task retry or
+    * AQE replanning. */
   def withSignature(docs: DataFrame, textCol: String, shingleK: Int = 3,
                     numHashes: Int = 24): DataFrame = {
-    val idTmp = "_graft_row_id"
-    val withId = docs.withColumn(idTmp, monotonically_increasing_id())
-    withId.join(
-        signatures(withId, idTmp, textCol, shingleK, numHashes)
+    val idTmp = "_graft_text_key"
+    val keyed = docs.withColumn(idTmp, md5(col(textCol)))
+    keyed.join(
+        signatures(keyed.select(col(idTmp), col(textCol)).distinct(),
+          idTmp, textCol, shingleK, numHashes)
           .withColumnRenamed("doc", idTmp),
         Seq(idTmp))
       .drop(idTmp)
   }
 
+  /** Bucket guard shared by both banded-dedup paths: keep only
+    * (band, band_key) buckets with 2..maxBucket members.
+    *
+    * Spelled as an aggregate + inner join, NOT a window count: a
+    * window over (band, band_key) full-sorts the banded table just to
+    * count bucket sizes, while `groupBy.count` combines map-side and
+    * the survivor set (only multi-member buckets — a tiny fraction of
+    * all buckets) broadcasts or AQE-plans into the join. The ≥2 lower
+    * bound also drops every singleton bucket BEFORE the self-join, so
+    * the join input is proportional to the true-duplicate count, not
+    * the corpus. `banded` must be cached by the caller — three
+    * consumers (count + two join sides) would otherwise recompute the
+    * signature aggregation three times. */
+  private def keepBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val good = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+      .select(col("band"), col("band_key"))
+    banded.join(good, Seq("band", "band_key"))
+  }
+
   /** Candidate near-dup pairs (idA < idB) with estimated Jaccard ≥
     * `threshold`. `bands` × `rowsPerBand` must equal the signature
-    * length used in withSignature. */
+    * length used in withSignature. Defaults use r=4 rows per band:
+    * the (1/b)^(1/r) S-curve then puts the candidate knee near
+    * J≈0.5, so moderately-similar corpus boilerplate does NOT
+    * explode the candidate set (r=2 admits near-everything). */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                     shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 3,
+                     shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rowsPerBand
     val signed = signatures(docs, idCol, textCol, shingleK, numHashes)
@@ -81,13 +111,9 @@ object MinHashDedup {
         xxhash64(concat_ws(",",
           slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
       }: _*)).as(Seq("band", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // degenerate-bucket guard: drop buckets larger than maxBucket
-    val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_key"))))
-      .filter(col("bucket_n") <= maxBucket)
+    val bucketed = keepBuckets(banded, maxBucket)
 
     val a = bucketed.select(col("band"), col("band_key"),
       col("doc").as("doc_a"), col("minhash_sig").as("sig_a"))
@@ -158,11 +184,8 @@ object MinHashDedup {
       posexplode(array((0 until 8).map { b =>
         shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL))
       }: _*)).as(Seq("band", "band_key")))
-    val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_key"))))
-      .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = keepBuckets(banded, maxBucket)
     val a = bucketed.select(col("band"), col("band_key"),
       col("doc").as("doc_a"), col("sig").as("sig_a"))
     val b = bucketed.select(col("band"), col("band_key"),

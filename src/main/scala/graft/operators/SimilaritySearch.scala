@@ -113,8 +113,12 @@ object SimilaritySearch {
     * path for Q-V4-style pair search): one shuffle on bucket id, no
     * cross product. */
   def lshPairJoin(corpus: DataFrame, idCol: String, vecCol: String,
-                  minCosine: Double, nBits: Int = 10, seed: Long = 42L,
-                  dim: Int = 64): DataFrame = {
+                  minCosine: Double, nBits: Int = 10, seed: Long = 42L): DataFrame = {
+    // derive the hyperplane dimension from the data (a fixed default
+    // would silently degrade bucket quality if it mismatched — and
+    // VecDotExpr now yields NULL buckets on mismatch rather than
+    // truncating). One-row bounded fetch, an index-build step.
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nBits, dim, seed).as("bucket"))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))

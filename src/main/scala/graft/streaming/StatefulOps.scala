@@ -34,21 +34,31 @@ object StatefulOps {
 
   /** Batch recurrence: per-user events sorted by (ts, event_id),
     * recursive EMA — unexpressible in pure SQL (hence engine-side,
-    * no oracle). One shuffle on user_id; per-group sort is local. */
+    * no oracle).
+    *
+    * Secondary-sort shape: one shuffle co-locates each user_id, the
+    * Tungsten spill-able sort orders (user, ts, event_id) within the
+    * partition, and a single streaming fold carries O(1) state per
+    * key. No whole-group materialization — a hot key with 10⁸ events
+    * streams through in constant memory (`groupByKey.flatMapGroups`
+    * with `it.toSeq` would buffer the entire group in the task). */
   def emaBatch(events: DataFrame, alpha: Double): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val samples = events.select(
         col("user_id"), unix_micros(col("ts")).as("tsMicros"),
         col("event_id").as("eventId"), col("value")).as[Sample]
-    samples.groupByKey(_.user_id)
-      .flatMapGroups { (uid, it) =>
-        val sorted = it.toSeq.sortBy(s => (s.tsMicros, s.eventId))
+    samples
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("tsMicros"), col("eventId"))
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
         var st: Option[Double] = None
-        sorted.map { s =>
+        it.map { s =>
+          if (s.user_id != curUser) { curUser = s.user_id; st = None }
           val e = emaStep(st, s.value, alpha)
           st = Some(e)
-          EmaOut(uid, s.eventId, e)
+          EmaOut(s.user_id, s.eventId, e)
         }
       }.toDF()
   }
@@ -84,17 +94,23 @@ object StatefulOps {
   def complementaryBatch(fused: Dataset[FusedSample], alpha: Double): Dataset[FusedOut] = {
     val spark = fused.sparkSession
     import spark.implicits._
-    fused.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
-      val sorted = it.toSeq.sortBy(_.tsMicros)
-      var st = 0.0
-      var lastTs = -1L
-      sorted.map { s =>
-        val dt = if (lastTs < 0) 0.0 else (s.tsMicros - lastTs) / 1e6
-        st = alpha * (st + s.gyro * dt) + (1 - alpha) * s.accel
-        lastTs = s.tsMicros
-        FusedOut(uid, s.tsMicros, st)
+    // same secondary-sort shape as emaBatch: O(1) state per key, no
+    // whole-group buffering
+    fused
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("tsMicros"))
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var st = 0.0
+        var lastTs = -1L
+        it.map { s =>
+          if (s.user_id != curUser) { curUser = s.user_id; st = 0.0; lastTs = -1L }
+          val dt = if (lastTs < 0) 0.0 else (s.tsMicros - lastTs) / 1e6
+          st = alpha * (st + s.gyro * dt) + (1 - alpha) * s.accel
+          lastTs = s.tsMicros
+          FusedOut(s.user_id, s.tsMicros, st)
+        }
       }
-    }
   }
 
   /** Structured-Streaming tumbling-window counts with watermark —

@@ -69,7 +69,7 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val withDup = vecs :+ (99L -> vecs.head._2)
     val corpus = withDup.toDF("vec_id", "embedding")
     val pairs = SimilaritySearch.lshPairJoin(corpus, "vec_id", "embedding",
-      minCosine = 0.99, nBits = 6, dim = 8).collect()
+      minCosine = 0.99, nBits = 6).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 99L)))
   }
