@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Cascade, MinHashDedup, Multimodal, SimilaritySearch}
+import graft.operators.{Attention, Cascade, MinHashDedup, Multimodal, SimilaritySearch}
 import graft.streaming.StatefulOps
 
 /** Engine-side-only operators (SURVEY §2.9 tail): approximate,
@@ -138,6 +138,26 @@ object EngineOps {
       .orderBy(col("kind"))
   }
 
+  /** Causal self-attention over a RoPE-rotated token table built from
+    * embeddings (4 sequences × 16 positions) — the composed
+    * MatMul→÷√d→Softmax→MatMul graph of the reference's transformer
+    * exports (export_bert_tiny.py:7-30, export_tinyllama.py:29-56
+    * causal + rotary). Golden-value unit test in AttentionSpec. */
+  private def attention(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").filter(col("vec_id") < 64)
+      .select((col("vec_id") % 4).as("seq"), (col("vec_id") / lit(4)).cast("int").as("pos"),
+        col("embedding"))
+    val roped = emb.select(col("seq"), col("pos"),
+      VectorFunctions.vecRope(col("embedding"), col("pos")).as("q"),
+      VectorFunctions.vecRope(col("embedding"), col("pos")).as("k"),
+      col("embedding").as("v"))
+    Attention.scaledDotProduct(roped, "seq", "pos", "q", "k", "v", causal = true)
+      .select(col("seq"), col("pos"),
+        round(element_at(col("attn"), 1), 4).as("a0"),
+        round(aggregate(col("attn"), lit(0.0), (s, x) => s + x), 4).as("a_sum"))
+      .orderBy(col("seq"), col("pos"))
+  }
+
   /** HLL approximate distinct (declared engine-side: approximate). */
   private def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -171,6 +191,7 @@ object EngineOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eng_attention_causal" -> attention,
     "eng_cascade_early_exit" -> cascade,
     "eng_minhash_lsh_dedup" -> minhashDedup,
     "eng_simhash_dedup" -> simhashDedup,

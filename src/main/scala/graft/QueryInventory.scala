@@ -359,6 +359,47 @@ object QueryInventory {
       |         covar_pop_qp NULLS FIRST""".stripMargin,
     "agg,stats,corr")
 
+  /** Mixed-precision assignment (reference
+    * /root/reference/mlir_compiler/quantization.py:151-172): per
+    * "layer" (label group of weight vectors) compute a sensitivity
+    * statistic over calibration values, assign fp16 above the
+    * reference's 0.1 threshold else int8 — the stats-table→policy
+    * operator, not just the CASE pattern. */
+  val qa11 = Q("qa11_mixed_precision",
+    """WITH flat AS (
+      |  SELECT label, explode(embedding) AS x FROM embeddings),
+      |stats AS (
+      |  SELECT label,
+      |         CAST(count(*) AS BIGINT) AS n_weights,
+      |         stddev_pop(CAST(x AS DOUBLE)) AS sens,
+      |         avg(abs(CAST(x AS DOUBLE))) AS mean_abs
+      |  FROM flat GROUP BY label)
+      |SELECT label,
+      |       n_weights,
+      |       round(sens, 4) AS sensitivity,
+      |       round(mean_abs, 4) AS mean_abs,
+      |       CASE WHEN sens > 0.1 THEN 'fp16' ELSE 'int8' END AS precision
+      |FROM stats
+      |ORDER BY label NULLS FIRST, n_weights NULLS FIRST, sensitivity NULLS FIRST,
+      |         mean_abs NULLS FIRST, precision NULLS FIRST""".stripMargin,
+    Some("""WITH flat AS (
+      |  SELECT label, unnest(embedding) AS x FROM embeddings),
+      |stats AS (
+      |  SELECT label,
+      |         CAST(count(*) AS BIGINT) AS n_weights,
+      |         stddev_pop(CAST(x AS DOUBLE)) AS sens,
+      |         avg(abs(CAST(x AS DOUBLE))) AS mean_abs
+      |  FROM flat GROUP BY label)
+      |SELECT label,
+      |       n_weights,
+      |       round(sens, 4) AS sensitivity,
+      |       round(mean_abs, 4) AS mean_abs,
+      |       CASE WHEN sens > 0.1 THEN 'fp16' ELSE 'int8' END AS precision
+      |FROM stats
+      |ORDER BY label NULLS FIRST, n_weights NULLS FIRST, sensitivity NULLS FIRST,
+      |         mean_abs NULLS FIRST, precision NULLS FIRST""".stripMargin),
+    "agg,policy,quantize")
+
   // ---------------------------------------------------------------
   // Joins (Q-J*)
   // ---------------------------------------------------------------
@@ -825,6 +866,124 @@ object QueryInventory {
       |ORDER BY vec_id NULLS FIRST, frac_small NULLS FIRST, rec_mode NULLS FIRST""".stripMargin),
     "vector,sparsity")
 
+  /** Transformer activation family (reference
+    * /root/reference/mlir_compiler/transformer_ops.py:43-50,117-133
+    * GELU/SiLU; /root/reference/imc22_sdk/imc22_cim.c:282-293
+    * sigmoid/tanh). Spark side exercises the registered vec_*
+    * library functions; the oracle re-derives each from first
+    * principles (tanh-approx GELU, logistic sigmoid). */
+  val qv8 = Q("qv8_activations",
+    """SELECT vec_id,
+      |       round(aggregate(vec_gelu(embedding), CAST(0 AS DOUBLE), (s, x) -> s + x), 4) AS gelu_sum,
+      |       round(aggregate(vec_silu(embedding), CAST(0 AS DOUBLE), (s, x) -> s + x), 4) AS silu_sum,
+      |       round(aggregate(vec_sigmoid(embedding), CAST(0 AS DOUBLE), (s, x) -> s + x), 4) AS sigmoid_sum,
+      |       round(aggregate(vec_tanh(embedding), CAST(0 AS DOUBLE), (s, x) -> s + x), 4) AS tanh_sum,
+      |       round(element_at(vec_gelu(embedding), 1), 4) AS gelu0
+      |FROM embeddings
+      |ORDER BY vec_id NULLS FIRST, gelu_sum NULLS FIRST, silu_sum NULLS FIRST,
+      |         sigmoid_sum NULLS FIRST, tanh_sum NULLS FIRST, gelu0 NULLS FIRST""".stripMargin,
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT vec_id,
+      |       round(list_sum(list_transform(v, x -> 0.5*x*(2 - 2/(exp(2*(0.7978845608028654*(x+0.044715*x*x*x)))+1)))), 4) AS gelu_sum,
+      |       round(list_sum(list_transform(v, x -> x/(1+exp(-x)))), 4) AS silu_sum,
+      |       round(list_sum(list_transform(v, x -> 1/(1+exp(-x)))), 4) AS sigmoid_sum,
+      |       round(list_sum(list_transform(v, x -> 1 - 2/(exp(2*x)+1))), 4) AS tanh_sum,
+      |       round(0.5*v[1]*(2 - 2/(exp(2*(0.7978845608028654*(v[1]+0.044715*v[1]*v[1]*v[1])))+1)), 4) AS gelu0
+      |FROM e
+      |ORDER BY vec_id NULLS FIRST, gelu_sum NULLS FIRST, silu_sum NULLS FIRST,
+      |         sigmoid_sum NULLS FIRST, tanh_sum NULLS FIRST, gelu0 NULLS FIRST""".stripMargin),
+    "vector,activation")
+
+  /** LayerNorm / RMSNorm (reference
+    * /root/reference/mlir_compiler/transformer_ops.py:54-67,84-97;
+    * /root/reference/model_zoo/export_tinyllama.py:5-14): element
+    * samples + sum-of-squares invariants per vector. */
+  val qv9 = Q("qv9_norms",
+    """SELECT vec_id,
+      |       round(element_at(vec_layer_norm(embedding), 1), 4) AS ln0,
+      |       round(element_at(vec_layer_norm(embedding), 17), 4) AS ln16,
+      |       round(aggregate(vec_layer_norm(embedding), CAST(0 AS DOUBLE), (s, x) -> s + x*x), 4) AS ln_sumsq,
+      |       round(element_at(vec_rms_norm(embedding), 1), 4) AS rms0,
+      |       round(aggregate(vec_rms_norm(embedding), CAST(0 AS DOUBLE), (s, x) -> s + x*x), 4) AS rms_sumsq
+      |FROM embeddings
+      |ORDER BY vec_id NULLS FIRST, ln0 NULLS FIRST, ln16 NULLS FIRST,
+      |         ln_sumsq NULLS FIRST, rms0 NULLS FIRST, rms_sumsq NULLS FIRST""".stripMargin,
+    Some("""WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         list_sum(embedding::DOUBLE[]) / len(embedding) AS mu,
+      |         list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) / len(embedding) AS ms
+      |  FROM embeddings),
+      |t AS (
+      |  SELECT vec_id,
+      |         list_transform(e, x -> (x - mu)/sqrt(ms - mu*mu + 1e-5)) AS lnv,
+      |         list_transform(e, x -> x/sqrt(ms + 1e-6)) AS rmsv
+      |  FROM n)
+      |SELECT vec_id,
+      |       round(lnv[1], 4) AS ln0,
+      |       round(lnv[17], 4) AS ln16,
+      |       round(list_sum(list_transform(lnv, x -> x*x)), 4) AS ln_sumsq,
+      |       round(rmsv[1], 4) AS rms0,
+      |       round(list_sum(list_transform(rmsv, x -> x*x)), 4) AS rms_sumsq
+      |FROM t
+      |ORDER BY vec_id NULLS FIRST, ln0 NULLS FIRST, ln16 NULLS FIRST,
+      |         ln_sumsq NULLS FIRST, rms0 NULLS FIRST, rms_sumsq NULLS FIRST""".stripMargin),
+    "vector,norm")
+
+  /** Asymmetric min-max quantization round-trip, int8 and packed
+    * int4 (reference /root/reference/tools/quantizer.py:28-72 —
+    * scale=(max−min)/levels, zp=int(−min/scale) truncated toward
+    * zero, codes clipped to [0,levels]; int4 packed two-per-byte
+    * high-nibble-first). The int4 columns also verify
+    * pack→unpack==identity relationally. */
+  val qv10 = Q("qv10_quant_asym",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |         quant_scale_asym(embedding) AS s8,
+      |         quant_zero_point_asym(embedding) AS zp8,
+      |         quantize_uint8_asym(embedding) AS q8,
+      |         quantize_int4_asym(embedding) AS q4
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       round(s8, 8) AS scale8,
+      |       zp8,
+      |       element_at(q8, 1) AS q8_0,
+      |       round(aggregate(zip_with(q8, e, (c, x) -> abs((CAST(c AS DOUBLE) - CAST(zp8 AS DOUBLE)) * s8 - x)),
+      |                       CAST(0 AS DOUBLE), (s, v) -> greatest(s, v)), 6) AS max_err8,
+      |       CAST(aggregate(pack_int4(q4), CAST(0 AS BIGINT), (s, x) -> s + x) AS BIGINT) AS pack_sum,
+      |       size(filter(zip_with(unpack_int4(pack_int4(q4)), q4, (a, b) -> a - b), v -> v != 0)) AS n_unpack_bad
+      |FROM q
+      |ORDER BY vec_id NULLS FIRST, scale8 NULLS FIRST, zp8 NULLS FIRST, q8_0 NULLS FIRST,
+      |         max_err8 NULLS FIRST, pack_sum NULLS FIRST, n_unpack_bad NULLS FIRST""".stripMargin,
+    Some("""WITH m AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         greatest(list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]), 1e-12) / 255.0 AS s8,
+      |         greatest(list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]), 1e-12) / 15.0 AS s4,
+      |         list_min(embedding::DOUBLE[]) AS mn
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, e, s8,
+      |         CAST(trunc(-mn / s8) AS INT) AS zp8,
+      |         list_transform(e, x -> greatest(0, least(255, CAST(round(x / s8 + trunc(-mn / s8)) AS INT)))) AS q8,
+      |         list_transform(e, x -> greatest(0, least(15, CAST(round(x / s4 + trunc(-mn / s4)) AS INT)))) AS q4
+      |  FROM m),
+      |p AS (
+      |  SELECT vec_id, e, s8, zp8, q8, q4,
+      |         list_transform(generate_series(1, len(q4) // 2), i -> q4[2*i-1]*16 + q4[2*i]) AS packed
+      |  FROM q)
+      |SELECT vec_id,
+      |       round(s8, 8) AS scale8,
+      |       zp8,
+      |       q8[1] AS q8_0,
+      |       round(list_max(list_transform(generate_series(1, len(e)), i -> abs((q8[i] - zp8) * s8 - e[i]))), 6) AS max_err8,
+      |       CAST(list_sum(packed) AS BIGINT) AS pack_sum,
+      |       CAST(len(list_filter(generate_series(1, len(q4)),
+      |                 i -> flatten(list_transform(packed, b -> [b // 16, b % 16]))[i] != q4[i])) AS INT) AS n_unpack_bad
+      |FROM p
+      |ORDER BY vec_id NULLS FIRST, scale8 NULLS FIRST, zp8 NULLS FIRST, q8_0 NULLS FIRST,
+      |         max_err8 NULLS FIRST, pack_sum NULLS FIRST, n_unpack_bad NULLS FIRST""".stripMargin),
+    "vector,quantize,int4")
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline queries over documents (Q-L*)
   // ---------------------------------------------------------------
@@ -1035,12 +1194,12 @@ object QueryInventory {
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8,
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,
     qu1, qu2, qu3, qu4,
-    qv1, qv2, qv3, qv4, qv5, qv6, qv7,
+    qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10,
     ql1, ql2, ql3, ql4, ql5,
     qs1, qs2, qs3, qs4)
 }

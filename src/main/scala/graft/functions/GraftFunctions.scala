@@ -54,6 +54,7 @@ object GraftFunctions {
     "quantize_int4_asym" -> b1(VectorFunctions.quantizeInt4Asym),
     "pack_int4" -> b1(VectorFunctions.packInt4),
     "unpack_int4" -> b1(VectorFunctions.unpackInt4),
+    "vec_rope" -> b2(VectorFunctions.vecRope(_, _)),
     "token_count" -> b1(TextFunctions.tokenCount),
     "subword_count" -> b1(TextFunctions.subwordCount),
     "doc_fingerprint" -> b1(TextFunctions.docFingerprint),

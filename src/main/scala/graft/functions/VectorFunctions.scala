@@ -142,6 +142,29 @@ object VectorFunctions {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Rotary position embedding (RoPE), rotate-half convention of the
+    * reference's RotaryEmbedding
+    * (/root/reference/model_zoo/export_tinyllama.py:16-28:
+    * inv_freq_i = base^(−2i/d), emb = cat(freqs, freqs), applied as
+    * x·cos + rotate_half(x)·sin with rotate_half = [−x[d/2:], x[:d/2]]):
+    *   out_k       = x_k·cos(p·f_k) − x_{k+d/2}·sin(p·f_k)      k < d/2
+    *   out_{k+d/2} = x_{k+d/2}·cos(p·f_k) + x_k·sin(p·f_k)
+    * Pure expression — position can be a column, so a whole token
+    * table rotates in one codegen'd projection. */
+  def vecRope(v: Column, pos: Column, base: Double = 10000.0): Column = {
+    val d = size(v)
+    val half = (d / 2).cast("int")
+    transform(sequence(lit(0), d - 1), k => {
+      val idx = when(k < half, k).otherwise(k - half).cast("double")
+      val freq = lit(1.0) / pow(lit(base), idx * lit(2.0) / d.cast("double"))
+      val angle = pos.cast("double") * freq
+      val xk = element_at(v, k + 1).cast("double")
+      val partner = when(k < half, -element_at(v, k + half + 1).cast("double"))
+        .otherwise(element_at(v, k - half + 1).cast("double"))
+      xk * cos(angle) + partner * sin(angle)
+    })
+  }
+
   // --- asymmetric (min-max zero-point) quantization — the
   // reference's DEFAULT compile path
   // (/root/reference/mlir_compiler/quantization.py:18-52 int8;
@@ -186,7 +209,7 @@ object VectorFunctions {
   /** Pack an even-length int4 array two-per-byte, high nibble first
     * (ref quantizer.py:59-72 `_pack_int4`). */
   def packInt4(q: Column): Column =
-    transform(sequence(lit(1), size(q) / 2), i =>
+    transform(sequence(lit(1), (size(q) / 2).cast("int")), i =>
       shiftleft(element_at(q, i * 2 - 1), 4)
         .bitwiseOR(element_at(q, i * 2)))
 
