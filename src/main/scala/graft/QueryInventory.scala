@@ -400,6 +400,142 @@ object QueryInventory {
       |         mean_abs NULLS FIRST, precision NULLS FIRST""".stripMargin),
     "agg,policy,quantize")
 
+  /** Sparsity speedup estimator (reference
+    * /root/reference/mlir_compiler/sparsity_optimizer.py:354-373):
+    * skip_ratio over near-zero weights, 10% indexing overhead,
+    * speedup = min(1/(1−effective), 5), power reduction (1−1/s)·100. */
+  val qa12 = Q("qa12_speedup_estimate",
+    """WITH flat AS (
+      |  SELECT label, explode(embedding) AS x FROM embeddings),
+      |s AS (
+      |  SELECT label,
+      |         CAST(count(*) AS BIGINT) AS total_elems,
+      |         CAST(sum(CASE WHEN abs(CAST(x AS DOUBLE)) < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS near_zero
+      |  FROM flat GROUP BY label),
+      |e AS (
+      |  SELECT label, total_elems, near_zero,
+      |         least(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+      |               - (CAST(near_zero AS DOUBLE) / CAST(total_elems AS DOUBLE)) * 0.9),
+      |               CAST(5 AS DOUBLE)) AS speedup
+      |  FROM s)
+      |SELECT label, total_elems, near_zero,
+      |       round(speedup, 4) AS est_speedup,
+      |       round((CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / speedup) * 100, 4) AS est_power_red_pct
+      |FROM e
+      |ORDER BY label NULLS FIRST, total_elems NULLS FIRST, near_zero NULLS FIRST,
+      |         est_speedup NULLS FIRST, est_power_red_pct NULLS FIRST""".stripMargin,
+    Some("""WITH flat AS (
+      |  SELECT label, unnest(embedding) AS x FROM embeddings),
+      |s AS (
+      |  SELECT label,
+      |         CAST(count(*) AS BIGINT) AS total_elems,
+      |         CAST(sum(CASE WHEN abs(CAST(x AS DOUBLE)) < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS near_zero
+      |  FROM flat GROUP BY label),
+      |e AS (
+      |  SELECT label, total_elems, near_zero,
+      |         least(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+      |               - (CAST(near_zero AS DOUBLE) / CAST(total_elems AS DOUBLE)) * 0.9),
+      |               CAST(5 AS DOUBLE)) AS speedup
+      |  FROM s)
+      |SELECT label, total_elems, near_zero,
+      |       round(speedup, 4) AS est_speedup,
+      |       round((CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / speedup) * 100, 4) AS est_power_red_pct
+      |FROM e
+      |ORDER BY label NULLS FIRST, total_elems NULLS FIRST, near_zero NULLS FIRST,
+      |         est_speedup NULLS FIRST, est_power_red_pct NULLS FIRST""".stripMargin),
+    "agg,estimator,sparsity")
+
+  /** Clock-gated power model (reference
+    * /root/reference/tools/power_estimator.py:20-140): per power
+    * domain and mode, P = base·act·V²·(f/100) + 5%·base·V² static,
+    * or 1%·base·V² when clock-gated at zero activity; the relational
+    * spelling of the domain×mode estimate (power domains and mode
+    * configs as literal tables). */
+  val qa13 = Q("qa13_power_modes",
+    """WITH domains AS (
+      |  SELECT * FROM VALUES
+      |    ('cim_core', 25.0, true), ('sparse_mac', 15.0, true),
+      |    ('dvfs_ctrl', 5.0, true), ('riscv_cpu', 8.0, true),
+      |    ('uart', 2.0, true), ('wakeup', 0.01, false) AS t(domain, base_mw, clock_gated)),
+      |modes AS (
+      |  SELECT * FROM VALUES
+      |    ('Active', 1.0, 100.0), ('Standby', 0.6, 10.0),
+      |    ('DeepSleep', 0.4, 1.0) AS t(mode, voltage, freq_mhz)),
+      |act AS (
+      |  SELECT * FROM VALUES
+      |    ('Active','cim_core',1.0), ('Active','sparse_mac',0.8),
+      |    ('Active','dvfs_ctrl',0.1), ('Active','riscv_cpu',1.0),
+      |    ('Active','uart',0.3), ('Active','wakeup',1.0),
+      |    ('Standby','cim_core',0.0), ('Standby','sparse_mac',0.0),
+      |    ('Standby','dvfs_ctrl',0.1), ('Standby','riscv_cpu',0.1),
+      |    ('Standby','uart',0.0), ('Standby','wakeup',1.0),
+      |    ('DeepSleep','cim_core',0.0), ('DeepSleep','sparse_mac',0.0),
+      |    ('DeepSleep','dvfs_ctrl',0.0), ('DeepSleep','riscv_cpu',0.0),
+      |    ('DeepSleep','uart',0.0), ('DeepSleep','wakeup',1.0) AS t(mode, domain, activity)),
+      |p AS (
+      |  SELECT m.mode, d.domain,
+      |         CASE WHEN d.clock_gated AND CAST(a.activity AS DOUBLE) = 0
+      |              THEN CAST(d.base_mw AS DOUBLE) * 0.01
+      |                   * CAST(m.voltage AS DOUBLE) * CAST(m.voltage AS DOUBLE)
+      |              ELSE CAST(d.base_mw AS DOUBLE) * CAST(a.activity AS DOUBLE)
+      |                   * CAST(m.voltage AS DOUBLE) * CAST(m.voltage AS DOUBLE)
+      |                   * (CAST(m.freq_mhz AS DOUBLE) / 100.0)
+      |                 + CAST(d.base_mw AS DOUBLE) * 0.05
+      |                   * CAST(m.voltage AS DOUBLE) * CAST(m.voltage AS DOUBLE) END AS p_mw
+      |  FROM act a
+      |  JOIN domains d ON a.domain = d.domain
+      |  JOIN modes m ON a.mode = m.mode)
+      |SELECT mode,
+      |       CAST(count(*) AS BIGINT) AS n_domains,
+      |       round(sum(p_mw), 6) AS total_mw,
+      |       round(max(p_mw), 6) AS max_domain_mw
+      |FROM p
+      |GROUP BY mode
+      |ORDER BY mode NULLS FIRST, n_domains NULLS FIRST, total_mw NULLS FIRST,
+      |         max_domain_mw NULLS FIRST""".stripMargin,
+    Some("""WITH domains AS (
+      |  SELECT * FROM (VALUES
+      |    ('cim_core', 25.0, true), ('sparse_mac', 15.0, true),
+      |    ('dvfs_ctrl', 5.0, true), ('riscv_cpu', 8.0, true),
+      |    ('uart', 2.0, true), ('wakeup', 0.01, false)) t(domain, base_mw, clock_gated)),
+      |modes AS (
+      |  SELECT * FROM (VALUES
+      |    ('Active', 1.0, 100.0), ('Standby', 0.6, 10.0),
+      |    ('DeepSleep', 0.4, 1.0)) t(mode, voltage, freq_mhz)),
+      |act AS (
+      |  SELECT * FROM (VALUES
+      |    ('Active','cim_core',1.0), ('Active','sparse_mac',0.8),
+      |    ('Active','dvfs_ctrl',0.1), ('Active','riscv_cpu',1.0),
+      |    ('Active','uart',0.3), ('Active','wakeup',1.0),
+      |    ('Standby','cim_core',0.0), ('Standby','sparse_mac',0.0),
+      |    ('Standby','dvfs_ctrl',0.1), ('Standby','riscv_cpu',0.1),
+      |    ('Standby','uart',0.0), ('Standby','wakeup',1.0),
+      |    ('DeepSleep','cim_core',0.0), ('DeepSleep','sparse_mac',0.0),
+      |    ('DeepSleep','dvfs_ctrl',0.0), ('DeepSleep','riscv_cpu',0.0),
+      |    ('DeepSleep','uart',0.0), ('DeepSleep','wakeup',1.0)) t(mode, domain, activity)),
+      |p AS (
+      |  SELECT m.mode, d.domain,
+      |         CASE WHEN d.clock_gated AND CAST(a.activity AS DOUBLE) = 0
+      |              THEN CAST(d.base_mw AS DOUBLE) * 0.01
+      |                   * CAST(m.voltage AS DOUBLE) * CAST(m.voltage AS DOUBLE)
+      |              ELSE CAST(d.base_mw AS DOUBLE) * CAST(a.activity AS DOUBLE)
+      |                   * CAST(m.voltage AS DOUBLE) * CAST(m.voltage AS DOUBLE)
+      |                   * (CAST(m.freq_mhz AS DOUBLE) / 100.0)
+      |                 + CAST(d.base_mw AS DOUBLE) * 0.05
+      |                   * CAST(m.voltage AS DOUBLE) * CAST(m.voltage AS DOUBLE) END AS p_mw
+      |  FROM act a
+      |  JOIN domains d ON a.domain = d.domain
+      |  JOIN modes m ON a.mode = m.mode)
+      |SELECT mode,
+      |       CAST(count(*) AS BIGINT) AS n_domains,
+      |       round(sum(p_mw), 6) AS total_mw,
+      |       round(max(p_mw), 6) AS max_domain_mw
+      |FROM p
+      |GROUP BY mode
+      |ORDER BY mode NULLS FIRST, n_domains NULLS FIRST, total_mw NULLS FIRST,
+      |         max_domain_mw NULLS FIRST""".stripMargin),
+    "estimator,power,values")
+
   // ---------------------------------------------------------------
   // Joins (Q-J*)
   // ---------------------------------------------------------------
@@ -1194,7 +1330,7 @@ object QueryInventory {
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8,
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,

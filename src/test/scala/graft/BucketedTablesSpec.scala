@@ -26,4 +26,13 @@ class BucketedTablesSpec extends AnyFunSuite {
     val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == expect)
   }
+
+  test("eng_bucketed_star measured query joins without fact-side exchange") {
+    val df = EngineOps.queries("eng_bucketed_star")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(l_orderkey") &&
+      !plan.contains("hashpartitioning(o_orderkey"),
+      "bucketed star join must not shuffle either fact side:\n" + plan.take(1200))
+    assert(df.collect().nonEmpty)
+  }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Telemetry
+
+class TelemetrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("batch log + stats round-trip matches direct aggregation") {
+    val dir = tmpDir("telemetry_batch")
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("event_id", "value")
+    Telemetry.logBatch(df.filter($"event_id" <= 2), dir, 0)
+    Telemetry.logBatch(df.filter($"event_id" > 2), dir, 1)
+    val s = Telemetry.stats(spark, dir).collect().head
+    assert(s.getAs[Long]("total_samples") == 4)
+    assert(s.getAs[Long]("total_batches") == 2)
+    assert(s.getAs[Double]("value_mean") == 25.0)
+    assert(s.getAs[Double]("value_p99") == 39.7)  // exact interpolated percentile
+  }
+
+  test("streaming sink appends micro-batches with distinct batch ids") {
+    val dir = tmpDir("telemetry_stream")
+    val ckpt = tmpDir("telemetry_ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val q = Telemetry.streamTo(
+      stream.toDF().toDF("event_id", "value"), dir, ckpt)
+    try {
+      stream.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      stream.addData((3L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val s = Telemetry.stats(spark, dir).collect().head
+    assert(s.getAs[Long]("total_samples") == 3)
+    assert(s.getAs[Long]("total_batches") == 2)
+  }
+}
