@@ -95,6 +95,15 @@ object EngineOps {
       .withColumn("ema", round(col("ema"), 4))
       .orderBy(col("user_id"), col("eventId"))
 
+  /** LSTM recurrence per user (ref op #5, CIM_LSTM) — the stateful
+    * hidden/cell fold over ordered events; stream==batch asserted in
+    * StatefulOpsSpec. */
+  private def lstmState(spark: SparkSession, dir: String): DataFrame =
+    StatefulOps.lstmBatch(t(spark, dir, "events"))
+      .select(col("user_id"), col("eventId"),
+        round(col("h0"), 6).as("h0"), round(col("hNorm"), 6).as("h_norm"))
+      .orderBy(col("user_id"), col("eventId"))
+
   /** Language-ID heuristic vs the labeled lang column: per-language
     * accuracy of the n-gram/stopword scorer. */
   private def langId(spark: SparkSession, dir: String): DataFrame =
@@ -234,6 +243,7 @@ object EngineOps {
     "eng_ann_ivf_topk" -> annIvf,
     "eng_ann_lsh_pairs" -> annPairJoin,
     "eng_ema_stateful" -> emaBatch,
+    "eng_lstm_state" -> lstmState,
     "eng_lang_id" -> langId,
     "eng_quality_score" -> qualityScore,
     "eng_doc_fingerprint" -> fingerprints,

@@ -21,6 +21,16 @@ object VectorFunctions {
 
   private val D0: Column = lit(0.0).cast("double")
 
+  /** Let-binding for HOF expressions: Catalyst has no `let`, so a
+    * per-row statistic (mean, absmax, scale…) inlined into a
+    * per-element lambda re-evaluates its whole subtree for EVERY
+    * element — O(d²) per row, and HOFs run interpreted. Binding the
+    * statistic through a single-element `transform` evaluates it once
+    * per row and exposes it to the body as a lambda variable (an O(1)
+    * read). Purely structural: arithmetic and results are unchanged. */
+  private def letBind(bound: Column, body: Column => Column): Column =
+    element_at(transform(array(bound), b => body(b)), 1)
+
   /** Elementwise cast to double — fp32 arrays accumulate in fp64,
     * mirroring the reference's int8-weights/fp32-accumulator
     * discipline (DATASHEET §4) one level up. */
@@ -69,10 +79,11 @@ object VectorFunctions {
     * /root/reference/firmware/middleware/cascade_model.c:203-229). */
   def vecSoftmax(v: Column): Column = {
     val d = vecToDouble(v)
-    val mx = array_max(d)
-    val ex = transform(d, x => exp(x - mx))
-    val sm = aggregate(ex, D0, (s, x) => s + x)
-    transform(ex, x => x / sm)
+    letBind(array_max(d), mx => {
+      val ex = transform(d, x => exp(x - mx))
+      letBind(aggregate(ex, D0, (s, x) => s + x), sm =>
+        transform(ex, x => x / sm))
+    })
   }
 
   /** Elementwise sigmoid 1/(1+e^-x) (ref
@@ -110,9 +121,13 @@ object VectorFunctions {
   def vecLayerNorm(v: Column, eps: Double = 1e-5): Column = {
     val d = vecToDouble(v)
     val n = size(v).cast("double")
-    val mu = aggregate(d, D0, (s, x) => s + x) / n
-    val varPop = aggregate(d, D0, (s, x) => s + x * x) / n - mu * mu
-    transform(d, x => (x - mu) / sqrt(varPop + lit(eps)))
+    letBind(struct(
+        (aggregate(d, D0, (s, x) => s + x) / n).as("mu"),
+        (aggregate(d, D0, (s, x) => s + x * x) / n).as("ms")), st => {
+      val mu = st.getField("mu")
+      val varPop = st.getField("ms") - mu * mu
+      transform(d, x => (x - mu) / sqrt(varPop + lit(eps)))
+    })
   }
 
   /** RMSNorm x·rsqrt(mean(x²)+ε), Llama style
@@ -120,8 +135,8 @@ object VectorFunctions {
     * /root/reference/model_zoo/export_tinyllama.py:5-14). */
   def vecRmsNorm(v: Column, eps: Double = 1e-6): Column = {
     val d = vecToDouble(v)
-    val meanSq = aggregate(d, D0, (s, x) => s + x * x) / size(v).cast("double")
-    transform(d, x => x / sqrt(meanSq + lit(eps)))
+    letBind(aggregate(d, D0, (s, x) => s + x * x) / size(v).cast("double"),
+      meanSq => transform(d, x => x / sqrt(meanSq + lit(eps))))
   }
 
   /** Symmetric int8 quantization scale (absmax/127, guarded). */
@@ -131,11 +146,10 @@ object VectorFunctions {
   /** Symmetric int8 quantize: round(x/scale) clipped to [-127, 127]
     * (ref /root/reference/tools/quantizer.py:24-38, zp=0 variant
     * /root/reference/simulator/codegen_cim.py:460-464). */
-  def quantizeInt8(v: Column): Column = {
-    val s = quantScale(v)
-    transform(v, x =>
-      greatest(lit(-127), least(lit(127), round(x.cast("double") / s).cast("int"))))
-  }
+  def quantizeInt8(v: Column): Column =
+    letBind(quantScale(v), s =>
+      transform(v, x =>
+        greatest(lit(-127), least(lit(127), round(x.cast("double") / s).cast("int")))))
 
   /** Dequantize `(q - zp) * scale` with zp=0
     * (ref /root/reference/mlir_compiler/quantization.py:54-57). */
@@ -178,28 +192,31 @@ object VectorFunctions {
   }
 
   /** Asymmetric zero point: trunc(−min/scale) toward zero, the
-    * Python `int()` semantics of quantizer.py:31. */
+    * Python `int()` semantics of quantizer.py:31. Clamped to ±10⁹
+    * before the ANSI int cast: a constant vector hits the 1e-12
+    * scale guard and would otherwise overflow (Python's int() is
+    * arbitrary-precision); real min<0<max data never reaches the
+    * clamp. */
   def quantZeroPointAsym(v: Column, levels: Int = 255): Column =
-    (-array_min(vecToDouble(v)) / quantScaleAsym(v, levels)).cast("int")
+    greatest(lit(-1e9), least(lit(1e9),
+      -array_min(vecToDouble(v)) / quantScaleAsym(v, levels))).cast("int")
 
   /** Asymmetric uint8 quantize: clip(round(x/scale + zp), 0, 255)
     * (ref quantizer.py:28-38). */
-  def quantizeUint8Asym(v: Column): Column = {
-    val s = quantScaleAsym(v, 255)
-    val zp = quantZeroPointAsym(v, 255).cast("double")
-    transform(v, x =>
-      greatest(lit(0), least(lit(255),
-        round(x.cast("double") / s + zp).cast("int"))))
-  }
+  def quantizeUint8Asym(v: Column): Column =
+    letBind(struct(quantScaleAsym(v, 255).as("s"),
+        quantZeroPointAsym(v, 255).cast("double").as("zp")), p =>
+      transform(v, x =>
+        greatest(lit(0), least(lit(255),
+          round(x.cast("double") / p.getField("s") + p.getField("zp")).cast("int")))))
 
   /** Asymmetric int4 quantize to 0..15 (ref quantizer.py:40-51). */
-  def quantizeInt4Asym(v: Column): Column = {
-    val s = quantScaleAsym(v, 15)
-    val zp = quantZeroPointAsym(v, 15).cast("double")
-    transform(v, x =>
-      greatest(lit(0), least(lit(15),
-        round(x.cast("double") / s + zp).cast("int"))))
-  }
+  def quantizeInt4Asym(v: Column): Column =
+    letBind(struct(quantScaleAsym(v, 15).as("s"),
+        quantZeroPointAsym(v, 15).cast("double").as("zp")), p =>
+      transform(v, x =>
+        greatest(lit(0), least(lit(15),
+          round(x.cast("double") / p.getField("s") + p.getField("zp")).cast("int")))))
 
   /** Dequantize an asymmetric code: (q − zp)·scale
     * (ref quantization.py:54-57). */

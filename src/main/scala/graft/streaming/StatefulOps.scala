@@ -113,6 +113,95 @@ object StatefulOps {
       }
   }
 
+  // --- LSTM recurrence (ref op #5: CIM_LSTM,
+  // /root/reference/imc22_sdk/imc22_cim.c:144-171, carries (h, c)
+  // across steps per codegen_cim.py:405-428; the accelerator's gate
+  // math is opaque hardware, so the cell uses the standard public
+  // LSTM formulation: i,f,o = σ(W·x + U·h + b), g = tanh(...),
+  // c' = f⊙c + i⊙g, h' = o⊙tanh(c')) ---
+
+  case class LstmOut(user_id: Long, eventId: Long, h0: Double, hNorm: Double)
+  case class LstmState(h: Array[Double], c: Array[Double])
+
+  /** Deterministic seeded weights: gate g ∈ {i,f,o,g}, unit u,
+    * recurrent source v (v = hidden for the input weight, hidden+1
+    * for the bias). Small magnitudes keep gates away from
+    * saturation. */
+  def lstmWeight(seed: Long, gate: Int, unit: Int, src: Int): Double =
+    ((seed + gate * 31L + unit * 17L + src * 7L) % 19L - 9L) / 40.0
+
+  /** One LSTM cell step on a scalar input. Exposed for the spec's
+    * independent recomputation. */
+  def lstmStep(st: LstmState, x: Double, hidden: Int, seed: Long): LstmState = {
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    val nh = new Array[Double](hidden)
+    val nc = new Array[Double](hidden)
+    var u = 0
+    while (u < hidden) {
+      def pre(g: Int): Double = {
+        var z = lstmWeight(seed, g, u, hidden) * x + lstmWeight(seed, g, u, hidden + 1)
+        var v = 0
+        while (v < hidden) { z += lstmWeight(seed, g, u, v) * st.h(v); v += 1 }
+        z
+      }
+      val i = sigmoid(pre(0)); val f = sigmoid(pre(1))
+      val o = sigmoid(pre(2)); val g = math.tanh(pre(3))
+      nc(u) = f * st.c(u) + i * g
+      nh(u) = o * math.tanh(nc(u))
+      u += 1
+    }
+    LstmState(nh, nc)
+  }
+
+  /** Batch LSTM over per-user event streams — same secondary-sort
+    * shape as emaBatch: one shuffle, O(hidden) state per key, no
+    * group materialization. Emits h₀ and ‖h‖₂ per step. */
+  def lstmBatch(events: DataFrame, hidden: Int = 4, seed: Long = 7L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val samples = events.select(
+        col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id").as("eventId"), col("value")).as[Sample]
+    samples
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("tsMicros"), col("eventId"))
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var st = LstmState(new Array[Double](hidden), new Array[Double](hidden))
+        it.map { s =>
+          if (s.user_id != curUser) {
+            curUser = s.user_id
+            st = LstmState(new Array[Double](hidden), new Array[Double](hidden))
+          }
+          st = lstmStep(st, s.value, hidden, seed)
+          LstmOut(s.user_id, s.eventId, st.h(0),
+            math.sqrt(st.h.map(h => h * h).sum))
+        }
+      }.toDF()
+  }
+
+  /** Streaming LSTM via flatMapGroupsWithState carrying (h, c) —
+    * the unbounded spelling; stream == batch on bounded replay. */
+  def lstmStreaming(samples: Dataset[Sample], hidden: Int = 4,
+                    seed: Long = 7L): Dataset[LstmOut] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LstmState, LstmOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Sample], state: GroupState[LstmState]) =>
+          val sorted = it.toSeq.sortBy(s => (s.tsMicros, s.eventId))
+          var st = state.getOption.getOrElse(
+            LstmState(new Array[Double](hidden), new Array[Double](hidden)))
+          val out = sorted.map { s =>
+            st = lstmStep(st, s.value, hidden, seed)
+            LstmOut(uid, s.eventId, st.h(0), math.sqrt(st.h.map(h => h * h).sum))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Structured-Streaming tumbling-window counts with watermark —
     * the streaming spelling of QueryInventory.qs1; asserted
     * stream==batch in tests via MemoryStream replay. */

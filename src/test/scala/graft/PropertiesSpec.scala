@@ -36,6 +36,41 @@ class PropertiesSpec extends AnyFunSuite {
       }
   }
 
+  test("property: asymmetric uint8 round-trip error ≤ scale/2 (interior codes)") {
+    // clipping can only bite at the extremes, and the min-max range
+    // covers the data by construction, so error is bounded by half a
+    // quantization step plus the zero-point truncation (≤ 1 step).
+    // Constant vectors are excluded: min==max is a zero range, where
+    // the reference's scale divides by zero (our guard keeps it
+    // finite but the bound is meaningless).
+    val vs = samples(vecGen, 20).filter(v => v.max > v.min)
+    val df = vs.map(Tuple1(_)).toDF("v")
+    df.select(
+        quantScaleAsym(col("v")).as("s"),
+        aggregate(zip_with(
+          dequantizeAsym(quantizeUint8Asym(col("v")),
+            quantScaleAsym(col("v")), quantZeroPointAsym(col("v"))),
+          vecToDouble(col("v")), (a, b) => abs(a - b)),
+          lit(0.0), (m, e) => greatest(m, e)).as("err"))
+      .collect().foreach { r =>
+        // pre-clip codes lie in (−1, 255]; the only clip is the
+        // bottom-edge round-to-−1 case, bounding error by ONE step
+        // (scale/2 everywhere else)
+        assert(r.getDouble(1) <= r.getDouble(0) + 1e-9)
+      }
+  }
+
+  test("property: int4 pack/unpack is the identity on even-length code arrays") {
+    val vs = samples(vecGen, 20).map(v => if (v.length % 2 == 0) v else v :+ 0.0f)
+    val df = vs.map(Tuple1(_)).toDF("v")
+    df.select(
+        quantizeInt4Asym(col("v")).as("q4"),
+        unpackInt4(packInt4(quantizeInt4Asym(col("v")))).as("rt"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+      }
+  }
+
   test("property: softmax sums to 1 and preserves argmax") {
     val vs = samples(vecGen, 20)
     val rows = vs.map(Tuple1(_)).toDF("v")

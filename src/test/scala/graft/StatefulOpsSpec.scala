@@ -109,4 +109,54 @@ class StatefulOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batch)
   }
+
+  test("LSTM batch recurrence matches an independent fold; resets per user") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 10L, 0.5),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 11L, -0.3),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 20L, 0.5))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = StatefulOps.lstmBatch(events, hidden = 3, seed = 7L)
+      .collect().map(r => r.getAs[Long]("eventId") ->
+        (r.getAs[Double]("h0"), r.getAs[Double]("hNorm"))).toMap
+
+    // independent fold through the exposed cell step
+    var st = LstmState(new Array[Double](3), new Array[Double](3))
+    st = StatefulOps.lstmStep(st, 0.5, 3, 7L)
+    val exp1 = (st.h(0), math.sqrt(st.h.map(h => h * h).sum))
+    st = StatefulOps.lstmStep(st, -0.3, 3, 7L)
+    val exp2 = (st.h(0), math.sqrt(st.h.map(h => h * h).sum))
+    assert(math.abs(out(10L)._1 - exp1._1) < 1e-12 && math.abs(out(10L)._2 - exp1._2) < 1e-12)
+    assert(math.abs(out(11L)._1 - exp2._1) < 1e-12 && math.abs(out(11L)._2 - exp2._2) < 1e-12)
+    // user 2 starts from zero state: same first-step output as user 1
+    assert(out(20L) == out(10L))
+  }
+
+  test("streaming LSTM equals batch LSTM on bounded replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      Sample(1L, 1000L, 1L, 1.0), Sample(1L, 2000L, 2L, -0.5),
+      Sample(2L, 1500L, 3L, 2.0), Sample(1L, 3000L, 4L, 0.25),
+      Sample(2L, 2500L, 5L, -1.0))
+    val stream = MemoryStream[Sample]
+    val q = StatefulOps.lstmStreaming(stream.toDS(), hidden = 3, seed = 7L)
+      .writeStream.format("memory").queryName("lstm_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(all.take(3))
+      q.processAllAvailable()
+      stream.addData(all.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lstm_out")
+      .collect().map(r => r.getAs[Long]("eventId") ->
+        (r.getAs[Double]("h0"), r.getAs[Double]("hNorm"))).toMap
+    val batchDf = all.toDF()
+      .select(col("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
+        col("eventId").as("event_id"), col("value"))
+    val batch = StatefulOps.lstmBatch(batchDf, hidden = 3, seed = 7L)
+      .collect().map(r => r.getAs[Long]("eventId") ->
+        (r.getAs[Double]("h0"), r.getAs[Double]("hNorm"))).toMap
+    assert(streamed == batch)
+  }
 }
