@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // A 90-query bench run JITs thousands of generated (janino) classes;
+  // the default 240 MB code cache fills late in the run, the JIT shuts
+  // off, and whichever query runs next crawls interpreted (observed as
+  // a DIFFERENT random late query blowing up 10-50x per run).
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -35,6 +35,7 @@ object Bench {
     // and excluded from the headline total — a regression must not
     // read as a speedup.
     val results: Seq[(String, Double)] = ordered.map { name =>
+      System.err.println(s"[bench] start $name at ${java.time.Instant.now()}")
       val t0 = System.nanoTime()
       val ok =
         try { fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

