@@ -167,6 +167,25 @@ object EngineOps {
       .orderBy(col("seq"), col("pos"))
   }
 
+  /** Relational conv2d (ref op #4, stubbed in the reference): 8×8
+    * single-channel feature maps unpacked from embeddings, edge-detect
+    * 2×2 kernel, per-image output checksum. */
+  private def conv2d(spark: SparkSession, dir: String): DataFrame = {
+    val maps = t(spark, dir, "embeddings").filter(col("vec_id") < 256)
+      .select(col("vec_id").as("img_id"), lit(0).as("c"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("img_id"), col("c"),
+        (col("pos") / 8).cast("int").as("y"), (col("pos") % 8).as("x"),
+        col("v").cast("double").as("v"))
+    val kernel = operators.Conv2d.kernelTable(spark,
+      Array(Array(Array(Array(1.0, 0.0), Array(0.0, -1.0)))))
+    operators.Conv2d.conv2dValid(maps, kernel, height = 8, width = 8, kh = 2, kw = 2)
+      .groupBy(col("img_id"))
+      .agg(count(lit(1)).as("n_out"),
+        round(sum(abs(col("v"))), 4).as("edge_energy"))
+      .orderBy(col("img_id"))
+  }
+
   /** Star join over the bucket-aligned fact tables (qj1-class work,
     * measured WITHOUT the lineitem⋈orders shuffle): both facts are
     * bucketed+sorted on orderkey, so the join is a zero-exchange
@@ -238,6 +257,7 @@ object EngineOps {
     "eng_attention_causal" -> attention,
     "eng_bucketed_star" -> bucketedStar,
     "eng_cascade_early_exit" -> cascade,
+    "eng_conv2d" -> conv2d,
     "eng_telemetry_stats" -> telemetry,
     "eng_minhash_lsh_dedup" -> minhashDedup,
     "eng_simhash_dedup" -> simhashDedup,

@@ -1002,6 +1002,61 @@ object QueryInventory {
       |ORDER BY vec_id NULLS FIRST, frac_small NULLS FIRST, rec_mode NULLS FIRST""".stripMargin),
     "vector,sparsity")
 
+  /** Distillation objective (reference
+    * /root/reference/distillation/distiller.py:17-41):
+    * α·KL(softmax(teacher/T) ‖ softmax(student/T))·T² +
+    * (1−α)·CE(student, label), T=2, α=0.5; teacher is a deterministic
+    * 0.9-scaled copy of the student logits. */
+  val qv11 = Q("qv11_distill_loss",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         transform(embedding, x -> CAST(x AS DOUBLE)) AS s,
+      |         transform(embedding, x -> CAST(x AS DOUBLE) * 0.9) AS t
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       round(distill_soft_loss(s, t), 4) AS soft_loss,
+      |       round(-ln(element_at(vec_softmax(s), label + 1)), 4) AS hard_loss,
+      |       round(0.5 * distill_soft_loss(s, t)
+      |             - 0.5 * ln(element_at(vec_softmax(s), label + 1)), 4) AS total_loss
+      |FROM e
+      |ORDER BY vec_id NULLS FIRST, soft_loss NULLS FIRST, hard_loss NULLS FIRST,
+      |         total_loss NULLS FIRST""".stripMargin,
+    Some("""WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS s FROM embeddings),
+      |a AS (
+      |  SELECT vec_id, label, s,
+      |         list_transform(s, x -> x * 0.5) AS st,
+      |         list_transform(s, x -> (x * 0.9) * 0.5) AS tt
+      |  FROM e),
+      |b AS (
+      |  SELECT vec_id, label, s,
+      |         list_transform(st, x -> exp(x - list_max(st))) AS sx,
+      |         list_transform(tt, x -> exp(x - list_max(tt))) AS tx
+      |  FROM a),
+      |c AS (
+      |  SELECT vec_id, label, s,
+      |         list_transform(sx, x -> x / list_sum(sx)) AS sp,
+      |         list_transform(tx, x -> x / list_sum(tx)) AS tp
+      |  FROM b),
+      |k AS (
+      |  SELECT vec_id, label, s,
+      |         list_sum(list_transform(generate_series(1, len(sp)),
+      |                  i -> tp[i] * (ln(tp[i]) - ln(sp[i])))) * 4.0 AS soft,
+      |         list_transform(s, x -> exp(x - list_max(s))) AS hx
+      |  FROM c),
+      |h AS (
+      |  SELECT vec_id, label, soft,
+      |         -ln(hx[label + 1] / list_sum(hx)) AS hard
+      |  FROM k)
+      |SELECT vec_id,
+      |       round(soft, 4) AS soft_loss,
+      |       round(hard, 4) AS hard_loss,
+      |       round(0.5 * soft + 0.5 * hard, 4) AS total_loss
+      |FROM h
+      |ORDER BY vec_id NULLS FIRST, soft_loss NULLS FIRST, hard_loss NULLS FIRST,
+      |         total_loss NULLS FIRST""".stripMargin),
+    "vector,distill")
+
   /** Transformer activation family (reference
     * /root/reference/mlir_compiler/transformer_ops.py:43-50,117-133
     * GELU/SiLU; /root/reference/imc22_sdk/imc22_cim.c:282-293
@@ -1335,7 +1390,7 @@ object QueryInventory {
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,
     qu1, qu2, qu3, qu4,
-    qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10,
+    qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11,
     ql1, ql2, ql3, ql4, ql5,
     qs1, qs2, qs3, qs4)
 }

@@ -55,6 +55,7 @@ object GraftFunctions {
     "pack_int4" -> b1(VectorFunctions.packInt4),
     "unpack_int4" -> b1(VectorFunctions.unpackInt4),
     "vec_rope" -> b2(VectorFunctions.vecRope(_, _)),
+    "distill_soft_loss" -> b2(VectorFunctions.distillSoftLoss(_, _)),
     "token_count" -> b1(TextFunctions.tokenCount),
     "subword_count" -> b1(TextFunctions.subwordCount),
     "doc_fingerprint" -> b1(TextFunctions.docFingerprint),

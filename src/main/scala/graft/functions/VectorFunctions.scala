@@ -236,6 +236,27 @@ object VectorFunctions {
     flatten(transform(p, b => array(
       shiftright(b, 4).bitwiseAND(lit(0xf)), b.bitwiseAND(lit(0xf)))))
 
+  /** Soft-target distillation loss: KL(softmax(teacher/T) ‖
+    * softmax(student/T)) · T² (ref
+    * /root/reference/distillation/distiller.py:17-41 — PyTorch
+    * kl_div(log_softmax(student/T), softmax(teacher/T))·T²). */
+  def distillSoftLoss(student: Column, teacher: Column,
+                      temp: Double = 2.0): Column = {
+    val sp = vecSoftmax(vecScale(student, lit(1.0 / temp)))
+    val tp = vecSoftmax(vecScale(teacher, lit(1.0 / temp)))
+    aggregate(zip_with(tp, sp, (t, s) => t * (log(t) - log(s))),
+      D0, (acc, x) => acc + x) * lit(temp * temp)
+  }
+
+  /** Full distillation objective α·soft + (1−α)·hard where hard is
+    * the cross-entropy −log softmax(student)[label]
+    * (ref distiller.py:36-41). `label` is 0-based. */
+  def distillLoss(student: Column, teacher: Column, label: Column,
+                  temp: Double = 2.0, alpha: Double = 0.5): Column = {
+    val hard = -log(element_at(vecSoftmax(student), label + 1))
+    lit(alpha) * distillSoftLoss(student, teacher, temp) + lit(1 - alpha) * hard
+  }
+
   /** Fraction of near-zero elements (ref sparsity analysis,
     * /root/reference/mlir_compiler/sparsity_optimizer.py:66-112). */
   def vecSparsity(v: Column, threshold: Double = 0.01): Column =
