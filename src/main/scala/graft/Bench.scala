@@ -31,17 +31,24 @@ object Bench {
     // Catalyst drop the final sort (EliminateSorts) and prune every
     // projected column, under-measuring scan/projection-heavy
     // queries; the noop sink executes the full plan and discards
-    // rows. A query that throws is recorded as failed (value -1)
-    // and excluded from the headline total — a regression must not
-    // read as a speedup.
+    // rows. Each query runs twice and the MIN is reported — this VM
+    // sees multi-second external CPU-contention windows (observed as
+    // a contiguous block of otherwise-sub-second queries inflating
+    // 10-50× in a single run), and min-of-2 full executions is the
+    // standard steady-state answer to that noise. A query that
+    // throws is recorded as failed (value -1) and excluded from the
+    // headline total — a regression must not read as a speedup.
     val results: Seq[(String, Double)] = ordered.map { name =>
       System.err.println(s"[bench] start $name at ${java.time.Instant.now()}")
-      val t0 = System.nanoTime()
-      val ok =
-        try { fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
 
     // optional per-operator profile dump (M5): PROFILE_OUT=<path.csv>
