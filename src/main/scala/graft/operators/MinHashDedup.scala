@@ -81,9 +81,9 @@ object MinHashDedup {
     * all buckets) broadcasts or AQE-plans into the join. The ≥2 lower
     * bound also drops every singleton bucket BEFORE the self-join, so
     * the join input is proportional to the true-duplicate count, not
-    * the corpus. `banded` must be cached by the caller — three
-    * consumers (count + two join sides) would otherwise recompute the
-    * signature aggregation three times. */
+    * the corpus. `banded` must derive narrowly from a cached frame —
+    * three consumers (count + two join sides) would otherwise
+    * recompute the signature aggregation three times. */
   private def keepBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
     val good = banded.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
@@ -102,33 +102,45 @@ object MinHashDedup {
                      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // cache the signature frame: consumed by the banding (3×: counts
+    // + two join sides) and by the two signature-fetch joins below
     val signed = signatures(docs, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band keys: hash of each r-slice of the signature
+    // band keys: hash of each r-slice of the signature. Signatures
+    // are NOT carried through the banding — a doc family of n near
+    // dups colliding in all b bands yields b·n²/2 join rows, and
+    // dragging two sig arrays (and the estimate computation) through
+    // every one of them dominated runtime 16× at scale. Pairs are
+    // deduplicated skinny (two longs), then each DISTINCT pair is
+    // scored once via joins back to the cached signatures.
     val banded = signed.select(
-      col("doc"), col("minhash_sig"),
+      col("doc"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
       }: _*)).as(Seq("band", "band_key")))
+
+    // skinny (doc, band, band_key) rows, two self-join consumers:
+    // cache so neither side re-runs the banding + bucket-count join
+    val bucketed = keepBuckets(banded, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bucketed = keepBuckets(banded, maxBucket)
-
-    val a = bucketed.select(col("band"), col("band_key"),
-      col("doc").as("doc_a"), col("minhash_sig").as("sig_a"))
-    val b = bucketed.select(col("band"), col("band_key"),
-      col("doc").as("doc_b"), col("minhash_sig").as("sig_b"))
+    val pairs = bucketed.select(col("band"), col("band_key"), col("doc").as("doc_a"))
+      .join(bucketed.select(col("band"), col("band_key"), col("doc").as("doc_b")),
+        Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
 
     val est: Column =
       size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
         when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / numHashes
 
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+    pairs
+      .join(signed.select(col("doc").as("doc_a"), col("minhash_sig").as("sig_a")), Seq("doc_a"))
+      .join(signed.select(col("doc").as("doc_b"), col("minhash_sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -179,23 +191,27 @@ object MinHashDedup {
     * signatures (≤ `maxHamming` kept). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 12, maxBucket: Int = 256): DataFrame = {
+    // same shape as candidatePairs: skinny pair dedup first, then one
+    // hamming evaluation per distinct pair via the cached signatures
     val signed = simHashSignatures(docs, idCol, textCol)
-    val banded = signed.select(col("doc"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = signed.select(col("doc"),
       posexplode(array((0 until 8).map { b =>
         shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL))
       }: _*)).as(Seq("band", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = keepBuckets(banded, maxBucket)
-    val a = bucketed.select(col("band"), col("band_key"),
-      col("doc").as("doc_a"), col("sig").as("sig_a"))
-    val b = bucketed.select(col("band"), col("band_key"),
-      col("doc").as("doc_b"), col("sig").as("sig_b"))
-    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-    a.join(b, Seq("band", "band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bucketed.select(col("band"), col("band_key"), col("doc").as("doc_a"))
+      .join(bucketed.select(col("band"), col("band_key"), col("doc").as("doc_b")),
+        Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(min(col("hamming")).as("hamming"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(signed.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(signed.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }
