@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every probe row, the latest build row with the
+  * same key and time ≤ the probe time. The canonical time-series
+  * lookup (quotes-for-trades; here: latest sensor calibration for
+  * each inference, the reference's sense→infer pairing,
+  * /root/reference/simulator/codegen_cim.py:524-548 loop semantics).
+  *
+  * Spark has no ASOF JOIN operator; a naive spelling is a range
+  * self-join whose per-key cost is O(|probe|·|build|). This is the
+  * scalable union trick instead:
+  *   1. tag probe (side=1) and build (side=0) rows, union them;
+  *   2. ONE shuffle on the key, partition-local sort by (time, side)
+  *      — build sorts before probe at equal times, giving ≥
+  *      semantics;
+  *   3. `last_value(..., ignoreNulls)` running window attaches the
+  *      most recent build payload to every row;
+  *   4. keep probe rows (inner: drop rows with no preceding build).
+  * Cost is O(n log n) per key partition, state is one row — the
+  * same shape DuckDB's native ASOF executes. Build must be unique
+  * per (key, time); pre-aggregate it (the query contract spelling
+  * does `max(value)` per timestamp).
+  */
+object AsOfJoin {
+
+  /** Inner as-of join. Probe keeps all its columns; every non-key,
+    * non-time build column arrives as `asof_<name>`, plus
+    * `asof_<timeCol>` — the matched build timestamp. */
+  def asOf(probe: DataFrame, build: DataFrame,
+           keyCol: String, timeCol: String): DataFrame = {
+    val probeExtra = probe.columns.filterNot(c => c == keyCol || c == timeCol)
+    val buildPay = build.columns.filterNot(c => c == keyCol || c == timeCol)
+    val bSchema = build.schema
+
+    val pSide = probe.select(
+      Seq(col(keyCol), col(timeCol).as("_t"), lit(1).as("_side")) ++
+        probeExtra.map(col) ++
+        (s"asof_$timeCol" +: buildPay.map(c => s"asof_$c")).map { n =>
+          val src = if (n == s"asof_$timeCol") timeCol else n.stripPrefix("asof_")
+          lit(null).cast(bSchema(src).dataType).as(n)
+        }: _*)
+    val bSide = build.select(
+      Seq(col(keyCol), col(timeCol).as("_t"), lit(0).as("_side")) ++
+        probeExtra.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
+        (col(timeCol).as(s"asof_$timeCol") +: buildPay.map(c => col(c).as(s"asof_$c"))): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = pSide.unionByName(bSide)
+      .select(col("*") +: (s"asof_$timeCol" +: buildPay.map(c => s"asof_$c")).map { n =>
+        last(col(n), ignoreNulls = true).over(w).as(s"_r_$n")
+      }: _*)
+
+    attached
+      .filter(col("_side") === 1 && col(s"_r_asof_$timeCol").isNotNull)
+      .select(
+        Seq(col(keyCol), col("_t").as(timeCol)) ++
+          probeExtra.map(col) ++
+          (s"asof_$timeCol" +: buildPay.map(c => s"asof_$c")).map(n =>
+            col(s"_r_$n").as(n)): _*)
+  }
+}
