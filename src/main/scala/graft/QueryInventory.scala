@@ -1370,14 +1370,34 @@ object QueryInventory {
   /** Fixed-depth EMA approximation (reference IIR low-pass,
     * /root/reference/firmware/middleware/fixed_point_filter.c:63-97);
     * true recursive EMA is the engine-side StatefulOps path. */
-  val qs2 = shared("qs2_ema_approx",
-    """SELECT user_id, round(sum(value * power(0.5, rn - 1)), 4) AS ema8
+  /** Fixed-depth EMA approximation. The weighted sum is an EXPLICITLY
+    * ordered sequential fold (collect → sort by rn → fold) and is
+    * emitted UNROUNDED: the weights 2^-k scale exactly in binary, so
+    * an order-fixed fold is bit-identical across engines — while
+    * `round(sum(...), 4)` both left the aggregation order unspecified
+    * and hit a HALF_UP-vs-binary .xxxx5 boundary at sf0.1
+    * (99.80375 → 99.8038 Spark / 99.8037 DuckDB). */
+  val qs2 = Q("qs2_ema_approx",
+    """SELECT user_id,
+      |       aggregate(transform(array_sort(collect_list(named_struct(
+      |                   'rn', rn, 'w', value * power(0.5, rn - 1)))), s -> s.w),
+      |                 CAST(0 AS DOUBLE), (a, x) -> a + x) AS ema8
       |FROM (SELECT user_id, value,
       |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |      FROM events) t
       |WHERE rn <= 8
       |GROUP BY user_id
       |ORDER BY user_id NULLS FIRST, ema8 NULLS FIRST""".stripMargin,
+    Some("""SELECT user_id,
+      |       list_reduce(list_transform(list_sort(list(struct_pack(
+      |                     rn := rn, w := value * pow(0.5, rn - 1)))), s -> s.w),
+      |                   (a, x) -> a + x) AS ema8
+      |FROM (SELECT user_id, value,
+      |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn <= 8
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST, ema8 NULLS FIRST""".stripMargin),
     "ema,stream")
 
   /** Sessionization (reference heartbeat/sync protocol,
