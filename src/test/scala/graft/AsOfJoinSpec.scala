@@ -38,4 +38,13 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
     assert(op == sql && op.nonEmpty)
   }
+
+  test("as-of plan: no join node, one window pass over a single key shuffle") {
+    val probe = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val build = Seq((1L, 8L, 1.0)).toDF("k", "t", "v")
+    val plan = AsOfJoin.asOf(probe, build, "k", "t").queryExecution.executedPlan.toString
+    // the scalable shape: union + window, NOT a range join
+    assert(!plan.contains("Join"), "as-of must not plan a join:\n" + plan.take(800))
+    assert(plan.contains("Window"), "as-of should attach via a running window")
+  }
 }
