@@ -30,6 +30,10 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // engine optimizer passes (e.g. HOF dot-product fold →
+      // codegen'd VecDotExpr); cluster deployments can equivalently
+      // set spark.sql.extensions=graft.plans.GraftExtensions
+      .withExtensions(new graft.plans.GraftExtensions)
       .enableHiveSupport()
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$metastoreDir;create=true")

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.expressions.VecDotExpr
+
+/** Catalyst extension point of the engine — the analog of the
+  * reference compiler's optimization-pass pipeline
+  * (/root/reference/mlir_compiler/optimizer.py:24-71: fusion passes
+  * run between parse and codegen). Registered programmatically by
+  * GraftSession; a cluster deployment sets
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => VecDotRewrite)
+}
+
+/** Rewrites the interpreted HOF dot-product fold
+  *   aggregate(zip_with(a, b, (x, y) -> x·y), 0.0, (s, v) -> s + v)
+  * into the codegen'd VecDotExpr (~23× on a 4M×64 microbench). The
+  * operator-fusion idea of the reference's MatMul+Add→Gemm pass
+  * (optimizer.py:134-141), applied at the expression level.
+  *
+  * Semantics-preserving INCLUDING nulls: both spellings accumulate in
+  * double, left to right, and yield NULL on dim mismatch or a null
+  * element (VecDotExpr null parity is asserted by VecDotExprSpec).
+  * The match is deliberately strict — any deviation (different init,
+  * reversed accumulator, extra finish work, non-float/double arrays)
+  * is left untouched. */
+object VecDotRewrite extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  /** x, cast(x as double), or try-cast thereof — the lambda bodies the
+    * Column API and SQL spellings produce around the element vars. */
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast if c.dataType == DoubleType => stripCast(c.child)
+    case other => other
+  }
+
+  private def isVar(e: Expression, v: NamedExpression): Boolean =
+    stripCast(e) match {
+      case nv: NamedLambdaVariable => nv.exprId == v.exprId
+      case _ => false
+    }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(Multiply(mx, my, _), Seq(x, y), _)),
+        zero,
+        LambdaFunction(Add(as, av, _), Seq(s, v), _),
+        finish)
+      if isDoubleArray(a) && isDoubleArray(b) &&
+        isVar(mx, x) && isVar(my, y) &&
+        zero.foldable && zero.dataType == DoubleType &&
+        zero.eval() == 0.0 &&
+        isVar(as, s) && isVar(av, v) &&
+        isIdentityFinish(finish) =>
+      VecDotExpr(a, b)
+  }
+
+  private def isIdentityFinish(finish: Expression): Boolean = finish match {
+    case LambdaFunction(body, Seq(arg), _) => isVar(body, arg)
+    case _ => false
+  }
+}
