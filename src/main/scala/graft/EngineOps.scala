@@ -221,6 +221,13 @@ object EngineOps {
     Telemetry.stats(spark, tmp)
   }
 
+  /** Count-min + Bloom sketches vs exact counts for probe users
+    * (sketch family beside the HLL check; seeded, deterministic).
+    * Probes 0..9 exist in every SF; 999999 probes the absent case. */
+  private def sketches(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketches.frequencySketch(t(spark, dir, "events"), "user_id",
+      probes = (0L to 9L) :+ 999999L)
+
   /** HLL approximate distinct (declared engine-side: approximate). */
   private def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -273,5 +280,6 @@ object EngineOps {
     "eng_doc_fingerprint" -> fingerprints,
     "eng_multimodal_features" -> multimodal,
     "eng_approx_distinct" -> approxDistinct,
+    "eng_cms_bloom_sketch" -> sketches,
     "eng_quantize_int8" -> quantizeLib)
 }
