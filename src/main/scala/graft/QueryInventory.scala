@@ -1294,6 +1294,40 @@ object QueryInventory {
       |LIMIT 10""".stripMargin),
     "dedup,jaccard,shingle")
 
+  /** Document chunking — THE ubiquitous LLM-preprocessing op: fixed
+    * token windows (24) with overlap (8, step 16), last chunk ragged.
+    * Chunk content verified via md5 of the first chunk; counts and
+    * ragged-tail length verified exactly. Pure per-row expressions —
+    * shuffle-free, scales linearly with partitions. */
+  val ql6 = Q("ql6_chunking",
+    """WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, size(toks) AS n,
+      |             transform(sequence(1, greatest(size(toks) - 8, 1), 16),
+      |                       s -> concat_ws(' ', slice(toks, s, 24))) AS chunks
+      |      FROM t)
+      |SELECT doc_id,
+      |       CAST(n AS INT) AS n_tokens,
+      |       CAST(size(chunks) AS INT) AS n_chunks,
+      |       md5(element_at(chunks, 1)) AS first_chunk_md5,
+      |       CAST(size(split(element_at(chunks, -1), ' ')) AS INT) AS last_chunk_tokens
+      |FROM c
+      |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST, n_chunks NULLS FIRST,
+      |         first_chunk_md5 NULLS FIRST, last_chunk_tokens NULLS FIRST""".stripMargin,
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, len(toks) AS n,
+      |             list_transform(generate_series(1, greatest(len(toks) - 8, 1), 16),
+      |                            s -> array_to_string(toks[s:s+23], ' ')) AS chunks
+      |      FROM t)
+      |SELECT doc_id,
+      |       CAST(n AS INT) AS n_tokens,
+      |       CAST(len(chunks) AS INT) AS n_chunks,
+      |       md5(chunks[1]) AS first_chunk_md5,
+      |       CAST(len(string_split(chunks[-1], ' ')) AS INT) AS last_chunk_tokens
+      |FROM c
+      |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST, n_chunks NULLS FIRST,
+      |         first_chunk_md5 NULLS FIRST, last_chunk_tokens NULLS FIRST""".stripMargin),
+    "text,chunking,llm")
+
   /** Text↔vector similarity search: documents joined to embeddings,
     * ranked by cosine to the probe vector (unit-norm vectors → dot). */
   val ql4 = Q("ql4_sim_search",
@@ -1461,6 +1495,6 @@ object QueryInventory {
     qt1, qt2,
     qu1, qu2, qu3, qu4,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11,
-    ql1, ql2, ql3, ql4, ql5,
+    ql1, ql2, ql3, ql4, ql5, ql6,
     qs1, qs2, qs3, qs4)
 }
