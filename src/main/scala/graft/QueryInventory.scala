@@ -1107,6 +1107,71 @@ object QueryInventory {
       |         total_loss NULLS FIRST""".stripMargin),
     "vector,distill")
 
+  /** Conv-BN fold (ref op #25): fold per-"channel" BatchNorm params
+    * (deterministic from label) into the weight vector, then verify
+    * the fold identity bn(conv(w,x)) ≡ conv(w',x)+b' on the vector
+    * itself — the constant-folding pass the reference delegates to
+    * torch.onnx (qat_trainer.py:411), as a relational weight
+    * transform. */
+  val qv12 = Q("qv12_bn_fold",
+    """WITH f AS (
+      |  SELECT vec_id,
+      |         transform(embedding, x -> CAST(x AS DOUBLE)) AS w,
+      |         (0.5 + CAST(label AS DOUBLE) / 10.0) / sqrt(CAST(1.0 AS DOUBLE) + 1e-5) AS k,
+      |         0.5 + CAST(label AS DOUBLE) / 10.0 AS gamma,
+      |         CAST(label AS DOUBLE) * 0.1 AS beta,
+      |         CAST(0.2 AS DOUBLE) AS mu
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, k, gamma, beta, mu,
+      |         transform(w, x -> x * k) AS wf,
+      |         beta - mu * k AS bf,
+      |         aggregate(zip_with(w, w, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, v) -> s + v) AS dot_ww,
+      |         w
+      |  FROM f),
+      |r AS (
+      |  SELECT vec_id, k, wf, bf, gamma, beta, mu, dot_ww,
+      |         aggregate(zip_with(wf, w, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, v) -> s + v) AS dot_wfw
+      |  FROM e)
+      |SELECT vec_id,
+      |       round(k, 6) AS fold_scale,
+      |       round(element_at(wf, 1), 6) AS w0_folded,
+      |       round(bf, 6) AS bias_folded,
+      |       round(abs((dot_wfw + bf) - (gamma * (dot_ww - mu) / sqrt(CAST(1.0 AS DOUBLE) + 1e-5) + beta)), 6) AS fold_err
+      |FROM r
+      |ORDER BY vec_id NULLS FIRST, fold_scale NULLS FIRST, w0_folded NULLS FIRST,
+      |         bias_folded NULLS FIRST, fold_err NULLS FIRST""".stripMargin,
+    Some("""WITH f AS (
+      |  SELECT vec_id,
+      |         embedding::DOUBLE[] AS w,
+      |         (0.5 + CAST(label AS DOUBLE) / 10.0) / sqrt(CAST(1.0 AS DOUBLE) + 1e-5) AS k,
+      |         0.5 + CAST(label AS DOUBLE) / 10.0 AS gamma,
+      |         CAST(label AS DOUBLE) * 0.1 AS beta,
+      |         CAST(0.2 AS DOUBLE) AS mu
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, k, gamma, beta, mu,
+      |         list_transform(w, x -> x * k) AS wf,
+      |         beta - mu * k AS bf,
+      |         list_reduce(list_transform(generate_series(1, len(w)), i -> w[i] * w[i]),
+      |                     (a, x) -> a + x) AS dot_ww,
+      |         w
+      |  FROM f),
+      |r AS (
+      |  SELECT vec_id, k, wf, bf, gamma, beta, mu, dot_ww,
+      |         list_reduce(list_transform(generate_series(1, len(w)), i -> wf[i] * w[i]),
+      |                     (a, x) -> a + x) AS dot_wfw
+      |  FROM e)
+      |SELECT vec_id,
+      |       round(k, 6) AS fold_scale,
+      |       round(wf[1], 6) AS w0_folded,
+      |       round(bf, 6) AS bias_folded,
+      |       round(abs((dot_wfw + bf) - (gamma * (dot_ww - mu) / sqrt(CAST(1.0 AS DOUBLE) + 1e-5) + beta)), 6) AS fold_err
+      |FROM r
+      |ORDER BY vec_id NULLS FIRST, fold_scale NULLS FIRST, w0_folded NULLS FIRST,
+      |         bias_folded NULLS FIRST, fold_err NULLS FIRST""".stripMargin),
+    "vector,bnfold")
+
   /** Transformer activation family (reference
     * /root/reference/mlir_compiler/transformer_ops.py:43-50,117-133
     * GELU/SiLU; /root/reference/imc22_sdk/imc22_cim.c:282-293
@@ -1494,7 +1559,7 @@ object QueryInventory {
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,
     qu1, qu2, qu3, qu4,
-    qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11,
+    qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12,
     ql1, ql2, ql3, ql4, ql5, ql6,
     qs1, qs2, qs3, qs4)
 }

@@ -236,6 +236,25 @@ object VectorFunctions {
     flatten(transform(p, b => array(
       shiftright(b, 4).bitwiseAND(lit(0xf)), b.bitwiseAND(lit(0xf)))))
 
+  /** Conv/FC–BatchNorm weight fold (ref op #25 — the reference
+    * relies on torch.onnx constant folding,
+    * /root/reference/mlir_compiler/qat_trainer.py:411, over the
+    * model_zoo's Conv+BN blocks; the fold itself is the standard
+    * public identity):
+    *   w' = w · γ/√(σ²+ε),  b' = β − μ·γ/√(σ²+ε)
+    * so bn(conv(w, x)) ≡ conv(w', x) + b'. */
+  def bnFoldScale(gamma: Column, varPop: Column, eps: Double = 1e-5): Column =
+    gamma.cast("double") / sqrt(varPop.cast("double") + lit(eps))
+
+  def vecBnFoldWeights(w: Column, gamma: Column, varPop: Column,
+                       eps: Double = 1e-5): Column =
+    letBind(bnFoldScale(gamma, varPop, eps), k =>
+      transform(w, x => x.cast("double") * k))
+
+  def bnFoldBias(beta: Column, mu: Column, gamma: Column, varPop: Column,
+                 eps: Double = 1e-5): Column =
+    beta.cast("double") - mu.cast("double") * bnFoldScale(gamma, varPop, eps)
+
   /** Soft-target distillation loss: KL(softmax(teacher/T) ‖
     * softmax(student/T)) · T² (ref
     * /root/reference/distillation/distiller.py:17-41 — PyTorch
