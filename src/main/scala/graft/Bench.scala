@@ -64,11 +64,37 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val engine = results.filter(r => !headlineNames(r._1) && r._2 >= 0).map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // Full-precision, full-name map → bench_full.json (plus stderr).
+    // The PRINTED line uses shortened keys + 3-decimal values: the
+    // driver parses it from a 2000-char stdout tail, and the full
+    // 91-query map with nanoTime precision (~3.5k chars) overflows
+    // that window — rounds 1-2 recorded parsed:null because of it.
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$fullJson,"engine_ops_sec":$engine,"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
+    System.err.println(s"[bench] full result: $fullLine")
+
+    // Deterministic key shortening: token before the first '_' when
+    // unique (qf1, qj7, ...); prefix + second token for families
+    // (qa7_cube/qa7_rollup/qa7_grouping, qj3_outer/qj3_full);
+    // eng_* → e_*.
+    val prefixCount = results.map(_._1.takeWhile(_ != '_')).groupBy(identity).view.mapValues(_.size)
+    def short(n: String): String =
+      if (n.startsWith("eng_")) "e_" + n.drop(4)
+      else {
+        val p = n.takeWhile(_ != '_')
+        if (prefixCount(p) == 1) p
+        else n.split('_').take(2).mkString("_")
+      }
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$qs,"engine_ops_sec":$engine,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"headline_total","value":$headline%.3f,"unit":"sec","queries":$qs,"engine_ops_sec":$engine%.3f,"failed":$failedJson,"keys":"shortened, full map in bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -206,19 +206,33 @@ object EngineOps {
   /** Telemetry logger round-trip (ref tools/ai_feedback.py:78-151):
     * two batches of runtime samples appended as JSONL, then the
     * get_statistics aggregation over the log directory. Fresh temp
-    * dir per invocation (append sink); the stats output depends only
-    * on the events table, so the result is deterministic. */
+    * dir per invocation (append sink), deleted after the one-row
+    * stats result is materialized — repeated invocations leave no
+    * tmpdir garbage. The stats output depends only on the events
+    * table, so the result is deterministic. */
   private def telemetry(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_telemetry").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_telemetry")
     // bounded sample: the operator contract (append batches, re-read,
     // aggregate) is exercised end to end; logging the whole events
     // table would just bench JSON serialization volume
     val ev = t(spark, dir, "events")
       .filter(col("user_id") % 20 === 0)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-    Telemetry.logBatch(ev.filter(col("event_id") % 2 === 0), tmp, 0)
-    Telemetry.logBatch(ev.filter(col("event_id") % 2 === 1), tmp, 1)
-    Telemetry.stats(spark, tmp)
+    Telemetry.logBatch(ev.filter(col("event_id") % 2 === 0), tmp.toString, 0)
+    Telemetry.logBatch(ev.filter(col("event_id") % 2 === 1), tmp.toString, 1)
+    // the writer's schema is known, so skip json()'s inference pass
+    val logSchema = ev.schema.add("batch_id", org.apache.spark.sql.types.LongType)
+    val out = Telemetry.stats(spark, tmp.toString, schema = Some(logSchema))
+      .localCheckpoint(eager = true)
+    deleteRecursively(tmp)
+    out
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
   /** Count-min + Bloom sketches vs exact counts for probe users

@@ -1267,12 +1267,18 @@ object QueryInventory {
       |         greatest(list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]), 1e-12) / 15.0 AS s4,
       |         list_min(embedding::DOUBLE[]) AS mn
       |  FROM embeddings),
-      |q AS (
-      |  SELECT vec_id, e, s8,
-      |         CAST(trunc(-mn / s8) AS INT) AS zp8,
-      |         list_transform(e, x -> greatest(0, least(255, CAST(round(x / s8 + trunc(-mn / s8)) AS INT)))) AS q8,
-      |         list_transform(e, x -> greatest(0, least(15, CAST(round(x / s4 + trunc(-mn / s4)) AS INT)))) AS q4
+      |z AS (
+      |  -- zero points mirror the engine's +/-1e9 clamp (a constant
+      |  -- vector hits the 1e-12 scale guard; unclamped trunc would
+      |  -- overflow the INT cast here while Spark returns 1e9)
+      |  SELECT *, CAST(greatest(-1e9, least(1e9, trunc(-mn / s8))) AS INT) AS zp8,
+      |            CAST(greatest(-1e9, least(1e9, trunc(-mn / s4))) AS INT) AS zp4
       |  FROM m),
+      |q AS (
+      |  SELECT vec_id, e, s8, zp8,
+      |         list_transform(e, x -> greatest(0, least(255, CAST(round(x / s8 + zp8) AS INT)))) AS q8,
+      |         list_transform(e, x -> greatest(0, least(15, CAST(round(x / s4 + zp4) AS INT)))) AS q4
+      |  FROM z),
       |p AS (
       |  SELECT vec_id, e, s8, zp8, q8, q4,
       |         list_transform(generate_series(1, len(q4) // 2), i -> q4[2*i-1]*16 + q4[2*i]) AS packed

@@ -29,39 +29,49 @@ object AsOfJoin {
 
   /** Inner as-of join. Probe keeps all its columns; every non-key,
     * non-time build column arrives as `asof_<name>`, plus
-    * `asof_<timeCol>` — the matched build timestamp. */
+    * `asof_<timeCol>` — the matched build timestamp.
+    *
+    * The whole build payload rides in ONE struct column through a
+    * single `last(_, ignoreNulls)` window, so every attached field
+    * comes from the same (most recent) build row even when some
+    * payload values are legitimately NULL — per-column windows would
+    * skip back to an older row for just the NULL column. */
   def asOf(probe: DataFrame, build: DataFrame,
            keyCol: String, timeCol: String): DataFrame = {
     val probeExtra = probe.columns.filterNot(c => c == keyCol || c == timeCol)
     val buildPay = build.columns.filterNot(c => c == keyCol || c == timeCol)
-    val bSchema = build.schema
+    val outPay = s"asof_$timeCol" +: buildPay.map(c => s"asof_$c")
+
+    val reserved = Set("_t", "_side", "_b", "_r") ++ outPay
+    val collide = probe.columns.toSet.intersect(reserved)
+    require(collide.isEmpty,
+      s"asOf: probe columns collide with internal/output names: ${collide.mkString(", ")}")
+
+    val bStruct = struct(
+      col(timeCol).as(s"asof_$timeCol") +:
+        buildPay.map(c => col(c).as(s"asof_$c")): _*)
+    val bStructType = build.select(bStruct.as("_b")).schema("_b").dataType
 
     val pSide = probe.select(
       Seq(col(keyCol), col(timeCol).as("_t"), lit(1).as("_side")) ++
-        probeExtra.map(col) ++
-        (s"asof_$timeCol" +: buildPay.map(c => s"asof_$c")).map { n =>
-          val src = if (n == s"asof_$timeCol") timeCol else n.stripPrefix("asof_")
-          lit(null).cast(bSchema(src).dataType).as(n)
-        }: _*)
+        probeExtra.map(col) :+
+        lit(null).cast(bStructType).as("_b"): _*)
     val bSide = build.select(
       Seq(col(keyCol), col(timeCol).as("_t"), lit(0).as("_side")) ++
-        probeExtra.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
-        (col(timeCol).as(s"asof_$timeCol") +: buildPay.map(c => col(c).as(s"asof_$c"))): _*)
+        probeExtra.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
+        bStruct.as("_b"): _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val attached = pSide.unionByName(bSide)
-      .select(col("*") +: (s"asof_$timeCol" +: buildPay.map(c => s"asof_$c")).map { n =>
-        last(col(n), ignoreNulls = true).over(w).as(s"_r_$n")
-      }: _*)
+      .withColumn("_r", last(col("_b"), ignoreNulls = true).over(w))
 
     attached
-      .filter(col("_side") === 1 && col(s"_r_asof_$timeCol").isNotNull)
+      .filter(col("_side") === 1 && col("_r").isNotNull)
       .select(
         Seq(col(keyCol), col("_t").as(timeCol)) ++
           probeExtra.map(col) ++
-          (s"asof_$timeCol" +: buildPay.map(c => s"asof_$c")).map(n =>
-            col(s"_r_$n").as(n)): _*)
+          outPay.map(n => col("_r").getField(n).as(n)): _*)
   }
 }

@@ -24,13 +24,15 @@ import graft.functions.VectorFunctions.vecDot
   * sequence's V in one task. */
 object Attention {
 
-  /** Causal or full scaled-dot-product attention. `dim` derives from
-    * the data (one bounded head() fetch, an index-build step). */
+  /** Causal or full scaled-dot-product attention. The 1/√d scale
+    * derives per row from `size(k)` — no driver fetch (the old
+    * head() threw on an empty table and silently mis-scaled
+    * heterogeneous dims by assuming the first row's d everywhere).
+    * Mismatched q/k dims in a pair yield a NULL dot (VecDotExpr
+    * contract) rather than a silent truncation. */
   def scaledDotProduct(tokens: DataFrame, seqCol: String, posCol: String,
                        qCol: String, kCol: String, vCol: String,
                        causal: Boolean = false): DataFrame = {
-    val d = tokens.select(size(col(kCol))).head().getInt(0)
-
     val qs = tokens.select(col(seqCol).as("seq"), col(posCol).as("i"),
       col(qCol).as("qv"))
     val ks = tokens.select(col(seqCol).as("seq"), col(posCol).as("j"),
@@ -43,7 +45,7 @@ object Attention {
     // (seq, i); max and sum share the window partitioning
     val w = Window.partitionBy(col("seq"), col("i"))
     val scored = masked
-      .withColumn("raw", vecDot(col("qv"), col("kv")) / lit(math.sqrt(d.toDouble)))
+      .withColumn("raw", vecDot(col("qv"), col("kv")) / sqrt(size(col("kv")).cast("double")))
       .withColumn("ex", exp(col("raw") - max(col("raw")).over(w)))
       .withColumn("wgt", col("ex") / sum(col("ex")).over(w))
 

@@ -137,11 +137,12 @@ object MinHashDedup {
       size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
         when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / numHashes
 
-    pairs
+    val result = pairs
       .join(signed.select(col("doc").as("doc_a"), col("minhash_sig").as("sig_a")), Seq("doc_a"))
       .join(signed.select(col("doc").as("doc_b"), col("minhash_sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    materializeAndRelease(result, signed, bucketed)
   }
 
   /** `(doc, sig)` SimHash signatures, relational shape: token hashes
@@ -207,11 +208,27 @@ object MinHashDedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    pairs
+    val result = pairs
       .join(signed.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(signed.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    materializeAndRelease(result, signed, bucketed)
+  }
+
+  /** Force the (small) pair result through the cached intermediates,
+    * then unpersist them. Without this, every invocation leaves two
+    * MEMORY_AND_DISK frames registered until the ContextCleaner
+    * happens to GC them — a storage leak in long-lived sessions
+    * (Bench alone invokes each dedup query twice per run). The
+    * localCheckpoint stores only the result (candidate pairs — tiny
+    * relative to the corpus) and is itself reclaimed when the
+    * returned frame is garbage-collected. */
+  private def materializeAndRelease(result: DataFrame,
+                                    cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -118,7 +118,11 @@ object SimilaritySearch {
     // would silently degrade bucket quality if it mismatched — and
     // VecDotExpr now yields NULL buckets on mismatch rather than
     // truncating). One-row bounded fetch, an index-build step.
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dim = corpus.select(size(col(vecCol))).take(1).headOption match {
+      case Some(r) => r.getInt(0)
+      case None => throw new IllegalArgumentException(
+        s"lshPairJoin: corpus is empty — cannot derive hyperplane dim from '$vecCol'")
+    }
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nBits, dim, seed).as("bucket"))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))

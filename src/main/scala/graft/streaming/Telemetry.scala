@@ -35,9 +35,13 @@ object Telemetry {
       .start()
 
   /** get_statistics analog over the logged directory: sample/batch
-    * counts plus value moments and tail latency-style percentile. */
-  def stats(spark: SparkSession, dir: String, valueCol: String = "value"): DataFrame =
-    spark.read.json(dir).agg(
+    * counts plus value moments and tail latency-style percentile.
+    * Pass `schema` when the log layout is known — json() otherwise
+    * runs a full inference pass over the directory before the
+    * aggregation scan (2× the read at scale). */
+  def stats(spark: SparkSession, dir: String, valueCol: String = "value",
+            schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(dir).agg(
       count(lit(1)).as("total_samples"),
       countDistinct(col("batch_id")).as("total_batches"),
       round(avg(col(valueCol)), 4).as("value_mean"),
