@@ -40,6 +40,19 @@ object EngineOps {
       .orderBy(col("hamming").asc_nulls_last, col("doc_a"), col("doc_b"))
       .limit(50)
 
+  /** Near-dup clusters: SimHash candidate pairs → connected
+    * components (min-label propagation) → cluster report. The full
+    * dedup pipeline shape — pairs alone don't dedup anything; the
+    * component step picks one canonical survivor per group. */
+  private def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashDedup.simHashPairs(t(spark, dir, "documents"),
+      idCol = "doc_id", textCol = "text", maxHamming = 7, maxBucket = 128)
+    val comps = operators.DedupClusters.connectedComponents(pairs, "doc_a", "doc_b")
+    operators.DedupClusters.clusterStats(comps)
+      .orderBy(col("n_members").desc_nulls_last, col("cluster"), col("id_sum"))
+      .limit(25)
+  }
+
   /** Exact-dup clusters by md5 (engine spelling of ql2). */
   private def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
@@ -283,6 +296,7 @@ object EngineOps {
     "eng_minhash_lsh_dedup" -> minhashDedup,
     "eng_simhash_dedup" -> simhashDedup,
     "eng_exact_dedup" -> exactDedup,
+    "eng_dup_clusters" -> dupClusters,
     "eng_ann_brute_topk" -> annBrute,
     "eng_ann_lsh_topk" -> annLsh,
     "eng_ann_ivf_topk" -> annIvf,

@@ -1399,6 +1399,128 @@ object QueryInventory {
       |         first_chunk_md5 NULLS FIRST, last_chunk_tokens NULLS FIRST""".stripMargin),
     "text,chunking,llm")
 
+  /** Deterministic stratified Bernoulli sampling — the reproducible
+    * corpus-subset op every training-data pipeline needs. The sample
+    * decision is a pure function of content (first md5 hex char <
+    * '5' ≈ 31.25%), so the same doc samples identically on any
+    * cluster size / partitioning, and the filter pushes down to the
+    * scan. At 100 TB this is a single filtered pass, no shuffle
+    * before the per-source rollup. */
+  val ql7 = shared("ql7_stratified_sample",
+    """SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_sampled,
+      |       round(avg(n_chars), 4) AS avg_chars,
+      |       CAST(sum(n_chars) AS BIGINT) AS tot_chars
+      |FROM documents
+      |WHERE substr(md5(text), 1, 1) IN ('0','1','2','3','4')
+      |GROUP BY source
+      |ORDER BY source NULLS FIRST, n_sampled NULLS FIRST, avg_chars NULLS FIRST,
+      |         tot_chars NULLS FIRST""".stripMargin,
+    "sampling,llm")
+
+  /** Source-mixture resampling (training-data mixing): per-source
+    * quotas filled by hash-ranked selection — rank by md5(text) is a
+    * deterministic shuffle, so "take the first q" is a reproducible
+    * uniform draw. One window per source partition + a broadcast-size
+    * quota join; the window is the distributed top-k pattern. The
+    * per-source quota is a COLUMN, which window-group-limit can't
+    * push — the redundant literal cap `rn <= 11` (= the max quota)
+    * restores the pushdown so each source partition stops ranking
+    * after 11 rows instead of sorting the whole stratum
+    * (plan-asserted in InventorySpec). */
+  val ql8 = shared("ql8_mixture_resample",
+    """WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents),
+      |quota AS (
+      |  SELECT source, 5 + (CAST(substr(source, 4) AS INT) % 7) AS q
+      |  FROM (SELECT DISTINCT source FROM documents) s)
+      |SELECT r.source,
+      |       CAST(count(*) AS BIGINT) AS n_sel,
+      |       CAST(sum(r.doc_id) AS BIGINT) AS id_sum,
+      |       round(avg(r.n_chars), 4) AS avg_chars
+      |FROM ranked r JOIN quota USING (source)
+      |WHERE r.rn <= 11 AND r.rn <= q
+      |GROUP BY r.source
+      |ORDER BY source NULLS FIRST, n_sel NULLS FIRST, id_sum NULLS FIRST,
+      |         avg_chars NULLS FIRST""".stripMargin,
+    "sampling,mixture,llm")
+
+  /** Sequence packing into fixed token budgets (context-window
+    * packing): pack_id = floor(prefix_sum_before / 512) assigns each
+    * doc to the pack its start offset falls in — the standard
+    * document-boundary packing with overflow, expressed as one
+    * running-sum window per source (a single shuffle on source).
+    * Greedy bin-close packing is inherently sequential; this prefix
+    * spelling is the distributable form used at scale. */
+  val ql9 = Q("ql9_pack_sequences",
+    """WITH toks AS (
+      |  SELECT doc_id, source, size(split(text, ' ')) AS n_tok FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, n_tok,
+      |         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512) AS INT) AS pack_id
+      |  FROM toks),
+      |packs AS (
+      |  SELECT source, pack_id, count(*) AS n_docs, sum(n_tok) AS tok
+      |  FROM packed GROUP BY source, pack_id)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_packs,
+      |       CAST(max(n_docs) AS BIGINT) AS max_docs_per_pack,
+      |       round(avg(tok / CAST(512 AS DOUBLE)), 4) AS avg_fill,
+      |       CAST(sum(tok) AS BIGINT) AS total_tokens
+      |FROM packs GROUP BY source
+      |ORDER BY source NULLS FIRST, n_packs NULLS FIRST, max_docs_per_pack NULLS FIRST,
+      |         avg_fill NULLS FIRST, total_tokens NULLS FIRST""".stripMargin,
+    Some("""WITH toks AS (
+      |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, n_tok,
+      |         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512) AS INT) AS pack_id
+      |  FROM toks),
+      |packs AS (
+      |  SELECT source, pack_id, count(*) AS n_docs, sum(n_tok) AS tok
+      |  FROM packed GROUP BY source, pack_id)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_packs,
+      |       CAST(max(n_docs) AS BIGINT) AS max_docs_per_pack,
+      |       round(avg(tok / 512.0), 4) AS avg_fill,
+      |       CAST(sum(tok) AS BIGINT) AS total_tokens
+      |FROM packs GROUP BY source
+      |ORDER BY source NULLS FIRST, n_packs NULLS FIRST, max_docs_per_pack NULLS FIRST,
+      |         avg_fill NULLS FIRST, total_tokens NULLS FIRST""".stripMargin),
+    "packing,llm")
+
+  /** PII scrubbing: email + phone redaction via regexp_replace. The
+    * contact string is constructed deterministically per doc (the
+    * synthetic corpus contains no real PII), so the redaction paths
+    * — pattern match, replacement, pass-through of surrounding text —
+    * are verified byte-exactly cross-engine. Patterns avoid
+    * backslash escapes ([.] for literal dot) for Java-regex/RE2
+    * parity; one occurrence per pattern by construction, so DuckDB's
+    * replace-first matches Spark's replace-all. Pure per-row
+    * projection: shuffle-free at any scale. */
+  val ql10 = Q("ql10_pii_scrub",
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(
+      |         concat('Contact user', CAST(doc_id AS STRING), '@mail-', source, '.com or call 1-555-',
+      |                lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ref ', upper(lang)),
+      |         '[a-z0-9]+@[a-z0-9-]+[.]com', '<EMAIL>'),
+      |         '1-555-[0-9]{4}', '<PHONE>') AS scrubbed
+      |FROM documents
+      |ORDER BY doc_id NULLS FIRST, scrubbed NULLS FIRST""".stripMargin,
+    Some("""SELECT doc_id,
+      |       regexp_replace(regexp_replace(
+      |         concat('Contact user', CAST(doc_id AS VARCHAR), '@mail-', source, '.com or call 1-555-',
+      |                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ref ', upper(lang)),
+      |         '[a-z0-9]+@[a-z0-9-]+[.]com', '<EMAIL>'),
+      |         '1-555-[0-9]{4}', '<PHONE>') AS scrubbed
+      |FROM documents
+      |ORDER BY doc_id NULLS FIRST, scrubbed NULLS FIRST""".stripMargin),
+    "pii,scrub,llm")
+
   /** Text↔vector similarity search: documents joined to embeddings,
     * ranked by cosine to the probe vector (unit-norm vectors → dot). */
   val ql4 = Q("ql4_sim_search",
@@ -1566,6 +1688,6 @@ object QueryInventory {
     qt1, qt2,
     qu1, qu2, qu3, qu4,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12,
-    ql1, ql2, ql3, ql4, ql5, ql6,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10,
     qs1, qs2, qs3, qs4)
 }

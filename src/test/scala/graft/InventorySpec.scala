@@ -62,4 +62,21 @@ class InventorySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
+
+  test("mixture resampling ranks at most the literal cap per stratum (ql8)") {
+    Tables.register(spark, dir)
+    val plan = spark.sql(QueryInventory.ql8.sparkSql)
+      .queryExecution.executedPlan.toString
+    // the column-valued quota alone would block the pushdown; the
+    // redundant literal cap restores it
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("stratified sample scan reads only the needed columns (ql7)") {
+    Tables.register(spark, dir)
+    val plan = spark.sql(QueryInventory.ql7.sparkSql)
+      .queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && read.contains("n_chars") && !read.contains("doc_id"), read)
+  }
 }
