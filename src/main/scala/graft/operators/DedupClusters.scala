@@ -34,11 +34,81 @@ object DedupClusters {
     * Returns `(node, cluster)` — every node that appears in a pair,
     * labeled with its component's minimum node id.
     *
-    * `maxIter` bounds the rounds (diameter guard); the loop exits as
-    * soon as a round changes nothing. Ids must be orderable
-    * (long/int/string). */
+    * Size-aware strategy. Candidate-pair lists are usually orders of
+    * magnitude smaller than the corpus that produced them (banding
+    * caps bucket sizes), so when the pair count is under
+    * `localThreshold` and ids are integral, the components are solved
+    * in ONE task by classic union-find with path compression —
+    * zero shuffles, zero iteration overhead (a 5M-edge graph is
+    * <1 s of CPU). Distributed label propagation is the fallback for
+    * genuinely large graphs, where each round combines one
+    * neighbor-propagation step with one pointer-jumping step (follow
+    * the freshly-assigned label one more hop — label-of-label), so
+    * label depth roughly halves per round and convergence is
+    * O(log diameter) rounds, one shuffle each.
+    *
+    * `maxIter` bounds the distributed rounds (log₂-diameter guard);
+    * the loop exits as soon as a round changes nothing. Ids must be
+    * orderable (long/int/string); the single-task path applies to
+    * integral ids. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 12,
+                          localThreshold: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralIds = Seq(aCol, bCol).forall { c =>
+      pairs.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    if (integralIds && pairs.limit((localThreshold + 1).toInt).count() <= localThreshold) {
+      // cast labels back so both strategies return identical schemas
+      val t = pairs.schema(aCol).dataType
+      localUnionFind(pairs, aCol, bCol)
+        .select(col("node").cast(t).as("node"), col("cluster").cast(t).as("cluster"))
+    } else distributedComponents(pairs, aCol, bCol, maxIter)
+  }
+
+  /** Single-task union-find with path compression + union by rank;
+    * second pass relabels every root to its component's min member so
+    * the representative matches the distributed path bit-for-bit. */
+  private def localUnionFind(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        def add(x: Long): Unit = if (!parent.contains(x)) { parent(x) = x; rank(x) = 0 }
+        it.foreach { case (a, b) =>
+          add(a); add(b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (rank(ra) < rank(rb)) parent(ra) = rb
+            else if (rank(ra) > rank(rb)) parent(rb) = ra
+            else { parent(rb) = ra; rank(ra) = rank(ra) + 1 }
+          }
+        }
+        val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+        parent.keysIterator.foreach { n =>
+          val r = find(n)
+          minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+        }
+        parent.keysIterator.map(n => (n, minOfRoot(find(n)))).toSeq.iterator
+      }
+      .toDF("node", "cluster")
+  }
+
+  private def distributedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                                    maxIter: Int): DataFrame = {
     // undirected: both directions, deduplicated
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
@@ -51,23 +121,27 @@ object DedupClusters {
       .agg(min(least(col("a"), col("b"))).as("cluster"))
       .localCheckpoint(true)
 
-    var changed = 1L
+    var converged = false
     var round = 0
-    while (changed > 0 && round < maxIter) {
+    while (!converged && round < maxIter) {
       // each node offers its label to every neighbor; a node keeps
       // the min of its own label and all offers
       val offers = edges
         .join(labels.withColumnRenamed("node", "a"), Seq("a"))
         .groupBy(col("b").as("node"))
         .agg(min(col("cluster")).as("offer"))
-      val next = labels.join(offers, Seq("node"), "left")
-        .select(col("node"),
+      val prop = labels.join(offers, Seq("node"), "left")
+        .select(col("node"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("offer"), col("cluster"))).as("cluster"))
+      // pointer jumping: adopt the label of the node we now point at
+      val parents = prop.select(col("node").as("p_node"), col("cluster").as("p_cluster"))
+      val next = prop.join(parents, prop("cluster") === parents("p_node"), "left")
+        .select(col("node"), col("old"),
+          least(col("cluster"), coalesce(col("p_cluster"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
-        .filter(col("cluster") < col("old")).count()
+      converged = next.filter(col("cluster") < col("old")).isEmpty
       labels.unpersist(blocking = false)
-      labels = next
+      labels = next.select(col("node"), col("cluster"))
       round += 1
     }
     edges.unpersist(blocking = false)

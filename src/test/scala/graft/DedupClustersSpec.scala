@@ -42,6 +42,17 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(a(7L) == 4L)
   }
 
+  test("distributed propagation path matches single-task union-find") {
+    val pairs = Seq((2L, 3L), (3L, 1L), (10L, 11L), (8L, 20L), (5L, 8L)) ++
+      (40L until 55L).map(i => (i, i + 1))
+    val local = comps(pairs)
+    val dist = DedupClusters.connectedComponents(
+        pairs.toDF("a", "b"), "a", "b", maxIter = 12, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(dist(55L) == 40L)
+  }
+
   test("cluster stats roll up members and id checksum") {
     val stats = DedupClusters.clusterStats(
         DedupClusters.connectedComponents(
