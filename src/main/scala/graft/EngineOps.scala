@@ -263,6 +263,21 @@ object EngineOps {
         approx_count_distinct(col("event_id")).as("approx_events"))
       .orderBy(col("event_type"))
 
+  /** Approximate percentiles (Greenwald-Khanna quantile summaries —
+    * the quantile member of the sketch family beside HLL, count-min
+    * and Bloom): tail latencies per event type at accuracy 1000,
+    * against which qa4's exact percentile is the small-scale oracle
+    * analog. One distributed aggregate, KB-sized state per group —
+    * the only viable percentile at 100 TB (exact needs a full sort). */
+  private def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(element_at(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)"), 1), 4).as("p50"),
+        round(element_at(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)"), 2), 4).as("p90"),
+        round(element_at(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)"), 3), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Symmetric int8 quantize/dequantize via the typed function
     * library (engine spelling of qv6, exercising VectorFunctions). */
   private def quantizeLib(spark: SparkSession, dir: String): DataFrame = {
@@ -308,6 +323,7 @@ object EngineOps {
     "eng_doc_fingerprint" -> fingerprints,
     "eng_multimodal_features" -> multimodal,
     "eng_approx_distinct" -> approxDistinct,
+    "eng_approx_percentile" -> approxPercentile,
     "eng_cms_bloom_sketch" -> sketches,
     "eng_quantize_int8" -> quantizeLib)
 }

@@ -210,4 +210,28 @@ object StatefulOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+
+  /** Streaming exact deduplication — the unbounded spelling of
+    * ql2/eng_exact_dedup. The event-time column rides in the dedup
+    * key so the watermark bounds state: keys older than the delay are
+    * dropped from the store instead of accumulating forever (the only
+    * viable contract on an unbounded stream — identical duplicates
+    * separated by more than the watermark are by-design re-admitted).
+    * Asserted stream==batch over a duplicate-laden MemoryStream
+    * replay in StatefulOpsSpec. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Near-arrival dedup via dropDuplicatesWithinWatermark: duplicates
+    * may carry DIFFERENT event times (retries restamp clocks); any
+    * copy arriving within the watermark of the first is dropped,
+    * without the timestamp participating in the key. */
+  def streamingDedupWithin(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

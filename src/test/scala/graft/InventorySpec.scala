@@ -79,4 +79,41 @@ class InventorySpec extends AnyFunSuite {
     val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(read.contains("text") && read.contains("n_chars") && !read.contains("doc_id"), read)
   }
+
+  test("stratified sample is partition-invariant (ql7 semantics)") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, dir)
+    val docs = spark.table("documents")
+    val pred = substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3", "4")
+    val a = docs.repartition(3).filter(pred).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = docs.repartition(11).filter(pred).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("mixture quotas are honored exactly (ql8 semantics)") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, dir)
+    val sel = spark.sql(QueryInventory.ql8.sparkSql)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stratum = spark.table("documents").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratum.foreach { case (src, n) =>
+      val quota = 5L + (src.drop(3).toInt % 7)
+      assert(sel.getOrElse(src, 0L) == math.min(quota, n),
+        s"$src: sel=${sel.get(src)} quota=$quota stratum=$n")
+    }
+  }
+
+  test("sequence packing conserves tokens (ql9 invariant)") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, dir)
+    val packed = spark.sql(QueryInventory.ql9.sparkSql)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("total_tokens")).toMap
+    val direct = spark.table("documents")
+      .groupBy("source").agg(sum(size(split(col("text"), " "))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(packed == direct && packed.nonEmpty)
+  }
 }

@@ -110,6 +110,55 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup equals batch distinct; watermark bounds the key") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 00:01:00", 1L, "a"), ("2024-01-01 00:01:00", 1L, "a"), // dup
+      ("2024-01-01 00:02:00", 1L, "a"),                                   // same key, new ts
+      ("2024-01-01 00:02:00", 2L, "b"), ("2024-01-01 00:02:00", 2L, "b"), // dup
+      ("2024-01-01 00:03:00", 3L, "c"))
+      .map { case (t, u, ty) => (java.sql.Timestamp.valueOf(t), u, ty) }
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val sdf = stream.toDS().toDF("ts", "user_id", "event_type")
+    val q = StatefulOps.streamingDedup(sdf, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // duplicates split across micro-batches: state must carry over
+      stream.addData(rows.take(3))
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dedup_out")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2))).toSet
+    val batch = rows.toDF("ts", "user_id", "event_type").distinct()
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+  }
+
+  test("dedup-within-watermark drops restamped duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 00:01:00", 1L, "a"),
+      ("2024-01-01 00:01:30", 1L, "a"),  // same key, restamped clock
+      ("2024-01-01 00:02:00", 2L, "b"))
+      .map { case (t, u, ty) => (java.sql.Timestamp.valueOf(t), u, ty) }
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val sdf = stream.toDS().toDF("ts", "user_id", "event_type")
+    val q = StatefulOps.streamingDedupWithin(sdf, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_within_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dedup_within_out")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(streamed == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("LSTM batch recurrence matches an independent fold; resets per user") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 10L, 0.5),
