@@ -180,6 +180,29 @@ object EngineOps {
       .orderBy(col("seq"), col("pos"))
   }
 
+  /** Full BertTiny encoder block (ref export_bert_tiny.py:33-65)
+    * composed from engine operators: LN → chunked q/k/v projections →
+    * SDPA → out-proj + residual → LN → FC + GELU + residual. 4
+    * sequences × 8 positions of 16-dim slices, seeded literal
+    * weights; two shuffles end-to-end (differential-tested against a
+    * plain-Scala forward pass in TransformerBlockSpec). */
+  private def transformerBlock(spark: SparkSession, dir: String): DataFrame = {
+    val dHead = 16
+    def w(seed: Int) = Array.tabulate(dHead, dHead)((o, i) =>
+      ((o * 7 + i * 13 + seed) % 11 - 5) / 10.0)
+    def b(seed: Int) = Array.tabulate(dHead)(o => ((o * 3 + seed) % 7 - 3) / 10.0)
+    val tokens = t(spark, dir, "embeddings").filter(col("vec_id") < 32)
+      .select((col("vec_id") % 4).as("seq"),
+        (col("vec_id") / lit(4)).cast("int").as("pos"),
+        VectorFunctions.vecToDouble(slice(col("embedding"), 1, dHead)).as("x"))
+    operators.TransformerBlock.bertTinyBlock(tokens, "seq", "pos", "x",
+        w(1), b(1), w(2), b(2), w(3), b(3), w(4), b(4), w(5), b(5), causal = true)
+      .select(col("seq"), col("pos"),
+        round(element_at(col("out"), 1), 4).as("o0"),
+        round(aggregate(col("out"), lit(0.0), (s, x) => s + x), 4).as("o_sum"))
+      .orderBy(col("seq"), col("pos"))
+  }
+
   /** Relational conv2d (ref op #4, stubbed in the reference): 8×8
     * single-channel feature maps unpacked from embeddings, edge-detect
     * 2×2 kernel, per-image output checksum. */
@@ -304,6 +327,7 @@ object EngineOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eng_attention_causal" -> attention,
+    "eng_transformer_block" -> transformerBlock,
     "eng_bucketed_star" -> bucketedStar,
     "eng_cascade_early_exit" -> cascade,
     "eng_conv2d" -> conv2d,
