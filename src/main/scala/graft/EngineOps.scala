@@ -203,6 +203,28 @@ object EngineOps {
       .orderBy(col("seq"), col("pos"))
   }
 
+  /** NanoLlama decoder layer (ref export_tinyllama.py:29-100)
+    * composed from engine operators: RMSNorm → bias-free q/k/v →
+    * 4-head attention (head split = composite shuffle key) →
+    * out-proj + residual → RMSNorm → SwiGLU MLP + residual.
+    * Differential-tested in TransformerBlockSpec. */
+  private def llamaBlock(spark: SparkSession, dir: String): DataFrame = {
+    val (d, hidden, heads) = (16, 24, 4)
+    def w(rows: Int, cols: Int, seed: Int) = Array.tabulate(rows, cols)((o, i) =>
+      ((o * 7 + i * 13 + seed) % 11 - 5) / 10.0)
+    val tokens = t(spark, dir, "embeddings").filter(col("vec_id") < 32)
+      .select((col("vec_id") % 4).as("seq"),
+        (col("vec_id") / lit(4)).cast("int").as("pos"),
+        VectorFunctions.vecToDouble(slice(col("embedding"), 1, d)).as("x"))
+    operators.TransformerBlock.llamaBlock(tokens, "seq", "pos", "x", heads,
+        w(d, d, 1), w(d, d, 2), w(d, d, 3), w(d, d, 4),
+        w(hidden, d, 5), w(hidden, d, 6), w(d, hidden, 7), causal = true)
+      .select(col("seq"), col("pos"),
+        round(element_at(col("out"), 1), 4).as("o0"),
+        round(aggregate(col("out"), lit(0.0), (s, x) => s + x), 4).as("o_sum"))
+      .orderBy(col("seq"), col("pos"))
+  }
+
   /** Relational conv2d (ref op #4, stubbed in the reference): 8×8
     * single-channel feature maps unpacked from embeddings, edge-detect
     * 2×2 kernel, per-image output checksum. */
@@ -286,6 +308,21 @@ object EngineOps {
         approx_count_distinct(col("event_id")).as("approx_events"))
       .orderBy(col("event_type"))
 
+  /** Two-phase salted aggregation over the events table: event_type
+    * has only a handful of values over the whole table — the
+    * canonical hot-key aggregation. The salt spreads each key over 16
+    * sub-keys before the partial aggregate, so no single reducer owns
+    * a whole key's rows; phase 2 merges 16 partials per key.
+    * Result-equal to the direct groupBy (asserted in LayoutSpec). */
+  private def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    operators.Salting.saltedStats(t(spark, dir, "events"),
+        keyCol = "event_type", valueCol = "value", distinctCol = "event_id",
+        salts = 16)
+      .select(col("event_type"), col("cnt"),
+        round(col("sum_v"), 4).as("sum_v"), round(col("avg_v"), 4).as("avg_v"),
+        round(col("min_v"), 4).as("min_v"), round(col("max_v"), 4).as("max_v"))
+      .orderBy(col("event_type"))
+
   /** Approximate percentiles (Greenwald-Khanna quantile summaries —
     * the quantile member of the sketch family beside HLL, count-min
     * and Bloom): tail latencies per event type at accuracy 1000,
@@ -328,6 +365,7 @@ object EngineOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eng_attention_causal" -> attention,
     "eng_transformer_block" -> transformerBlock,
+    "eng_llama_block" -> llamaBlock,
     "eng_bucketed_star" -> bucketedStar,
     "eng_cascade_early_exit" -> cascade,
     "eng_conv2d" -> conv2d,
@@ -348,6 +386,7 @@ object EngineOps {
     "eng_multimodal_features" -> multimodal,
     "eng_approx_distinct" -> approxDistinct,
     "eng_approx_percentile" -> approxPercentile,
+    "eng_salted_agg" -> saltedAgg,
     "eng_cms_bloom_sketch" -> sketches,
     "eng_quantize_int8" -> quantizeLib)
 }

@@ -65,4 +65,73 @@ object TransformerBlock {
       .select(col("seq").as(seqCol), col("pos").as(posCol),
         vecAdd(col("h2"), vecGelu(col("ff"))).as("out"))
   }
+
+  /** NanoLlama decoder layer
+    * (/root/reference/model_zoo/export_tinyllama.py:29-71,80-100):
+    *
+    *   x₁  = x + OutProj( MHA( RMSNorm(x) ) )      (multi-head, 1/√head_dim)
+    *   out = x₁ + Down( SiLU(Gate(h)) ⊙ Up(h) ),  h = RMSNorm(x₁)
+    *
+    * Real head splitting (the reference's view/transpose): q/k/v are
+    * projected full-width, sliced into `numHeads` head_dim chunks,
+    * and attention runs per (sequence, head) — relationally that is
+    * the SAME scaledDotProduct with a composite sequence key
+    * seq·H+head, so heads distribute exactly like sequences (the
+    * transpose is free: it's just a different shuffle key). Heads
+    * re-concatenate by sorted head index. All projections are
+    * bias-free per the export. `causal` adds the decoder mask (the
+    * export omits it — "Simplified"; both shapes supported). */
+  def llamaBlock(tokens: DataFrame, seqCol: String, posCol: String,
+                 xCol: String, numHeads: Int,
+                 wq: Array[Array[Double]], wk: Array[Array[Double]],
+                 wv: Array[Array[Double]], wo: Array[Array[Double]],
+                 wGate: Array[Array[Double]], wUp: Array[Array[Double]],
+                 wDown: Array[Array[Double]],
+                 causal: Boolean = false): DataFrame = {
+    require(wq.length % numHeads == 0, s"dim ${wq.length} not divisible by $numHeads heads")
+    val headDim = wq.length / numHeads
+    def fc(in: DataFrame, c: String, w: Array[Array[Double]], out: String): DataFrame =
+      MatMul.fcLayer(in, c, w, Array.fill(w.length)(0.0), relu = false)
+        .withColumnRenamed("fc_out", out)
+
+    val base = tokens.select(col(seqCol).as("seq"), col(posCol).as("pos"),
+      vecToDouble(col(xCol)).as("x"))
+      .withColumn("h", vecRmsNorm(col("x")))
+    val projected = fc(fc(fc(base, "h", wq, "q"), "h", wk, "k"), "h", wv, "v")
+      .localCheckpoint(eager = false)
+
+    // head split: (seq, head) becomes the attention partition key —
+    // a narrow explode+slice, no self-join
+    val heads = projected
+      .withColumn("head", explode(array((0 until numHeads).map(lit): _*)))
+      .select((col("seq") * numHeads + col("head")).as("seqh"), col("pos"),
+        slice(col("q"), col("head") * headDim + 1, lit(headDim)).as("qh"),
+        slice(col("k"), col("head") * headDim + 1, lit(headDim)).as("kh"),
+        slice(col("v"), col("head") * headDim + 1, lit(headDim)).as("vh"))
+
+    val perHead = Attention.scaledDotProduct(heads, "seqh", "pos", "qh", "kh", "vh", causal)
+    // concat heads back in index order: seqh = seq·H + head recovers both
+    val merged = perHead
+      .select((col("seqh") / numHeads).cast("long").as("seq"),
+        pmod(col("seqh"), lit(numHeads)).as("head"), col("pos"), col("attn"))
+      .groupBy(col("seq"), col("pos"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("head"), col("attn")))),
+        s => s.getField("attn"))).as("mh"))
+
+    val attended = fc(merged, "mh", wo, "proj")
+      .join(projected.select(col("seq"), col("pos"), col("x")), Seq("seq", "pos"))
+      .select(col("seq"), col("pos"), vecAdd(col("x"), col("proj")).as("x1"))
+      .withColumn("h2", vecRmsNorm(col("x1")))
+
+    // SwiGLU MLP: down(silu(gate(h)) * up(h)) + residual
+    fc(fc(attended, "h2", wGate, "g"), "h2", wUp, "u")
+      .withColumn("gu", zipWithMul(vecSilu(col("g")), col("u")))
+      .transform(d => fc(d, "gu", wDown, "dn"))
+      .select(col("seq").as(seqCol), col("pos").as(posCol),
+        vecAdd(col("x1"), col("dn")).as("out"))
+  }
+
+  private def zipWithMul(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    zip_with(a, b, (x, y) => x * y)
 }
