@@ -53,6 +53,48 @@ object EngineOps {
       .limit(25)
   }
 
+  /** The full corpus-cleaning pipeline a training-data run actually
+    * executes, end to end: exact dedup (md5 keep-min) → SimHash
+    * near-dup pairs over the survivors → connected components → drop
+    * non-canonical cluster members → per-source survival report.
+    * Composition of ql2 + simHashPairs + DedupClusters; each stage's
+    * scale shape is documented at its operator. */
+  private def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    // stage 1: exact — keep the smallest doc_id per content hash
+    val keyed = docs.withColumn("_h", md5(col("text")))
+    val keepExact = keyed.groupBy(col("_h")).agg(min(col("doc_id")).as("keep_id"))
+    // three consumers (near-dup pairs, anti-join, stats): materialize
+    // once instead of re-running the scan+hash+join per consumer
+    val exactKept = keyed.join(keepExact, Seq("_h"))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint(true)
+    // stage 2: near-dup clusters over the exact survivors
+    val pairs = MinHashDedup.simHashPairs(exactKept, "doc_id", "text",
+      maxHamming = 3, maxBucket = 128)
+    val dropNear = operators.DedupClusters.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("doc_id"))
+    val cleaned = exactKept.join(dropNear, Seq("doc_id"), "left_anti")
+    // survival report per source
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+      .join(exactKept.groupBy(col("source")).agg(count(lit(1)).as("n_exact")), Seq("source"))
+      .join(cleaned.groupBy(col("source")).agg(count(lit(1)).as("n_clean")), Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  /** Sliding event-time windows (10 min length, 5 min hop): each
+    * event lands in two overlapping windows — the standard smoothing
+    * window for rate metrics; one shuffle on (window, type). */
+  private def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("cnt"), col("sum_v"))
+      .orderBy(col("ws"), col("event_type"), col("cnt"), col("sum_v"))
+
   /** Exact-dup clusters by md5 (engine spelling of ql2). */
   private def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
@@ -374,6 +416,8 @@ object EngineOps {
     "eng_simhash_dedup" -> simhashDedup,
     "eng_exact_dedup" -> exactDedup,
     "eng_dup_clusters" -> dupClusters,
+    "eng_dedup_pipeline" -> dedupPipeline,
+    "eng_sliding_window" -> slidingWindow,
     "eng_ann_brute_topk" -> annBrute,
     "eng_ann_lsh_topk" -> annLsh,
     "eng_ann_ivf_topk" -> annIvf,

@@ -707,6 +707,55 @@ object QueryInventory {
       |         b.pts NULLS FIRST, b.pval NULLS FIRST""".stripMargin),
     "join,asof,timeseries")
 
+  /** As-of join with a match tolerance (pandas merge_asof
+    * `tolerance`): a click whose latest preceding purchase is more
+    * than 10 minutes old has no match (inner). Same one-shuffle
+    * union+last_value spelling as qj9 + one gap predicate;
+    * AsOfJoin.asOf(maxGap=...) is the operator form (asserted equal
+    * in AsOfJoinSpec). */
+  val qj10 = Q("qj10_asof_tolerance",
+    """WITH probe AS (
+      |  SELECT user_id, event_id, unix_micros(ts) AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |build AS (
+      |  SELECT user_id, unix_micros(ts) AS pts, round(max(value), 4) AS pval
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, unix_micros(ts)),
+      |u AS (
+      |  SELECT user_id, cts AS t, 1 AS side, event_id, cts,
+      |         CAST(NULL AS BIGINT) AS pts, CAST(NULL AS DOUBLE) AS pval
+      |  FROM probe
+      |  UNION ALL
+      |  SELECT user_id, pts AS t, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+      |         CAST(NULL AS BIGINT) AS cts, pts, pval
+      |  FROM build),
+      |w AS (
+      |  SELECT user_id, side, event_id, cts,
+      |         last_value(pts, true) OVER (PARTITION BY user_id ORDER BY t, side
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_pts,
+      |         last_value(pval, true) OVER (PARTITION BY user_id ORDER BY t, side
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_pval
+      |  FROM u)
+      |SELECT user_id, event_id, cts, a_pts AS pts, a_pval AS pval
+      |FROM w
+      |WHERE side = 1 AND a_pts IS NOT NULL AND cts - a_pts <= 600000000
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, cts NULLS FIRST,
+      |         pts NULLS FIRST, pval NULLS FIRST""".stripMargin,
+    Some("""WITH probe AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |build AS (
+      |  SELECT user_id, epoch_us(ts) AS pts, round(max(value), 4) AS pval
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, epoch_us(ts))
+      |SELECT p.user_id, p.event_id, p.cts, b.pts, b.pval
+      |FROM probe p ASOF JOIN build b
+      |  ON p.user_id = b.user_id AND p.cts >= b.pts
+      |WHERE p.cts - b.pts <= 600000000
+      |ORDER BY p.user_id NULLS FIRST, p.event_id NULLS FIRST, p.cts NULLS FIRST,
+      |         b.pts NULLS FIRST, b.pval NULLS FIRST""".stripMargin),
+    "join,asof,tolerance,timeseries")
+
   // ---------------------------------------------------------------
   // Window functions (Q-W*)
   // ---------------------------------------------------------------
@@ -1683,7 +1732,7 @@ object QueryInventory {
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13,
-    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9,
+    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10,
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,
     qu1, qu2, qu3, qu4,

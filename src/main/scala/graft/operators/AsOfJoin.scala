@@ -35,9 +35,17 @@ object AsOfJoin {
     * single `last(_, ignoreNulls)` window, so every attached field
     * comes from the same (most recent) build row even when some
     * payload values are legitimately NULL — per-column windows would
-    * skip back to an older row for just the NULL column. */
+    * skip back to an older row for just the NULL column.
+    *
+    * `maxGap`: optional match tolerance (pandas merge_asof
+    * `tolerance` semantics) — a probe row whose matched build time is
+    * more than `maxGap` behind it is dropped (inner). The gap is
+    * `probeTime - buildTime` in the column's own arithmetic, so pass
+    * micros for the integer-time spelling or an INTERVAL literal for
+    * raw timestamps. */
   def asOf(probe: DataFrame, build: DataFrame,
-           keyCol: String, timeCol: String): DataFrame = {
+           keyCol: String, timeCol: String,
+           maxGap: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val probeExtra = probe.columns.filterNot(c => c == keyCol || c == timeCol)
     val buildPay = build.columns.filterNot(c => c == keyCol || c == timeCol)
     val outPay = s"asof_$timeCol" +: buildPay.map(c => s"asof_$c")
@@ -67,8 +75,10 @@ object AsOfJoin {
     val attached = pSide.unionByName(bSide)
       .withColumn("_r", last(col("_b"), ignoreNulls = true).over(w))
 
-    attached
-      .filter(col("_side") === 1 && col("_r").isNotNull)
+    val matched = attached.filter(col("_side") === 1 && col("_r").isNotNull)
+    val tolerated = maxGap.fold(matched)(g =>
+      matched.filter(col("_t") - col("_r").getField(s"asof_$timeCol") <= g))
+    tolerated
       .select(
         Seq(col(keyCol), col("_t").as(timeCol)) ++
           probeExtra.map(col) ++

@@ -39,6 +39,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(op == sql && op.nonEmpty)
   }
 
+  test("tolerance drops stale matches; operator matches qj10 SQL") {
+    // golden: gap of 5 allowed, probe t=20 matched build t=15 (gap 5,
+    // kept) but probe t=30 matched t=15 (gap 15, dropped)
+    val probe = Seq((1L, 20L, "ok"), (1L, 30L, "stale")).toDF("k", "t", "tag")
+    val build = Seq((1L, 15L, 1.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(probe, build, "k", "t", maxGap = Some(lit(5L)))
+      .collect().map(r => r.getAs[String]("tag")).toSet
+    assert(out == Set("ok"))
+
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val p = spark.table("events").filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val b = spark.table("events").filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("t"))
+      .agg(round(max(col("value")), 4).as("pval"))
+      .select(col("user_id"), col("t"), col("pval"))
+    val op = AsOfJoin.asOf(p, b, "user_id", "t", maxGap = Some(lit(600000000L)))
+      .select(col("user_id"), col("event_id"), col("t"), col("asof_t"), col("asof_pval"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val sql = spark.sql(QueryInventory.qj10.sparkSql)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(op == sql && op.nonEmpty && sql.size < spark.sql(QueryInventory.qj9.sparkSql).count())
+  }
+
   test("as-of plan: no join node, one window pass over a single key shuffle") {
     val probe = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val build = Seq((1L, 8L, 1.0)).toDF("k", "t", "v")
