@@ -53,6 +53,13 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(dist(55L) == 40L)
   }
 
+  test("empty pair list yields empty components on both paths") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupClusters.connectedComponents(empty, "a", "b").count() == 0)
+    assert(DedupClusters.connectedComponents(empty, "a", "b",
+      maxIter = 12, localThreshold = 0L).count() == 0)
+  }
+
   test("cluster stats roll up members and id checksum") {
     val stats = DedupClusters.clusterStats(
         DedupClusters.connectedComponents(
