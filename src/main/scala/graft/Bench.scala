@@ -40,7 +40,7 @@ object Bench {
     // headline total — a regression must not read as a speedup.
     val results: Seq[(String, Double)] = ordered.map { name =>
       System.err.println(s"[bench] start $name at ${java.time.Instant.now()}")
-      val times = (0 until 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         val ok =
           try { fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -48,7 +48,12 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val times = (0 until 2).map(_ => once())
+      // a host contention window can span both runs of one query; if
+      // the min is still slow, buy one more sample so a single noisy
+      // stretch can't own the reported number
+      val all = if (times.forall(_ >= 0) && times.min > 2.5) times :+ once() else times
+      name -> (if (all.exists(_ < 0)) -1.0 else all.min)
     }
 
     // optional per-operator profile dump (M5): PROFILE_OUT=<path.csv>
