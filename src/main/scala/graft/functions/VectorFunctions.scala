@@ -21,6 +21,14 @@ object VectorFunctions {
 
   private val D0: Column = lit(0.0).cast("double")
 
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column => exprCol, expr => colExpr}
+
+  /** Hot elementwise kernels are codegen'd expressions
+    * (graft.expressions.VecElemExprs), not interpreted HOF lambdas —
+    * bit-identical arithmetic and null behavior (VecElemExprsSpec). */
+  private def mapExpr(v: Column, fn: String): Column =
+    exprCol(graft.expressions.VecMapExpr(colExpr(v), fn))
+
   /** Let-binding for HOF expressions: Catalyst has no `let`, so a
     * per-row statistic (mean, absmax, scale…) inlined into a
     * per-element lambda re-evaluates its whole subtree for EVERY
@@ -55,7 +63,7 @@ object VectorFunctions {
   def vecL2(v: Column): Column = sqrt(vecDot(v, v))
 
   def vecSum(v: Column): Column =
-    aggregate(vecToDouble(v), D0, (s, x) => s + x)
+    exprCol(graft.expressions.VecAggExpr(colExpr(v), "sum"))
 
   def vecMean(v: Column): Column = vecSum(v) / size(v).cast("double")
 
@@ -72,72 +80,42 @@ object VectorFunctions {
     zip_with(a, b, (x, y) => x.cast("double") + y.cast("double"))
 
   /** ReLU (ref /root/reference/imc22_sdk/imc22_cim.c:274-280). */
-  def vecRelu(v: Column): Column =
-    transform(v, x => greatest(x.cast("double"), lit(0.0)))
+  def vecRelu(v: Column): Column = mapExpr(v, "relu")
 
   /** Numerically-stable softmax over an array (ref
     * /root/reference/firmware/middleware/cascade_model.c:203-229). */
-  def vecSoftmax(v: Column): Column = {
-    val d = vecToDouble(v)
-    letBind(array_max(d), mx => {
-      val ex = transform(d, x => exp(x - mx))
-      letBind(aggregate(ex, D0, (s, x) => s + x), sm =>
-        transform(ex, x => x / sm))
-    })
-  }
+  def vecSoftmax(v: Column): Column =
+    exprCol(graft.expressions.VecSoftmaxExpr(colExpr(v)))
 
   /** Elementwise sigmoid 1/(1+e^-x) (ref
     * /root/reference/imc22_sdk/imc22_cim.c:282-287). */
-  def vecSigmoid(v: Column): Column =
-    transform(v, x => lit(1.0) / (lit(1.0) + exp(-x.cast("double"))))
+  def vecSigmoid(v: Column): Column = mapExpr(v, "sigmoid")
 
   /** Elementwise tanh (ref /root/reference/imc22_sdk/imc22_cim.c:289-293). */
-  def vecTanh(v: Column): Column =
-    transform(v, x => tanh(x.cast("double")))
+  def vecTanh(v: Column): Column = mapExpr(v, "tanh")
 
   /** SiLU / Swish: x·sigmoid(x) (ref
     * /root/reference/mlir_compiler/transformer_ops.py:45-50,128-133;
     * model_zoo/export_tinyllama.py:64 nn.SiLU). */
-  def vecSilu(v: Column): Column =
-    transform(v, x => {
-      val d = x.cast("double")
-      d / (lit(1.0) + exp(-d))
-    })
+  def vecSilu(v: Column): Column = mapExpr(v, "silu")
 
   /** GELU, tanh approximation
     * 0.5·x·(1+tanh(√(2/π)·(x+0.044715·x³))) — the hardware-friendly
     * spelling the reference compiles to (CIM_Gelu_Approx,
     * /root/reference/mlir_compiler/transformer_ops.py:43-44,117-121). */
-  def vecGelu(v: Column): Column =
-    transform(v, x => {
-      val d = x.cast("double")
-      lit(0.5) * d * (lit(1.0) +
-        tanh(lit(0.7978845608028654) * (d + lit(0.044715) * d * d * d)))
-    })
+  def vecGelu(v: Column): Column = mapExpr(v, "gelu")
 
   /** LayerNorm (x−μ)/√(σ²+ε) with population variance, no affine
     * (ref /root/reference/mlir_compiler/transformer_ops.py:84-97,
     * 109-116; scale/bias handled downstream per the reference). */
-  def vecLayerNorm(v: Column, eps: Double = 1e-5): Column = {
-    val d = vecToDouble(v)
-    val n = size(v).cast("double")
-    letBind(struct(
-        (aggregate(d, D0, (s, x) => s + x) / n).as("mu"),
-        (aggregate(d, D0, (s, x) => s + x * x) / n).as("ms")), st => {
-      val mu = st.getField("mu")
-      val varPop = st.getField("ms") - mu * mu
-      transform(d, x => (x - mu) / sqrt(varPop + lit(eps)))
-    })
-  }
+  def vecLayerNorm(v: Column, eps: Double = 1e-5): Column =
+    exprCol(graft.expressions.VecNormExpr(colExpr(v), "layer", eps))
 
   /** RMSNorm x·rsqrt(mean(x²)+ε), Llama style
     * (ref /root/reference/mlir_compiler/transformer_ops.py:54-67;
     * /root/reference/model_zoo/export_tinyllama.py:5-14). */
-  def vecRmsNorm(v: Column, eps: Double = 1e-6): Column = {
-    val d = vecToDouble(v)
-    letBind(aggregate(d, D0, (s, x) => s + x * x) / size(v).cast("double"),
-      meanSq => transform(d, x => x / sqrt(meanSq + lit(eps))))
-  }
+  def vecRmsNorm(v: Column, eps: Double = 1e-6): Column =
+    exprCol(graft.expressions.VecNormExpr(colExpr(v), "rms", eps))
 
   /** Symmetric int8 quantization scale (absmax/127, guarded). */
   def quantScale(v: Column): Column =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import graft.expressions.VecDotExpr
+import graft.expressions.{VecAggExpr, VecDotExpr}
 
 /** Catalyst extension point of the engine — the analog of the
   * reference compiler's optimization-pass pipeline
@@ -51,7 +51,12 @@ object VecDotRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  private def isZeroDouble(zero: Expression): Boolean =
+    zero.foldable && zero.dataType == DoubleType && zero.eval() == 0.0
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // dot product first — more specific than the plain-sum fold below
+    // (a sum over a zip_with would keep the interpreted ZipWith alive)
     case ArrayAggregate(
         ZipWith(a, b, LambdaFunction(Multiply(mx, my, _), Seq(x, y), _)),
         zero,
@@ -59,11 +64,32 @@ object VecDotRewrite extends Rule[LogicalPlan] {
         finish)
       if isDoubleArray(a) && isDoubleArray(b) &&
         isVar(mx, x) && isVar(my, y) &&
-        zero.foldable && zero.dataType == DoubleType &&
-        zero.eval() == 0.0 &&
+        isZeroDouble(zero) &&
         isVar(as, s) && isVar(av, v) &&
         isIdentityFinish(finish) =>
       VecDotExpr(a, b)
+
+    // Σx² fold: aggregate(arr, 0.0, (s, x) -> s + x*x) → vec_sumsq
+    case ArrayAggregate(
+        arr,
+        zero,
+        LambdaFunction(Add(as, Multiply(v1, v2, _), _), Seq(s, v), _),
+        finish)
+      if isDoubleArray(arr) && isZeroDouble(zero) &&
+        isVar(as, s) && isVar(v1, v) && isVar(v2, v) &&
+        isIdentityFinish(finish) =>
+      VecAggExpr(arr, "sumsq")
+
+    // Σx fold: aggregate(arr, 0.0, (s, x) -> s + x) → vec_sum
+    case ArrayAggregate(
+        arr,
+        zero,
+        LambdaFunction(Add(as, av, _), Seq(s, v), _),
+        finish)
+      if isDoubleArray(arr) && isZeroDouble(zero) &&
+        isVar(as, s) && isVar(av, v) &&
+        isIdentityFinish(finish) =>
+      VecAggExpr(arr, "sum")
   }
 
   private def isIdentityFinish(finish: Expression): Boolean = finish match {
