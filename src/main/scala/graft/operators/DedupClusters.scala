@@ -61,12 +61,19 @@ object DedupClusters {
         case _ => false
       }
     }
-    if (integralIds && pairs.limit((localThreshold + 1).toInt).count() <= localThreshold) {
+    // materialize the pair list ONCE: the input is typically an
+    // expensive candidate-generation pipeline (SimHash banding,
+    // MinHash joins), and both the size probe and the chosen
+    // component strategy consume it — without this checkpoint the
+    // probe alone re-executes the whole upstream graph
+    val mat = pairs.localCheckpoint(true)
+    val probeLimit = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
+    if (integralIds && mat.limit(probeLimit).count() <= localThreshold) {
       // cast labels back so both strategies return identical schemas
       val t = pairs.schema(aCol).dataType
-      localUnionFind(pairs, aCol, bCol)
+      localUnionFind(mat, aCol, bCol)
         .select(col("node").cast(t).as("node"), col("cluster").cast(t).as("cluster"))
-    } else distributedComponents(pairs, aCol, bCol, maxIter)
+    } else distributedComponents(mat, aCol, bCol, maxIter)
   }
 
   /** Single-task union-find with path compression + union by rank;
@@ -145,6 +152,12 @@ object DedupClusters {
       round += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      // over-split labels would silently KEEP documents that belong to
+      // an already-canonicalized cluster downstream — make it loud
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds; " +
+          "raise maxIter (labels would be over-split)")
     labels
   }
 

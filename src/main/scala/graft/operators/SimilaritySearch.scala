@@ -111,9 +111,25 @@ object SimilaritySearch {
 
   /** All-pairs near-neighbor join via shared LSH buckets (the scale
     * path for Q-V4-style pair search): one shuffle on bucket id, no
-    * cross product. */
+    * cross product.
+    *
+    * Scale bound: the self-join inside a bucket is quadratic in the
+    * bucket's size, and a FIXED nBits makes the expected bucket size
+    * corpus/2^nBits — linear in the corpus. Two guards keep the join
+    * scale-safe (the same discipline as the SimHash/MinHash banding
+    * paths):
+    *  - `nBits <= 0` derives nBits from the corpus count so the
+    *    expected bucket holds ~`targetBucket` vectors regardless of
+    *    corpus size (one bounded count, an index-build step);
+    *  - buckets larger than `maxBucket` are dropped before the join
+    *    (size 1 buckets produce no pairs and are dropped too). An
+    *    oversized bucket means the hash isn't discriminating there —
+    *    scoring its quadratic pair set would dominate the whole job
+    *    while contributing near-random candidates. Per-bucket work is
+    *    therefore bounded by maxBucket²/2 regardless of skew. */
   def lshPairJoin(corpus: DataFrame, idCol: String, vecCol: String,
-                  minCosine: Double, nBits: Int = 10, seed: Long = 42L): DataFrame = {
+                  minCosine: Double, nBits: Int = 0, seed: Long = 42L,
+                  targetBucket: Int = 64, maxBucket: Int = 1024): DataFrame = {
     // derive the hyperplane dimension from the data (a fixed default
     // would silently degrade bucket quality if it mismatched — and
     // VecDotExpr now yields NULL buckets on mismatch rather than
@@ -123,10 +139,26 @@ object SimilaritySearch {
       case None => throw new IllegalArgumentException(
         s"lshPairJoin: corpus is empty — cannot derive hyperplane dim from '$vecCol'")
     }
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = corpus.count()
+        // 2^bits ≈ n/targetBucket, clamped to [4, 30] usable bits
+        math.min(30, math.max(4,
+          math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+      }
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nBits, dim, seed).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+      lshBucket(col(vecCol), bits, dim, seed).as("bucket"))
+    val keepBuckets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") >= 2 && col("_bsz") <= maxBucket)
+      .select(col("bucket"))
+    // no broadcast hint: keepBuckets is O(corpus/targetBucket) rows —
+    // AQE picks broadcast when it fits; the shuffle (if any) is on
+    // the same bucket key the pair join reuses
+    val guarded = bucketed.join(keepBuckets, Seq("bucket"))
+    val a = guarded.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = guarded.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), vecCosine(col("va"), col("vb")).as("cosine"))

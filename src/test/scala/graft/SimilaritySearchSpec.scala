@@ -73,4 +73,25 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 99L)))
   }
+
+  test("pair join auto-derives nBits and drops oversized buckets") {
+    // auto nBits (nBits=0): same dup pair is still found
+    val withDup = vecs :+ (99L -> vecs.head._2)
+    val autoPairs = SimilaritySearch.lshPairJoin(withDup.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", minCosine = 0.99).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(autoPairs.contains((0L, 99L)))
+
+    // a degenerate corpus where EVERY vector is identical lands in one
+    // bucket; with maxBucket below the corpus size that bucket is
+    // dropped — pair count is 0 instead of n² growth
+    val clones = (0L until 30L).map(i => i -> vecs.head._2)
+    val guarded = SimilaritySearch.lshPairJoin(clones.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", minCosine = 0.0, nBits = 6, maxBucket = 10)
+    assert(guarded.count() == 0)
+    // with the guard relaxed the same corpus yields all 30·29/2 pairs
+    val open = SimilaritySearch.lshPairJoin(clones.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", minCosine = 0.0, nBits = 6, maxBucket = 1000)
+    assert(open.count() == 30L * 29 / 2)
+  }
 }
