@@ -1728,6 +1728,137 @@ object QueryInventory {
       |ORDER BY user_id NULLS FIRST, delay_bucket NULLS FIRST, cnt NULLS FIRST""".stripMargin),
     "watermark,stream")
 
+  /** Native session windows (ref op #36, /root/reference/hive_arch.md
+    * §4 heartbeat/sync) — the spelling a Spark user actually writes
+    * (`session_window(ts, gap)`), oracle-checked against the
+    * lag+running-sum derivation. Boundary convention: session_window
+    * starts a NEW session when the gap is >= the 30-min threshold
+    * (merge requires next_start < session_end), so the oracle flag is
+    * `>=`, not qs3's `>`. InventorySpec asserts the two spellings
+    * agree in-engine. */
+  val qs5 = Q("qs5_session_native",
+    """SELECT user_id, unix_micros(session_window.start) AS ss, count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id, session_window(ts, '30 minutes')
+      |ORDER BY user_id NULLS FIRST, ss NULLS FIRST, n_events NULLS FIRST""".stripMargin,
+    Some("""WITH d AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, tus,
+      |         sum(CASE WHEN prev_tus IS NULL OR tus - prev_tus >= 1800000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id, min(tus) AS ss, count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id NULLS FIRST, ss NULLS FIRST, n_events NULLS FIRST""".stripMargin),
+    "session,stream,native")
+
+  // ---------------------------------------------------------------
+  // Everyday SQL surface (Q-X*) — the OLAP breadth a reference user
+  // expects beside the contract ops (analog: the stats aggregations
+  // of /root/reference/simulator/profiler.py:91-139, the reference's
+  // only OLAP; SURVEY §2.8 Spark-SQL-breadth mandate).
+  // ---------------------------------------------------------------
+
+  /** PIVOT: returnflag × linestatus quantity matrix. Oracle spells it
+    * as conditional aggregation — same cells, same NULL for absent
+    * combinations. */
+  val qx1 = Q("qx1_pivot",
+    """SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+      |PIVOT (round(sum(l_quantity), 4) FOR l_linestatus IN ('O' AS qty_o, 'F' AS qty_f))
+      |ORDER BY l_returnflag NULLS FIRST, qty_o NULLS FIRST, qty_f NULLS FIRST""".stripMargin,
+    Some("""SELECT l_returnflag,
+      |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o,
+      |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST, qty_o NULLS FIRST, qty_f NULLS FIRST""".stripMargin),
+    "pivot,agg")
+
+  /** Ordered string aggregation (listagg WITHIN GROUP ↔ DuckDB
+    * string_agg ORDER BY). */
+  val qx2 = Q("qx2_listagg",
+    """SELECT r_regionkey, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_regionkey
+      |ORDER BY r_regionkey NULLS FIRST, names NULLS FIRST""".stripMargin,
+    Some("""SELECT r_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_regionkey
+      |ORDER BY r_regionkey NULLS FIRST, names NULLS FIRST""".stripMargin),
+    "listagg,agg")
+
+  /** median (interpolated) + mode. The mode column is a 70/30-skewed
+    * derived value: both engines break mode TIES arbitrarily, so the
+    * contract only pins mode on tie-free data (verified at every
+    * driver SF). */
+  val qx3 = shared("qx3_median_mode",
+    """SELECT o_orderstatus,
+      |       round(median(o_totalprice), 4) AS med_price,
+      |       mode(CASE WHEN o_totalprice >= 150000 THEN 'big' ELSE 'small' END) AS mode_size
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST, med_price NULLS FIRST, mode_size NULLS FIRST""".stripMargin,
+    "median,mode,agg")
+
+  /** Linear-regression aggregate family + sample covariance
+    * (profiler-stats analog, ref simulator/profiler.py:120-139). */
+  val qx4 = shared("qx4_regr",
+    """SELECT l_returnflag,
+      |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+      |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+      |       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST, slope NULLS FIRST, intercept NULLS FIRST,
+      |         r2 NULLS FIRST, n NULLS FIRST, covar NULLS FIRST""".stripMargin,
+    "regr,stats,agg")
+
+  /** Bitwise aggregates over the orderkey domain. */
+  val qx5 = shared("qx5_bit_aggs",
+    """SELECT o_orderstatus,
+      |       CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+      |       CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+      |       CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST, key_and NULLS FIRST, key_or NULLS FIRST,
+      |         key_xor NULLS FIRST""".stripMargin,
+    "bitagg,agg")
+
+  /** width_bucket histogram: 10 equal bins over [0, 500000) plus the
+    * two overflow bins. Oracle derives the same bin arithmetic
+    * (DuckDB 1.0 has no width_bucket). */
+  val qx6 = Q("qx6_width_bucket",
+    """SELECT CAST(width_bucket(o_totalprice, 0, 500000, 10) AS BIGINT) AS bin, count(*) AS cnt
+      |FROM orders
+      |GROUP BY bin
+      |ORDER BY bin NULLS FIRST, cnt NULLS FIRST""".stripMargin,
+    Some("""SELECT CASE WHEN o_totalprice < 0 THEN 0
+      |            WHEN o_totalprice >= 500000 THEN 11
+      |            ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bin,
+      |       count(*) AS cnt
+      |FROM orders
+      |GROUP BY bin
+      |ORDER BY bin NULLS FIRST, cnt NULLS FIRST""".stripMargin),
+    "width_bucket,histogram")
+
+  /** Window-function tail: cume_dist over a global order + running
+    * nth_value per segment. */
+  val qx7 = shared("qx7_window_extras",
+    """SELECT c_custkey,
+      |       round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 4) AS cd,
+      |       nth_value(c_acctbal, 3) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_bal
+      |FROM customer
+      |ORDER BY c_custkey NULLS FIRST, cd NULLS FIRST, third_bal NULLS FIRST""".stripMargin,
+    "window,cume_dist,nth_value")
+
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11,
@@ -1738,5 +1869,6 @@ object QueryInventory {
     qu1, qu2, qu3, qu4,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10,
-    qs1, qs2, qs3, qs4)
+    qs1, qs2, qs3, qs4, qs5,
+    qx1, qx2, qx3, qx4, qx5, qx6, qx7)
 }

@@ -106,6 +106,28 @@ class InventorySpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window equals the lag+running-sum spelling (qs5)") {
+    Tables.register(spark, dir)
+    val native = spark.sql(QueryInventory.qs5.sparkSql).collect()
+    // same derivation the DuckDB oracle runs, spelled in Spark (>=
+    // boundary: session_window merges only while next_start < end)
+    val lag = spark.sql(
+      """WITH d AS (
+        |  SELECT user_id, event_id, unix_micros(ts) AS tus,
+        |         lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, tus,
+        |         sum(CASE WHEN prev_tus IS NULL OR tus - prev_tus >= 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(tus) AS ss, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id NULLS FIRST, ss NULLS FIRST, n_events NULLS FIRST""".stripMargin).collect()
+    assert(native.length == lag.length)
+    native.zip(lag).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("sequence packing conserves tokens (ql9 invariant)") {
     import org.apache.spark.sql.functions._
     Tables.register(spark, dir)
