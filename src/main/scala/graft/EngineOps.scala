@@ -154,6 +154,58 @@ object EngineOps {
       .orderBy(col("cosine").desc_nulls_last, col("id_a"), col("id_b"))
       .limit(50)
 
+  /** MEASURED Structured Streaming replay (ref 1 kHz loop,
+    * /root/reference/simulator/codegen_cim.py:524-548): the events
+    * parquet replayed through a real streaming query — file source →
+    * watermark → 5-min tumbling agg → memory sink — drained with
+    * Trigger.AvailableNow. Complete output mode keeps the result
+    * deterministic regardless of file-split order (the watermark
+    * never evicts complete-mode state), so the row count is stable
+    * across runs; stream==batch for this agg is separately asserted
+    * in StatefulOpsSpec/TelemetrySpec. */
+  private def streamingReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a DIRECTORY; the test tables are single
+    // files, so stream the parent dir restricted to the events file
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+    val qName = "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StatefulOps.windowedCounts(stream)
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(qName)
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("cnt"), round(col("sum_v"), 4).as("sum_v"))
+      .orderBy(col("ws"), col("event_type"), col("cnt"), col("sum_v"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
+  /** Complementary filter over paired sensor channels (ref op #32,
+    * /root/reference/firmware/middleware/fixed_point_filter.c:13-57):
+    * s' = α(s + gyro·dt) + (1−α)·accel per user. Events are collapsed
+    * to one sample per (user, ts) so the recurrence order is total —
+    * the second channel is a deterministic transform of the first
+    * (the synthetic tables carry one value stream). */
+  private def complementaryFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fused = t(spark, dir, "events")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .agg(max(col("value")).as("gyro"))
+      .withColumn("accel", sin(col("gyro")) * 10.0)
+      .select(col("user_id"), col("tsMicros"), col("gyro"), col("accel"))
+      .as[StatefulOps.FusedSample]
+    StatefulOps.complementaryBatch(fused, alpha = 0.98).toDF()
+      .select(col("user_id"), col("tsMicros"), round(col("fused"), 6).as("fused"))
+      .orderBy(col("user_id"), col("tsMicros"), col("fused"))
+  }
+
   /** True recursive EMA per user (ref IIR low-pass) — batch spelling
     * of the flatMapGroupsWithState recurrence. */
   private def emaBatch(spark: SparkSession, dir: String): DataFrame =
@@ -190,14 +242,31 @@ object EngineOps {
         round(max(col("q")), 4).as("max_quality"))
       .orderBy(col("source"))
 
-  /** Rolling-hash document fingerprints + token counts. */
+  /** Rolling-hash document fingerprints + token counts (whitespace,
+    * regex-subword, and vocab-driven WordPiece). */
   private def fingerprints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
         TextFunctions.docFingerprint(col("text")).as("fingerprint"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        TextFunctions.subwordCount(col("text")).as("n_subwords"),
+        TextFunctions.wordpieceCount(col("text")).as("n_wordpieces"))
       .orderBy(col("doc_id"))
+
+  /** Vocab-driven WordPiece tokenization (the production token-budget
+    * op): pieces-per-token compression and a deterministic sample of
+    * the piece stream per source. */
+  private def wordpiece(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.wordpieceTokenize(col("text")).as("wp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("wp"))).as("n_pieces"),
+        round(sum(size(col("wp"))).cast("double") / sum(col("n_tok")), 4).as("pieces_per_token"),
+        min(concat_ws("|", slice(col("wp"), 1, 5))).as("sample_pieces"))
+      .orderBy(col("source"))
 
   /** Multimodal binary-column pipeline (stubbed decode, real
     * plumbing): per-kind feature summary. */
@@ -434,10 +503,13 @@ object EngineOps {
     "eng_ann_ivf_topk" -> annIvf,
     "eng_ann_lsh_pairs" -> annPairJoin,
     "eng_ema_stateful" -> emaBatch,
+    "eng_complementary_filter" -> complementaryFilter,
+    "eng_streaming_replay" -> streamingReplay,
     "eng_lstm_state" -> lstmState,
     "eng_lang_id" -> langId,
     "eng_quality_score" -> qualityScore,
     "eng_doc_fingerprint" -> fingerprints,
+    "eng_wordpiece" -> wordpiece,
     "eng_multimodal_features" -> multimodal,
     "eng_approx_distinct" -> approxDistinct,
     "eng_approx_percentile" -> approxPercentile,

@@ -58,6 +58,8 @@ object GraftFunctions {
     "distill_soft_loss" -> b2(VectorFunctions.distillSoftLoss(_, _)),
     "token_count" -> b1(TextFunctions.tokenCount),
     "subword_count" -> b1(TextFunctions.subwordCount),
+    "wordpiece_tokenize" -> b1(TextFunctions.wordpieceTokenize(_)),
+    "wordpiece_count" -> b1(TextFunctions.wordpieceCount),
     "doc_fingerprint" -> b1(TextFunctions.docFingerprint),
     "sim_hash" -> b1(TextFunctions.simHash),
     "lang_id" -> b1(TextFunctions.langId),

@@ -17,9 +17,21 @@ object TextFunctions {
 
   /** BPE-ish subword count: word-ish runs + digits + punctuation
     * singles, the usual pre-tokenizer regex shape. Counted without
-    * materializing the token array. */
+    * materializing the token array. The vocab-driven production
+    * tokenizer is `wordpieceTokenize` below. */
   def subwordCount(text: Column): Column =
     size(split(text, "(?=\\s)|(?<=\\p{Punct})|(?=\\p{Punct})")) // split at space/punct boundaries
+
+  /** Greedy longest-match WordPiece over a literal vocab (default:
+    * full-coverage char vocab + seeded English subwords) — the real
+    * token-budget op (graft.expressions.WordPieceExpr). */
+  def wordpieceTokenize(text: Column,
+      vocab: Seq[String] = graft.expressions.WordPieceExpr.defaultVocab): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.WordPieceExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(text), vocab))
+
+  def wordpieceCount(text: Column): Column = size(wordpieceTokenize(text))
 
   /** Word k-gram shingles (distinct), the near-dup unit. */
   def shingles(text: Column, k: Int): Column = {

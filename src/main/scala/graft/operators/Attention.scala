@@ -24,15 +24,18 @@ import graft.functions.VectorFunctions.vecDot
   * sequence's V in one task. */
 object Attention {
 
-  /** Causal or full scaled-dot-product attention. The 1/√d scale
-    * derives per row from `size(k)` — no driver fetch (the old
-    * head() threw on an empty table and silently mis-scaled
+  /** Causal or full scaled-dot-product attention. By default the
+    * 1/√d scale derives per row from `size(k)` — no driver fetch (the
+    * old head() threw on an empty table and silently mis-scaled
     * heterogeneous dims by assuming the first row's d everywhere).
+    * `scaleDim > 0` pins the scale to 1/√scaleDim instead — the
+    * convention of multi-head exports that compute full-width q·kᵀ
+    * but divide by √head_dim (export_bert_tiny.py:26).
     * Mismatched q/k dims in a pair yield a NULL dot (VecDotExpr
     * contract) rather than a silent truncation. */
   def scaledDotProduct(tokens: DataFrame, seqCol: String, posCol: String,
                        qCol: String, kCol: String, vCol: String,
-                       causal: Boolean = false): DataFrame = {
+                       causal: Boolean = false, scaleDim: Int = 0): DataFrame = {
     val qs = tokens.select(col(seqCol).as("seq"), col(posCol).as("i"),
       col(qCol).as("qv"))
     val ks = tokens.select(col(seqCol).as("seq"), col(posCol).as("j"),
@@ -44,8 +47,11 @@ object Attention {
     // numerically-stable softmax over j per (seq, i): one shuffle on
     // (seq, i); max and sum share the window partitioning
     val w = Window.partitionBy(col("seq"), col("i"))
+    val scale =
+      if (scaleDim > 0) lit(math.sqrt(scaleDim.toDouble))
+      else sqrt(size(col("kv")).cast("double"))
     val scored = masked
-      .withColumn("raw", vecDot(col("qv"), col("kv")) / sqrt(size(col("kv")).cast("double")))
+      .withColumn("raw", vecDot(col("qv"), col("kv")) / scale)
       .withColumn("ex", exp(col("raw") - max(col("raw")).over(w)))
       .withColumn("wgt", col("ex") / sum(col("ex")).over(w))
 

@@ -32,7 +32,11 @@ object TransformerBlock {
     * row-major (out × in) literal arrays (the reference's ≤512 KB
     * weight budget, DATASHEET §6). Returns `(seqCol, posCol, out)`.
     *
-    * `causal = true` gives the decoder (tinyllama-flavored) mask. */
+    * `numHeads` sets the attention temperature to the reference's
+    * convention: full-width q·kᵀ divided by √(d/numHeads) = √head_dim
+    * (export_bert_tiny.py:26 divides by √head_dim even though the
+    * export skips the head reshape). numHeads = 1 gives the plain
+    * √d scale. `causal = true` gives the decoder mask. */
   def bertTinyBlock(tokens: DataFrame, seqCol: String, posCol: String,
                     xCol: String,
                     wq: Array[Array[Double]], bq: Array[Double],
@@ -40,7 +44,9 @@ object TransformerBlock {
                     wv: Array[Array[Double]], bv: Array[Double],
                     wo: Array[Array[Double]], bo: Array[Double],
                     wf: Array[Array[Double]], bf: Array[Double],
-                    causal: Boolean = false): DataFrame = {
+                    causal: Boolean = false, numHeads: Int = 1): DataFrame = {
+    require(wq.length % numHeads == 0,
+      s"dim ${wq.length} not divisible by $numHeads heads")
     def fc(in: DataFrame, c: String, w: Array[Array[Double]], b: Array[Double],
            out: String): DataFrame =
       MatMul.fcLayer(in, c, w, b, relu = false).withColumnRenamed("fc_out", out)
@@ -53,7 +59,8 @@ object TransformerBlock {
         .localCheckpoint(eager = false) // attention consumes q/k/v twice (score + value sides)
 
     // a = OutProj(SDPA(q, k, v)); residual over h needs h joined back
-    val attn = Attention.scaledDotProduct(projected, "seq", "pos", "q", "k", "v", causal)
+    val attn = Attention.scaledDotProduct(projected, "seq", "pos", "q", "k", "v",
+      causal, scaleDim = wq.length / numHeads)
     val withH = attn.join(projected.select(col("seq"), col("pos"), col("h")),
       Seq("seq", "pos"))
     val post = fc(withH, "attn", wo, bo, "proj")

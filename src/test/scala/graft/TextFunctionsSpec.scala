@@ -60,4 +60,51 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(0) > q(1))
   }
+
+  test("wordpiece: greedy longest match against hand-tokenized goldens") {
+    // the classic BERT example vocab
+    val vocab = Seq("un", "##aff", "##able", "aff", "##ord",
+      "hug", "##ging", "##s", "face", "b", "##ook")
+    val df = Seq(
+      Tuple1("unaffable"),          // un ##aff ##able
+      Tuple1("huggings face"),      // hug ##ging ##s | face
+      Tuple1("book"),               // b ##ook
+      Tuple1("unknownword"),        // no piece at some position -> [UNK]
+      Tuple1("  unaffable   book ") // whitespace runs collapse
+    ).toDF("t")
+    val got = df.select(wordpieceTokenize(col("t"), vocab).as("p"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("un", "##aff", "##able"),
+      List("hug", "##ging", "##s", "face"),
+      List("b", "##ook"),
+      List("[UNK]"),
+      List("un", "##aff", "##able", "b", "##ook")))
+  }
+
+  test("wordpiece: default vocab has total coverage and counts are consistent") {
+    val df = Seq(
+      Tuple1("Training data pipelines tokenize the words deterministically."),
+      Tuple1("")).toDF("t")
+    val rows = df.select(wordpieceTokenize(col("t")).as("p"),
+      wordpieceCount(col("t")).as("n")).collect()
+    assert(!rows(0).getSeq[String](0).contains("[UNK]"))
+    assert(rows(0).getSeq[String](0).size == rows(0).getInt(1))
+    // common subwords compress below char level
+    assert(rows(0).getInt(1) < "Training data pipelines tokenize the words deterministically.".count(_ != ' '))
+    assert(rows(1).getSeq[String](0).isEmpty && rows(1).getInt(1) == 0)
+    // null text -> null pieces
+    val nulls = Seq((1L, None: Option[String])).toDF("id", "t")
+      .select(wordpieceTokenize(col("t")).as("p")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
+  test("wordpiece runs from SQL via the registered function") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(Tuple1("the model trains")).toDF("t").createOrReplaceTempView("wp_t")
+    val r = spark.sql("SELECT wordpiece_count(t) AS n, wordpiece_tokenize(t) AS p FROM wp_t")
+      .collect().head
+    assert(r.getInt(0) == r.getSeq[String](1).size)
+    assert(r.getInt(0) >= 3)
+  }
 }
