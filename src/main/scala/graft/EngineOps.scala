@@ -408,6 +408,39 @@ object EngineOps {
     out
   }
 
+  /** Parquet codec exercise (ref §2.3: LZ4 decompressor, codec
+    * dispatch and chunked transfer map to parquet codec config;
+    * /root/reference/tools/flash_io_benchmark.py:19-74 analog): write
+    * a bounded events slice under each codec, read it back, verify
+    * the round-trip via an order-independent checksum, report the
+    * compressed footprint. coalesce(1) fixes the file layout so sizes
+    * are deterministic; checksum is bit_xor of row hashes (sum would
+    * overflow under ANSI). */
+  private def codecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_codec")
+    val slice = t(spark, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .coalesce(1)
+    val rows = Seq("gzip", "lz4", "snappy", "zstd").map { codec =>
+      val path = s"$tmp/$codec"
+      slice.write.option("compression", codec).mode("overwrite").parquet(path)
+      val agg = spark.read.parquet(path).agg(
+        count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(event_id, event_type))").as("h"),
+        round(sum(col("value")), 4).as("s")).head()
+      (codec, agg.getLong(0), agg.getLong(1), agg.getDouble(2),
+        java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).sum / 1024)
+    }
+    deleteRecursively(tmp)
+    rows.toDF("codec", "n_rows", "row_hash", "sum_v", "size_kb")
+      .orderBy(col("codec"))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq
@@ -492,6 +525,7 @@ object EngineOps {
     "eng_cascade_early_exit" -> cascade,
     "eng_conv2d" -> conv2d,
     "eng_telemetry_stats" -> telemetry,
+    "eng_codec_roundtrip" -> codecRoundtrip,
     "eng_minhash_lsh_dedup" -> minhashDedup,
     "eng_simhash_dedup" -> simhashDedup,
     "eng_exact_dedup" -> exactDedup,

@@ -23,6 +23,16 @@ class LayoutSpec extends AnyFunSuite {
     assert(expected > 0)
   }
 
+  test("codec round-trip: every parquet codec preserves the data") {
+    val rows = EngineOps.queries("eng_codec_roundtrip")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("gzip", "lz4", "snappy", "zstd"))
+    assert(rows.map(_.getLong(1)).distinct.length == 1)   // same row count back
+    assert(rows.map(_.getLong(2)).distinct.length == 1)   // same content hash
+    assert(rows.map(_.getDouble(3)).distinct.length == 1) // same value sum
+    assert(rows.forall(_.getLong(4) > 0))                 // real files on disk
+  }
+
   test("salted two-phase aggregation equals the direct group-by") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val ev = spark.table("events")
