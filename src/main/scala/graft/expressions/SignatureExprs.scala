@@ -1,0 +1,135 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dedup-signature kernels over a token/shingle hash array —
+  * the NARROW spelling of SimHash and MinHash signature computation.
+  *
+  * The relational spelling (explode hashes → hash-aggregate per doc,
+  * MinHashDedup round-3 shape) pays an explode amplification plus one
+  * shuffle per signature table; these kernels compute the same
+  * signature in a single compiled pass per document, so the signature
+  * stage becomes a projection — zero shuffles, no row amplification —
+  * and at 100 TB the only shuffles left in dedup are the band-key
+  * groupBy and the pair dedup (MinHashDedup pipeline notes).
+  *
+  * Bit parity: seeded re-hashing uses Spark's own XXH64 with the
+  * exact composition of the SQL spelling `xxhash64(h, i)` =
+  * `hashInt(i, hashLong(h, 42))` (asserted in DedupSpec), so
+  * signatures are interchangeable with the aggregate spelling.
+  */
+private[expressions] trait LongArrayInput { self: UnaryExpression =>
+  protected lazy val elemsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> input, got ${other.simpleString}")
+  }
+}
+
+/** 64-bit SimHash (Charikar '02) over token hashes: per-bit ±1
+  * counters in one pass, sign bits packed into a long. Bit b set iff
+  * the counter is strictly positive (ties → unset) — identical to
+  * TextFunctions.simHashFromHashes and to the packed-lane aggregate
+  * spelling. Null elements are skipped; a null array yields NULL. */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with LongArrayInput {
+
+  override def dataType: DataType = LongType
+
+  def applyHashes(a: ArrayData): Long = {
+    val n = a.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!(elemsNullable && a.isNullAt(i))) {
+        val h = a.getLong(i)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) acc |= (1L << b)
+      b += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any = applyHashes(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.applyHashes($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "sim_hash_sig"
+}
+
+/** MinHash signature (Broder '97): `numHashes` seeded minima over the
+  * shingle-hash array, sig[i] = min_h xxhash64(h, i) with Spark's
+  * exact seed composition. Null elements are skipped; an empty or
+  * all-null array yields NULL (the aggregate spelling's `min` over
+  * zero rows). */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with LongArrayInput {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Nullable even for non-null input: empty hash sets have no
+    * minimum. */
+  override def nullable: Boolean = true
+
+  def applyHashes(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!(elemsNullable && a.isNullAt(i))) {
+        seen = true
+        val base = XXH64.hashLong(a.getLong(i), 42L)
+        var k = 0
+        while (k < numHashes) {
+          val v = XXH64.hashInt(k, base)
+          if (v < out(k)) out(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) null else UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = applyHashes(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = $ref.applyHashes($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "min_hash_sig"
+}

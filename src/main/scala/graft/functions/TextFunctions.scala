@@ -104,10 +104,22 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** 64-bit SimHash over token xxhash64 values: sign of per-bit
-    * weight sums (Charikar '02). Single pass over the token hashes:
-    * one fold maintains all 64 bit-counters (vs the naive spelling
-    * that re-hashes the document once per bit). */
-  def simHash(text: Column): Column = simHashFromHashes(tokenHashes(text))
+    * weight sums (Charikar '02). Codegen'd one-pass kernel
+    * (graft.expressions.SimHashExpr); the HOF fold below is kept as
+    * the reference spelling for the parity spec. */
+  def simHash(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.SimHashExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(tokenHashes(text))))
+
+  /** MinHash signature over shingle hashes — codegen'd seeded-minima
+    * kernel (graft.expressions.MinHashSigExpr), value-identical to
+    * `min(xxhash64(h, i))` aggregation per doc. */
+  def minHashSig(text: Column, shingleK: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.MinHashSigExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(
+          transform(shingles(text, shingleK), s => xxhash64(s))), numHashes))
 
   def tokenHashes(text: Column): Column =
     transform(tokens(text), t => xxhash64(t))

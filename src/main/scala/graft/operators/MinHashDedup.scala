@@ -30,14 +30,14 @@ import graft.functions.TextFunctions
   */
 object MinHashDedup {
 
-  /** `(doc, minhash_sig)` pairs: shingle hashes exploded to rows,
-    * then one hash-aggregate computes all `numHashes` seeded minima
-    * map-side (partial aggregation compacts each partition to one
-    * row per doc before the shuffle — the row explosion never crosses
-    * the wire). This relational shape both scales and stays inside
-    * whole-stage codegen; the equivalent single-expression fold (24
-    * nested array-aggregate lambdas) generates a method large enough
-    * to dominate runtime via janino compilation. */
+  /** `(doc, minhash_sig)` pairs via the codegen'd seeded-minima
+    * kernel (graft.expressions.MinHashSigExpr) — a PROJECTION: one
+    * compiled pass per doc, no explode amplification, no shuffle
+    * (value-identical to the round-3 explode → `min(xxhash64(h, i))`
+    * aggregate spelling, asserted in DedupSpec). The round-1
+    * single-expression HOF fold (24 nested lambdas) and the round-3
+    * relational aggregate are both superseded: the first drowned in
+    * janino compilation, the second paid explode + shuffle. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int, numHashes: Int): DataFrame =
     docs
@@ -47,11 +47,7 @@ object MinHashDedup {
       // many-partitioned; this is a no-op cost there)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc"),
-        explode(transform(TextFunctions.shingles(col(textCol), shingleK),
-          s => xxhash64(s))).as("h"))
-      .groupBy(col("doc"))
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(col("h"), lit(i)))): _*).as("minhash_sig"))
+        TextFunctions.minHashSig(col(textCol), shingleK, numHashes).as("minhash_sig"))
 
   /** Adds `minhash_sig: array<bigint>` of length `numHashes`. The
     * join key is a deterministic content hash (identical texts get
@@ -145,39 +141,16 @@ object MinHashDedup {
     materializeAndRelease(result, signed, bucketed)
   }
 
-  /** `(doc, sig)` SimHash signatures, relational shape: token hashes
-    * exploded, one hash-aggregate maintains the 64 per-bit counters
-    * (sum of ±1) map-side, then a projection assembles the sign bits.
-    * Same result as TextFunctions.simHash (kept as the expression
-    * spelling for SQL/Column use); this shape avoids the 64-wide
-    * nested lambda fold whose generated code dominates runtime. */
-  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // 64 per-bit one-counters packed 4-per-aggregate into 16-bit
-    // lanes (lane values are non-negative so no cross-lane borrows;
-    // safe up to 65k tokens/doc): 16 sum columns + count instead of
-    // 64 — the generated aggregate class stays small enough that
-    // janino compilation doesn't dominate one-shot runs.
-    // Bit b is set iff 2·ones(b) > n  ⟺  Σ(±1) > 0 (ties → unset),
-    // matching TextFunctions.simHash exactly.
-    val laneAggs = (0 until 16).map { g =>
-      val packed = (0 until 4).map { j =>
-        shiftright(col("h"), g * 4 + j).bitwiseAND(lit(1L)) * lit(1L << (j * 16))
-      }.reduce(_ + _)
-      sum(packed).as(s"p$g")
-    }
-    val counts = docs
+  /** `(doc, sig)` SimHash signatures via the codegen'd one-pass
+    * kernel (graft.expressions.SimHashExpr) — a PROJECTION: per-bit
+    * ±1 counters in one compiled loop, no explode, no shuffle. Bit b
+    * is set iff the counter is strictly positive (ties → unset),
+    * identical to TextFunctions.simHashFromHashes and to the round-3
+    * packed-lane aggregate (both asserted equal in DedupSpec). */
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("doc"),
-        explode(TextFunctions.tokenHashes(col(textCol))).as("h"))
-      .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n"), laneAggs: _*)
-    val sig = (0 until 64).map { b =>
-      val (g, j) = (b / 4, b % 4)
-      val ones = shiftright(col(s"p$g"), j * 16).bitwiseAND(lit(0xffffL))
-      when(ones * 2 > col("n"), lit(1L << b)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    counts.select(col("doc"), sig.as("sig"))
-  }
+      .select(col(idCol).as("doc"), TextFunctions.simHash(col(textCol)).as("sig"))
 
   /** Exact-dup clusters by content hash (md5) — one shuffle. */
   def exactDupClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =

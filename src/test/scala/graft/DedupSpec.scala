@@ -42,16 +42,55 @@ class DedupSpec extends AnyFunSuite {
     assert(est == 1.0)
   }
 
-  test("relational simhash signatures equal the expression spelling") {
+  test("simhash kernel equals the HOF fold and the legacy aggregate spelling") {
+    import graft.functions.TextFunctions
     Tables.register(spark, "/root/testdata/sf0.001")
     val docs = spark.table("documents").limit(50)
-    val rel = MinHashDedup.simHashSignatures(docs, "doc_id", "text")
+    val kernel = MinHashDedup.simHashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expr = docs.select(col("doc_id"),
-        graft.functions.TextFunctions.simHash(col("text")).as("sig"))
+    // reference spelling 1: the interpreted HOF fold
+    val hof = docs.select(col("doc_id"),
+        TextFunctions.simHashFromHashes(TextFunctions.tokenHashes(col("text"))).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(rel == expr)
-    assert(rel.size == 50)
+    // reference spelling 2: the round-3 packed-lane relational aggregate
+    val laneAggs = (0 until 16).map { g =>
+      val packed = (0 until 4).map { j =>
+        shiftright(col("h"), g * 4 + j).bitwiseAND(lit(1L)) * lit(1L << (j * 16))
+      }.reduce(_ + _)
+      sum(packed).as(s"p$g")
+    }
+    val counts = docs
+      .select(col("doc_id").as("doc"),
+        explode(TextFunctions.tokenHashes(col("text"))).as("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n"), laneAggs: _*)
+    val sigCol = (0 until 64).map { b =>
+      val (g, j) = (b / 4, b % 4)
+      val ones = shiftright(col(s"p$g"), j * 16).bitwiseAND(lit(0xffffL))
+      when(ones * 2 > col("n"), lit(1L << b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val rel = counts.select(col("doc"), sigCol.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == hof)
+    assert(kernel == rel)
+    assert(kernel.size == 50)
+  }
+
+  test("minhash kernel equals the legacy min(xxhash64) aggregate spelling") {
+    import graft.functions.TextFunctions
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val docs = spark.table("documents").limit(50)
+    val numHashes = 24
+    val kernel = MinHashDedup.signatures(docs, "doc_id", "text", shingleK = 3, numHashes)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = docs
+      .select(col("doc_id").as("doc"),
+        explode(transform(TextFunctions.shingles(col("text"), 3), s => xxhash64(s))).as("h"))
+      .groupBy(col("doc"))
+      .agg(array((0 until numHashes).map(i => min(xxhash64(col("h"), lit(i)))): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel == agg)
+    assert(kernel.size == 50)
   }
 
   test("simhash pairs: near-dup within hamming budget, unrelated outside") {
