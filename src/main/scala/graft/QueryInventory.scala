@@ -1848,11 +1848,13 @@ object QueryInventory {
       |ORDER BY bin NULLS FIRST, cnt NULLS FIRST""".stripMargin),
     "width_bucket,histogram")
 
-  /** Window-function tail: cume_dist over a global order + running
-    * nth_value per segment. */
+  /** Window-function tail: cume_dist + running nth_value, both
+    * PARTITIONed BY segment — the scale-correct spelling (an
+    * unpartitioned cume_dist is a single-task global sort; per-key
+    * distribution functions shuffle once on the key and distribute). */
   val qx7 = shared("qx7_window_extras",
     """SELECT c_custkey,
-      |       round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 4) AS cd,
+      |       round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 4) AS cd,
       |       nth_value(c_acctbal, 3) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
       |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_bal
       |FROM customer

@@ -121,4 +121,49 @@ class PropertiesSpec extends AnyFunSuite {
       assert(pairs.length == 1 && pairs.head.getAs[Double]("est_jaccard") == 1.0)
     }
   }
+
+  test("property: wordpiece with the default vocab reconstructs every word") {
+    import graft.functions.TextFunctions
+    // random printable-ASCII words: pieces stripped of '##' must
+    // concatenate back to the exact word stream (total coverage, no
+    // [UNK], no dropped characters)
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(33, 126).map(_.toChar)).map(_.mkString))
+    val textGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val texts = samples(textGen, 20)
+    val rows = texts.map(Tuple1(_)).toDF("t")
+      .select(col("t"), TextFunctions.wordpieceTokenize(col("t")).as("p"))
+      .collect()
+    rows.foreach { r =>
+      val joined = r.getSeq[String](1).map(_.stripPrefix("##")).mkString
+      val expected = r.getString(0).split("\\s+").filter(_.nonEmpty).mkString
+      assert(joined == expected, s"text '${r.getString(0)}'")
+      assert(!r.getSeq[String](1).contains("[UNK]"))
+    }
+  }
+
+  test("property: codegen vector kernels match plain-Scala math on random vectors") {
+    val vs = samples(vecGen, 25)
+    val df = vs.map(Tuple1(_)).toDF("v")
+    val rows = df.select(col("v"),
+        vecGelu(col("v")).as("g"), vecSilu(col("v")).as("si"),
+        vecLayerNorm(col("v")).as("ln"), vecSoftmax(col("v")).as("sm"),
+        vecSum(col("v")).as("s")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      def close(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 }
+      assert(close(r.getSeq[Double](1), v.map(x =>
+        0.5 * x * (1 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x))))))
+      assert(close(r.getSeq[Double](2), v.map(x => x / (1 + math.exp(-x)))))
+      val mu = v.sum / v.size
+      val sd = math.sqrt(v.map(x => x * x).sum / v.size - mu * mu + 1e-5)
+      assert(close(r.getSeq[Double](3), v.map(x => (x - mu) / sd)))
+      val mx = v.max
+      val ex = v.map(x => math.exp(x - mx))
+      assert(close(r.getSeq[Double](4), ex.map(_ / ex.sum)))
+      assert(math.abs(r.getDouble(5) - v.sum) < 1e-6)
+    }
+  }
 }
