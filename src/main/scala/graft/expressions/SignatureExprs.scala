@@ -133,3 +133,150 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
 
   override def prettyName: String = "min_hash_sig"
 }
+
+private[expressions] object TextTokens {
+  /** Spark's `split(text, "\\s+")` semantics exactly: Java regex, no
+    * flags, limit -1 (leading/trailing empty tokens preserved). */
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  def split(s: String): Array[String] = ws.split(s, -1)
+}
+
+/** xxhash64 of every whitespace token — the compiled spelling of
+  * `transform(split(text, "\\s+"), t -> xxhash64(t))`, token-for-token
+  * identical including empty tokens from leading/trailing whitespace
+  * (asserted in DedupSpec via the signature parity tests). */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_hashes expects a string input, got ${other.simpleString}")
+  }
+
+  def applyText(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = TextTokens.split(text.toString)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)), 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    applyText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenHashes", this, classOf[TokenHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.applyText($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_hashes"
+}
+
+/** xxhash64 of every DISTINCT word k-gram shingle — the compiled
+  * spelling of `transform(shingles(text, k), s -> xxhash64(s))`
+  * (TextFunctions.shingles: k-gram join with " ", ragged tail when
+  * the doc is shorter than k, first-occurrence distinct). */
+case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects a string input, got ${other.simpleString}")
+  }
+
+  def applyText(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = TextTokens.split(text.toString)
+    val n = toks.length
+    val count = math.max(n - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + k, n)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var w = 0
+    while (it.hasNext) {
+      out(w) = XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(it.next()), 42L)
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    applyText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.applyText($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** Order-sensitive rolling document fingerprint — the compiled
+  * spelling of `aggregate(split(text), 0L, (acc, t) -> xxhash64(acc, t))`
+  * with Spark's exact multi-child composition
+  * xxhash64(acc, t) = hashUTF8String(t, hashLong(acc, 42)). */
+case class DocFingerprintExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"doc_fingerprint expects a string input, got ${other.simpleString}")
+  }
+
+  def applyText(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val toks = TextTokens.split(text.toString)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc = XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)),
+        XXH64.hashLong(acc, 42L))
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    applyText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("docFp", this, classOf[DocFingerprintExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.applyText($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DocFingerprintExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "doc_fingerprint_fast"
+}

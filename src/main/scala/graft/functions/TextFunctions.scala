@@ -99,8 +99,16 @@ object TextFunctions {
     * hash fp_i = h(fp_{i-1}, token_i) — a stable document identity
     * robust to whitespace normalization. (Chained xxhash64 instead of
     * a polynomial mod 2^64: Spark 4 runs ANSI mode, where wrapping
-    * multiply would raise ARITHMETIC_OVERFLOW.) */
+    * multiply would raise ARITHMETIC_OVERFLOW.) Compiled kernel
+    * (DocFingerprintExpr); the HOF fold below is the parity
+    * reference. */
   def docFingerprint(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.DocFingerprintExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(text)))
+
+  /** Reference HOF spelling of the fingerprint fold (parity spec). */
+  def docFingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** 64-bit SimHash over token xxhash64 values: sign of per-bit
@@ -112,16 +120,26 @@ object TextFunctions {
       graft.expressions.SimHashExpr(
         org.apache.spark.sql.graftshim.ColumnBridge.expr(tokenHashes(text))))
 
-  /** MinHash signature over shingle hashes — codegen'd seeded-minima
-    * kernel (graft.expressions.MinHashSigExpr), value-identical to
+  /** MinHash signature over shingle hashes — codegen'd shingling +
+    * seeded-minima kernels (graft.expressions.{ShingleHashesExpr,
+    * MinHashSigExpr}), value-identical to the HOF shingles →
     * `min(xxhash64(h, i))` aggregation per doc. */
   def minHashSig(text: Column, shingleK: Int, numHashes: Int): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       graft.expressions.MinHashSigExpr(
-        org.apache.spark.sql.graftshim.ColumnBridge.expr(
-          transform(shingles(text, shingleK), s => xxhash64(s))), numHashes))
+        graft.expressions.ShingleHashesExpr(
+          org.apache.spark.sql.graftshim.ColumnBridge.expr(text), shingleK),
+        numHashes))
 
+  /** Compiled token-hash kernel (TokenHashesExpr) — token-for-token
+    * identical to the HOF spelling below. */
   def tokenHashes(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.TokenHashesExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(text)))
+
+  /** Reference HOF spelling of the token hashes (parity spec). */
+  def tokenHashesHof(text: Column): Column =
     transform(tokens(text), t => xxhash64(t))
 
   def simHashFromHashes(hs: Column): Column = {

@@ -48,9 +48,9 @@ class DedupSpec extends AnyFunSuite {
     val docs = spark.table("documents").limit(50)
     val kernel = MinHashDedup.simHashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // reference spelling 1: the interpreted HOF fold
+    // reference spelling 1: the interpreted HOF fold over HOF tokens
     val hof = docs.select(col("doc_id"),
-        TextFunctions.simHashFromHashes(TextFunctions.tokenHashes(col("text"))).as("sig"))
+        TextFunctions.simHashFromHashes(TextFunctions.tokenHashesHof(col("text"))).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reference spelling 2: the round-3 packed-lane relational aggregate
     val laneAggs = (0 until 16).map { g =>
@@ -61,7 +61,7 @@ class DedupSpec extends AnyFunSuite {
     }
     val counts = docs
       .select(col("doc_id").as("doc"),
-        explode(TextFunctions.tokenHashes(col("text"))).as("h"))
+        explode(TextFunctions.tokenHashesHof(col("text"))).as("h"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n"), laneAggs: _*)
     val sigCol = (0 until 64).map { b =>
@@ -91,6 +91,26 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(kernel == agg)
     assert(kernel.size == 50)
+  }
+
+  test("token-hash and fingerprint kernels equal their HOF spellings (incl. whitespace edges)") {
+    import graft.functions.TextFunctions
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val real = spark.table("documents").limit(50).select(col("text"))
+    // whitespace edge cases: leading/trailing/runs produce empty
+    // tokens in the split — the kernels must hash them identically
+    val edges = Seq("  leading", "trailing  ", "a  b\t c", "", " ").toDF("text")
+    Seq(real, edges).foreach { df =>
+      val rows = df.select(
+        TextFunctions.tokenHashes(col("text")).as("k"),
+        TextFunctions.tokenHashesHof(col("text")).as("h"),
+        TextFunctions.docFingerprint(col("text")).as("fk"),
+        TextFunctions.docFingerprintHof(col("text")).as("fh")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+        assert(r.getLong(2) == r.getLong(3))
+      }
+    }
   }
 
   test("simhash pairs: near-dup within hamming budget, unrelated outside") {
