@@ -199,6 +199,33 @@ object QueryInventory {
       |         floored NULLS FIRST, has_value NULLS FIRST""".stripMargin,
     "conditional")
 
+  /** Date/interval arithmetic (complements qf9's extraction): interval
+    * add, calendar-aware month add (both engines clamp to month end),
+    * last_day, day difference. Dates rendered as ISO strings so the
+    * cross-engine hash sees identical scalars. */
+  val qf12 = Q("qf12_date_arith",
+    """SELECT o_orderkey,
+      |       CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS STRING) AS plus30,
+      |       CAST(CAST(add_months(o_orderdate, 2) AS DATE) AS STRING) AS plus2m,
+      |       CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING) AS eom,
+      |       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS som,
+      |       CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS INT) AS dd
+      |FROM orders
+      |WHERE o_orderkey < 400
+      |ORDER BY o_orderkey NULLS FIRST, plus30 NULLS FIRST, plus2m NULLS FIRST,
+      |         eom NULLS FIRST, som NULLS FIRST, dd NULLS FIRST""".stripMargin,
+    Some("""SELECT o_orderkey,
+      |       CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+      |       CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m,
+      |       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+      |       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS som,
+      |       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd
+      |FROM orders
+      |WHERE o_orderkey < 400
+      |ORDER BY o_orderkey NULLS FIRST, plus30 NULLS FIRST, plus2m NULLS FIRST,
+      |         eom NULLS FIRST, som NULLS FIRST, dd NULLS FIRST""".stripMargin),
+    "date,interval,arith")
+
   // ---------------------------------------------------------------
   // Aggregation (Q-A*)
   // ---------------------------------------------------------------
@@ -1570,6 +1597,63 @@ object QueryInventory {
       |ORDER BY doc_id NULLS FIRST, scrubbed NULLS FIRST""".stripMargin),
     "pii,scrub,llm")
 
+  /** Within-document repetition signals (Gopher-style training-data
+    * quality rule): per-doc fraction of bigram occurrences whose bigram
+    * appears more than once, plus distinct/total bigram counts. Pure
+    * per-doc explode→count — the doc_id groupBy shuffles once on the
+    * natural key, so the shape is scale-free (each 100 TB document is
+    * its own group; no cross-doc state). Spark spells the n-gram
+    * positions with explode(sequence(..)) over the 0-based token
+    * array; DuckDB with unnest(generate_series(..)) 1-based. */
+  val ql11 = Q("ql11_repetition",
+    """WITH toks AS (SELECT doc_id, split(lower(text), ' ') AS w FROM documents),
+      |bi AS (
+      |  SELECT doc_id, concat_ws(' ', w[i-1], w[i]) AS g
+      |  FROM toks LATERAL VIEW explode(sequence(1, size(w) - 1)) AS i
+      |  WHERE size(w) >= 2),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+      |SELECT doc_id,
+      |       round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4) AS rep_frac,
+      |       CAST(count(*) AS BIGINT) AS uniq_bigrams,
+      |       CAST(sum(c) AS BIGINT) AS n_bigrams
+      |FROM cnt
+      |GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST, rep_frac NULLS FIRST, uniq_bigrams NULLS FIRST,
+      |         n_bigrams NULLS FIRST""".stripMargin,
+    Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |bi AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |  WHERE len(w) >= 2),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+      |SELECT doc_id,
+      |       round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4) AS rep_frac,
+      |       CAST(count(*) AS BIGINT) AS uniq_bigrams,
+      |       CAST(sum(c) AS BIGINT) AS n_bigrams
+      |FROM cnt
+      |GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST, rep_frac NULLS FIRST, uniq_bigrams NULLS FIRST,
+      |         n_bigrams NULLS FIRST""".stripMargin),
+    "repetition,quality,llm",
+    // Scale path: the one-pass RepetitionStatsExpr kernel turns the
+    // explode→groupBy→groupBy spelling into a shuffle-free projection
+    // (same arithmetic: (rep_cnt * 1.0) / n — parity spec in
+    // TextFunctionsSpec).
+    impl = Some { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(spark, dir)
+      val st = graft.functions.TextFunctions.repetitionStats(col("text"), 2)
+      spark.table("documents")
+        .select(col("doc_id"), st.as("st"))
+        .filter(col("st").isNotNull)
+        .select(col("doc_id"),
+          round(col("st.rep_cnt") * lit(1.0) / col("st.n"), 4).as("rep_frac"),
+          col("st.uniq").cast("bigint").as("uniq_bigrams"),
+          col("st.n").as("n_bigrams"))
+        .orderBy(col("doc_id").asc_nulls_first, col("rep_frac").asc_nulls_first,
+          col("uniq_bigrams").asc_nulls_first, col("n_bigrams").asc_nulls_first)
+    })
+
   /** Text↔vector similarity search: documents joined to embeddings,
     * ranked by cosine to the probe vector (unit-norm vectors → dot). */
   val ql4 = Q("ql4_sim_search",
@@ -1861,16 +1945,74 @@ object QueryInventory {
       |ORDER BY c_custkey NULLS FIRST, cd NULLS FIRST, third_bal NULLS FIRST""".stripMargin,
     "window,cume_dist,nth_value")
 
+  /** UNPIVOT (standard relational form — both engines parse the same
+    * text; both exclude NULL cells by default): priority totals wide →
+    * long. The inverse surface of qx1's PIVOT. */
+  val qx8 = shared("qx8_unpivot",
+    """WITH m AS (SELECT o_orderstatus,
+      |      round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS urgent,
+      |      round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 4) AS high,
+      |      round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS low
+      |    FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, prio, amount FROM m
+      |UNPIVOT (amount FOR prio IN (urgent, high, low))
+      |ORDER BY o_orderstatus NULLS FIRST, prio NULLS FIRST, amount NULLS FIRST""".stripMargin,
+    "unpivot,reshape")
+
+  /** Correlated LATERAL subquery — per-outer-row top-k, the spelling a
+    * user writes when the window-filter idiom (qt2) is unnatural. Both
+    * engines decorrelate; Spark plans it as the same window group
+    * limit. */
+  val qx9 = shared("qx9_lateral",
+    """SELECT r_regionkey, t.n_name AS nation_name FROM region,
+      |LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r_regionkey
+      |         ORDER BY n_name LIMIT 2) t
+      |ORDER BY r_regionkey NULLS FIRST, nation_name NULLS FIRST""".stripMargin,
+    "lateral,topk")
+
+  /** Array-function breadth: collect→distinct→sort→join plus slice and
+    * size. Arrays are rendered to strings so the cross-engine hash sees
+    * scalars; sort-after-collect makes the unordered aggregation
+    * deterministic. */
+  val qx10 = Q("qx10_array_funcs",
+    """SELECT n_regionkey,
+      |       array_join(array_sort(array_distinct(collect_list(n_name))), '|') AS names,
+      |       array_join(slice(array_sort(collect_list(n_name)), 1, 2), '|') AS first2,
+      |       CAST(size(collect_list(n_name)) AS INT) AS n
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey NULLS FIRST, names NULLS FIRST, first2 NULLS FIRST, n NULLS FIRST""".stripMargin,
+    Some("""SELECT n_regionkey,
+      |       array_to_string(list_sort(list_distinct(list(n_name))), '|') AS names,
+      |       array_to_string(list_slice(list_sort(list(n_name)), 1, 2), '|') AS first2,
+      |       CAST(len(list(n_name)) AS INT) AS n
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey NULLS FIRST, names NULLS FIRST, first2 NULLS FIRST, n NULLS FIRST""".stripMargin),
+    "array,collect,agg")
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): generate the month domain
+    * recursively, then aggregate orders against it — recursion for the
+    * dimension, one scan for the facts. */
+  val qx11 = shared("qx11_recursive_cte",
+    """WITH RECURSIVE m(mo) AS (SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12)
+      |SELECT mo, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |       round(sum(o_totalprice), 4) AS tot
+      |FROM m LEFT JOIN orders ON month(o_orderdate) = mo
+      |GROUP BY mo
+      |ORDER BY mo NULLS FIRST, n_orders NULLS FIRST, tot NULLS FIRST""".stripMargin,
+    "recursive,cte")
+
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
-    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11,
+    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10,
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,
     qu1, qu2, qu3, qu4,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12,
-    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11,
     qs1, qs2, qs3, qs4, qs5,
-    qx1, qx2, qx3, qx4, qx5, qx6, qx7)
+    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11)
 }

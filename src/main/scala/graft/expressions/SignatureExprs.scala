@@ -280,3 +280,87 @@ case class DocFingerprintExpr(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "doc_fingerprint_fast"
 }
+
+/** One-pass within-document k-gram repetition stats (the Gopher-style
+  * quality rule behind ql11): over the lowercased single-space token
+  * split, counts every k-gram occurrence and returns
+  * `struct(rep_cnt, uniq, n)` where `rep_cnt` = occurrences of grams
+  * appearing more than once, `uniq` = distinct grams, `n` = total
+  * gram occurrences. NULL when the doc has fewer than k tokens (the
+  * relational spelling's `WHERE size(w) >= k` row drop).
+  *
+  * Token parity with the SQL spelling `split(lower(text), ' ')`:
+  * literal-space Java regex with limit -1 (consecutive/leading spaces
+  * yield empty tokens) over UTF8String.toLowerCase — exactly Spark's
+  * `lower`. The relational spelling (explode k-gram positions →
+  * groupBy(doc, gram) → re-group by doc) shuffles the exploded gram
+  * rows twice; this kernel makes the whole computation a projection,
+  * so at 100 TB repetition scoring is shuffle-free. */
+case class RepetitionStatsExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "gram size must be >= 1")
+
+  private val fields = StructType(Seq(
+    StructField("rep_cnt", LongType, nullable = false),
+    StructField("uniq", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+
+  override def dataType: DataType = fields
+
+  /** Nullable even for non-null input: docs shorter than k grams. */
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects a string input, got ${other.simpleString}")
+  }
+
+  def applyText(text: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val toks = RepetitionStatsExpr.space.split(text.toLowerCase.toString, -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return null
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var rep = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > 1) rep += c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](rep, counts.size, n.toLong))
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    applyText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStats", this, classOf[RepetitionStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = (InternalRow) $ref.applyText($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStatsExpr {
+  /** Literal single-space split — `split(lower(text), ' ')` parity. */
+  private val space = java.util.regex.Pattern.compile(" ")
+}

@@ -61,6 +61,7 @@ object GraftFunctions {
     "wordpiece_tokenize" -> b1(TextFunctions.wordpieceTokenize(_)),
     "wordpiece_count" -> b1(TextFunctions.wordpieceCount),
     "doc_fingerprint" -> b1(TextFunctions.docFingerprint),
+    "repetition_stats" -> b1(TextFunctions.repetitionStats(_)),
     "sim_hash" -> b1(TextFunctions.simHash),
     "lang_id" -> b1(TextFunctions.langId),
     "quality_score" -> b1(TextFunctions.qualityScore))

@@ -142,6 +142,17 @@ object TextFunctions {
   def tokenHashesHof(text: Column): Column =
     transform(tokens(text), t => xxhash64(t))
 
+  /** One-pass within-doc k-gram repetition stats
+    * (graft.expressions.RepetitionStatsExpr):
+    * `struct(rep_cnt, uniq, n)` over the lowercased single-space token
+    * split; NULL for docs shorter than k tokens. Value-identical to
+    * ql11's explode→groupBy relational spelling (parity spec) with
+    * zero shuffles. */
+  def repetitionStats(text: Column, k: Int = 2): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.RepetitionStatsExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(text), k))
+
   def simHashFromHashes(hs: Column): Column = {
     val powers = array((0 until 64).map(b => lit(1L << b)): _*)
     val zero = array((0 until 64).map(_ => lit(0L)): _*)

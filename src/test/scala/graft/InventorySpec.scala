@@ -106,6 +106,23 @@ class InventorySpec extends AnyFunSuite {
     }
   }
 
+  test("lateral top-k decorrelates — no cartesian product (qx9)") {
+    Tables.register(spark, dir)
+    val plan = spark.sql(QueryInventory.qx9.sparkSql)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("repetition kernel impl is a shuffle-free projection (ql11)") {
+    Tables.register(spark, dir)
+    val plan = QueryInventory.ql11.impl.get(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final total-order sort's range
+    // partitioning — no hash exchange from any groupBy survives
+    assert(!plan.contains("hashpartitioning"), plan.take(1200))
+    assert(plan.contains("repetition_stats"), plan.take(1200))
+  }
+
   test("native session_window equals the lag+running-sum spelling (qs5)") {
     Tables.register(spark, dir)
     val native = spark.sql(QueryInventory.qs5.sparkSql).collect()

@@ -21,6 +21,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sh == Seq("a b"))
   }
 
+  test("repetition stats kernel: hand-computed goldens + short-doc null") {
+    // "a b a b c": bigrams = [a b, b a, a b, b c] → n=4, uniq=3,
+    // rep_cnt=2 ("a b" twice).
+    val df = Seq(("a b a b c"), ("x y"), ("solo"), ("a  b")).toDF("t")
+    val rows = df.select(repetitionStats(col("t")).as("st")).collect()
+    val r0 = rows(0).getStruct(0)
+    assert((r0.getLong(0), r0.getInt(1), r0.getLong(2)) == ((2L, 3, 4L)))
+    val r1 = rows(1).getStruct(0)
+    assert((r1.getLong(0), r1.getInt(1), r1.getLong(2)) == ((0L, 1, 1L)))
+    assert(rows(2).isNullAt(0))              // 1 token → NULL
+    // consecutive spaces produce an empty token (split(' ') parity):
+    // tokens [a, "", b] → bigrams ["a ", " b"] → n=2, uniq=2, rep=0
+    val r3 = rows(3).getStruct(0)
+    assert((r3.getLong(0), r3.getInt(1), r3.getLong(2)) == ((0L, 2, 2L)))
+  }
+
+  test("ql11 kernel impl == relational spelling (parity)") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.register(spark, dir)
+    val impl = QueryInventory.ql11.impl.get(spark, dir).collect().toSeq
+    val sql = spark.sql(QueryInventory.ql11.sparkSql).collect().toSeq
+    assert(impl == sql)
+  }
+
   test("fingerprint: deterministic, order-sensitive, content-sensitive") {
     val df = Seq(("a b c", "a b c"), ("a b c", "c b a"), ("a b c", "a b d"))
       .toDF("t1", "t2")
