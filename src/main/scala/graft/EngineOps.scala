@@ -187,6 +187,46 @@ object EngineOps {
     out
   }
 
+  /** MEASURED stream-stream time-interval join (ref op #32's
+    * two-channel fusion run as a REAL streaming query): two file-source
+    * streams over the events parquet — 'click' channel vs 'view'
+    * channel — watermarked both sides, joined on user + [ts, ts+1 min],
+    * drained with Trigger.AvailableNow into a memory sink, then
+    * summarized per user (count + value checksum) so the output is a
+    * small deterministic frame. Inner-join output is a well-defined
+    * multiset regardless of micro-batch boundaries. */
+  private def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def channel(et: String) = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+      .filter(col("event_type") === et)
+      .select(col("ts"), col("user_id"), col("value"))
+    val qName = "graft_sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // the join state store allocates per shuffle partition; the test
+    // streams are tiny, so fewer partitions = less state overhead
+    // (cluster-scale runs keep the session default)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      StatefulOps.streamStreamFuse(channel("click"), channel("view"))
+        .writeStream.format("memory").queryName(qName)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val out = spark.table(qName)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("gyro") * col("accel")), 4).as("checksum"))
+      .orderBy(col("user_id"), col("n_pairs"), col("checksum"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
   /** Complementary filter over paired sensor channels (ref op #32,
     * /root/reference/firmware/middleware/fixed_point_filter.c:13-57):
     * s' = α(s + gyro·dt) + (1−α)·accel per user. Events are collapsed
@@ -539,6 +579,7 @@ object EngineOps {
     "eng_ema_stateful" -> emaBatch,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,
+    "eng_stream_join" -> streamJoin,
     "eng_lstm_state" -> lstmState,
     "eng_lang_id" -> langId,
     "eng_quality_score" -> qualityScore,

@@ -226,6 +226,47 @@ object QueryInventory {
       |         eom NULLS FIRST, som NULLS FIRST, dd NULLS FIRST""".stripMargin),
     "date,interval,arith")
 
+  /** Semi-structured VARIANT path (Spark 4's open JSON type): parse
+    * once, typed `variant_get` extraction, `try_variant_get` for a
+    * missing path (NULL, not error). Oracle spells the same extraction
+    * with DuckDB's JSON functions. */
+  val qf13 = Q("qf13_variant",
+    """SELECT event_id,
+      |       CAST(variant_get(parse_json(props), '$.k', 'int') AS INT) AS k,
+      |       CAST(try_variant_get(parse_json(props), '$.missing', 'string') AS STRING) AS missing
+      |FROM events
+      |WHERE event_id < 300
+      |ORDER BY event_id NULLS FIRST, k NULLS FIRST, missing NULLS FIRST""".stripMargin,
+    Some("""SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |       json_extract_string(props, '$.missing') AS missing
+      |FROM events
+      |WHERE event_id < 300
+      |ORDER BY event_id NULLS FIRST, k NULLS FIRST, missing NULLS FIRST""".stripMargin),
+    "variant,json,semistructured")
+
+  /** Safe casting: TRY_CAST yields NULL instead of an ANSI error on
+    * malformed input — the spelling every ingest pipeline needs under
+    * Spark 4's default ANSI mode. */
+  val qf14 = Q("qf14_try_cast",
+    """SELECT p_partkey,
+      |       TRY_CAST(substr(p_name, 1, 3) AS INT) AS bad_int,
+      |       TRY_CAST(CAST(p_partkey AS STRING) AS INT) AS good_int,
+      |       TRY_CAST(p_name AS DOUBLE) AS bad_dbl
+      |FROM part
+      |WHERE p_partkey < 300
+      |ORDER BY p_partkey NULLS FIRST, bad_int NULLS FIRST, good_int NULLS FIRST,
+      |         bad_dbl NULLS FIRST""".stripMargin,
+    Some("""SELECT p_partkey,
+      |       TRY_CAST(substr(p_name, 1, 3) AS INT) AS bad_int,
+      |       TRY_CAST(CAST(p_partkey AS VARCHAR) AS INT) AS good_int,
+      |       TRY_CAST(p_name AS DOUBLE) AS bad_dbl
+      |FROM part
+      |WHERE p_partkey < 300
+      |ORDER BY p_partkey NULLS FIRST, bad_int NULLS FIRST, good_int NULLS FIRST,
+      |         bad_dbl NULLS FIRST""".stripMargin),
+    "try_cast,ansi,safe")
+
   // ---------------------------------------------------------------
   // Aggregation (Q-A*)
   // ---------------------------------------------------------------
@@ -562,6 +603,17 @@ object QueryInventory {
       |ORDER BY mode NULLS FIRST, n_domains NULLS FIRST, total_mw NULLS FIRST,
       |         max_domain_mw NULLS FIRST""".stripMargin),
     "estimator,power,values")
+
+  /** GROUP BY ALL — group by every non-aggregate select item (the
+    * modern convenience spelling; same text in both engines). */
+  val qa14 = shared("qa14_group_by_all",
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(l_quantity), 4) AS qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n NULLS FIRST,
+      |         qty NULLS FIRST""".stripMargin,
+    "group_by_all,agg")
 
   // ---------------------------------------------------------------
   // Joins (Q-J*)
@@ -918,6 +970,29 @@ object QueryInventory {
       |SELECT s_nationkey FROM supplier WHERE s_nationkey < 15
       |ORDER BY nationkey NULLS FIRST""".stripMargin,
     "except")
+
+  /** Multiset INTERSECT ALL — per-key multiplicity is min(left count,
+    * right count); aggregated so the output pins the multiplicities
+    * exactly. */
+  val qu5 = shared("qu5_intersect_all",
+    """SELECT nationkey, CAST(count(*) AS BIGINT) AS mult FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL
+      |  SELECT s_nationkey FROM supplier) t
+      |GROUP BY nationkey
+      |ORDER BY nationkey NULLS FIRST, mult NULLS FIRST""".stripMargin,
+    "intersect_all,multiset")
+
+  /** Multiset EXCEPT ALL — per-key multiplicity is max(0, left count −
+    * right count). */
+  val qu6 = shared("qu6_except_all",
+    """SELECT nationkey, CAST(count(*) AS BIGINT) AS mult FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL
+      |  SELECT s_nationkey FROM supplier) t
+      |GROUP BY nationkey
+      |ORDER BY nationkey NULLS FIRST, mult NULLS FIRST""".stripMargin,
+    "except_all,multiset")
 
   // ---------------------------------------------------------------
   // Vector / tensor queries over embeddings (Q-V*)
@@ -2005,12 +2080,12 @@ object QueryInventory {
 
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
-    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13,
+    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10,
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,
-    qu1, qu2, qu3, qu4,
+    qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11,
     qs1, qs2, qs3, qs4, qs5,

@@ -225,6 +225,30 @@ object StatefulOps {
       .withWatermark(tsCol, delay)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Stream-stream time-interval INNER join — the unbounded spelling
+    * of the complementary filter's two-channel fusion (ref op #32,
+    * /root/reference/firmware/middleware/fixed_point_filter.c:13-57
+    * fuses gyro+accel): each left sample pairs with right samples of
+    * the same user inside [l.ts, l.ts + tolerance]. BOTH sides carry
+    * watermarks and the join condition bounds event time in both
+    * directions, so Spark evicts buffered rows older than
+    * watermark − tolerance — state is O(rate × tolerance) per key,
+    * never O(stream). Inner-join output is invariant to micro-batch
+    * boundaries (stream==batch asserted in StatefulOpsSpec). */
+  def streamStreamFuse(left: DataFrame, right: DataFrame,
+                       delay: String = "10 minutes",
+                       tolerance: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark("ts", delay).alias("l")
+    val r = right.withWatermark("ts", delay).alias("r")
+    l.join(r, expr(
+        s"""l.user_id = r.user_id AND
+           |r.ts >= l.ts AND
+           |r.ts <= l.ts + INTERVAL $tolerance""".stripMargin))
+      .select(col("l.user_id").as("user_id"), col("l.ts").as("l_ts"),
+        col("r.ts").as("r_ts"), col("l.value").as("gyro"),
+        col("r.value").as("accel"))
+  }
+
   /** Near-arrival dedup via dropDuplicatesWithinWatermark: duplicates
     * may carry DIFFERENT event times (retries restamp clocks); any
     * copy arriving within the watermark of the first is dropped,

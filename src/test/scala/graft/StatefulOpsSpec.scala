@@ -110,6 +110,45 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream time-interval join equals the batch join on bounded input") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val gyro = Seq(
+      (ts("2024-01-01 00:01:00"), 1L, 1.0), (ts("2024-01-01 00:05:00"), 1L, 2.0),
+      (ts("2024-01-01 00:01:30"), 2L, 3.0))
+    val accel = Seq(
+      (ts("2024-01-01 00:01:20"), 1L, 10.0),  // within 1 min of gyro@00:01
+      (ts("2024-01-01 00:05:30"), 1L, 20.0),  // within 1 min of gyro@00:05
+      (ts("2024-01-01 00:03:00"), 1L, 30.0),  // matches nothing
+      (ts("2024-01-01 00:01:00"), 2L, 40.0))  // BEFORE gyro@00:01:30 → no match
+    val ls = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val rs = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val joined = StatefulOps.streamStreamFuse(
+      ls.toDS().toDF("ts", "user_id", "value"),
+      rs.toDS().toDF("ts", "user_id", "value"))
+    val q = joined.writeStream.format("memory").queryName("fuse_out")
+      .outputMode("append").start()
+    try {
+      // matches split across micro-batches: the join state must hold
+      // the unmatched left rows until the right side arrives
+      ls.addData(gyro)
+      q.processAllAvailable()
+      rs.addData(accel.take(2))
+      q.processAllAvailable()
+      rs.addData(accel.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getDouble(3), r.getDouble(4))
+    val streamed = spark.table("fuse_out").collect().map(key).toSet
+    val batch = StatefulOps.streamStreamFuse( // same condition, batch frames
+        gyro.toDF("ts", "user_id", "value"), accel.toDF("ts", "user_id", "value"))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2)
+  }
+
   test("streaming dedup equals batch distinct; watermark bounds the key") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
