@@ -1323,6 +1323,30 @@ object QueryInventory {
       |         bias_folded NULLS FIRST, fold_err NULLS FIRST""".stripMargin),
     "vector,bnfold")
 
+  /** Higher-order predicate functions over arrays — the last HOF
+    * surface beside transform/aggregate/zip_with (qv1..qv9): `filter`
+    * element selection, `exists`/`forall` boolean folds. Oracle spells
+    * them with list_filter + list_bool_or/and over list_transform.
+    * Float elements promote to double exactly on both engines, so the
+    * threshold compares are deterministic. */
+  val qv13 = Q("qv13_hof_predicates",
+    """SELECT vec_id,
+      |       CAST(size(filter(embedding, x -> abs(x) > 0.1)) AS INT) AS n_big,
+      |       CASE WHEN exists(embedding, x -> x > 0.5) THEN 1 ELSE 0 END AS has_big,
+      |       CASE WHEN forall(embedding, x -> x < 1.0) THEN 1 ELSE 0 END AS all_small
+      |FROM embeddings
+      |ORDER BY vec_id NULLS FIRST, n_big NULLS FIRST, has_big NULLS FIRST,
+      |         all_small NULLS FIRST""".stripMargin,
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT vec_id,
+      |       CAST(len(list_filter(v, x -> abs(x) > 0.1)) AS INT) AS n_big,
+      |       CAST(list_bool_or(list_transform(v, x -> x > 0.5)) AS INT) AS has_big,
+      |       CAST(list_bool_and(list_transform(v, x -> x < 1.0)) AS INT) AS all_small
+      |FROM e
+      |ORDER BY vec_id NULLS FIRST, n_big NULLS FIRST, has_big NULLS FIRST,
+      |         all_small NULLS FIRST""".stripMargin),
+    "hof,filter,exists,forall")
+
   /** Transformer activation family (reference
     * /root/reference/mlir_compiler/transformer_ops.py:43-50,117-133
     * GELU/SiLU; /root/reference/imc22_sdk/imc22_cim.c:282-293
@@ -2086,7 +2110,7 @@ object QueryInventory {
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,
-    qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12,
+    qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11,
     qs1, qs2, qs3, qs4, qs5,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11)

@@ -34,6 +34,24 @@ object Telemetry {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** In-flight metrics via the Observation API (Dataset.observe →
+    * CollectMetrics): the piggyback spelling of runtime telemetry —
+    * counters ride the action that was running anyway, no second scan
+    * (the reference's per-inference stats counters,
+    * /root/reference/simulator/sim_reflex.py:89-91, accumulate the
+    * same way: inside the compute pass). Returns the observation
+    * handle; read `obs.get` after any action on the returned frame. */
+  def observed(df: DataFrame, name: String, valueCol: String = "value")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val watched = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col(valueCol)).as("value_sum"),
+      min(col(valueCol)).as("value_min"),
+      max(col(valueCol)).as("value_max"))
+    (watched, obs)
+  }
+
   /** get_statistics analog over the logged directory: sample/batch
     * counts plus value moments and tail latency-style percentile.
     * Pass `schema` when the log layout is known — json() otherwise

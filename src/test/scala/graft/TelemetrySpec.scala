@@ -25,6 +25,16 @@ class TelemetrySpec extends AnyFunSuite {
     assert(s.getAs[Double]("value_p99") == 39.7)  // exact interpolated percentile
   }
 
+  test("observation metrics ride the action — no second scan") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("event_id", "value")
+    val (watched, obs) = Telemetry.observed(df, "obs_test")
+    assert(watched.filter($"value" > 15).count() == 2) // the one action
+    val m = obs.get
+    // metrics reflect the FULL observed frame, not the downstream filter
+    assert(m("n_rows") == 3L && m("value_sum") == 60.0)
+    assert(m("value_min") == 10.0 && m("value_max") == 30.0)
+  }
+
   test("streaming sink appends micro-batches with distinct batch ids") {
     val dir = tmpDir("telemetry_stream")
     val ckpt = tmpDir("telemetry_ckpt")
