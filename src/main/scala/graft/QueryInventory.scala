@@ -1753,6 +1753,66 @@ object QueryInventory {
           col("uniq_bigrams").asc_nulls_first, col("n_bigrams").asc_nulls_first)
     })
 
+  /** Vocabulary extraction: top-10 tokens per language by frequency
+    * with a total tie-break — the tokenizer-training / vocab-coverage
+    * query. Explode amplifies rows, but map-side partial aggregation
+    * collapses (lang, tok) before the shuffle and the window-group
+    * limit prunes each lang to k rows before the final sort. */
+  val ql12 = Q("ql12_vocab_topk",
+    """WITH toks AS (
+      |  SELECT lang, tok FROM documents
+      |  LATERAL VIEW explode(split(lower(text), ' ')) AS tok),
+      |tf AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+      |rk AS (SELECT lang, tok, c,
+      |              row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+      |       FROM tf)
+      |SELECT lang, tok, CAST(c AS BIGINT) AS c, CAST(rn AS INT) AS rn
+      |FROM rk WHERE rn <= 10
+      |ORDER BY lang NULLS FIRST, rn NULLS FIRST, tok NULLS FIRST, c NULLS FIRST""".stripMargin,
+    Some("""WITH toks AS (
+      |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |tf AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+      |rk AS (SELECT lang, tok, c,
+      |              row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+      |       FROM tf)
+      |SELECT lang, tok, CAST(c AS BIGINT) AS c, CAST(rn AS INT) AS rn
+      |FROM rk WHERE rn <= 10
+      |ORDER BY lang NULLS FIRST, rn NULLS FIRST, tok NULLS FIRST, c NULLS FIRST""".stripMargin),
+    "vocab,topk,llm")
+
+  /** Benchmark decontamination: docs sharing any word trigram with the
+    * probe set (docs 0-4 stand in for a benchmark corpus), with the
+    * shared-shingle count — the training-data contamination scan. At
+    * scale this is a shingle semi-join: ONE shuffle on the shingle key
+    * (or a broadcast of the probe shingles — benchmark sets are tiny),
+    * never a doc×doc comparison. */
+  val ql13 = Q("ql13_decontaminate",
+    """WITH toks AS (SELECT doc_id, split(lower(text), ' ') AS w FROM documents),
+      |tri AS (
+      |  SELECT doc_id, concat_ws(' ', w[i-1], w[i], w[i+1]) AS g
+      |  FROM toks LATERAL VIEW explode(sequence(1, size(w) - 2)) AS i
+      |  WHERE size(w) >= 3),
+      |probe AS (SELECT DISTINCT g FROM tri WHERE doc_id < 5),
+      |hits AS (
+      |  SELECT t.doc_id, count(DISTINCT t.g) AS shared
+      |  FROM tri t JOIN probe p ON t.g = p.g
+      |  WHERE t.doc_id >= 5 GROUP BY t.doc_id)
+      |SELECT doc_id, CAST(shared AS BIGINT) AS shared FROM hits
+      |ORDER BY doc_id NULLS FIRST, shared NULLS FIRST""".stripMargin,
+    Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |tri AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+      |  WHERE len(w) >= 3),
+      |probe AS (SELECT DISTINCT g FROM tri WHERE doc_id < 5),
+      |hits AS (
+      |  SELECT t.doc_id, count(DISTINCT t.g) AS shared
+      |  FROM tri t JOIN probe p ON t.g = p.g
+      |  WHERE t.doc_id >= 5 GROUP BY t.doc_id)
+      |SELECT doc_id, CAST(shared AS BIGINT) AS shared FROM hits
+      |ORDER BY doc_id NULLS FIRST, shared NULLS FIRST""".stripMargin),
+    "decontaminate,shingle,llm")
+
   /** Text↔vector similarity search: documents joined to embeddings,
     * ranked by cosine to the probe vector (unit-norm vectors → dot). */
   val ql4 = Q("ql4_sim_search",
@@ -2111,7 +2171,7 @@ object QueryInventory {
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
-    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13,
     qs1, qs2, qs3, qs4, qs5,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11)
 }
