@@ -106,6 +106,30 @@ class InventorySpec extends AnyFunSuite {
     }
   }
 
+  test("no contract query plans a cartesian product (beyond declared tiny probes)") {
+    Tables.register(spark, dir)
+    // declared exceptions: qj6 is the 5×25 cross-join contract query
+    // itself; 1-row probe attachments plan as BroadcastNestedLoopJoin,
+    // which is fine and not matched here
+    val allowed = Set("qj6_cross_join")
+    val offenders = QueryInventory.all.filterNot(q => allowed(q.name)).flatMap { q =>
+      val plan = spark.sql(q.sparkSql).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian product in: $offenders")
+  }
+
+  test("every contract query obeys the determinism discipline (total ORDER BY)") {
+    // single-row global aggregates are deterministic without a sort
+    val singleRow = Set("qj2_broadcast_join", "ql2_exact_dedup")
+    val offenders = QueryInventory.all.filterNot(q => singleRow(q.name)).flatMap { q =>
+      val missing = !q.sparkSql.toUpperCase.contains("ORDER BY") ||
+        q.oracleSql.exists(o => !o.toUpperCase.contains("ORDER BY"))
+      if (missing) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"no ORDER BY in: $offenders")
+  }
+
   test("lateral top-k decorrelates — no cartesian product (qx9)") {
     Tables.register(spark, dir)
     val plan = spark.sql(QueryInventory.qx9.sparkSql)
