@@ -2150,6 +2150,32 @@ object QueryInventory {
       |ORDER BY n_regionkey NULLS FIRST, names NULLS FIRST, first2 NULLS FIRST, n NULLS FIRST""".stripMargin),
     "array,collect,agg")
 
+  /** Map-type surface: construct, probe (`element_at` — Spark returns
+    * the value, DuckDB a 1-element list), keys, cardinality. Keys are
+    * sorted + joined so the unordered map type hashes stably. */
+  val qx12 = Q("qx12_map_funcs",
+    """SELECT p_partkey,
+      |       element_at(m, 'id') AS vid,
+      |       element_at(m, 'name') AS vname,
+      |       array_join(array_sort(map_keys(m)), '|') AS ks,
+      |       CAST(size(m) AS INT) AS n
+      |FROM (SELECT p_partkey, map('id', CAST(p_partkey AS STRING), 'name', p_name) AS m
+      |      FROM part)
+      |WHERE p_partkey < 300
+      |ORDER BY p_partkey NULLS FIRST, vid NULLS FIRST, vname NULLS FIRST,
+      |         ks NULLS FIRST, n NULLS FIRST""".stripMargin,
+    Some("""SELECT p_partkey,
+      |       element_at(m, 'id')[1] AS vid,
+      |       element_at(m, 'name')[1] AS vname,
+      |       array_to_string(list_sort(map_keys(m)), '|') AS ks,
+      |       CAST(cardinality(m) AS INT) AS n
+      |FROM (SELECT p_partkey, MAP(['id','name'], [CAST(p_partkey AS VARCHAR), p_name]) AS m
+      |      FROM part)
+      |WHERE p_partkey < 300
+      |ORDER BY p_partkey NULLS FIRST, vid NULLS FIRST, vname NULLS FIRST,
+      |         ks NULLS FIRST, n NULLS FIRST""".stripMargin),
+    "map,element_at")
+
   /** Recursive CTE (Spark 4 WITH RECURSIVE): generate the month domain
     * recursively, then aggregate orders against it — recursion for the
     * dimension, one scan for the facts. */
@@ -2173,5 +2199,5 @@ object QueryInventory {
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13,
     qs1, qs2, qs3, qs4, qs5,
-    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11)
+    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12)
 }

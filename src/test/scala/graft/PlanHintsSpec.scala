@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The physical-control surface a perf engineer reaches for at 100 TB:
+  * join-strategy hints and explicit distribution. Plan-shape
+  * assertions in the reference's IR-assertion style
+  * (/root/reference/mlir_compiler/test_partitioner.py:10-50) — the
+  * hints are the Spark analog of the reference's manual CPU/CIM
+  * placement overrides (codegen_cim.py:154-160). */
+class PlanHintsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(sql: String): String = {
+    Tables.register(spark, dir)
+    spark.sql(sql).queryExecution.executedPlan.toString
+  }
+
+  test("BROADCAST hint forces a broadcast join") {
+    val p = plan("""SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS c
+                   |FROM customer JOIN nation ON c_nationkey = n_nationkey
+                   |GROUP BY n_name""".stripMargin)
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("MERGE hint forces a sort-merge join even under the broadcast threshold") {
+    val p = plan("""SELECT /*+ MERGE(nation) */ n_name, count(*) AS c
+                   |FROM customer JOIN nation ON c_nationkey = n_nationkey
+                   |GROUP BY n_name""".stripMargin)
+    assert(p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("SHUFFLE_HASH hint forces a shuffled hash join") {
+    val p = plan("""SELECT /*+ SHUFFLE_HASH(nation) */ n_name, count(*) AS c
+                   |FROM customer JOIN nation ON c_nationkey = n_nationkey
+                   |GROUP BY n_name""".stripMargin)
+    assert(p.contains("ShuffledHashJoin"), p.take(600))
+  }
+
+  test("DISTRIBUTE BY plans a hash exchange on the key") {
+    val p = plan("SELECT o_custkey, o_totalprice FROM orders DISTRIBUTE BY o_custkey")
+    assert(p.contains("hashpartitioning(o_custkey"), p.take(600))
+  }
+
+  test("REPARTITION hint controls the shuffle partition count") {
+    val p = plan("SELECT /*+ REPARTITION(7) */ o_orderkey FROM orders")
+    assert(p.contains("RoundRobinPartitioning(7)"), p.take(600))
+  }
+}
