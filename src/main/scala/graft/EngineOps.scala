@@ -53,6 +53,29 @@ object EngineOps {
       .limit(25)
   }
 
+  /** Embedding-cosine near-dup dedup — the remaining north-star dedup
+    * modality beside exact/MinHash/SimHash/Jaccard: LSH-bucketed
+    * cosine pair join at ≥0.95 → connected components → cluster
+    * report. The synthetic embeddings carry no true near-dups (max
+    * pairwise cosine ≈0.51 at sf0.01), so the corpus plants 20
+    * deterministic near-copies (source vectors scaled by 1.001 —
+    * cosine 1 with their originals, same hyperplane signs so LSH
+    * buckets them together); the operator must recover exactly those
+    * 20 two-member clusters. Scale shape: bucket join + size-aware
+    * CC — never all-pairs. */
+  private def embedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dups = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val pairs = SimilaritySearch.lshPairJoin(
+        base.unionByName(dups), "vec_id", "embedding", minCosine = 0.95)
+      .select(col("id_a"), col("id_b"))
+    val comps = operators.DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+    operators.DedupClusters.clusterStats(comps)
+      .orderBy(col("cluster"), col("n_members"), col("id_sum"))
+  }
+
   /** The full corpus-cleaning pipeline a training-data run actually
     * executes, end to end: exact dedup (md5 keep-min) → SimHash
     * near-dup pairs over the survivors → connected components → drop
@@ -571,6 +594,7 @@ object EngineOps {
     "eng_exact_dedup" -> exactDedup,
     "eng_dup_clusters" -> dupClusters,
     "eng_dedup_pipeline" -> dedupPipeline,
+    "eng_embed_dedup" -> embedDedup,
     "eng_sliding_window" -> slidingWindow,
     "eng_ann_brute_topk" -> annBrute,
     "eng_ann_lsh_topk" -> annLsh,

@@ -16,6 +16,19 @@ class DedupSpec extends AnyFunSuite {
     (12 to 20).map(i => s"tok$i")).mkString(" ")
   val far = (1 to 20).map(i => s"other$i").mkString(" ")
 
+  test("embedding-cosine dedup recovers exactly the 20 planted near-copies") {
+    val rows = EngineOps.queries("eng_embed_dedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 20)
+    // every cluster pairs a source vector (id < 20) with its planted
+    // copy (id + 100000): canonical min-id label, two members
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster") < 20L)
+      assert(r.getAs[Long]("n_members") == 2L)
+      assert(r.getAs[Long]("id_sum") == 2 * r.getAs[Long]("cluster") + 100000L)
+    }
+  }
+
   test("exact-dup clusters by md5") {
     val docs = Seq((1L, base), (2L, base), (3L, far)).toDF("doc_id", "text")
     val clusters = MinHashDedup.exactDupClusters(docs, "doc_id", "text").collect()
