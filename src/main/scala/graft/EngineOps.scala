@@ -504,6 +504,43 @@ object EngineOps {
       .orderBy(col("codec"))
   }
 
+  /** Source-format breadth beside codecRoundtrip's parquet codecs:
+    * the same slice written and re-read as JSON lines, CSV (header),
+    * and parquet, with an order-independent checksum proving the
+    * round-trip is lossless per format. Schemas are passed explicitly
+    * on read — the schema-inference pass a naive reader pays would
+    * double the scan at 100 TB (same note as Telemetry.stats). */
+  private def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sources")
+    val slice = t(spark, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .coalesce(1)
+    val schema = slice.schema
+    def checksum(df: org.apache.spark.sql.DataFrame) = {
+      val agg = df.agg(
+        count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(event_id, event_type))").as("h"),
+        round(sum(col("value")), 4).as("s")).head()
+      (agg.getLong(0), agg.getLong(1), agg.getDouble(2))
+    }
+    val rows = Seq("json", "csv", "parquet").map { fmt =>
+      val path = s"$tmp/$fmt"
+      val w = slice.write.mode("overwrite").format(fmt)
+      (if (fmt == "csv") w.option("header", "true") else w).save(path)
+      val r = spark.read.schema(schema).format(fmt)
+      val back = (if (fmt == "csv") r.option("header", "true") else r).load(path)
+      val (n, h, s) = checksum(back)
+      (fmt, n, h, s)
+    }
+    deleteRecursively(tmp)
+    val (bn, bh, bs) = checksum(slice)
+    (rows :+ (("source", bn, bh, bs)))
+      .toDF("format", "n_rows", "row_hash", "sum_v")
+      .orderBy(col("format"))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq
@@ -589,6 +626,7 @@ object EngineOps {
     "eng_conv2d" -> conv2d,
     "eng_telemetry_stats" -> telemetry,
     "eng_codec_roundtrip" -> codecRoundtrip,
+    "eng_source_roundtrip" -> sourceRoundtrip,
     "eng_minhash_lsh_dedup" -> minhashDedup,
     "eng_simhash_dedup" -> simhashDedup,
     "eng_exact_dedup" -> exactDedup,

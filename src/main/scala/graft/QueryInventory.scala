@@ -615,6 +615,33 @@ object QueryInventory {
       |         qty NULLS FIRST""".stripMargin,
     "group_by_all,agg")
 
+  /** Aggregate FILTER clause (the standard-SQL alternative to qa8's
+    * CASE spelling) + DISTINCT inside a non-count aggregate. */
+  val qa15 = shared("qa15_filter_clause",
+    """SELECT o_orderstatus,
+      |       CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+      |       round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4) AS urgent_total,
+      |       CAST(sum(DISTINCT o_custkey % 100) AS BIGINT) AS d_sum
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST, n_big NULLS FIRST, urgent_total NULLS FIRST,
+      |         d_sum NULLS FIRST""".stripMargin,
+    "filter_clause,distinct,agg")
+
+  /** Ordered-set aggregates: percentile_cont / percentile_disc WITHIN
+    * GROUP — the ANSI spelling beside qa4's percentile(); disc picks a
+    * real row value, cont interpolates (ROUND 4). */
+  val qa16 = shared("qa16_within_group",
+    """SELECT o_orderstatus,
+      |       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS q1,
+      |       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 4) AS q3,
+      |       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med_disc
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST, q1 NULLS FIRST, q3 NULLS FIRST,
+      |         med_disc NULLS FIRST""".stripMargin,
+    "within_group,percentile,agg")
+
   // ---------------------------------------------------------------
   // Joins (Q-J*)
   // ---------------------------------------------------------------
@@ -2191,7 +2218,7 @@ object QueryInventory {
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10,
     qw1, qw2, qw3, qw4, qw5, qw6,
     qt1, qt2,

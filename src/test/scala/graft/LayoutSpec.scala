@@ -33,6 +33,15 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(4) > 0))                 // real files on disk
   }
 
+  test("source round-trip: json/csv/parquet each re-read losslessly") {
+    val rows = EngineOps.queries("eng_source_roundtrip")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("csv", "json", "parquet", "source"))
+    assert(rows.map(_.getLong(1)).distinct.length == 1)   // same row count back
+    assert(rows.map(_.getLong(2)).distinct.length == 1)   // same content hash
+    assert(rows.map(_.getDouble(3)).distinct.length == 1) // same value sum
+  }
+
   test("salted two-phase aggregation equals the direct group-by") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val ev = spark.table("events")
