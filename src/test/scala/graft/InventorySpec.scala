@@ -106,6 +106,27 @@ class InventorySpec extends AnyFunSuite {
     }
   }
 
+  test("contract results are invariant to shuffle partitioning (fp determinism sweep)") {
+    // the oracle gate depends on every query being deterministic under
+    // any partitioning (fp summation order, row order): run the WHOLE
+    // contract under two different shuffle widths and require
+    // identical results — the end-to-end check of the §2.9 discipline
+    Tables.register(spark, dir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Map[String, Seq[String]] =
+      QueryInventory.all.map { q =>
+        q.name -> spark.sql(q.sparkSql).collect().map(_.toString).toSeq
+      }.toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = runAll()
+      val diff = QueryInventory.all.map(_.name).filter(n => a(n) != b(n))
+      assert(diff.isEmpty, s"partitioning-sensitive results in: $diff")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("no contract query plans a cartesian product (beyond declared tiny probes)") {
     Tables.register(spark, dir)
     // declared exceptions: qj6 is the 5×25 cross-join contract query

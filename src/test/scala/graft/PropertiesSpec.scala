@@ -21,6 +21,33 @@ class PropertiesSpec extends AnyFunSuite {
     Gen.chooseNum(1, 16).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f)))
 
+  test("property: repetition kernel matches a brute-force recount on any text") {
+    val textGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "A", "", "x y"))
+    } yield toks.mkString(" ")
+    val texts = samples(textGen, 60).distinct
+    def brute(t: String): Option[(Long, Int, Long)] = {
+      val w = t.toLowerCase.split(" ", -1)
+      val grams = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (w.length < 2) None
+      else {
+        val counts = grams.groupBy(identity).map { case (_, g) => g.size }
+        Some((counts.filter(_ > 1).map(_.toLong).sum, counts.size, grams.size.toLong))
+      }
+    }
+    val rows = texts.toDF("t")
+      .select(col("t"), graft.functions.TextFunctions.repetitionStats(col("t")).as("st"))
+      .collect()
+    rows.foreach { r =>
+      val expected = brute(r.getString(0))
+      val got =
+        if (r.isNullAt(1)) None
+        else Some((r.getStruct(1).getLong(0), r.getStruct(1).getInt(1), r.getStruct(1).getLong(2)))
+      assert(got == expected, s"text='${r.getString(0)}'")
+    }
+  }
+
   test("property: quantize∘dequantize error ≤ scale/2 for any vector") {
     // batch all sampled vectors through one plan: stays a single job
     val vs = samples(vecGen, 20)
