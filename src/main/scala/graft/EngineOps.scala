@@ -59,10 +59,12 @@ object EngineOps {
     * report. The synthetic embeddings carry no true near-dups (max
     * pairwise cosine ≈0.51 at sf0.01), so the corpus plants 20
     * deterministic near-copies (source vectors scaled by 1.001 —
-    * cosine 1 with their originals, same hyperplane signs so LSH
-    * buckets them together); the operator must recover exactly those
-    * 20 two-member clusters. Scale shape: bucket join + size-aware
-    * CC — never all-pairs. */
+    * cosine 1 with their originals; positive scaling preserves every
+    * hyperplane dot-product sign, so LSH buckets each copy with its
+    * source — a float-rounding flip would need |dot| within ~1e-7 of
+    * zero, which the fixed testdata stays far from); the operator must
+    * recover exactly those 20 two-member clusters. Scale shape:
+    * bucket join + size-aware CC — never all-pairs. */
   private def embedDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val dups = base.filter(col("vec_id") < 20)
@@ -479,29 +481,42 @@ object EngineOps {
     * compressed footprint. coalesce(1) fixes the file layout so sizes
     * are deterministic; checksum is bit_xor of row hashes (sum would
     * overflow under ANSI). */
+  /** The shared round-trip fixture: a deterministic events slice and
+    * its order-independent checksum (count, xor'd row hash, value
+    * sum) — one definition so the codec and source round-trips can
+    * never silently diverge. */
+  private def eventsSlice(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .coalesce(1)
+
+  private def checksum(df: DataFrame): (Long, Long, Double) = {
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(event_id, event_type))").as("h"),
+      round(sum(col("value")), 4).as("s")).head()
+    (agg.getLong(0), agg.getLong(1), agg.getDouble(2))
+  }
+
   private def codecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("graft_codec")
-    val slice = t(spark, dir, "events")
-      .filter(col("user_id") % 10 === 0)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .coalesce(1)
-    val rows = Seq("gzip", "lz4", "snappy", "zstd").map { codec =>
-      val path = s"$tmp/$codec"
-      slice.write.option("compression", codec).mode("overwrite").parquet(path)
-      val agg = spark.read.parquet(path).agg(
-        count(lit(1)).as("n"),
-        expr("bit_xor(xxhash64(event_id, event_type))").as("h"),
-        round(sum(col("value")), 4).as("s")).head()
-      (codec, agg.getLong(0), agg.getLong(1), agg.getDouble(2),
-        java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet"))
-          .map(java.nio.file.Files.size).sum / 1024)
-    }
-    deleteRecursively(tmp)
-    rows.toDF("codec", "n_rows", "row_hash", "sum_v", "size_kb")
-      .orderBy(col("codec"))
+    try {
+      val slice = eventsSlice(spark, dir)
+      val rows = Seq("gzip", "lz4", "snappy", "zstd").map { codec =>
+        val path = s"$tmp/$codec"
+        slice.write.option("compression", codec).mode("overwrite").parquet(path)
+        val (n, h, s) = checksum(spark.read.parquet(path))
+        (codec, n, h, s,
+          java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet"))
+            .map(java.nio.file.Files.size).sum / 1024)
+      }
+      rows.toDF("codec", "n_rows", "row_hash", "sum_v", "size_kb")
+        .orderBy(col("codec"))
+    } finally deleteRecursively(tmp)
   }
 
   /** Source-format breadth beside codecRoundtrip's parquet codecs:
@@ -513,32 +528,23 @@ object EngineOps {
   private def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_sources")
-    val slice = t(spark, dir, "events")
-      .filter(col("user_id") % 10 === 0)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .coalesce(1)
-    val schema = slice.schema
-    def checksum(df: org.apache.spark.sql.DataFrame) = {
-      val agg = df.agg(
-        count(lit(1)).as("n"),
-        expr("bit_xor(xxhash64(event_id, event_type))").as("h"),
-        round(sum(col("value")), 4).as("s")).head()
-      (agg.getLong(0), agg.getLong(1), agg.getDouble(2))
-    }
-    val rows = Seq("json", "csv", "parquet").map { fmt =>
-      val path = s"$tmp/$fmt"
-      val w = slice.write.mode("overwrite").format(fmt)
-      (if (fmt == "csv") w.option("header", "true") else w).save(path)
-      val r = spark.read.schema(schema).format(fmt)
-      val back = (if (fmt == "csv") r.option("header", "true") else r).load(path)
-      val (n, h, s) = checksum(back)
-      (fmt, n, h, s)
-    }
-    deleteRecursively(tmp)
-    val (bn, bh, bs) = checksum(slice)
-    (rows :+ (("source", bn, bh, bs)))
-      .toDF("format", "n_rows", "row_hash", "sum_v")
-      .orderBy(col("format"))
+    try {
+      val slice = eventsSlice(spark, dir)
+      val schema = slice.schema
+      val rows = Seq("json", "csv", "parquet").map { fmt =>
+        val path = s"$tmp/$fmt"
+        val w = slice.write.mode("overwrite").format(fmt)
+        (if (fmt == "csv") w.option("header", "true") else w).save(path)
+        val r = spark.read.schema(schema).format(fmt)
+        val back = (if (fmt == "csv") r.option("header", "true") else r).load(path)
+        val (n, h, s) = checksum(back)
+        (fmt, n, h, s)
+      }
+      val (bn, bh, bs) = checksum(slice)
+      (rows :+ (("source", bn, bh, bs)))
+        .toDF("format", "n_rows", "row_hash", "sum_v")
+        .orderBy(col("format"))
+    } finally deleteRecursively(tmp)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
