@@ -234,16 +234,22 @@ object StatefulOps {
     * directions, so Spark evicts buffered rows older than
     * watermark − tolerance — state is O(rate × tolerance) per key,
     * never O(stream). Inner-join output is invariant to micro-batch
-    * boundaries (stream==batch asserted in StatefulOpsSpec). */
+    * boundaries (stream==batch asserted in StatefulOpsSpec).
+    *
+    * joinType "leftOuter" adds the missing-channel semantics: a left
+    * sample with no right match emits null-extended once the
+    * watermark proves no match can still arrive (sensor-dropout
+    * detection in the ref's fusion loop). */
   def streamStreamFuse(left: DataFrame, right: DataFrame,
                        delay: String = "10 minutes",
-                       tolerance: String = "1 minute"): DataFrame = {
+                       tolerance: String = "1 minute",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", delay).alias("l")
     val r = right.withWatermark("ts", delay).alias("r")
     l.join(r, expr(
         s"""l.user_id = r.user_id AND
            |r.ts >= l.ts AND
-           |r.ts <= l.ts + INTERVAL $tolerance""".stripMargin))
+           |r.ts <= l.ts + INTERVAL $tolerance""".stripMargin), joinType)
       .select(col("l.user_id").as("user_id"), col("l.ts").as("l_ts"),
         col("r.ts").as("r_ts"), col("l.value").as("gyro"),
         col("r.value").as("accel"))

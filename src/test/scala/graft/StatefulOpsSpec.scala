@@ -149,6 +149,45 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(streamed.size == 2)
   }
 
+  test("stream-stream LEFT OUTER join null-extends once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ls = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val rs = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val joined = StatefulOps.streamStreamFuse(
+      ls.toDS().toDF("ts", "user_id", "value"),
+      rs.toDS().toDF("ts", "user_id", "value"), joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("fuse_outer")
+      .outputMode("append").start()
+    try {
+      // batch 1: one matched left row, one UNMATCHED left row
+      ls.addData(Seq((ts("2024-01-01 00:01:00"), 1L, 1.0),
+        (ts("2024-01-01 00:10:00"), 1L, 2.0)))
+      rs.addData(Seq((ts("2024-01-01 00:01:30"), 1L, 10.0)))
+      q.processAllAvailable()
+      // batch 2 advances the watermark (10-min delay) past 00:11
+      ls.addData(Seq((ts("2024-01-01 01:00:00"), 1L, 3.0)))
+      rs.addData(Seq((ts("2024-01-01 01:00:10"), 1L, 30.0)))
+      q.processAllAvailable()
+      // batch 3 triggers eviction of the proven-unmatched row
+      ls.addData(Seq((ts("2024-01-01 02:00:00"), 1L, 4.0)))
+      rs.addData(Seq((ts("2024-01-01 02:00:10"), 1L, 40.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("fuse_outer").collect()
+      .map(r => (r.getTimestamp(1).getTime / 1000,
+        if (r.isNullAt(2)) -1L else r.getTimestamp(2).getTime / 1000,
+        r.getDouble(3))).toSet
+    def sec(s: String) = ts(s).getTime / 1000
+    // the three matches emit eagerly; the unmatched 00:10 row emits
+    // null-extended after the watermark proves no match can arrive
+    assert(out.contains((sec("2024-01-01 00:01:00"), sec("2024-01-01 00:01:30"), 1.0)))
+    assert(out.contains((sec("2024-01-01 01:00:00"), sec("2024-01-01 01:00:10"), 3.0)))
+    assert(out.contains((sec("2024-01-01 02:00:00"), sec("2024-01-01 02:00:10"), 4.0)))
+    assert(out.contains((sec("2024-01-01 00:10:00"), -1L, 2.0)),
+      s"null-extended row missing from $out")
+  }
+
   test("streaming dedup equals batch distinct; watermark bounds the key") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
