@@ -85,6 +85,44 @@ object StatefulOps {
       }
   }
 
+  /** The SAME recurrence on Spark 4's transformWithState — the
+    * successor API to flatMapGroupsWithState (typed per-key state
+    * handles, TTL, timers; requires the RocksDB state store
+    * provider). Kept value-identical to emaStreaming so either
+    * spelling satisfies the stream==batch contract (asserted in
+    * StatefulOpsSpec). */
+  private class EmaProcessor(alpha: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Sample, EmaOut] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Double]("ema",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Sample],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[EmaOut] = {
+      val sorted = rows.toSeq.sortBy(s => (s.tsMicros, s.eventId))
+      var st: Option[Double] = if (state.exists()) Some(state.get()) else None
+      val out = sorted.map { s =>
+        val e = emaStep(st, s.value, alpha)
+        st = Some(e)
+        EmaOut(key, s.eventId, e)
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  def emaTransformWithState(samples: Dataset[Sample], alpha: Double): Dataset[EmaOut] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples.groupByKey(_.user_id)
+      .transformWithState(new EmaProcessor(alpha),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Complementary filter fusing two aligned streams
     * (ref fixed_point_filter.c:13-57): s' = α(s + gyro·dt) + (1-α)·accel.
     * Batch spelling over a joined (gyro, accel) frame. */

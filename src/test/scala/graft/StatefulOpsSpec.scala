@@ -47,6 +47,41 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("transformWithState EMA equals batch EMA (Spark 4 stateful API, RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val all = Seq(
+      Sample(1L, 1000L, 1L, 1.0), Sample(1L, 2000L, 2L, 2.0),
+      Sample(2L, 1500L, 3L, 10.0), Sample(1L, 3000L, 4L, 3.0),
+      Sample(2L, 2500L, 5L, 20.0))
+    val stream = MemoryStream[Sample]
+    val q = StatefulOps.emaTransformWithState(stream.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema_tws_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(all.take(3))
+      q.processAllAvailable()
+      stream.addData(all.drop(3))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val streamed = spark.table("ema_tws_out")
+      .collect().map(r => (r.getAs[Long]("eventId"), r.getAs[Double]("ema"))).toMap
+    val batchDf = all.toDF()
+      .select(col("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
+        col("eventId").as("event_id"), col("value"))
+    val batch = StatefulOps.emaBatch(batchDf, alpha = 0.5)
+      .collect().map(r => (r.getAs[Long]("eventId"), r.getAs[Double]("ema"))).toMap
+    assert(streamed == batch)
+  }
+
   test("file-source streaming replay of events matches batch windowed counts") {
     // replay the real events table through a parquet file stream with
     // a watermark (SURVEY M4): bounded replay must equal batch
