@@ -938,6 +938,29 @@ object QueryInventory {
       |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, win_sum NULLS FIRST""".stripMargin,
     "window,rangeframe")
 
+  /** IGNORE NULLS gap-fill (the carry-forward every sensor pipeline
+    * writes; the internal spelling of AsOfJoin made contract-visible)
+    * + a NUMERIC range frame beside qw6's interval frame. Dialect:
+    * Spark puts IGNORE NULLS after the call, DuckDB inside it. */
+  val qw7 = Q("qw7_ignore_nulls",
+    """SELECT user_id, event_id,
+      |       round(last_value(value) IGNORE NULLS OVER
+      |         (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING), 4) AS carry,
+      |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY event_id
+      |         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+      |FROM events
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, carry NULLS FIRST,
+      |         n_near NULLS FIRST""".stripMargin,
+    Some("""SELECT user_id, event_id,
+      |       round(last_value(value IGNORE NULLS) OVER
+      |         (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING), 4) AS carry,
+      |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY event_id
+      |         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+      |FROM events
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, carry NULLS FIRST,
+      |         n_near NULLS FIRST""".stripMargin),
+    "window,ignore_nulls,gapfill")
+
   // ---------------------------------------------------------------
   // Sort / limit / top-k (Q-T*)
   // ---------------------------------------------------------------
@@ -2220,7 +2243,7 @@ object QueryInventory {
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10,
-    qw1, qw2, qw3, qw4, qw5, qw6,
+    qw1, qw2, qw3, qw4, qw5, qw6, qw7,
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
