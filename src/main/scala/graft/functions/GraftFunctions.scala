@@ -73,5 +73,6 @@ object GraftFunctions {
     all.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    VecAggregates.register(spark)
   }
 }

@@ -10,6 +10,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("vec_sum_agg UDAF equals the posexplode spelling (per-label centroids)") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val viaUdaf = spark.sql(
+      """SELECT label, vec_sum_agg(embedding) AS s
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = spark.sql(
+      """SELECT label, pos, sum(CAST(v AS DOUBLE)) AS s
+        |FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin)
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    assert(viaUdaf.keySet == viaExplode.keySet)
+    viaUdaf.foreach { case (l, s) =>
+      val e = viaExplode(l)
+      assert(s.length == e.length)
+      s.zip(e).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"label $l: $a vs $b")
+      }
+    }
+  }
+
   test("GEMV + bias + ReLU golden: W·[1,2]+b = [5,12]") {
     // rows of W with bias, FC computed relationally per output unit
     val df = Seq(
