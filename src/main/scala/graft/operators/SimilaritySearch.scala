@@ -79,24 +79,62 @@ object SimilaritySearch {
     * scan to nProbe/nCentroids of the data — at 100 TB the cell
     * assignment is written as a partition column so Spark's partition
     * pruning turns the cell filter into file skipping. */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              probe: Array[Float], k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    // index-build step: deterministic sampled codebook (driver holds
-    // nCentroids × dim doubles — same footprint class as LSH planes)
-    val centroids: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(nCentroids)
+  /** Best cell for a vector under a literal codebook (dot score —
+    * cosine for unit-norm data): the IVF assignment expression shared
+    * by ivfTopK and lloydStep. */
+  private def nearestCell(centroids: Array[Array[Double]])(v: Column): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(vecDot(v, array(c.map(lit): _*)).as("score"), lit(i).as("cell"))
+    }
+    greatest(scored: _*).getField("cell")
+  }
+
+  /** Deterministic sampled codebook: the first `nCentroids` vectors by
+    * id (driver holds nCentroids × dim doubles — same footprint class
+    * as LSH planes). */
+  def sampledCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    def nearestCell(v: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct(vecDot(v, array(c.map(lit): _*)).as("score"), lit(i).as("cell"))
+
+  /** One spherical-k-means (Lloyd) refinement of an IVF codebook:
+    * re-assign every vector to its best cell, then replace each
+    * centroid with the L2-NORMALIZED mean of its cell — for unit-norm
+    * data the objective (mean best-cell cosine) is non-decreasing, the
+    * textbook guarantee (spec-asserted). The recompute is ONE
+    * distributed aggregate (vec_sum_agg: O(dim) state per cell,
+    * map-side partial merge); only nCentroids × dim doubles return to
+    * the driver. Empty cells keep their previous centroid. */
+  def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val sums = corpus
+      .select(nearestCell(centroids)(col(vecCol)).as("cell"), col(vecCol).as("v"))
+      .groupBy(col("cell"))
+      .agg(graft.functions.VecAggregates.vecSumAgg(col("v")).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    centroids.zipWithIndex.map { case (old, i) =>
+      sums.get(i) match {
+        case Some(s) =>
+          val norm = math.sqrt(s.map(x => x * x).sum)
+          if (norm == 0.0) old else s.map(_ / norm)
+        case None => old
       }
-      greatest(scored: _*).getField("cell")
     }
+  }
+
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              probe: Array[Float], k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4,
+              codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    // index-build step: caller-supplied (e.g. lloydStep-refined)
+    // codebook, or the deterministic sample
+    val centroids: Array[Array[Double]] =
+      codebook.getOrElse(sampledCodebook(corpus, idCol, vecCol, nCentroids))
     val indexed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      nearestCell(col(vecCol)).as("cell"))
+      nearestCell(centroids)(col(vecCol)).as("cell"))
     val probeSeq = probe.map(_.toDouble)
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (c.zip(probeSeq).map { case (x, y) => x * y }.sum, i) }

@@ -65,6 +65,34 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.toSet.subsetOf(vecs.tail.map(_._1).toSet))
   }
 
+  test("lloyd refinement never decreases the spherical k-means objective") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.vecDot
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val emb = spark.table("embeddings")
+    def obj(cb: Array[Array[Double]]): Double = {
+      val scored = cb.map(c => vecDot(col("embedding"), array(c.map(lit): _*)))
+      emb.select(greatest(scored: _*).as("s")).agg(avg(col("s"))).head().getDouble(0)
+    }
+    val cb0 = SimilaritySearch.sampledCodebook(emb, "vec_id", "embedding", 8)
+    val cb1 = SimilaritySearch.lloydStep(emb, "vec_id", "embedding", cb0)
+    val cb2 = SimilaritySearch.lloydStep(emb, "vec_id", "embedding", cb1)
+    val (o0, o1, o2) = (obj(cb0), obj(cb1), obj(cb2))
+    assert(o1 >= o0 - 1e-9 && o2 >= o1 - 1e-9, s"objective decreased: $o0 -> $o1 -> $o2")
+    assert(o1 > o0, s"sampled codebook should be far from stationary: $o0 -> $o1")
+    // a refined codebook with a full probe budget still finds the true top-k
+    val p = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val refined = SimilaritySearch.ivfTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", p, k = 5, nCentroids = 8, nProbe = 8,
+        codebook = Some(cb1))
+      .collect().map(_.getLong(0)).toSeq
+    val brute = SimilaritySearch.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", p, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(refined == brute)
+  }
+
   test("LSH pair join finds identical vectors as top pair") {
     val withDup = vecs :+ (99L -> vecs.head._2)
     val corpus = withDup.toDF("vec_id", "embedding")
