@@ -267,6 +267,31 @@ object QueryInventory {
       |         bad_dbl NULLS FIRST""".stripMargin),
     "try_cast,ansi,safe")
 
+  /** Struct construct + field access + JSON rendering (explicit
+    * nulls: Spark needs ignoreNullFields=false to match DuckDB's
+    * always-render — verified byte-identical incl. null and
+    * whole-number doubles), plus null-safe equality in a join
+    * condition (`<=>` ↔ `IS NOT DISTINCT FROM`). */
+  val qf15 = Q("qf15_struct_json",
+    """SELECT e1.event_id AS event_id,
+      |       to_json(named_struct('id', e1.event_id, 'type', e1.event_type,
+      |                            'v', round(e1.value, 2)),
+      |               map('ignoreNullFields', 'false')) AS j,
+      |       named_struct('a', e1.event_id, 'b', e1.event_type).b AS field_b
+      |FROM events e1 JOIN events e2
+      |  ON e1.event_id = e2.event_id AND e1.value <=> e2.value
+      |WHERE e1.event_id < 300
+      |ORDER BY event_id NULLS FIRST, j NULLS FIRST, field_b NULLS FIRST""".stripMargin,
+    Some("""SELECT e1.event_id AS event_id,
+      |       to_json(struct_pack(id := e1.event_id, type := e1.event_type,
+      |                           v := round(e1.value, 2))) AS j,
+      |       struct_pack(a := e1.event_id, b := e1.event_type).b AS field_b
+      |FROM events e1 JOIN events e2
+      |  ON e1.event_id = e2.event_id AND e1.value IS NOT DISTINCT FROM e2.value
+      |WHERE e1.event_id < 300
+      |ORDER BY event_id NULLS FIRST, j NULLS FIRST, field_b NULLS FIRST""".stripMargin),
+    "struct,json,nullsafe_eq")
+
   // ---------------------------------------------------------------
   // Aggregation (Q-A*)
   // ---------------------------------------------------------------
@@ -2240,7 +2265,7 @@ object QueryInventory {
 
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
-    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14,
+    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7,
