@@ -84,10 +84,16 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Full-precision, full-name map → bench_full.json (plus stderr).
-    // The PRINTED line uses shortened keys + 3-decimal values: the
-    // driver parses it from a 2000-char stdout tail, and the full
-    // 91-query map with nanoTime precision (~3.5k chars) overflows
-    // that window — rounds 1-2 recorded parsed:null because of it.
+    // The PRINTED stdout line must fit, in its entirety, inside the
+    // driver's 2000-char stdout tail together with sbt's trailing
+    // "[success] Total time ..." line (~106 chars): round 4 recorded
+    // parsed:null because the per-query map (137 entries even with
+    // shortened keys) pushed the line's opening brace out of the
+    // window. So the printed line carries the headline set per-query
+    // plus an eng summary (total + slowest 8 + rest), ~1.6k chars
+    // with headroom; bench_full.json (written every run, committed by
+    // the driver) has the full-name full-precision map from the SAME
+    // run for per-query analysis.
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
@@ -107,7 +113,10 @@ object Bench {
         if (prefixCount(p) == 1) p
         else n.split('_').take(2).mkString("_")
       }
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale-pinned formatting: the f-interpolator uses the default
+    // locale, which in a comma-decimal locale would print invalid JSON.
+    def r2(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // collision guard: a future name pair sharing its first two
     // tokens would emit duplicate JSON keys and silently drop one
     // result at parse time — fall back to full names in that case
@@ -115,11 +124,18 @@ object Bench {
     val useShort = shortNames.distinct.size == results.size
     if (!useShort)
       System.err.println("[bench] short-name collision — printing full names")
-    val qs = results.map { case (k, v) =>
-      "\"" + (if (useShort) short(k) else k) + "\":" + r3(v) }
+    def key(n: String): String = if (useShort) short(n) else n
+    val headRows = results.filter(r => headlineNames(r._1))
+    val engRows = results.filter(r => !headlineNames(r._1))
+    val qs = headRows.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val engSorted = engRows.filter(_._2 >= 0).sortBy(-_._2)
+    val engTop = engSorted.take(8)
+    val engRest = engSorted.drop(8).map(_._2).sum
+    val es = engTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"headline_total","value":$headline%.3f,"unit":"sec","queries":$qs,"engine_ops_sec":$engine%.3f,"failed":$failedJson,"keys":"shortened, full map in bench_full.json","sf":"$sfDir"}""")
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJson,"keys":"shortened; full per-query map in bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

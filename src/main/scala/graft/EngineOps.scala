@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Attention, Cascade, MinHashDedup, Multimodal, SimilaritySearch}
+import graft.operators.{Attention, Cascade, LmScore, MinHashDedup, Multimodal, SimilaritySearch}
 import graft.streaming.{StatefulOps, Telemetry}
 
 /** Engine-side-only operators (SURVEY §2.9 tail): approximate,
@@ -167,13 +167,22 @@ object EngineOps {
     * index-build artifact cached per (session, dir) like the probe —
     * at scale the codebook is trained once and reused across every
     * query, so the bench measures the QUERY path, not index builds. */
-  private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Array[Double]]]()
+  // keyed by the live session object in a WeakHashMap, not an
+  // identity hash: identity hashes can be reused after a session is
+  // collected, which would hand a new session a codebook computed
+  // under different configs; the weak key also lets dead sessions'
+  // codebooks be collected instead of accumulating forever
+  private val codebookCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]]())
   private def refinedCodebook(spark: SparkSession, dir: String,
                               corpus: DataFrame): Array[Array[Double]] =
-    codebookCache.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
-      SimilaritySearch.lloydStep(corpus, "vec_id", "embedding",
-        SimilaritySearch.sampledCodebook(corpus, "vec_id", "embedding", 16)))
+    codebookCache
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]())
+      .computeIfAbsent(dir, _ =>
+        SimilaritySearch.lloydStep(corpus, "vec_id", "embedding",
+          SimilaritySearch.sampledCodebook(corpus, "vec_id", "embedding", 16)))
 
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -249,8 +258,14 @@ object EngineOps {
     // (cluster-scale runs keep the session default)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // tolerance '4 hours', not the op's 1-minute default: the synthetic
+    // events are sparse (~13 clicks/user/month), so 1 minute matches
+    // ZERO pairs at every SF and the bench would time an empty join —
+    // 4 hours yields 11/153/1466 pairs at sf0.001/0.01/0.1
+    // (rows>0 asserted in StatefulOpsSpec)
     try {
-      StatefulOps.streamStreamFuse(channel("click"), channel("view"))
+      StatefulOps.streamStreamFuse(channel("click"), channel("view"),
+          tolerance = "4 hours")
         .writeStream.format("memory").queryName(qName)
         .outputMode("append").trigger(Trigger.AvailableNow())
         .start()
@@ -637,7 +652,27 @@ object EngineOps {
       Cascade.earlyExit(emb, "embedding", layers, threshold = 0.6), layers.size)
   }
 
+  /** Trigram-LM quality gate over the documents corpus (CCNet-style
+    * perplexity filter). Threshold −7.2 sits inside the observed
+    * in-language score band so the report exercises both sides of the
+    * gate. The trained model is an index-build artifact cached per
+    * (session, dir) like the IVF codebook — at scale the LM is
+    * trained once and reused across every scoring run, so the bench
+    * measures the SCORING path (one compiled shuffle-free projection
+    * + the per-lang report aggregate). */
+  private val lmModelCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
+      String, Map[String, graft.expressions.TrigramModel]]]())
+  private def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val models = lmModelCache
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(dir, _ => LmScore.collectModel(LmScore.trigramModel(docs)))
+    LmScore.scoredReport(LmScore.scoreDocsCompiled(docs, models), lit(-7.2))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eng_lm_score" -> lmScore,
     "eng_attention_causal" -> attention,
     "eng_transformer_block" -> transformerBlock,
     "eng_llama_block" -> llamaBlock,

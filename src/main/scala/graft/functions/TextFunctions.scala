@@ -52,21 +52,20 @@ object TextFunctions {
     "es" -> Seq("el", "los", "las", "es", "en", "por", "para", "una"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "人"))
 
-  /** Per-language marker-hit counts over ONE shared token array —
-    * the lowered tokenization subtree is identical (and
-    * deterministic) across languages, so whole-stage codegen's
-    * subexpression elimination evaluates it once per row. */
-  def langScores(text: Column): Column = {
-    val toks = tokens(lower(text))
-    map_from_arrays(
-      array(markers.keys.toSeq.sorted.map(lit): _*),
-      array(markers.keys.toSeq.sorted.map { lang =>
-        size(filter(toks, t => t.isin(markers(lang).map(_.asInstanceOf[Any]): _*)))
-      }: _*))
-  }
+  /** Best-scoring language code, or 'und' when no marker hits.
+    * Compiled kernel (LangIdExpr: one map probe per token, inside
+    * whole-stage codegen); `langIdHof` below is the interpreted HOF
+    * parity reference. */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.LangIdExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(text), markers))
 
-  /** Best-scoring language code, or 'und' when no marker hits. */
-  def langId(text: Column): Column = {
+  /** Reference HOF spelling of langId (parity spec): per-language
+    * `size(filter(toks, isin(markers)))`, argmax via struct
+    * array_max. Interpreted lambda per token per language — kept only
+    * to pin the kernel's semantics. */
+  def langIdHof(text: Column): Column = {
     val toks = tokens(lower(text))
     val scored = markers.keys.toSeq.sorted.map { lang =>
       struct(
@@ -75,7 +74,11 @@ object TextFunctions {
         lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+    // null text propagates to null (standard expression nullability,
+    // matching the kernel); without the guard the null-score structs
+    // would fall through to the 'und' branch
+    when(text.isNotNull,
+      when(best.getField("score") > 0, best.getField("lang")).otherwise("und"))
   }
 
   /** Quality score in [0,1]: blend of length band, alpha ratio,

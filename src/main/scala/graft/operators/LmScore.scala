@@ -54,7 +54,12 @@ object LmScore {
 
   /** Mean trigram log-prob per document under the doc's own language
     * model (higher = more in-language). OOV trigrams score the
-    * model's smoothing floor. Output: (idCols..., lang, lm_score). */
+    * model's smoothing floor. Output: (idCols..., lang, lm_score).
+    *
+    * This is the RELATIONAL spelling — explode + broadcast join + a
+    * corpus-sized re-aggregation by doc id — kept as the parity
+    * reference for the kernel below (LmScoreSpec asserts equality).
+    * Production scoring is `scoreDocsCompiled`. */
   def scoreDocs(docs: DataFrame, model: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val floors = model.groupBy(col("lang")).agg(min(col("floor")).as("lang_floor"))
     triGrams(docs.select(col(idCol), col("lang"), col("text")), "text")
@@ -65,15 +70,45 @@ object LmScore {
       .agg(avg(coalesce(col("logp"), col("lang_floor"))).as("lm_score"))
   }
 
+  /** Collect a (vocab-bounded) model frame into the per-language
+    * lookup tables the compiled scorer carries. An index-build step:
+    * langs × vocabPerLang rows — KB–MB at any corpus scale. */
+  def collectModel(model: DataFrame): Map[String, graft.expressions.TrigramModel] =
+    model.select(col("lang"), col("tri"), col("logp"), col("floor"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        val m = new java.util.HashMap[String, java.lang.Double](rows.length * 2)
+        rows.foreach(r => m.put(r.getString(1), Double.box(r.getDouble(2))))
+        lang -> graft.expressions.TrigramModel(m, rows.head.getDouble(3))
+      }
+
+  /** Kernel scoring pass: one compiled projection over the corpus —
+    * no explode, no scoring shuffle (graft.expressions.LmScoreExpr).
+    * Same output contract as `scoreDocs`; docs shorter than 3 chars
+    * or with no model for their language are dropped (null score). */
+  def scoreDocsCompiled(docs: DataFrame,
+                        models: Map[String, graft.expressions.TrigramModel],
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expr => toExpr}
+    docs.select(col(idCol), col("lang"),
+        column(graft.expressions.LmScoreExpr(
+          toExpr(col("lang")), toExpr(col("text")), models)).as("lm_score"))
+      .where(col("lm_score").isNotNull)
+  }
+
   /** The filter report a pipeline run reads: per-lang doc count, mean
     * score, and how many docs fall below `keepThreshold` (the drop
     * set of the quality gate). */
-  def filterReport(docs: DataFrame, keepThreshold: Column): DataFrame = {
-    val scored = scoreDocs(docs, trigramModel(docs))
+  def filterReport(docs: DataFrame, keepThreshold: Column): DataFrame =
+    scoredReport(scoreDocsCompiled(docs, collectModel(trigramModel(docs))), keepThreshold)
+
+  /** Report half of `filterReport`, for callers holding a pre-trained
+    * (cached) model. */
+  def scoredReport(scored: DataFrame, keepThreshold: Column): DataFrame =
     scored.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("lm_score")), 4).as("mean_score"),
         count(when(col("lm_score") < keepThreshold, 1)).as("n_below"))
       .orderBy(col("lang"))
-  }
 }

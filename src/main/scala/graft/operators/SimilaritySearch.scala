@@ -114,11 +114,17 @@ object SimilaritySearch {
       .agg(graft.functions.VecAggregates.vecSumAgg(col("v")).as("s"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    // Round to 9 dp: vec_sum_agg adds doubles in partition order, so
+    // raw centroids differ ~1e-12 across runs/shuffle widths — enough
+    // to flip a knife-edge top-k tie. Rounding pins the codebook to
+    // one cross-run value (the fp-determinism discipline the oracle
+    // queries follow).
     centroids.zipWithIndex.map { case (old, i) =>
       sums.get(i) match {
         case Some(s) =>
           val norm = math.sqrt(s.map(x => x * x).sum)
-          if (norm == 0.0) old else s.map(_ / norm)
+          if (norm == 0.0) old
+          else s.map(x => math.rint(x / norm * 1e9) / 1e9)
         case None => old
       }
     }

@@ -321,4 +321,15 @@ class StatefulOpsSpec extends AnyFunSuite {
         (r.getAs[Double]("h0"), r.getAs[Double]("hNorm"))).toMap
     assert(streamed == batch)
   }
+
+  test("measured eng_stream_join is NON-EMPTY on the test tables") {
+    // guards the bench entry against the round-4 failure mode: a
+    // tolerance so tight no click/view pair matches, making a broken
+    // join indistinguishable from a working one (0 rows either way)
+    val rows = EngineOps.queries("eng_stream_join")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "stream-stream join produced 0 rows — " +
+      "join tolerance no longer matches the synthetic event density")
+    assert(rows.forall(_.getAs[Long]("n_pairs") > 0))
+  }
 }

@@ -76,6 +76,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(langs == Seq("en", "de", "und"))
   }
 
+  test("compiled lang_id kernel matches the HOF spelling on the corpus") {
+    // full-corpus parity, including the struct-array_max tie-break
+    // (later language code wins a score tie) and null propagation
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+      .union(Seq(Tuple1(null: String), Tuple1(""), Tuple1("   "),
+        // 'le la' (fr) vs 'el es' (es): equal-score tie → fr
+        // (lexicographically later code wins the struct array_max)
+        Tuple1("le la el es")).toDF("text"))
+    val mismatches = docs
+      .select(langId(col("text")).as("k"), langIdHof(col("text")).as("h"))
+      .where(not(col("k") <=> col("h")))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("quality score bounded in [0,1] and favors normal text") {
     val df = Seq(
       Tuple1("The project processes large datasets with distributed query engines " * 4),
