@@ -887,6 +887,21 @@ object QueryInventory {
       |         b.pts NULLS FIRST, b.pval NULLS FIRST""".stripMargin),
     "join,asof,tolerance,timeseries")
 
+  /** EXISTS / NOT EXISTS correlated subqueries — decorrelate to one
+    * left-semi plus one left-anti hash join on o_custkey (asserted in
+    * PlanHintsSpec): no per-row subquery execution, both sides
+    * shuffle-partition by the same key at any scale. */
+  val qj11 = shared("qj11_exists_subq",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderstatus = 'F' AND o_totalprice < 10000)
+      |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin,
+    "join,exists,semi,anti,subquery")
+
   // ---------------------------------------------------------------
   // Window functions (Q-W*)
   // ---------------------------------------------------------------
@@ -2251,6 +2266,38 @@ object QueryInventory {
       |         ks NULLS FIRST, n NULLS FIRST""".stripMargin),
     "map,element_at")
 
+  /** Argmax-family aggregates: max_by/min_by (DuckDB arg_max/arg_min)
+    * + any_value. Determinism: the ordering value o_orderkey is
+    * unique, and any_value is taken over an expression constant
+    * within its group — both engines must agree exactly. ONE
+    * aggregate with map-side partials (SortAggregate: max_by's
+    * ordering buffer is not hash-aggregable); no window, no
+    * self-join. */
+  val qx13 = Q("qx13_argmax_aggs",
+    """SELECT o_orderpriority,
+      |       CAST(max_by(o_custkey, o_orderkey) AS BIGINT) AS cust_last,
+      |       CAST(min_by(o_custkey, o_orderkey) AS BIGINT) AS cust_first,
+      |       round(max_by(o_totalprice, o_orderkey), 4) AS price_last,
+      |       any_value(upper(o_orderpriority)) AS pri_u,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST, cust_last NULLS FIRST,
+      |         cust_first NULLS FIRST, price_last NULLS FIRST,
+      |         pri_u NULLS FIRST, n NULLS FIRST""".stripMargin,
+    Some("""SELECT o_orderpriority,
+      |       CAST(arg_max(o_custkey, o_orderkey) AS BIGINT) AS cust_last,
+      |       CAST(arg_min(o_custkey, o_orderkey) AS BIGINT) AS cust_first,
+      |       round(arg_max(o_totalprice, o_orderkey), 4) AS price_last,
+      |       any_value(upper(o_orderpriority)) AS pri_u,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST, cust_last NULLS FIRST,
+      |         cust_first NULLS FIRST, price_last NULLS FIRST,
+      |         pri_u NULLS FIRST, n NULLS FIRST""".stripMargin),
+    "agg,argmax,max_by,any_value")
+
   /** Recursive CTE (Spark 4 WITH RECURSIVE): generate the month domain
     * recursively, then aggregate orders against it — recursion for the
     * dimension, one scan for the facts. */
@@ -2267,12 +2314,12 @@ object QueryInventory {
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16,
-    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10,
+    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7,
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13,
     qs1, qs2, qs3, qs4, qs5,
-    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12)
+    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13)
 }

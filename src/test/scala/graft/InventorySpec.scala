@@ -130,6 +130,31 @@ class InventorySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("engine-side results are invariant to shuffle partitioning (eng fp sweep)") {
+    // the eng_* entries have no DuckDB oracle, so partitioning-order
+    // nondeterminism (fp summation, unstable top-k ties) would
+    // otherwise go unnoticed — the ADVICE-r4 VecSumAgg/lloydStep class
+    // of bug. The two file-stream entries are excluded: their
+    // determinism is asserted by their own stream==batch + rows>0
+    // specs, and micro-batch replay under a different shuffle width is
+    // exercised there.
+    Tables.register(spark, dir)
+    val skip = Set("eng_streaming_replay", "eng_stream_join")
+    val names = EngineOps.queries.keys.toSeq.filterNot(skip).sorted
+    val fns = SparkEntry.queries
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Map[String, Seq[String]] =
+      names.map(n => n -> fns(n)(spark, dir).collect().map(_.toString).toSeq).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = runAll()
+      val diff = names.filter(n => a(n) != b(n))
+      assert(diff.isEmpty, s"partitioning-sensitive results in: $diff")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("no contract query plans a cartesian product (beyond declared tiny probes)") {
     Tables.register(spark, dir)
     // declared exceptions: qj6 is the 5×25 cross-join contract query

@@ -43,6 +43,22 @@ class PlanHintsSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(o_custkey"), p.take(600))
   }
 
+  test("qx13/qj11: EXISTS decorrelates to semi+anti joins, argmax is one aggregate") {
+    // EXISTS / NOT EXISTS must become hash joins on the correlation
+    // key, never per-row subquery execution
+    val pj = plan(QueryInventory.qj11.sparkSql)
+    assert(pj.contains("LeftSemi"), pj.take(800))
+    assert(pj.contains("LeftAnti"), pj.take(800))
+    assert(!pj.contains("CartesianProduct"), pj.take(800))
+    // max_by/min_by/any_value fold into ONE aggregate with a
+    // map-side partial stage (max_by's ordering buffer plans as
+    // SortAggregate), never a window over the whole table
+    val px = plan(QueryInventory.qx13.sparkSql)
+    assert(px.contains("Aggregate"), px.take(800))
+    assert(px.contains("partial_max_by"), px.take(800))
+    assert(!px.contains("Window"), px.take(800))
+  }
+
   test("REPARTITION hint controls the shuffle partition count") {
     val p = plan("SELECT /*+ REPARTITION(7) */ o_orderkey FROM orders")
     assert(p.contains("RoundRobinPartitioning(7)"), p.take(600))
