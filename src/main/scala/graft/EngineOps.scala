@@ -221,11 +221,19 @@ object EngineOps {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
     val qName = "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = StatefulOps.windowedCounts(stream)
-      .writeStream.format("memory").queryName(qName)
-      .outputMode("complete").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the windowed agg allocates one state store per shuffle
+    // partition; the replay is tiny, so fewer partitions = less state
+    // overhead (same sizing note as the stream-stream join below —
+    // cluster-scale runs keep the session default)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      StatefulOps.windowedCounts(stream)
+        .writeStream.format("memory").queryName(qName)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val out = spark.table(qName)
       .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
         col("cnt"), round(col("sum_v"), 4).as("sum_v"))
