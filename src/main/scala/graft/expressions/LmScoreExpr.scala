@@ -9,7 +9,12 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Per-language trigram log-prob table: top-vocab trigram → logp plus
   * the Laplace smoothing floor for out-of-vocabulary trigrams. */
 case class TrigramModel(logp: java.util.HashMap[String, java.lang.Double],
-                        floor: Double) extends Serializable
+                        floor: Double) extends Serializable {
+  /** Compact — the full table must NOT be inlined into plan strings
+    * (explain/PLANS.md would carry the whole vocab per language). */
+  override def toString: String =
+    f"TrigramModel(${logp.size()} grams, floor=$floor%.4f)"
+}
 
 /** Compiled trigram-LM document scorer — the kernel spelling of
   * LmScore.scoreDocs' scoring side. The relational spelling explodes
