@@ -63,4 +63,41 @@ class PlanHintsSpec extends AnyFunSuite {
     val p = plan("SELECT /*+ REPARTITION(7) */ o_orderkey FROM orders")
     assert(p.contains("RoundRobinPartitioning(7)"), p.take(600))
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the 100 TB hot-key story: one key owning most of a join side
+    // must not serialize into one straggler task — AQE's
+    // OptimizeSkewedJoin splits the oversized partition. Skew is
+    // synthesized (one key with 50k rows vs 127 keys with ~40), the
+    // split thresholds are lowered to match the test's data volume,
+    // and broadcast is disabled so a real shuffle join plans.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 55000)
+        .select((when($"id" < 50000, 7L).otherwise($"id" % 128)).as("k"),
+          concat(lit("padpadpadpadpadpadpadpadpadpad-"), $"id").as("payload"))
+      val right = spark.range(0, 128).select($"id".as("k"), ($"id" * 2).as("v"))
+      // aggregate OVER the payload so column pruning can't strip the
+      // padding that makes the hot partition's bytes skewed; the
+      // aggregate is GLOBAL (partition-local partials, no required
+      // distribution) — a groupBy on the join key would veto the
+      // split, since splitting breaks the join's output partitioning
+      // and AQE won't add a shuffle to compensate by default
+      val joined = left.join(right, "k")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length($"payload")).as("bytes"))
+      joined.collect() // AQE finalizes the plan only on execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(1200))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
