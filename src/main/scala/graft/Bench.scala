@@ -82,6 +82,12 @@ object Bench {
     val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val engine = results.filter(r => !headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cap the PRINTED failure list so a mass failure can't push the
+    // line back out of the driver's tail window (bench_full.json
+    // keeps the uncapped list)
+    val failedJsonShort = (failed.take(10).map("\"" + _ + "\"") ++
+      (if (failed.size > 10) Seq("\"+" + (failed.size - 10) + " more\"") else Nil))
+      .mkString("[", ",", "]")
 
     // Full-precision, full-name map → bench_full.json (plus stderr).
     // The PRINTED stdout line must fit, in its entirety, inside the
@@ -135,7 +141,7 @@ object Bench {
     val es = engTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJson,"keys":"shortened; full per-query map in bench_full.json","sf":"$sfDir"}""")
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"shortened; full per-query map in bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
