@@ -660,6 +660,37 @@ object EngineOps {
       Cascade.earlyExit(emb, "embedding", layers, threshold = 0.6), layers.size)
   }
 
+  /** Full-model MLP inference as ONE distributed query — the
+    * reference's end-to-end use case (its codegen emits complete
+    * firmware and a Python digital twin running the whole net,
+    * /root/reference/mlir_compiler/codegen_cim.py:555-688): embedding
+    * → FC(64→16)+bias+ReLU → FC(16→4)+bias → stable softmax → argmax
+    * + confidence (ref op #18), reported per predicted class. Weights
+    * are deterministic literals shipped in the plan (the ≤512 KB
+    * artifact discipline); every layer is a projection over the SAME
+    * row — zero shuffles until the 4-row report aggregate, so at
+    * 100 TB inference throughput scales with scan bandwidth.
+    * Differential-tested against a plain-Scala forward pass
+    * (MlpForwardSpec). */
+  private def mlpForward(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val x = emb.select(col("vec_id"),
+      VectorFunctions.vecToDouble(col("embedding")).as("x"))
+    val h = operators.MatMul.fcLayer(x, "x", MlpWeights.w1, MlpWeights.b1, relu = true)
+      .select(col("vec_id"), col("fc_out").as("h"))
+    val z = operators.MatMul.fcLayer(h, "h", MlpWeights.w2, MlpWeights.b2, relu = false)
+      .select(col("vec_id"), col("fc_out").as("z"))
+    val p = z.select(col("vec_id"), VectorFunctions.vecSoftmax(col("z")).as("p"))
+    p.select(col("vec_id"),
+        expr("array_position(p, array_max(p))").cast("int").as("cls"),
+        expr("array_max(p)").as("conf"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("conf")), 4).as("avg_conf"),
+        round(min(col("conf")), 4).as("min_conf"))
+      .orderBy(col("cls"))
+  }
+
   /** Trigram-LM quality gate over the documents corpus (CCNet-style
     * perplexity filter). Threshold −7.2 sits inside the observed
     * in-language score band so the report exercises both sides of the
@@ -680,6 +711,7 @@ object EngineOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eng_mlp_forward" -> mlpForward,
     "eng_lm_score" -> lmScore,
     "eng_attention_causal" -> attention,
     "eng_transformer_block" -> transformerBlock,
@@ -716,4 +748,17 @@ object EngineOps {
     "eng_salted_agg" -> saltedAgg,
     "eng_cms_bloom_sketch" -> sketches,
     "eng_quantize_int8" -> quantizeLib)
+}
+
+/** Deterministic literal weights for the eng_mlp_forward demo net
+  * (64→16 ReLU → 16→4 softmax) — shared by the query and its
+  * plain-Scala differential spec. Small rationals keep every engine
+  * bit-exact. */
+object MlpWeights {
+  val w1: Array[Array[Double]] =
+    Array.tabulate(16, 64)((o, i) => ((i * 7 + o * 13) % 11 - 5) / 16.0)
+  val b1: Array[Double] = Array.tabulate(16)(o => (o % 5 - 2) / 10.0)
+  val w2: Array[Array[Double]] =
+    Array.tabulate(4, 16)((o, i) => ((i * 5 + o * 9 + 3) % 13 - 6) / 8.0)
+  val b2: Array[Double] = Array.tabulate(4)(o => (o - 1.5) / 20.0)
 }
