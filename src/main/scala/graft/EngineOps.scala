@@ -691,6 +691,70 @@ object EngineOps {
       .orderBy(col("cls"))
   }
 
+  /** INT8-quantized MLP inference vs the float path, in ONE query —
+    * the reference's actual deployment mode (its codegen exports int8
+    * weights and the CIM array accumulates integers,
+    * /root/reference/mlir_compiler/codegen_cim.py:453-468,
+    * /root/reference/tools/quantizer.py:24-38): per-output-channel
+    * symmetric int8 weights (driver-side literals), per-row symmetric
+    * int8 activations, integer accumulation (exact in doubles —
+    * |acc| ≤ 127·127·64 ≪ 2^53), dequant by s_x·s_w, same
+    * bias/ReLU/softmax tail. The report is the quantization
+    * consistency check a deployment run reads: class-agreement ratio
+    * against the float path and the worst/mean logit perturbation.
+    * Same shuffle shape as eng_mlp_forward: projections only, then a
+    * 1-row report. */
+  private def mlpForwardInt8(spark: SparkSession, dir: String): DataFrame = {
+    import VectorFunctions.{vecDot, vecToDouble}
+    def chanQuant(w: Array[Array[Double]]): (Array[Array[Double]], Array[Double]) = {
+      val scales = w.map(row => math.max(row.map(math.abs).max, 1e-12) / 127.0)
+      (w.zip(scales).map { case (row, s) => row.map(x => math.rint(x / s)) }, scales)
+    }
+    val (w1q, s1) = chanQuant(MlpWeights.w1)
+    val (w2q, s2) = chanQuant(MlpWeights.w2)
+
+    val emb = t(spark, dir, "embeddings")
+    val x = emb.select(col("vec_id"), vecToDouble(col("embedding")).as("x"))
+    // float reference path
+    val hF = operators.MatMul.fcLayer(x, "x", MlpWeights.w1, MlpWeights.b1, relu = true)
+      .select(col("vec_id"), col("x"), col("fc_out").as("hf"))
+    val zF = operators.MatMul.fcLayer(hF, "hf", MlpWeights.w2, MlpWeights.b2, relu = false)
+      .select(col("vec_id"), col("x"), col("fc_out").as("zf"))
+    // int8 path: quantize activations per row, integer-accumulate per
+    // channel, dequant + bias (+ReLU), twice
+    def qLayer(df: DataFrame, inCol: String, outName: String,
+               wq: Array[Array[Double]], sw: Array[Double], bias: Array[Double],
+               relu: Boolean): DataFrame = {
+      // bind scale + quantized activations as REAL columns so the
+      // nCHANNEL dot products share one evaluation instead of each
+      // re-quantizing the input array
+      val sxCol = outName + "_sx"
+      val xqCol = outName + "_xq"
+      val sx = greatest(VectorFunctions.vecAbsMax(col(inCol)), lit(1e-12)) / lit(127.0)
+      val bound = df.withColumn(sxCol, sx)
+        .withColumn(xqCol, transform(col(inCol), v =>
+          greatest(lit(-127.0), least(lit(127.0), round(v / col(sxCol))))))
+      val outs = wq.indices.map { o =>
+        val acc = vecDot(col(xqCol), array(wq(o).map(lit): _*))
+        val pre = acc * col(sxCol) * lit(sw(o)) + lit(bias(o))
+        if (relu) greatest(pre, lit(0.0)) else pre
+      }
+      bound.withColumn(outName, array(outs: _*)).drop(sxCol, xqCol)
+    }
+    val hQ = qLayer(zF, "x", "hq", w1q, s1, MlpWeights.b1, relu = true)
+    val zQ = qLayer(hQ, "hq", "zq", w2q, s2, MlpWeights.b2, relu = false)
+
+    val per = zQ.select(
+      expr("array_position(zf, array_max(zf))").as("cls_f"),
+      expr("array_position(zq, array_max(zq))").as("cls_q"),
+      expr("array_max(zip_with(zf, zq, (a, b) -> abs(a - b)))").as("dlogit"))
+    per.agg(
+        count(lit(1)).as("n"),
+        round(avg(when(col("cls_f") === col("cls_q"), 1.0).otherwise(0.0)), 4).as("class_agree"),
+        round(max(col("dlogit")), 4).as("max_dlogit"),
+        round(avg(col("dlogit")), 4).as("mean_dlogit"))
+  }
+
   /** Trigram-LM quality gate over the documents corpus (CCNet-style
     * perplexity filter). Threshold −7.2 sits inside the observed
     * in-language score band so the report exercises both sides of the
@@ -712,6 +776,7 @@ object EngineOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eng_mlp_forward" -> mlpForward,
+    "eng_mlp_forward_int8" -> mlpForwardInt8,
     "eng_lm_score" -> lmScore,
     "eng_attention_causal" -> attention,
     "eng_transformer_block" -> transformerBlock,

@@ -62,6 +62,65 @@ class MlpForwardSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent int8 forward pass (per-channel weight quant, per-row
+    * activation quant, integer accumulate, dequant) — mirrors
+    * eng_mlp_forward_int8's math exactly. */
+  private def forwardInt8(x: Array[Double]): Array[Double] = {
+    def chanQuant(w: Array[Array[Double]]) = {
+      val s = w.map(r => math.max(r.map(math.abs).max, 1e-12) / 127.0)
+      (w.zip(s).map { case (r, si) => r.map(v => math.rint(v / si)) }, s)
+    }
+    def layer(v: Array[Double], w: Array[Array[Double]], b: Array[Double],
+              relu: Boolean): Array[Double] = {
+      val (wq, sw) = chanQuant(w)
+      val sx = math.max(v.map(math.abs).max, 1e-12) / 127.0
+      val xq = v.map(e => math.max(-127.0, math.min(127.0, math.rint(e / sx))))
+      wq.indices.map { o =>
+        var acc = 0.0
+        var i = 0
+        while (i < xq.length) { acc += xq(i) * wq(o)(i); i += 1 }
+        val pre = acc * sx * sw(o) + b(o)
+        if (relu) math.max(pre, 0.0) else pre
+      }.toArray
+    }
+    layer(layer(x, MlpWeights.w1, MlpWeights.b1, relu = true),
+      MlpWeights.w2, MlpWeights.b2, relu = false)
+  }
+
+  test("int8 consistency report matches a plain-Scala quantized pass") {
+    val rows = Tables.table(spark, dir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // expected report from the independent implementation
+    def fwdFloat(x: Array[Double]): Array[Double] = {
+      def fc(v: Array[Double], w: Array[Array[Double]], b: Array[Double], relu: Boolean) =
+        w.indices.map { o =>
+          val s = v.indices.map(i => v(i) * w(o)(i)).sum + b(o)
+          if (relu) math.max(s, 0.0) else s
+        }.toArray
+      fc(fc(x, MlpWeights.w1, MlpWeights.b1, relu = true),
+        MlpWeights.w2, MlpWeights.b2, relu = false)
+    }
+    val per = rows.map { x =>
+      val zf = fwdFloat(x)
+      val zq = forwardInt8(x)
+      val agree = zf.indexOf(zf.max) == zq.indexOf(zq.max)
+      val d = zf.zip(zq).map { case (a, b) => math.abs(a - b) }.max
+      (agree, d)
+    }
+    val expAgree = math.rint(per.count(_._1).toDouble / per.length * 1e4) / 1e4
+    val expMax = math.rint(per.map(_._2).max * 1e4) / 1e4
+
+    val r = EngineOps.queries("eng_mlp_forward_int8")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") == rows.length)
+    assert(r.getAs[Double]("class_agree") == expAgree,
+      s"agree ${r.getAs[Double]("class_agree")} != $expAgree")
+    assert(r.getAs[Double]("max_dlogit") == expMax,
+      s"max_dlogit ${r.getAs[Double]("max_dlogit")} != $expMax")
+    // the int8 path must be USEFULLY consistent, not just self-consistent
+    assert(r.getAs[Double]("class_agree") >= 0.95)
+  }
+
   test("eng_mlp_forward report covers every predicted class with sane confidences") {
     val rows = EngineOps.queries("eng_mlp_forward")(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 4)
