@@ -64,6 +64,35 @@ class PlanHintsSpec extends AnyFunSuite {
     assert(p.contains("RoundRobinPartitioning(7)"), p.take(600))
   }
 
+  test("selective fact-fact join injects a runtime Bloom filter on the probe side") {
+    // the other half of the 100 TB join story: when one side carries a
+    // selective predicate, the optimizer must build a Bloom filter
+    // from it and semi-filter the probe side's scan — at scale this
+    // skips most of the big side before the shuffle. Thresholds are
+    // adjusted for test-sized data (creation side must be allowed at
+    // any size, probe side has no minimum scan size); broadcast is
+    // disabled so the shuffle-join path plans.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      Tables.register(spark, dir)
+      val p = spark.sql(
+        """SELECT l_orderkey, o_totalprice FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 400000""".stripMargin)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg"), p.take(900))
+      assert(p.contains("might_contain"), p.take(900))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // the 100 TB hot-key story: one key owning most of a join side
     // must not serialize into one straggler task — AQE's
