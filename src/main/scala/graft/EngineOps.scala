@@ -755,6 +755,23 @@ object EngineOps {
         round(avg(col("dlogit")), 4).as("mean_dlogit"))
   }
 
+  /** Unbounded distributed skyline over lineitem (3 minimized dims) —
+    * the scale spelling of qx14's bounded NOT-EXISTS oracle: phase-1
+    * local skylines kill ~all rows in parallel, phase-2 resolves the
+    * small candidate union in one task (operators.Skyline). */
+  private def skylineFull(spark: SparkSession, dir: String): DataFrame =
+    operators.Skyline.skyline(
+        t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_tax"), col("l_quantity")),
+        Seq("l_extendedprice", "l_tax", "l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("price"),
+        round(col("l_tax"), 4).as("tax"),
+        round(col("l_quantity"), 4).as("qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"),
+        col("tax"), col("qty"))
+
   /** BM25 lexical top-k over the documents corpus for a fixed literal
     * query — the sparse retrieval path beside the dense ANN entries.
     * Corpus stats (per-term document frequency + avg doc length) are
@@ -797,6 +814,7 @@ object EngineOps {
     "eng_mlp_forward" -> mlpForward,
     "eng_mlp_forward_int8" -> mlpForwardInt8,
     "eng_bm25_topk" -> bm25TopK,
+    "eng_skyline" -> skylineFull,
     "eng_lm_score" -> lmScore,
     "eng_attention_causal" -> attention,
     "eng_transformer_block" -> transformerBlock,

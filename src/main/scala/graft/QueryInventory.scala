@@ -2298,6 +2298,54 @@ object QueryInventory {
       |         pri_u NULLS FIRST, n NULLS FIRST""".stripMargin),
     "agg,argmax,max_by,any_value")
 
+  /** Skyline (Pareto-optimal set, EDBT'23 "Skyline Queries into Spark
+    * SQL" per PAPERS.md): parts no other part beats on BOTH size and
+    * price. The declared SQL is the naive NOT-EXISTS dominance
+    * anti-join — quadratic, hence the bounded p_partkey<400 subset for
+    * the oracle; the SHIPPED implementation (impl override, asserted
+    * equal in InventorySpec) is the two-phase distributed operator
+    * (operators.Skyline): per-partition local skyline, then one small
+    * global pass — the 100 TB spelling, also measured unbounded as
+    * eng_skyline. */
+  val qx14 = Q("qx14_skyline",
+    """WITH s AS (SELECT p_partkey, p_size, p_retailprice
+      |           FROM part
+      |           WHERE p_partkey < 400
+      |             AND p_size IS NOT NULL AND p_retailprice IS NOT NULL)
+      |SELECT p_partkey, p_size, round(p_retailprice, 4) AS price
+      |FROM s a
+      |WHERE NOT EXISTS (SELECT 1 FROM s b
+      |                  WHERE b.p_size <= a.p_size
+      |                    AND b.p_retailprice <= a.p_retailprice
+      |                    AND (b.p_size < a.p_size
+      |                         OR b.p_retailprice < a.p_retailprice))
+      |ORDER BY p_partkey NULLS FIRST, p_size NULLS FIRST, price NULLS FIRST""".stripMargin,
+    Some("""WITH s AS (SELECT p_partkey, p_size, p_retailprice
+      |           FROM part
+      |           WHERE p_partkey < 400
+      |             AND p_size IS NOT NULL AND p_retailprice IS NOT NULL)
+      |SELECT p_partkey, p_size, round(p_retailprice, 4) AS price
+      |FROM s a
+      |WHERE NOT EXISTS (SELECT 1 FROM s b
+      |                  WHERE b.p_size <= a.p_size
+      |                    AND b.p_retailprice <= a.p_retailprice
+      |                    AND (b.p_size < a.p_size
+      |                         OR b.p_retailprice < a.p_retailprice))
+      |ORDER BY p_partkey NULLS FIRST, p_size NULLS FIRST, price NULLS FIRST""".stripMargin),
+    "skyline,pareto,dominance",
+    impl = Some { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(spark, dir)
+      val s = spark.table("part")
+        .where(col("p_partkey") < 400)
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      graft.operators.Skyline.skyline(s, Seq("p_size", "p_retailprice"))
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice"), 4).as("price"))
+        .orderBy(col("p_partkey").asc_nulls_first,
+          col("p_size").asc_nulls_first, col("price").asc_nulls_first)
+    })
+
   /** Recursive CTE (Spark 4 WITH RECURSIVE): generate the month domain
     * recursively, then aggregate orders against it — recursion for the
     * dimension, one scan for the facts. */
@@ -2321,5 +2369,5 @@ object QueryInventory {
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13,
     qs1, qs2, qs3, qs4, qs5,
-    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13)
+    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14)
 }

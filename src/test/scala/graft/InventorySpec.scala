@@ -155,6 +155,18 @@ class InventorySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("every impl override returns exactly its SQL spelling's rows") {
+    // the contract: `impl` is a faster SPELLING of sparkSql, never a
+    // semantic fork — compare collected rows for every overridden query
+    Tables.register(spark, dir)
+    val offenders = QueryInventory.all.filter(_.impl.isDefined).flatMap { q =>
+      val viaImpl = q.impl.get(spark, dir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
+      if (viaImpl == viaSql) None else Some(q.name)
+    }
+    assert(offenders.isEmpty, s"impl != sparkSql for: $offenders")
+  }
+
   test("no contract query plans a cartesian product (beyond declared tiny probes)") {
     Tables.register(spark, dir)
     // declared exceptions: qj6 is the 5×25 cross-join contract query
