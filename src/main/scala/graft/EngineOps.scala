@@ -772,6 +772,23 @@ object EngineOps {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"),
         col("tax"), col("qty"))
 
+  /** Trajectory top-k: the 10 users whose event-value trajectories
+    * are DTW-nearest to user 1's (operators.Trajectory; probe cached
+    * per (session, dir) like the ANN probe vector). */
+  private val trajCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]]())
+  private def trajectoryTopK(spark: SparkSession, dir: String): DataFrame = {
+    val traj = operators.Trajectory.build(
+      t(spark, dir, "events"), "user_id", "ts", "value")
+    val probe = trajCache
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(dir, _ =>
+        traj.filter(col("key") === 1L).select(col("traj")).head().getSeq[Double](0))
+    operators.Trajectory.topKSimilar(traj, probeKey = 1L, k = 10, Some(probe))
+      .withColumnRenamed("key", "user_id")
+  }
+
   /** BM25 lexical top-k over the documents corpus for a fixed literal
     * query — the sparse retrieval path beside the dense ANN entries.
     * Corpus stats (per-term document frequency + avg doc length) are
@@ -815,6 +832,7 @@ object EngineOps {
     "eng_mlp_forward_int8" -> mlpForwardInt8,
     "eng_bm25_topk" -> bm25TopK,
     "eng_skyline" -> skylineFull,
+    "eng_trajectory_topk" -> trajectoryTopK,
     "eng_lm_score" -> lmScore,
     "eng_attention_causal" -> attention,
     "eng_transformer_block" -> transformerBlock,
