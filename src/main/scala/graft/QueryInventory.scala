@@ -1943,6 +1943,50 @@ object QueryInventory {
         .limit(15)
     })
 
+  /** Lexicon sentiment scoring per source (the retrieved EDBT'16
+    * "Large Scale Sentiment Analysis with Spark" analog, PAPERS.md):
+    * signed-lexicon hit balance normalized by document length. The
+    * declared Spark SQL is the HOF spelling; the SHIPPED impl
+    * (impl==SQL asserted) scores with the compiled term_counts kernel
+    * — one map probe per token, shuffle-free until the per-source
+    * report, the same promotion LangIdExpr made. */
+  val ql14 = Q("ql14_sentiment",
+    """SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(avg((size(filter(split(lower(text), '\\s+'), t -> t IN ('fast','big'))) -
+      |                  size(filter(split(lower(text), '\\s+'), t -> t IN ('slow','small')))) /
+      |                 greatest(size(split(lower(text), '\\s+')), 1)), 4) AS avg_sentiment
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source NULLS FIRST, n_docs NULLS FIRST, avg_sentiment NULLS FIRST""".stripMargin,
+    Some("""SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(avg((len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('fast','big'))) -
+      |                  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('slow','small')))) /
+      |                 greatest(len(string_split_regex(lower(text), '\s+')), 1)), 4) AS avg_sentiment
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source NULLS FIRST, n_docs NULLS FIRST, avg_sentiment NULLS FIRST""".stripMargin),
+    "sentiment,lexicon,text",
+    impl = Some { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(spark, dir)
+      val terms = Seq("fast", "big", "slow", "small") // +,+,-,-
+      val tc = org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.expressions.TermCountsExpr(
+          org.apache.spark.sql.graftshim.ColumnBridge.expr(col("text")), terms))
+      spark.table("documents")
+        .select(col("source"), tc.as("tc"))
+        .select(col("source"),
+          ((element_at(col("tc.counts"), 1) + element_at(col("tc.counts"), 2)
+            - element_at(col("tc.counts"), 3) - element_at(col("tc.counts"), 4))
+            / greatest(col("tc.n_tokens"), lit(1))).as("s"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("s")), 4).as("avg_sentiment"))
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("n_docs"),
+          asc_nulls_first("avg_sentiment"))
+    })
+
   val ql5 = shared("ql5_source_rollup",
     """SELECT source, lang,
       |       CAST(grouping(source) AS INT) AS g_source,
@@ -2367,7 +2411,7 @@ object QueryInventory {
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
-    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14,
     qs1, qs2, qs3, qs4, qs5,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14)
 }
