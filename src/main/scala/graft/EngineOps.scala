@@ -772,6 +772,25 @@ object EngineOps {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"),
         col("tax"), col("qty"))
 
+  /** Interactive top-k session (EDBT'20 analog): ONE corpus
+    * materialization at margin 100, then three refinements (k=10,
+    * k=50, k=25 above the 10th score) answered purely from the cached
+    * prefix — the measured number is build + refinements; the
+    * no-rescan property is plan-asserted in IncrementalTopKSpec. */
+  private def incrementalTopK(spark: SparkSession, dir: String): DataFrame = {
+    val s = operators.IncrementalTopK.session(
+      t(spark, dir, "part"), "p_partkey", col("p_retailprice"), margin = 100)
+    try {
+      val cut = s.topK(10).agg(min(col("score"))).head().getDouble(0)
+      s.topK(10).withColumn("refinement", lit("k10"))
+        .unionByName(s.topK(50).withColumn("refinement", lit("k50")))
+        .unionByName(s.topK(25, cut).withColumn("refinement", lit("k25cut")))
+        .select(col("refinement"), col("id"), round(col("score"), 4).as("score"))
+        .orderBy(col("refinement"), col("score").desc_nulls_last, col("id"))
+        .localCheckpoint(true)
+    } finally s.unpersist()
+  }
+
   /** Trajectory top-k: the 10 users whose event-value trajectories
     * are DTW-nearest to user 1's (operators.Trajectory; probe cached
     * per (session, dir) like the ANN probe vector). */
@@ -833,6 +852,7 @@ object EngineOps {
     "eng_bm25_topk" -> bm25TopK,
     "eng_skyline" -> skylineFull,
     "eng_trajectory_topk" -> trajectoryTopK,
+    "eng_incremental_topk" -> incrementalTopK,
     "eng_lm_score" -> lmScore,
     "eng_attention_causal" -> attention,
     "eng_transformer_block" -> transformerBlock,
