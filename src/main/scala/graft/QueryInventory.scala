@@ -2140,6 +2140,62 @@ object QueryInventory {
   // only OLAP; SURVEY §2.8 Spark-SQL-breadth mandate).
   // ---------------------------------------------------------------
 
+  /** Funnel analysis (signup → click → purchase by FIRST event times):
+    * the standard product-analytics conversion query. One aggregate
+    * pass builds per-user first-touch times (conditional min — no
+    * joins, no ordering shuffle), a second 4-number reduction counts
+    * each funnel stage. */
+  val qs6 = Q("qs6_funnel",
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup' THEN unix_micros(ts) END) AS t_signup,
+      |         min(CASE WHEN event_type = 'click' THEN unix_micros(ts) END) AS t_click,
+      |         min(CASE WHEN event_type = 'purchase' THEN unix_micros(ts) END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |       CAST(sum(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+      |       CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+      |FROM firsts""".stripMargin,
+    Some("""WITH firsts AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+      |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+      |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |       CAST(sum(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+      |       CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+      |FROM firsts""".stripMargin),
+    "funnel,conversion,events")
+
+  /** Cohort retention matrix: users bucketed by first-seen week,
+    * activity counted per week offset — the other standard
+    * product-analytics query. The global anchor is a 1-row broadcast
+    * scalar; everything else is two grouped aggregates on user_id
+    * (the natural event key). */
+  val qs7 = Q("qs7_retention",
+    """WITH g AS (SELECT min(unix_micros(ts)) AS gmin FROM events),
+      |f AS (SELECT user_id, min(unix_micros(ts)) AS t0 FROM events GROUP BY user_id),
+      |a AS (SELECT e.user_id,
+      |             CAST(floor((f.t0 - g.gmin) / 604800000000) AS INT) AS cohort,
+      |             CAST(floor((unix_micros(e.ts) - f.t0) / 604800000000) AS INT) AS wk
+      |      FROM events e CROSS JOIN g JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort, wk, CAST(count(DISTINCT user_id) AS BIGINT) AS active
+      |FROM a GROUP BY cohort, wk
+      |ORDER BY cohort NULLS FIRST, wk NULLS FIRST, active NULLS FIRST""".stripMargin,
+    Some("""WITH g AS (SELECT min(epoch_us(ts)) AS gmin FROM events),
+      |f AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events GROUP BY user_id),
+      |a AS (SELECT e.user_id,
+      |             CAST(floor((f.t0 - g.gmin) / 604800000000) AS INT) AS cohort,
+      |             CAST(floor((epoch_us(e.ts) - f.t0) / 604800000000) AS INT) AS wk
+      |      FROM events e CROSS JOIN g JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort, wk, CAST(count(DISTINCT user_id) AS BIGINT) AS active
+      |FROM a GROUP BY cohort, wk
+      |ORDER BY cohort NULLS FIRST, wk NULLS FIRST, active NULLS FIRST""".stripMargin),
+    "retention,cohort,events")
+
   /** PIVOT: returnflag × linestatus quantity matrix. Oracle spells it
     * as conditional aggregation — same cells, same NULL for absent
     * combinations. */
@@ -2412,6 +2468,6 @@ object QueryInventory {
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14,
-    qs1, qs2, qs3, qs4, qs5,
+    qs1, qs2, qs3, qs4, qs5, qs6, qs7,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14)
 }

@@ -182,7 +182,7 @@ class InventorySpec extends AnyFunSuite {
 
   test("every contract query obeys the determinism discipline (total ORDER BY)") {
     // single-row global aggregates are deterministic without a sort
-    val singleRow = Set("qj2_broadcast_join", "ql2_exact_dedup")
+    val singleRow = Set("qj2_broadcast_join", "ql2_exact_dedup", "qs6_funnel")
     // the FINAL clause must be an outer ORDER BY — an ORDER BY that
     // only appears inside OVER() or WITHIN GROUP doesn't order rows
     def hasOuterOrderBy(sql: String): Boolean = {
