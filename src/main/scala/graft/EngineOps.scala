@@ -159,12 +159,18 @@ object EngineOps {
     * (session, data dir) — a bounded, documented index-build step,
     * cached so repeated invocations (bench samples) don't pay an
     * extra Spark job each. */
-  private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Float]]()
+  // weak session key for the same reason as codebookCache below:
+  // identity hashes can be reused after a session is collected
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[Float]]]())
   private def probeVec(spark: SparkSession, dir: String): Array[Float] =
-    probeCache.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
-      t(spark, dir, "embeddings").filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray)
+    probeCache
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]())
+      .computeIfAbsent(dir, _ =>
+        t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray)
 
   /** Brute-force cosine top-k against the vec_id=0 probe. */
   private def annBrute(spark: SparkSession, dir: String): DataFrame = {
