@@ -140,8 +140,16 @@ object Bench {
     val engRest = engSorted.drop(8).map(_._2).sum
     val es = engTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"shortened; full per-query map in bench_full.json","sf":"$sfDir"}""")
+    val printedLine =
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"shortened; full per-query map in bench_full.json","sf":"$sfDir"}"""
+    // Last-resort guard: if inventory growth ever pushes the printed
+    // line past the tail-window budget (2000 minus sbt's ~106-char
+    // trailer, with margin), degrade to an aggregates-only line —
+    // a parseable headline number always beats a fuller line that
+    // the driver can't see the start of.
+    val minimalLine =
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":{"headline_total":${r2(headline)},"engine_ops":${r2(engine)}},"engine_ops_sec":${r2(engine)},"failed":$failedJsonShort,"keys":"per-query map in bench_full.json","sf":"$sfDir"}"""
+    println(if (printedLine.length <= 1800) printedLine else minimalLine)
     spark.stop()
   }
 }
