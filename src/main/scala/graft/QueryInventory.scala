@@ -667,6 +667,56 @@ object QueryInventory {
       |         med_disc NULLS FIRST""".stripMargin,
     "within_group,percentile,agg")
 
+  /** Z-score outlier detection per channel (profiler-stats analog,
+    * ref simulator/profiler.py:91-139: mean/std over per-layer
+    * activations; here over the events stream). Two grouped
+    * aggregates: the 5-row (mu, sd) frame broadcasts back onto the
+    * fact scan, so at 100 TB this is two linear passes and no
+    * fact-side shuffle beyond the map-side-combined stats. */
+  val qa17 = shared("qa17_outliers",
+    """WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      |            FROM events GROUP BY event_type),
+      |z AS (SELECT e.event_type, abs((e.value - st.mu) / st.sd) AS az
+      |      FROM events e JOIN st ON e.event_type = st.event_type)
+      |SELECT event_type,
+      |       CAST(count(*) FILTER (WHERE az > 3) AS BIGINT) AS n_outliers,
+      |       round(max(az), 4) AS max_z,
+      |       round(avg(az), 4) AS avg_z
+      |FROM z GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST, n_outliers NULLS FIRST, max_z NULLS FIRST,
+      |         avg_z NULLS FIRST""".stripMargin,
+    "outlier,zscore,agg")
+
+  /** Column profiling — the data-quality pass every ingest pipeline
+    * runs first (null fraction, distinct count, range per column).
+    * Spelled as UNION ALL of per-column aggregates: each branch is
+    * one map-side-combined pass, and Spark schedules the branches as
+    * independent stages over the same cached scan. At 100 TB the
+    * exact COUNT(DISTINCT) branches are the expensive spelling; the
+    * HLL variant (eng_approx_distinct) is the sketch path. */
+  val qa18 = shared("qa18_profile",
+    """SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+      |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+      |       round(min(CAST(o_orderkey AS DOUBLE)), 4) AS min_v,
+      |       round(max(CAST(o_orderkey AS DOUBLE)), 4) AS max_v
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+      |       CAST(count(*) - count(o_totalprice) AS BIGINT),
+      |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+      |       round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+      |       CAST(count(*) - count(o_custkey) AS BIGINT),
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT),
+      |       round(min(CAST(o_custkey AS DOUBLE)), 4), round(max(CAST(o_custkey AS DOUBLE)), 4)
+      |FROM orders
+      |ORDER BY col NULLS FIRST, n NULLS FIRST, n_null NULLS FIRST, n_distinct NULLS FIRST,
+      |         min_v NULLS FIRST, max_v NULLS FIRST""".stripMargin,
+    "profile,data_quality,agg")
+
   // ---------------------------------------------------------------
   // Joins (Q-J*)
   // ---------------------------------------------------------------
@@ -902,6 +952,31 @@ object QueryInventory {
       |ORDER BY c_custkey NULLS FIRST, c_name NULLS FIRST""".stripMargin,
     "join,exists,semi,anti,subquery")
 
+  /** Blocked fuzzy join (entity resolution): near-duplicate part
+    * names within a brand at edit distance ≤ 3. The brand is the
+    * BLOCKING key — the classic ER design: one hash shuffle on the
+    * block key, then a per-block pair scan bounded by block
+    * population, never an all-pairs cross product. At 100 TB the
+    * block key is chosen so max-block size is bounded (here ~80);
+    * skewed blocks would fall to the banding + AQE-skew machinery the
+    * dedup operators already use. `levenshtein` is identical in
+    * Spark and DuckDB, so the spelling is shared. */
+  val qj12 = shared("qj12_fuzzy_join",
+    """WITH pairs AS (
+      |  SELECT a.p_brand AS brand, a.p_partkey AS pa, b.p_partkey AS pb,
+      |         levenshtein(a.p_name, b.p_name) AS dist
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3)
+      |SELECT brand, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(min(dist) AS INT) AS min_dist,
+      |       round(avg(dist), 4) AS avg_dist,
+      |       CAST(sum(pa + pb) AS BIGINT) AS key_checksum
+      |FROM pairs GROUP BY brand
+      |ORDER BY brand NULLS FIRST, n_pairs NULLS FIRST, min_dist NULLS FIRST,
+      |         avg_dist NULLS FIRST, key_checksum NULLS FIRST""".stripMargin,
+    "join,fuzzy,levenshtein,blocking,er")
+
   // ---------------------------------------------------------------
   // Window functions (Q-W*)
   // ---------------------------------------------------------------
@@ -1000,6 +1075,25 @@ object QueryInventory {
       |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST, carry NULLS FIRST,
       |         n_near NULLS FIRST""".stripMargin),
     "window,ignore_nulls,gapfill")
+
+  /** Ratio-to-report: each nation's share of its region's revenue.
+    * The grouped rollup reduces 100 TB of facts to 25 rows BEFORE the
+    * share window runs, so the window sort is over the tiny
+    * aggregate, not the fact table — the scale-correct spelling of
+    * every "percent of parent" report. */
+  val qw8 = shared("qw8_share",
+    """WITH rev AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation, sum(o.o_totalprice) AS rev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY r.r_name, n.n_name)
+      |SELECT region, nation, round(rev, 4) AS rev,
+      |       round(rev / sum(rev) OVER (PARTITION BY region), 4) AS share
+      |FROM rev
+      |ORDER BY region NULLS FIRST, nation NULLS FIRST, rev NULLS FIRST,
+      |         share NULLS FIRST""".stripMargin,
+    "window,ratio_to_report,share")
 
   // ---------------------------------------------------------------
   // Sort / limit / top-k (Q-T*)
@@ -1999,6 +2093,54 @@ object QueryInventory {
       |         lang NULLS FIRST, n_docs NULLS FIRST, total_chars NULLS FIRST""".stripMargin,
     "rollup,text")
 
+  /** Set-similarity join with LOSSLESS prefix filtering (AllPairs /
+    * SSJoin): all document pairs with token-set Jaccard ≥ 0.9. The
+    * engine spelling orders each token set by ascending global
+    * document frequency and joins only on the first
+    * |s| − ⌈t·|s|⌉ + 1 tokens — if J(A,B) ≥ t, the smallest shared
+    * token under that order provably lands in both prefixes, so the
+    * candidate set is exact (no recall loss) while the join touches
+    * only the rarest tokens. The oracle is the plain quadratic
+    * spelling — identical output proves the filter lossless. At
+    * 100 TB: one shuffle on the prefix token (rare by construction →
+    * small buckets), intersection counted only for candidates; the
+    * probabilistic siblings are eng_minhash_lsh_dedup / ql3. */
+  val ql15 = Q("ql15_setsim_join",
+    """WITH w AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks
+      |           FROM documents WHERE doc_id < 150),
+      |tok AS (SELECT doc_id, explode(toks) AS token FROM w),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |freq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+      |ord AS (SELECT t.doc_id, t.token,
+      |               row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS rnk
+      |        FROM tok t JOIN freq f ON t.token = f.token),
+      |pref AS (SELECT o.doc_id, o.token
+      |         FROM ord o JOIN cnt c ON o.doc_id = c.doc_id
+      |         WHERE o.rnk <= c.n - CAST(ceil(0.9 * c.n) AS INT) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id),
+      |common AS (SELECT cd.da, cd.db, count(*) AS c
+      |           FROM cand cd
+      |           JOIN tok a ON a.doc_id = cd.da
+      |           JOIN tok b ON b.doc_id = cd.db AND b.token = a.token
+      |           GROUP BY cd.da, cd.db)
+      |SELECT da, db, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 4) AS jaccard
+      |FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.9
+      |ORDER BY da NULLS FIRST, db NULLS FIRST, jaccard NULLS FIRST""".stripMargin,
+    Some("""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |           FROM documents WHERE doc_id < 150),
+      |tok AS (SELECT doc_id, unnest(toks) AS token FROM w),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |           FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      |           GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 4) AS jaccard
+      |FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.9
+      |ORDER BY da NULLS FIRST, db NULLS FIRST, jaccard NULLS FIRST""".stripMargin),
+    "dedup,setsim,prefix_filter,llm")
+
   // ---------------------------------------------------------------
   // Event-stream queries (Q-S*) — batch expressions of the
   // reference's streaming semantics (ref ops #31-37). Event-time
@@ -2195,6 +2337,87 @@ object QueryInventory {
       |FROM a GROUP BY cohort, wk
       |ORDER BY cohort NULLS FIRST, wk NULLS FIRST, active NULLS FIRST""".stripMargin),
     "retention,cohort,events")
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: one window pass (lag) builds the bigrams, one grouped
+    * aggregate counts them, and the per-state normalizer is a window
+    * over the tiny 25-row transition frame. The event shuffle is on
+    * user_id — the same partitioning every other per-user op reuses. */
+  val qs8 = shared("qs8_markov",
+    """WITH s AS (SELECT user_id, event_type,
+      |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |           FROM events),
+      |t AS (SELECT prev, event_type AS nxt, count(*) AS n
+      |      FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type)
+      |SELECT prev, nxt, CAST(n AS BIGINT) AS n,
+      |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 4) AS p
+      |FROM t
+      |ORDER BY prev NULLS FIRST, nxt NULLS FIRST, n NULLS FIRST, p NULLS FIRST""".stripMargin,
+    "markov,sequence,events")
+
+  /** Time-series resampling to an hourly grid with linear
+    * interpolation (sensor-fusion preprocessing, ref op #36 time-sync
+    * alignment). The grid is generated per user (explode(sequence)) —
+    * never a driver loop — and the interpolation is two IGNORE-NULLS
+    * window scans (previous / next known sample), so the whole op is
+    * one user_id shuffle + two linear window passes regardless of
+    * scale. Determinism: the hourly mean averages integer CENTS (sum
+    * is exact), and the output rounds via floor(x·10⁴ + 0.5) — plain
+    * IEEE ops that agree bit-for-bit across engines — because
+    * interpolated values hit exact .5 ties at the 4th decimal, where
+    * Spark's HALF_UP (decimal string) and DuckDB's double-midpoint
+    * round() disagree. */
+  val qs9 = Q("qs9_resample",
+    """WITH pts AS (
+      |  SELECT user_id, unix_micros(ts) DIV 3600000000 AS h,
+      |         avg(CAST(round(value * 100) AS BIGINT)) / 100 AS v
+      |  FROM events WHERE user_id < 8
+      |  GROUP BY user_id, unix_micros(ts) DIV 3600000000),
+      |bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM pts GROUP BY user_id),
+      |grid AS (SELECT user_id, explode(sequence(mn, mx)) AS h FROM bounds),
+      |j AS (SELECT g.user_id, g.h, p.v FROM grid g
+      |      LEFT JOIN pts p ON g.user_id = p.user_id AND g.h = p.h),
+      |f AS (SELECT user_id, h, v,
+      |        last_value(v) IGNORE NULLS OVER w AS pv,
+      |        last_value(CASE WHEN v IS NOT NULL THEN h END) IGNORE NULLS OVER w AS ph,
+      |        first_value(v) IGNORE NULLS OVER w2 AS nv,
+      |        first_value(CASE WHEN v IS NOT NULL THEN h END) IGNORE NULLS OVER w2 AS nh
+      |      FROM j
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |             w2 AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, h,
+      |       CAST(floor((CASE WHEN v IS NOT NULL THEN v
+      |                   WHEN pv IS NOT NULL AND nv IS NOT NULL
+      |                     THEN pv + (nv - pv) * CAST(h - ph AS DOUBLE) / (nh - ph)
+      |                   ELSE coalesce(pv, nv) END) * 10000 + 0.5) AS DOUBLE) / 10000 AS v_interp
+      |FROM f
+      |ORDER BY user_id NULLS FIRST, h NULLS FIRST, v_interp NULLS FIRST""".stripMargin,
+    Some("""WITH pts AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+      |         avg(CAST(round(value * 100) AS BIGINT)) / 100 AS v
+      |  FROM events WHERE user_id < 8
+      |  GROUP BY user_id, epoch_us(ts) // 3600000000),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(h), max(h))) AS h
+      |  FROM pts GROUP BY user_id),
+      |j AS (SELECT g.user_id, g.h, p.v FROM grid g
+      |      LEFT JOIN pts p ON g.user_id = p.user_id AND g.h = p.h),
+      |f AS (SELECT user_id, h, v,
+      |        last_value(v IGNORE NULLS) OVER w AS pv,
+      |        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER w AS ph,
+      |        first_value(v IGNORE NULLS) OVER w2 AS nv,
+      |        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER w2 AS nh
+      |      FROM j
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |             w2 AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, h,
+      |       CAST(floor((CASE WHEN v IS NOT NULL THEN v
+      |                   WHEN pv IS NOT NULL AND nv IS NOT NULL
+      |                     THEN pv + (nv - pv) * CAST(h - ph AS DOUBLE) / (nh - ph)
+      |                   ELSE coalesce(pv, nv) END) * 10000 + 0.5) AS DOUBLE) / 10000 AS v_interp
+      |FROM f
+      |ORDER BY user_id NULLS FIRST, h NULLS FIRST, v_interp NULLS FIRST""".stripMargin),
+    "resample,interpolate,timeseries")
 
   /** PIVOT: returnflag × linestatus quantity matrix. Oracle spells it
     * as conditional aggregation — same cells, same NULL for absent
@@ -2461,13 +2684,13 @@ object QueryInventory {
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16,
-    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11,
-    qw1, qw2, qw3, qw4, qw5, qw6, qw7,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18,
+    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12,
+    qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8,
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
-    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14,
-    qs1, qs2, qs3, qs4, qs5, qs6, qs7,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15,
+    qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14)
 }

@@ -230,6 +230,41 @@ class InventorySpec extends AnyFunSuite {
     native.zip(lag).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("ql15 prefix filtering is lossless (equals the quadratic spelling)") {
+    Tables.register(spark, dir)
+    val filtered = spark.sql(QueryInventory.ql15.sparkSql).collect()
+    // same semantics with NO prefix filter: every token joins
+    val quadratic = spark.sql(
+      """WITH w AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks
+        |           FROM documents WHERE doc_id < 150),
+        |tok AS (SELECT doc_id, explode(toks) AS token FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |           FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |           GROUP BY a.doc_id, b.doc_id)
+        |SELECT da, db, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 4) AS jaccard
+        |FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.9
+        |ORDER BY da NULLS FIRST, db NULLS FIRST, jaccard NULLS FIRST""".stripMargin).collect()
+    assert(filtered.length == quadratic.length && filtered.nonEmpty)
+    filtered.zip(quadratic).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("fuzzy join blocks on the equi-key; outlier stats broadcast (qj12, qa17)") {
+    Tables.register(spark, dir)
+    val fuzzy = spark.sql(QueryInventory.qj12.sparkSql)
+      .queryExecution.executedPlan.toString
+    // the brand equi-key must drive a hash-based join (per-block pair
+    // scan), never a nested-loop over all parts
+    assert(fuzzy.contains("BroadcastHashJoin") || fuzzy.contains("SortMergeJoin") ||
+      fuzzy.contains("ShuffledHashJoin"), fuzzy.take(800))
+    assert(!fuzzy.contains("BroadcastNestedLoopJoin"), fuzzy.take(800))
+    val outliers = spark.sql(QueryInventory.qa17.sparkSql)
+      .queryExecution.executedPlan.toString
+    // the 5-row (mu, sd) frame broadcasts back onto the fact scan
+    assert(outliers.contains("BroadcastHashJoin"), outliers.take(800))
+  }
+
   test("sequence packing conserves tokens (ql9 invariant)") {
     import org.apache.spark.sql.functions._
     Tables.register(spark, dir)
