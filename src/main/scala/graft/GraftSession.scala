@@ -42,6 +42,13 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", s"$metastoreDir-warehouse")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
+      // write timestamps as INT64 TIMESTAMP_MICROS, not the legacy
+      // INT96 default: INT96 carries no usable parquet min/max stats,
+      // which silently disables ALL row-group skipping on time
+      // predicates — the single biggest scan-pruning lever for
+      // event-time data at scale (asserted by LayoutSpec's
+      // eng_zorder_scan pruning test)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -959,13 +959,16 @@ object QueryInventory {
     * population, never an all-pairs cross product. At 100 TB the
     * block key is chosen so max-block size is bounded (here ~80);
     * skewed blocks would fall to the banding + AQE-skew machinery the
-    * dedup operators already use. `levenshtein` is identical in
+    * dedup operators already use. The contract probe bounds its input
+    * (p_partkey < 2000, like ql3/ql15's doc bound) so the per-block
+    * pair scan stays SF-independent. `levenshtein` is identical in
     * Spark and DuckDB, so the spelling is shared. */
   val qj12 = shared("qj12_fuzzy_join",
-    """WITH pairs AS (
+    """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey < 2000),
+      |pairs AS (
       |  SELECT a.p_brand AS brand, a.p_partkey AS pa, b.p_partkey AS pb,
       |         levenshtein(a.p_name, b.p_name) AS dist
-      |  FROM part a JOIN part b
+      |  FROM p a JOIN p b
       |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |  WHERE levenshtein(a.p_name, b.p_name) <= 3)
       |SELECT brand, CAST(count(*) AS BIGINT) AS n_pairs,

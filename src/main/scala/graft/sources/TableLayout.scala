@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned, compressed table layout — the at-rest side of the
@@ -28,4 +28,58 @@ object TableLayout {
     * not data IO. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("event_date") === lit(day))
+
+  /** Z-value (Morton interleave) of the low 16 bits of two
+    * non-negative ints: bit i of `a` lands at bit 2i, bit i of `b` at
+    * bit 2i+1, so sorting by the z-value clusters rows that are close
+    * in BOTH dimensions. Pure Column arithmetic (32 mask+shift+or
+    * terms) — whole-stage-codegen'd, no UDF. */
+  def zValue(a: Column, b: Column): Column = {
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(al.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(bl.bitwiseAND(lit(1L << i)), i + 1))
+    }
+  }
+
+  /** Writes events Z-ordered on (user_id, hour-of-month):
+    * range-partition + sort by the interleaved key, so each output
+    * file covers a compact rectangle in (user, time) and carries
+    * correspondingly TIGHT parquet min/max column stats — a selective
+    * predicate on EITHER dimension then skips most files/row-groups
+    * at scan time. This is the multi-dimensional clustering
+    * complement to writeEventsByDay (one-dimension directory pruning)
+    * and BucketedTables (join co-location): at 100 TB, Z-ordering the
+    * two dominant filter columns turns full scans into reads of
+    * O(selectivity) row groups without any secondary index. The sort
+    * key is dropped before the write — skipping works off the raw
+    * column stats, no schema change for readers.
+    *
+    * Both dimensions are NORMALIZED to 16-bit levels over their
+    * observed [min, max] before interleaving — raw interleaving would
+    * let the wider-range dimension own the high z bits and the sort
+    * would degenerate to single-dimension clustering (hour spans more
+    * bits than user_id here). The min/max pass is one 4-number
+    * aggregate — an index-build step, same class as the ANN probe
+    * fetches. */
+  def writeEventsZOrdered(events: DataFrame, path: String, nFiles: Int = 32): Unit = {
+    val relHour = ((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts"))).cast("long")
+    val dims = events
+      .withColumn("zu", col("user_id").cast("long"))
+      .withColumn("zh", relHour)
+    val b = dims.agg(min("zu"), max("zu"), min("zh"), max("zh")).head()
+    def lvl(c: Column, mn: Long, mx: Long): Column = {
+      val span = math.max(mx - mn + 1, 1L)
+      floor((c - lit(mn)).cast("double") * 65536.0 / span).cast("long")
+    }
+    dims
+      .withColumn("zv", zValue(lvl(col("zu"), b.getLong(0), b.getLong(1)),
+        lvl(col("zh"), b.getLong(2), b.getLong(3))))
+      .repartitionByRange(nFiles, col("zv"))
+      .sortWithinPartitions("zv")
+      .drop("zv", "zu", "zh")
+      .write.option("compression", "zstd").mode("overwrite").parquet(path)
+  }
 }

@@ -42,6 +42,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(3)).distinct.length == 1) // same value sum
   }
 
+  test("Z-ordered layout skips row groups on both dimensions (eng_zorder_scan)") {
+    val rows = EngineOps.queries("eng_zorder_scan")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // same hits + value sums from both layouts, for both predicates
+    for (pred <- Seq("user_eq", "time_range")) {
+      val (nL, sL, _) = rows(("linear", pred))
+      val (nZ, sZ, _) = rows(("zorder", pred))
+      assert(nL == nZ && sL == sZ && nL > 0, s"$pred: $nL/$sL vs $nZ/$sZ")
+    }
+    val total = Tables.table(spark, "/root/testdata/sf0.01", "events").count()
+    // user-only predicate: the time-sorted layout cannot skip (the
+    // user appears all month) but the Z layout must
+    val userZ = rows(("zorder", "user_eq"))._3
+    val userL = rows(("linear", "user_eq"))._3
+    assert(userZ < userL, s"zorder scanned $userZ >= linear $userL")
+    assert(userZ <= total / 2, s"zorder user scan pruned nothing: $userZ of $total")
+    // time-only predicate: the time-sorted layout must skip most rows
+    val timeL = rows(("linear", "time_range"))._3
+    assert(timeL <= total / 2, s"linear time scan pruned nothing: $timeL of $total")
+  }
+
   test("salted two-phase aggregation equals the direct group-by") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val ev = spark.table("events")
