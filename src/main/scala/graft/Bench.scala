@@ -108,16 +108,17 @@ object Bench {
     System.err.println(s"[bench] full result: $fullLine")
 
     // Deterministic key shortening: token before the first '_' when
-    // unique (qf1, qj7, ...); prefix + second token for families
-    // (qa7_cube/qa7_rollup/qa7_grouping, qj3_outer/qj3_full);
-    // eng_* → e_*.
+    // unique, minus the constant leading 'q' (qf1→f1, qj7→j7 — the
+    // 'q' carries no information and the ~1-char × 120-key saving is
+    // real tail-window headroom); prefix + second token for families
+    // (qa7_cube→a7_cube, qj3_outer/qj3_full); eng_* → e_*.
     val prefixCount = results.map(_._1.takeWhile(_ != '_')).groupBy(identity).view.mapValues(_.size)
     def short(n: String): String =
       if (n.startsWith("eng_")) "e_" + n.drop(4)
       else {
         val p = n.takeWhile(_ != '_')
-        if (prefixCount(p) == 1) p
-        else n.split('_').take(2).mkString("_")
+        val s = if (prefixCount(p) == 1) p else n.split('_').take(2).mkString("_")
+        if (s.startsWith("q")) s.drop(1) else s
       }
     // Locale-pinned formatting: the f-interpolator uses the default
     // locale, which in a comma-decimal locale would print invalid JSON.

@@ -980,6 +980,29 @@ object QueryInventory {
       |         avg_dist NULLS FIRST, key_checksum NULLS FIRST""".stripMargin,
     "join,fuzzy,levenshtein,blocking,er")
 
+  /** Record-linkage survivor selection: for every part, its single
+    * BEST fuzzy match (min edit distance, ties to the smallest key) —
+    * the 1:1 linkage step that follows qj12's pair generation in a
+    * real entity-resolution pipeline. Same blocked join; the per-record
+    * argmax is one window over the candidate pairs (small by
+    * construction), never a second pass over the table. */
+  val qj13 = shared("qj13_best_match",
+    """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey < 2000),
+      |cand AS (
+      |  SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+      |         levenshtein(a.p_name, b.p_name) AS dist
+      |  FROM p a JOIN p b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      |r AS (SELECT pa, pb, dist,
+      |             row_number() OVER (PARTITION BY pa ORDER BY dist, pb) AS rn,
+      |             count(*) OVER (PARTITION BY pa) AS nc
+      |      FROM cand)
+      |SELECT pa, pb AS best_pb, CAST(dist AS INT) AS dist, CAST(nc AS BIGINT) AS n_cand
+      |FROM r WHERE rn = 1
+      |ORDER BY pa NULLS FIRST, best_pb NULLS FIRST, dist NULLS FIRST, n_cand NULLS FIRST""".stripMargin,
+    "join,linkage,argmax,er")
+
   // ---------------------------------------------------------------
   // Window functions (Q-W*)
   // ---------------------------------------------------------------
@@ -2144,6 +2167,36 @@ object QueryInventory {
       |ORDER BY da NULLS FIRST, db NULLS FIRST, jaccard NULLS FIRST""".stripMargin),
     "dedup,setsim,prefix_filter,llm")
 
+  /** Weighted sampling without replacement (A-ES / exponential-keys):
+    * 5 docs per source with probability ∝ n_chars, fully
+    * reproducible — the uniform draw is a pure function of content
+    * (4 md5 hex digits → u ∈ (0,1)), the sampling key is u^(1/w), and
+    * top-5-per-source by key is the distributed window-top-k pattern.
+    * The same doc samples identically on any cluster size or
+    * partitioning — the property uniform `rand()` sampling loses.
+    * Cross-engine fp note: power() may differ in the last ulp between
+    * engines, but selection flips need two keys within ~1 ulp, which
+    * the 16-bit u grid + doc_id tiebreak rules out except for exact
+    * (u, w) ties, where the tiebreak decides identically. */
+  val ql16 = shared("ql16_weighted_sample",
+    """WITH u AS (
+      |  SELECT doc_id, source, n_chars,
+      |         ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+      |        + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+      |        + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+      |        + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) + 1) / 65537.0 AS uv
+      |  FROM documents),
+      |k AS (SELECT doc_id, source, n_chars,
+      |             power(uv, 1.0 / CAST(n_chars AS DOUBLE)) AS skey
+      |      FROM u),
+      |r AS (SELECT doc_id, source, n_chars,
+      |             row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS rn
+      |      FROM k)
+      |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM r WHERE rn <= 5
+      |ORDER BY source NULLS FIRST, doc_id NULLS FIRST, n_chars NULLS FIRST""".stripMargin,
+    "sampling,weighted,llm")
+
   // ---------------------------------------------------------------
   // Event-stream queries (Q-S*) — batch expressions of the
   // reference's streaming semantics (ref ops #31-37). Event-time
@@ -2688,12 +2741,12 @@ object QueryInventory {
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18,
-    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12,
+    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8,
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
-    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16,
     qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14)
 }
