@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Attention, Cascade, LmScore, MinHashDedup, Multimodal, SimilaritySearch}
+import graft.operators.{Attention, Cascade, KMeans, LmScore, MinHashDedup, Multimodal, SimilaritySearch}
 import graft.streaming.{StatefulOps, Telemetry}
 
 /** Engine-side-only operators (SURVEY §2.9 tail): approximate,
@@ -744,6 +744,25 @@ object EngineOps {
       .orderBy(col("event_type"))
   }
 
+  /** MEASURED spherical k-means trained to CONVERGENCE over the
+    * embeddings table (operators/KMeans): k=8 cells from the
+    * deterministic sampled init, Lloyd iterations until max centroid
+    * movement <= 1e-4 (capped at 5). The timed work is the real
+    * training loop — one distributed aggregate per iteration, k × dim
+    * doubles to the driver, corpus never collected. Output is the
+    * per-iteration convergence report (objective = mean best-cosine,
+    * non-decreasing — spec-asserted in KMeansSpec). */
+  private def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val init = SimilaritySearch.sampledCodebook(emb, "vec_id", "embedding", 8)
+    val (_, hist) = KMeans.fit(emb, "embedding", maxIter = 5, tol = 1e-4, init)
+    hist.toDF()
+      .select(col("iter"), round(col("objective"), 6).as("objective"),
+        round(col("maxMove"), 6).as("max_move"), col("usedCells").as("used_cells"))
+      .orderBy(col("iter"))
+  }
+
   /** Two-phase salted aggregation over the events table: event_type
     * has only a handful of values over the whole table — the
     * canonical hot-key aggregation. The salt spreads each key over 16
@@ -1025,6 +1044,7 @@ object EngineOps {
     "eng_multimodal_features" -> multimodal,
     "eng_approx_distinct" -> approxDistinct,
     "eng_incremental_agg" -> incrementalAgg,
+    "eng_kmeans_fit" -> kmeansFit,
     "eng_approx_percentile" -> approxPercentile,
     "eng_salted_agg" -> saltedAgg,
     "eng_cms_bloom_sketch" -> sketches,

@@ -1003,6 +1003,93 @@ object QueryInventory {
       |ORDER BY pa NULLS FIRST, best_pb NULLS FIRST, dist NULLS FIRST, n_cand NULLS FIRST""".stripMargin,
     "join,linkage,argmax,er")
 
+  /** Interval-overlap join: concurrent user sessions. Events
+    * sessionize per user (6-hour gap), and each user pair counts its
+    * overlapping session intervals + total overlap seconds. The
+    * declarative spelling joins on the overlap predicate alone — NO
+    * equi key, which Spark plans as a broadcast nested loop (fine for
+    * the bounded 40-user slice, quadratic at scale). The runner uses
+    * the bucketed interval join (graft.plans.IntervalJoin): intervals
+    * explode to the 1-day buckets they span, pairs join on the bucket
+    * id, and each pair is emitted in exactly one bucket — shuffle key
+    * = bucket, per-task work bounded by concurrent-session density,
+    * never O(sessions²). */
+  val qj14 = Q("qj14_interval_join",
+    """WITH e AS (
+      |  SELECT user_id, event_id, unix_micros(ts) AS tus,
+      |         lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+      |  FROM events WHERE user_id < 40),
+      |s AS (
+      |  SELECT user_id, tus,
+      |         sum(CASE WHEN prev_tus IS NULL OR tus - prev_tus > 21600000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e),
+      |iv AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+      |       FROM s GROUP BY user_id, sid),
+      |p AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub,
+      |         least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start) AS ov
+      |  FROM iv a JOIN iv b
+      |    ON a.user_id < b.user_id AND a.s_start <= b.s_end AND b.s_start <= a.s_end)
+      |SELECT ua, ub, CAST(count(*) AS BIGINT) AS n_overlaps,
+      |       round(sum(ov) / 1e6, 4) AS ov_sec
+      |FROM p GROUP BY ua, ub
+      |ORDER BY ua NULLS FIRST, ub NULLS FIRST, n_overlaps NULLS FIRST,
+      |         ov_sec NULLS FIRST""".stripMargin,
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+      |  FROM events WHERE user_id < 40),
+      |s AS (
+      |  SELECT user_id, tus,
+      |         sum(CASE WHEN prev_tus IS NULL OR tus - prev_tus > 21600000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e),
+      |iv AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+      |       FROM s GROUP BY user_id, sid),
+      |p AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub,
+      |         least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start) AS ov
+      |  FROM iv a JOIN iv b
+      |    ON a.user_id < b.user_id AND a.s_start <= b.s_end AND b.s_start <= a.s_end)
+      |SELECT ua, ub, CAST(count(*) AS BIGINT) AS n_overlaps,
+      |       round(sum(ov) / 1e6, 4) AS ov_sec
+      |FROM p GROUP BY ua, ub
+      |ORDER BY ua NULLS FIRST, ub NULLS FIRST, n_overlaps NULLS FIRST,
+      |         ov_sec NULLS FIRST""".stripMargin),
+    "join,interval,overlap,session",
+    impl = Some { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      graft.Tables.register(spark, dir)
+      val gapMicros = 21600000000L // 6 h, matches the SQL spelling
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val iv = spark.table("events")
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("prev_tus", lag(col("tus"), 1).over(w))
+        .withColumn("sid", sum(when(col("prev_tus").isNull ||
+            col("tus") - col("prev_tus") > gapMicros, 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
+      val left = iv.select(struct(col("user_id"), col("sid")).as("l_id"),
+        col("s_start").as("l_start"), col("s_end").as("l_end"))
+      val right = iv.select(struct(col("user_id"), col("sid")).as("r_id"),
+        col("s_start").as("r_start"), col("s_end").as("r_end"))
+      graft.plans.IntervalJoin
+        .overlapPairs(left, right, bucketWidth = 86400000000L) // 1-day buckets
+        .filter(col("l_id.user_id") < col("r_id.user_id"))
+        .select(col("l_id.user_id").as("ua"), col("r_id.user_id").as("ub"),
+          (least(col("l_end"), col("r_end"))
+            - greatest(col("l_start"), col("r_start"))).as("ov"))
+        .groupBy(col("ua"), col("ub"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          round(sum(col("ov")) / lit(1000000.0), 4).as("ov_sec"))
+        .orderBy(asc_nulls_first("ua"), asc_nulls_first("ub"),
+          asc_nulls_first("n_overlaps"), asc_nulls_first("ov_sec"))
+    })
+
   // ---------------------------------------------------------------
   // Window functions (Q-W*)
   // ---------------------------------------------------------------
@@ -2197,6 +2284,48 @@ object QueryInventory {
       |ORDER BY source NULLS FIRST, doc_id NULLS FIRST, n_chars NULLS FIRST""".stripMargin,
     "sampling,weighted,llm")
 
+  /** Segment-level dedup (CCNet-style line dedup on 16-word segments
+    * — the corpus carries no newlines, so fixed word windows stand in
+    * for lines): hash every segment, count occurrences CORPUS-WIDE,
+    * and report per-source duplication (dup segments appear in >1
+    * place — boilerplate detection). Scale shape: one groupBy on the
+    * segment hash (shuffle keyed by hash — uniform by construction)
+    * plus a hash-keyed join back; never pairwise comparison. The
+    * per-source rollup is the pipeline's "how much boilerplate does
+    * each source carry" report. */
+  val ql17 = Q("ql17_segment_dedup",
+    """WITH t AS (SELECT doc_id, source, split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, source,
+      |             explode(transform(sequence(1, size(toks), 16),
+      |                               i -> concat_ws(' ', slice(toks, i, 16)))) AS seg
+      |      FROM t),
+      |h AS (SELECT doc_id, source, md5(seg) AS hs FROM s),
+      |g AS (SELECT hs, count(*) AS n FROM h GROUP BY hs),
+      |j AS (SELECT h.doc_id, h.source, g.n FROM h JOIN g ON h.hs = g.hs)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_segs,
+      |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+      |       round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio,
+      |       CAST(count(DISTINCT CASE WHEN n > 1 THEN doc_id END) AS BIGINT) AS n_docs_with_dup
+      |FROM j GROUP BY source
+      |ORDER BY source NULLS FIRST, n_segs NULLS FIRST, n_dup_segs NULLS FIRST,
+      |         dup_ratio NULLS FIRST, n_docs_with_dup NULLS FIRST""".stripMargin,
+    Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, source, array_to_string(toks[i:i+15], ' ') AS seg
+      |      FROM t, unnest(generate_series(1, len(toks), 16)) AS u(i)),
+      |h AS (SELECT doc_id, source, md5(seg) AS hs FROM s),
+      |g AS (SELECT hs, count(*) AS n FROM h GROUP BY hs),
+      |j AS (SELECT h.doc_id, h.source, g.n FROM h JOIN g ON h.hs = g.hs)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_segs,
+      |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+      |       round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio,
+      |       CAST(count(DISTINCT CASE WHEN n > 1 THEN doc_id END) AS BIGINT) AS n_docs_with_dup
+      |FROM j GROUP BY source
+      |ORDER BY source NULLS FIRST, n_segs NULLS FIRST, n_dup_segs NULLS FIRST,
+      |         dup_ratio NULLS FIRST, n_docs_with_dup NULLS FIRST""".stripMargin),
+    "dedup,segment,ccnet,llm")
+
   // ---------------------------------------------------------------
   // Event-stream queries (Q-S*) — batch expressions of the
   // reference's streaming semantics (ref ops #31-37). Event-time
@@ -2741,12 +2870,12 @@ object QueryInventory {
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18,
-    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13,
+    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8,
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
-    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17,
     qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14)
 }

@@ -122,4 +122,26 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "vec_id", "embedding", minCosine = 0.0, nBits = 6, maxBucket = 1000)
     assert(open.count() == 30L * 29 / 2)
   }
+
+  test("approximate recall@10 vs brute force on the real embeddings fixture") {
+    // The quality metric the ANN paths trade selectivity for. The
+    // sf0.01 embeddings are near-isotropic (weak neighbor structure —
+    // the hard case for LSH), so thresholds sit below the measured
+    // values (IVF 16/4 = 1.0, LSH 6-bit/ham-3 = 0.9) with margin;
+    // both are deterministic on the fixed fixture.
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.table(spark, dir, "embeddings")
+    val probe = emb.orderBy("vec_id").limit(1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val brute = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val ivf = SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", probe,
+      k = 10, nCentroids = 16, nProbe = 4)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val lsh = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", probe,
+      k = 10, nBits = 6, probeHamming = 3)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert((brute & ivf).size >= 8, s"IVF recall ${(brute & ivf).size}/10")
+    assert((brute & lsh).size >= 7, s"LSH recall ${(brute & lsh).size}/10")
+  }
 }
