@@ -2326,6 +2326,66 @@ object QueryInventory {
       |         dup_ratio NULLS FIRST, n_docs_with_dup NULLS FIRST""".stripMargin),
     "dedup,segment,ccnet,llm")
 
+  /** Span-level duplicated-text metric (Lee et al. '22 "Deduplicating
+    * Training Data Makes Language Models Better" — substring-level
+    * dedup, approximated at 16-token-shingle granularity): every
+    * stride-1 shingle is hashed, corpus-duplicated shingles mark
+    * token spans, and per doc the UNION of overlapping spans (one
+    * ordered window pass: running max span-end, clip each span at
+    * max(own start, previous furthest end)) yields the fraction of
+    * tokens covered by text that exists elsewhere. The planted
+    * near-copies in the fixture surface at dup_frac ≈ 0.98.
+    * Scale shape: one groupBy on the shingle hash + one hash join
+    * back + one per-doc window — no pairwise comparison anywhere.
+    * Determinism: the report is a ratio of INTEGER sums (covered
+    * tokens / total tokens), never an avg over per-doc doubles. */
+  val ql18 = Q("ql18_dup_spans",
+    """WITH t AS (SELECT doc_id, source, split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, source, size(toks) AS n, i,
+      |              md5(concat_ws(' ', slice(toks, i, 16))) AS hs
+      |       FROM t LATERAL VIEW explode(sequence(1, greatest(size(toks) - 15, 1), 1)) u AS i),
+      |g AS (SELECT hs, count(*) AS c FROM sh GROUP BY hs),
+      |d AS (SELECT sh.doc_id, sh.source, sh.n, sh.i,
+      |             least(sh.i + 16, sh.n + 1) AS span_end
+      |      FROM sh JOIN g ON sh.hs = g.hs WHERE g.c > 1),
+      |m AS (SELECT doc_id, source, n, i, span_end,
+      |             max(span_end) OVER (PARTITION BY doc_id ORDER BY i
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM d),
+      |cov AS (SELECT doc_id, source, n,
+      |               sum(greatest(0, span_end - greatest(i, coalesce(prev_end, 1)))) AS covered
+      |        FROM m GROUP BY doc_id, source, n)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs_with_dup,
+      |       round(CAST(sum(covered) AS DOUBLE) / sum(n), 4) AS dup_token_frac,
+      |       CAST(sum(CASE WHEN covered * 2 > n THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
+      |FROM cov GROUP BY source
+      |ORDER BY source NULLS FIRST, n_docs_with_dup NULLS FIRST,
+      |         dup_token_frac NULLS FIRST, n_mostly_dup NULLS FIRST""".stripMargin,
+    Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, source, len(toks) AS n, i,
+      |              md5(array_to_string(toks[i:i+15], ' ')) AS hs
+      |       FROM t, unnest(generate_series(1, greatest(len(toks) - 15, 1), 1)) AS u(i)),
+      |g AS (SELECT hs, count(*) AS c FROM sh GROUP BY hs),
+      |d AS (SELECT sh.doc_id, sh.source, sh.n, sh.i,
+      |             least(sh.i + 16, sh.n + 1) AS span_end
+      |      FROM sh JOIN g ON sh.hs = g.hs WHERE g.c > 1),
+      |m AS (SELECT doc_id, source, n, i, span_end,
+      |             max(span_end) OVER (PARTITION BY doc_id ORDER BY i
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM d),
+      |cov AS (SELECT doc_id, source, n,
+      |               sum(greatest(0, span_end - greatest(i, coalesce(prev_end, 1)))) AS covered
+      |        FROM m GROUP BY doc_id, source, n)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs_with_dup,
+      |       round(CAST(sum(covered) AS DOUBLE) / sum(n), 4) AS dup_token_frac,
+      |       CAST(sum(CASE WHEN covered * 2 > n THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
+      |FROM cov GROUP BY source
+      |ORDER BY source NULLS FIRST, n_docs_with_dup NULLS FIRST,
+      |         dup_token_frac NULLS FIRST, n_mostly_dup NULLS FIRST""".stripMargin),
+    "dedup,spans,substring,llm")
+
   // ---------------------------------------------------------------
   // Event-stream queries (Q-S*) — batch expressions of the
   // reference's streaming semantics (ref ops #31-37). Event-time
@@ -2875,7 +2935,7 @@ object QueryInventory {
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
-    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18,
     qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14)
 }

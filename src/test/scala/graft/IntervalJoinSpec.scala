@@ -37,6 +37,17 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("qj14's shipped impl joins on the bucket equi-key, not a nested loop") {
+    val plan = QueryInventory.qj14.impl.get(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the whole point of the bucketed spelling: the overlap predicate
+    // must run INSIDE an equi-join on bkt, never as a nested-loop /
+    // cartesian pair enumeration
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("bkt"), "bucket key missing from the physical plan")
+  }
+
   test("payload columns survive the join") {
     val left = ivs.take(5).toDF("l_id", "l_start", "l_end")
     val right = ivs.take(5).toDF("r_id", "r_start", "r_end")
