@@ -2335,8 +2335,10 @@ object QueryInventory {
     * max(own start, previous furthest end)) yields the fraction of
     * tokens covered by text that exists elsewhere. The planted
     * near-copies in the fixture surface at dup_frac ≈ 0.98.
-    * Scale shape: one groupBy on the shingle hash + one hash join
-    * back + one per-doc window — no pairwise comparison anywhere.
+    * Scale shape: ONE shuffle of the exploded shingles on the hash
+    * (a window count — the join-back spelling would recompute the
+    * explode and shuffle twice) + one per-doc window — no pairwise
+    * comparison anywhere.
     * Determinism: the report is a ratio of INTEGER sums (covered
     * tokens / total tokens), never an avg over per-doc doubles. */
   val ql18 = Q("ql18_dup_spans",
@@ -2344,10 +2346,10 @@ object QueryInventory {
       |sh AS (SELECT doc_id, source, size(toks) AS n, i,
       |              md5(concat_ws(' ', slice(toks, i, 16))) AS hs
       |       FROM t LATERAL VIEW explode(sequence(1, greatest(size(toks) - 15, 1), 1)) u AS i),
-      |g AS (SELECT hs, count(*) AS c FROM sh GROUP BY hs),
-      |d AS (SELECT sh.doc_id, sh.source, sh.n, sh.i,
-      |             least(sh.i + 16, sh.n + 1) AS span_end
-      |      FROM sh JOIN g ON sh.hs = g.hs WHERE g.c > 1),
+      |d AS (SELECT doc_id, source, n, i, least(i + 16, n + 1) AS span_end
+      |      FROM (SELECT doc_id, source, n, i,
+      |                   count(*) OVER (PARTITION BY hs) AS c FROM sh) w
+      |      WHERE c > 1),
       |m AS (SELECT doc_id, source, n, i, span_end,
       |             max(span_end) OVER (PARTITION BY doc_id ORDER BY i
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -2366,10 +2368,10 @@ object QueryInventory {
       |sh AS (SELECT doc_id, source, len(toks) AS n, i,
       |              md5(array_to_string(toks[i:i+15], ' ')) AS hs
       |       FROM t, unnest(generate_series(1, greatest(len(toks) - 15, 1), 1)) AS u(i)),
-      |g AS (SELECT hs, count(*) AS c FROM sh GROUP BY hs),
-      |d AS (SELECT sh.doc_id, sh.source, sh.n, sh.i,
-      |             least(sh.i + 16, sh.n + 1) AS span_end
-      |      FROM sh JOIN g ON sh.hs = g.hs WHERE g.c > 1),
+      |d AS (SELECT doc_id, source, n, i, least(i + 16, n + 1) AS span_end
+      |      FROM (SELECT doc_id, source, n, i,
+      |                   count(*) OVER (PARTITION BY hs) AS c FROM sh) w
+      |      WHERE c > 1),
       |m AS (SELECT doc_id, source, n, i, span_end,
       |             max(span_end) OVER (PARTITION BY doc_id ORDER BY i
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
