@@ -1090,6 +1090,70 @@ object QueryInventory {
           asc_nulls_first("n_overlaps"), asc_nulls_first("ov_sec"))
     })
 
+  /** TPC-H Q3 flavor (shipping priority): the canonical 3-table
+    * selective star — segment-filtered customers ⋈ orders ⋈ lineitem
+    * with date predicates on BOTH fact sides, top-10 orders by
+    * revenue. Plan shape at scale: both filters push to the scans,
+    * customer broadcasts, the single real shuffle joins
+    * lineitem⋈orders, and the top-10 runs as TakeOrderedAndProject
+    * over the rounded revenue (ordering on the ROUNDED value keeps
+    * the cut cross-engine deterministic; o_orderkey breaks ties). */
+  val qj15 = Q("qj15_shipping_priority",
+    """SELECT l.l_orderkey,
+      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+      |       CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < DATE '1996-01-01'
+      |  AND l.l_shipdate > DATE '1996-01-01'
+      |GROUP BY l.l_orderkey, CAST(CAST(o.o_orderdate AS DATE) AS STRING)
+      |ORDER BY revenue DESC NULLS LAST, l_orderkey NULLS FIRST,
+      |         orderdate NULLS FIRST
+      |LIMIT 10""".stripMargin,
+    Some("""SELECT l.l_orderkey,
+      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+      |       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < DATE '1996-01-01'
+      |  AND l.l_shipdate > DATE '1996-01-01'
+      |GROUP BY l.l_orderkey, CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR)
+      |ORDER BY revenue DESC NULLS LAST, l_orderkey NULLS FIRST,
+      |         orderdate NULLS FIRST
+      |LIMIT 10""".stripMargin),
+    "join,star,tpch,topk")
+
+  /** TPC-H Q21 flavor (suppliers who kept orders waiting): the
+    * double-correlated-subquery join stressor — for finished orders,
+    * lineitems whose supplier shipped LAST among a multi-supplier
+    * order (EXISTS another supplier on the order, NOT EXISTS one that
+    * shipped later; l_shipdate stands in for the reference schema's
+    * receipt/commit dates). Both subqueries must decorrelate to
+    * left-semi / left-anti hash joins on l_orderkey (the qj11
+    * guarantee, here against the same table twice) — never per-row
+    * execution. */
+  val qj16 = shared("qj16_waiting_supplier",
+    """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
+      |LIMIT 20""".stripMargin,
+    "join,subquery,decorrelation,tpch")
+
   // ---------------------------------------------------------------
   // Window functions (Q-W*)
   // ---------------------------------------------------------------
@@ -2932,7 +2996,7 @@ object QueryInventory {
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18,
-    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14,
+    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8,
     qt1, qt2,
     qu1, qu2, qu3, qu4, qu5, qu6,

@@ -59,6 +59,22 @@ class PlanHintsSpec extends AnyFunSuite {
     assert(!px.contains("Window"), px.take(800))
   }
 
+  test("qj15/qj16: TPC-H star + double-subquery flavors plan the scale shapes") {
+    // Q3 flavor: the top-10 must run as TakeOrderedAndProject (never a
+    // global sort materialization) over broadcast dimension joins
+    val p15 = plan(QueryInventory.qj15.sparkSql)
+    assert(p15.contains("TakeOrderedAndProject"), p15.take(800))
+    assert(p15.contains("BroadcastHashJoin"), p15.take(800))
+    // Q21 flavor: BOTH correlated subqueries against lineitem must
+    // decorrelate to hash joins on l_orderkey — semi for EXISTS, anti
+    // for NOT EXISTS — with no nested-loop anywhere
+    val p16 = plan(QueryInventory.qj16.sparkSql)
+    assert(p16.contains("LeftSemi"), p16.take(800))
+    assert(p16.contains("LeftAnti"), p16.take(800))
+    assert(!p16.contains("BroadcastNestedLoop") && !p16.contains("CartesianProduct"),
+      p16.take(800))
+  }
+
   test("REPARTITION hint controls the shuffle partition count") {
     val p = plan("SELECT /*+ REPARTITION(7) */ o_orderkey FROM orders")
     assert(p.contains("RoundRobinPartitioning(7)"), p.take(600))
