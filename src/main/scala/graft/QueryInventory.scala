@@ -2730,6 +2730,55 @@ object QueryInventory {
       |ORDER BY user_id NULLS FIRST, h NULLS FIRST, v_interp NULLS FIRST""".stripMargin),
     "resample,interpolate,timeseries")
 
+  /** Concurrency curve via sweep line (interval stabbing — the
+    * linear-time companion of Q-J14's pairwise overlap): sessions
+    * emit +1/-1 boundary deltas on an hour grid, ONE grouped
+    * aggregate collapses them to net-change-per-hour (<= 745 rows for
+    * the month), and the running sum over that TINY frame is the
+    * active-session count — the aggregate-before-window discipline
+    * (qw8) that keeps the global window off the fact table. A
+    * session's plateau value equals the count at its starting
+    * boundary hour, so the boundary-hour max IS the true max. Top-10
+    * busiest hours reported. */
+  val qs10 = Q("qs10_concurrency",
+    """WITH e AS (
+      |  SELECT user_id, event_id, unix_micros(ts) AS tus,
+      |         lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, tus,
+      |         sum(CASE WHEN prev_tus IS NULL OR tus - prev_tus > 21600000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e),
+      |iv AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+      |       FROM s GROUP BY user_id, sid),
+      |b AS (SELECT s_start DIV 3600000000 AS h, 1 AS d FROM iv
+      |      UNION ALL
+      |      SELECT s_end DIV 3600000000 + 1 AS h, -1 AS d FROM iv),
+      |hb AS (SELECT h, sum(d) AS delta FROM b GROUP BY h),
+      |c AS (SELECT h, sum(delta) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS act FROM hb)
+      |SELECT CAST(h AS BIGINT) AS hour_idx, CAST(act AS BIGINT) AS active
+      |FROM c ORDER BY active DESC NULLS LAST, hour_idx NULLS FIRST LIMIT 10""".stripMargin,
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, tus,
+      |         sum(CASE WHEN prev_tus IS NULL OR tus - prev_tus > 21600000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e),
+      |iv AS (SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+      |       FROM s GROUP BY user_id, sid),
+      |b AS (SELECT s_start // 3600000000 AS h, 1 AS d FROM iv
+      |      UNION ALL
+      |      SELECT s_end // 3600000000 + 1 AS h, -1 AS d FROM iv),
+      |hb AS (SELECT h, sum(d) AS delta FROM b GROUP BY h),
+      |c AS (SELECT h, sum(delta) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS act FROM hb)
+      |SELECT CAST(h AS BIGINT) AS hour_idx, CAST(act AS BIGINT) AS active
+      |FROM c ORDER BY active DESC NULLS LAST, hour_idx NULLS FIRST LIMIT 10""".stripMargin),
+    "session,sweepline,concurrency,interval")
+
   /** PIVOT: returnflag × linestatus quantity matrix. Oracle spells it
     * as conditional aggregation — same cells, same NULL for absent
     * combinations. */
@@ -3002,6 +3051,6 @@ object QueryInventory {
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18,
-    qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9,
+    qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9, qs10,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14)
 }
