@@ -60,14 +60,19 @@ object KMeans {
     val history = Seq.newBuilder[IterStat]
     var iter = 0
     var moved = Double.MaxValue
-    while (iter < maxIter && moved > tol) {
+    // every Lloyd iteration re-reads the corpus; cache ONLY the vector
+    // column for the loop's lifetime so iterations 2..n skip the
+    // source scan (at scale: persist the projection, not the table)
+    val vecs = corpus.select(col(vecCol)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try while (iter < maxIter && moved > tol) {
       val b = best(centroids)(col(vecCol))
       // vecSumAgg's input contract is array<float> (the embedding
       // storage type); normalizing costs one float rounding per
       // element (~1e-7 relative), far inside the 6-dp report grid
       val unit = vecScale(col(vecCol), lit(1.0) / vecL2(col(vecCol)))
         .cast("array<float>")
-      val cells = corpus
+      val cells = vecs
         .select(b.getField("cell").as("cell"), b.getField("score").as("cos"),
           unit.as("u"))
         .groupBy(col("cell"))
@@ -96,7 +101,7 @@ object KMeans {
         math.rint(moved * 1e6) / 1e6, cells.size)
       centroids = next
       iter += 1
-    }
+    } finally vecs.unpersist(blocking = false)
     (centroids, history.result())
   }
 }
