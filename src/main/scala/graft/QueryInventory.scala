@@ -1136,7 +1136,7 @@ object QueryInventory {
     * left-semi / left-anti hash joins on l_orderkey (the qj11
     * guarantee, here against the same table twice) — never per-row
     * execution. */
-  val qj16 = shared("qj16_waiting_supplier",
+  private val qj16Sql =
     """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
       |FROM supplier s
       |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
@@ -1151,8 +1151,51 @@ object QueryInventory {
       |                    AND l3.l_shipdate > l1.l_shipdate)
       |GROUP BY s.s_name
       |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
-      |LIMIT 20""".stripMargin,
-    "join,subquery,decorrelation,tpch")
+      |LIMIT 20""".stripMargin
+
+  val qj16 = Q("qj16_waiting_supplier",
+    qj16Sql, Some(qj16Sql),
+    "join,subquery,decorrelation,tpch",
+    impl = Some { (spark, dir) =>
+      // Scale spelling: the two correlated subqueries decorrelate to
+      // semi+anti hash joins (4 lineitem-scale shuffles, 3 scans). This
+      // impl replaces them with per-order top-2 supplier-max shipdates
+      // — "max excluding my key": a line survives iff its order has
+      // >= 2 suppliers AND no OTHER supplier shipped later, i.e.
+      // shipdate >= (top1 smax unless mine is the top1 supplier, else
+      // top2). Two shuffles of the slim line projection, no self-join.
+      // collect_list is bounded by lines-per-order (<= 7, TPC-H shape).
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(spark, dir)
+      val lf = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(spark.table("orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .drop("o_orderkey")
+      val ps = lf.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("smax"))
+      val tops = ps.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("nsupp"),
+          reverse(sort_array(collect_list(struct(col("smax"), col("l_suppkey")))))
+            .as("t"))
+        .select(col("l_orderkey").as("t_orderkey"), col("nsupp"),
+          col("t")(0).as("t1"),
+          // ANSI mode throws on out-of-range array index — guard the
+          // single-supplier orders (filtered out downstream anyway)
+          when(col("nsupp") > 1, col("t")(1)).as("t2"))
+      lf.join(tops, col("l_orderkey") === col("t_orderkey"))
+        .filter(col("nsupp") >= 2 &&
+          col("l_shipdate") >= when(col("l_suppkey") === col("t1.l_suppkey"),
+            col("t2.smax")).otherwise(col("t1.smax")))
+        .join(broadcast(spark.table("supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc_nulls_last("numwait"), asc_nulls_first("s_name"))
+        .limit(20)
+    })
 
   // ---------------------------------------------------------------
   // Window functions (Q-W*)
