@@ -1340,6 +1340,19 @@ object QueryInventory {
       |         l_linenumber NULLS FIRST""".stripMargin,
     "topk")
 
+  /** Keyset-free pagination: ORDER BY + LIMIT/OFFSET — the everyday
+    * result-paging spelling (page 2 of 15). Deterministic because the
+    * unique o_orderkey breaks every price tie; at scale OFFSET n
+    * still sorts/skips n rows per query — keyset pagination (WHERE
+    * key > last_seen, qt1's pattern with a predicate) is the
+    * constant-cost alternative; this row exercises the spelling. */
+  val qt3 = shared("qt3_pagination",
+    """SELECT o_orderkey, round(o_totalprice, 4) AS price
+      |FROM orders
+      |ORDER BY price DESC NULLS LAST, o_orderkey NULLS FIRST
+      |LIMIT 15 OFFSET 25""".stripMargin,
+    "sort,pagination,offset")
+
   // ---------------------------------------------------------------
   // Set operations (Q-U*)
   // ---------------------------------------------------------------
@@ -3090,7 +3103,7 @@ object QueryInventory {
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8,
-    qt1, qt2,
+    qt1, qt2, qt3,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18,
