@@ -275,6 +275,53 @@ object EngineOps {
     out
   }
 
+  /** MEASURED Structured Streaming SESSIONIZATION (ref op #36's
+    * streaming spelling — the missing streaming sibling of qs5's
+    * batch session_window): events replayed as a file-source stream →
+    * per-user session_window(30 min) aggregation with watermark →
+    * memory sink drained by Trigger.AvailableNow. Complete mode keeps
+    * the drain deterministic (watermark never evicts complete-mode
+    * state); stream==batch for the same aggregation is asserted in
+    * StatefulOpsSpec (full table, sf0.001). Output: sessions-per-user
+    * histogram — a small deterministic frame. The MEASURED slice is
+    * users < 100: the in-memory state store costs ~100 µs per session
+    * op, so the full sf0.1 table (~95k sessions) is a 10 s+ entry
+    * measuring only store overhead — the slice keeps the timed path
+    * the streaming semantics, not the store constant. */
+  private def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+      .filter(col("user_id") < 100)
+    val qName = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // same state-store sizing note as the replays above
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      StatefulOps.sessionCounts(stream)
+        .writeStream.format("memory").queryName(qName)
+        .option("checkpointLocation", scratchCheckpoint(qName))
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      dropScratchCheckpoint(qName)
+    }
+    val out = spark.table(qName)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .groupBy(col("n_sessions"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("n_sessions"), col("n_users"), col("n_events"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
   /** MEASURED stream-stream time-interval join (ref op #32's
     * two-channel fusion run as a REAL streaming query): two file-source
     * streams over the events parquet — 'click' channel vs 'view'
@@ -1035,6 +1082,7 @@ object EngineOps {
     "eng_ema_stateful" -> emaBatch,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,
+    "eng_streaming_sessions" -> streamingSessions,
     "eng_stream_join" -> streamJoin,
     "eng_lstm_state" -> lstmState,
     "eng_lang_id" -> langId,

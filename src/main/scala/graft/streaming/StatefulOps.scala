@@ -249,6 +249,21 @@ object StatefulOps {
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
 
+  /** Structured-Streaming SESSION-window counts per user — the
+    * streaming spelling of QueryInventory.qs5's native
+    * session_window (ref op #36). The state store merges windows as
+    * late rows extend a session; with a watermark the state for
+    * closed sessions is evicted (append mode) — the replay entries
+    * drain with complete mode, where the watermark never evicts, so
+    * the drained result is deterministic and equals the batch
+    * session_window aggregation exactly (asserted in
+    * StatefulOpsSpec). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Streaming exact deduplication — the unbounded spelling of
     * ql2/eng_exact_dedup. The event-time column rides in the dedup
     * key so the watermark bounds state: keys older than the delay are

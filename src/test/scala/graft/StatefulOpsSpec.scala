@@ -110,6 +110,34 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("file-source streaming sessionization matches batch session_window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      tmp.resolve("part-00000.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(tmp.toString)
+    val fix = (df: org.apache.spark.sql.DataFrame) => df.withColumn("ts",
+      expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+    val sdf = fix(spark.readStream.schema(raw.schema).parquet(tmp.toString))
+    val q = StatefulOps.sessionCounts(sdf)
+      .writeStream.format("memory").queryName("file_sess")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_window.start").cast("long"),
+        col("session_window.end").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = canon(spark.table("file_sess"))
+    val batch = canon(fix(raw)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events")))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // merged sessions really exist (some window spans >1 event)
+    assert(streamed.exists(_._4 > 1))
+  }
+
   test("complementary filter: alpha=0 reduces to accel passthrough") {
     val in = Seq(
       FusedSample(1L, 1000000L, 5.0, 1.5),
