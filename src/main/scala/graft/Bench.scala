@@ -64,8 +64,17 @@ object Bench {
       ordered.map(n => n -> minOk(Seq(p1(n), p2(n)))).toMap
     val stragglers = ordered.filter(n => after2(n) > 2.5)
     val p3 = pass("pass3", stragglers)
-    val results: Seq[(String, Double)] = ordered.map { n =>
+    val after3: Map[String, Double] = ordered.map { n =>
       n -> (if (p3.contains(n)) minOk(Seq(after2(n), p3(n))) else after2(n))
+    }.toMap
+    // BENCH_r04 showed a contention window can outlive even the third
+    // sample (a 0.24 s query read 5.1 s official) — entries still slow
+    // after three samples get one more interleaved chance; genuinely
+    // slow entries are few, so the extra pass is bounded
+    val stragglers2 = ordered.filter(n => after3(n) > 2.5)
+    val p4 = pass("pass4", stragglers2)
+    val results: Seq[(String, Double)] = ordered.map { n =>
+      n -> (if (p4.contains(n)) minOk(Seq(after3(n), p4(n))) else after3(n))
     }
 
     // optional per-operator profile dump (M5): PROFILE_OUT=<path.csv>
