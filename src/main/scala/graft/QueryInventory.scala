@@ -717,6 +717,32 @@ object QueryInventory {
       |         min_v NULLS FIRST, max_v NULLS FIRST""".stripMargin,
     "profile,data_quality,agg")
 
+  /** Robust outlier detection via MAD (median absolute deviation) —
+    * the heavy-tail-safe alternative to qa17's z-score (a single wild
+    * value corrupts mean/stddev but not medians). Two grouped median
+    * passes, each reducing the facts to 5 rows before the tiny join
+    * back — the fact table is scanned twice but never shuffled on a
+    * wide key, and the per-type frames broadcast. Threshold is the
+    * usual |0.6745·dev/MAD| > 3.5 rewritten division-free as
+    * dev > 5.19·MAD (5.19 ≈ 3.5/0.6745) so no near-ulp ratio crosses
+    * an engine boundary (closest observed margin 0.4%). Reference
+    * analog: the profiler's outlier trim, `simulator/profiler.py:91-139`. */
+  val qa19 = shared("qa19_mad_outliers",
+    """WITH med AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type AS event_type, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (
+      |  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+      |SELECT d.event_type AS event_type, round(max(m.mad), 4) AS mad,
+      |       CAST(sum(CASE WHEN d.adev > 5.19E0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |GROUP BY d.event_type
+      |ORDER BY event_type NULLS FIRST, mad NULLS FIRST, n_outliers NULLS FIRST, n NULLS FIRST""".stripMargin,
+    "robust,outlier,median,agg")
+
   // ---------------------------------------------------------------
   // Joins (Q-J*)
   // ---------------------------------------------------------------
@@ -3085,6 +3111,78 @@ object QueryInventory {
           col("p_size").asc_nulls_first, col("price").asc_nulls_first)
     })
 
+  /** CDC apply / upsert materialization (last-writer-wins): replay a
+    * change stream keyed by user_id into its current snapshot — the
+    * latest record per key wins, keys whose final record is the
+    * delete marker ('error') drop out. ONE shuffle on the key, and
+    * the rn=1 filter runs as WindowGroupLimit (per-partition top-1
+    * pushed before the exchange, qt2's plan guarantee) — the
+    * standard lakehouse MERGE-free CDC compaction shape; at 100 TB
+    * the same query runs per ingest slice with the snapshot unioned
+    * in (see eng_incremental_agg for the mergeable-state variant). */
+  val qx15 = shared("qx15_cdc_apply",
+    """WITH latest AS (
+      |  SELECT user_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type AS final_type, round(value, 4) AS final_value
+      |FROM latest
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id NULLS FIRST, final_type NULLS FIRST, final_value NULLS FIRST""".stripMargin,
+    "cdc,upsert,window_group_limit")
+
+  /** SCD Type-2 dimension build: change-detect each user's event_type
+    * run (keep rows where the type differs from the previous row),
+    * then lead() closes each version's validity interval — the
+    * classic slowly-changing-dimension derivation as two linear
+    * window passes over ONE user-keyed shuffle, no self-join.
+    * Windows order by integer microseconds + event_id in BOTH
+    * engines so sub-microsecond parquet ns precision (DuckDB keeps
+    * it, Spark truncates) cannot flip a tie. */
+  val qx16 = Q("qx16_scd2",
+    """WITH o AS (
+      |  SELECT user_id, event_type, event_id, unix_micros(ts) AS tus,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY unix_micros(ts), event_id) AS prev_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, tus, event_id
+      |  FROM o WHERE prev_type IS NULL OR event_type <> prev_type),
+      |v AS (
+      |  SELECT user_id, event_type, tus,
+      |         lead(tus) OVER (PARTITION BY user_id
+      |                         ORDER BY tus, event_id) AS valid_to
+      |  FROM chg)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+      |       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+      |       CAST(max(valid_to - tus) AS BIGINT) AS max_closed_us
+      |FROM v
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST, n_versions NULLS FIRST,
+      |         n_current NULLS FIRST, max_closed_us NULLS FIRST""".stripMargin,
+    Some("""WITH o AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, tus, event_id
+      |  FROM o WHERE prev_type IS NULL OR event_type <> prev_type),
+      |v AS (
+      |  SELECT user_id, event_type, tus,
+      |         lead(tus) OVER (PARTITION BY user_id
+      |                         ORDER BY tus, event_id) AS valid_to
+      |  FROM chg)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+      |       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+      |       CAST(max(valid_to - tus) AS BIGINT) AS max_closed_us
+      |FROM v
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST, n_versions NULLS FIRST,
+      |         n_current NULLS FIRST, max_closed_us NULLS FIRST""".stripMargin),
+    "scd2,dimension,window")
+
   /** Recursive CTE (Spark 4 WITH RECURSIVE): generate the month domain
     * recursively, then aggregate orders against it — recursion for the
     * dimension, one scan for the facts. */
@@ -3100,7 +3198,7 @@ object QueryInventory {
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8,
     qt1, qt2, qt3,
@@ -3108,5 +3206,5 @@ object QueryInventory {
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18,
     qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9, qs10,
-    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14)
+    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14, qx15, qx16)
 }
