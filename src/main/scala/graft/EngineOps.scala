@@ -245,9 +245,8 @@ object EngineOps {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a DIRECTORY; the test tables are single
     // files, so stream the parent dir restricted to the events file
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+    val stream = Tables.normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val qName = "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // the windowed agg allocates one state store per shuffle
     // partition; the replay is tiny, so fewer partitions = less state
@@ -292,9 +291,8 @@ object EngineOps {
     import org.apache.spark.sql.streaming.Trigger
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+    val stream = Tables.normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
       .filter(col("user_id") < 100)
     val qName = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // same state-store sizing note as the replays above
@@ -334,9 +332,8 @@ object EngineOps {
     import org.apache.spark.sql.streaming.Trigger
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def channel(et: String) = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+    def channel(et: String) = Tables.normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
       .filter(col("event_type") === et)
       .select(col("ts"), col("user_id"), col("value"))
     val qName = "graft_sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")

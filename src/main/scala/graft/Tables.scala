@@ -23,20 +23,39 @@ object Tables {
     * register(A) silently leave the views pointing at B). */
   private val registered = scala.collection.mutable.Map[SparkSession, String]()
 
+  /** Normalize the events `ts` column to TIMESTAMP (LTZ, session tz
+    * UTC) regardless of how the generator wrote it:
+    *  - parquet TIMESTAMP(NANOS) — no Spark type; with
+    *    `nanosAsLong=true` it reads as a raw ns LongType → convert
+    *    via `timestamp_micros(ns DIV 1000)` (lossless: generated data
+    *    is µs-aligned);
+    *  - parquet TIMESTAMP(MICROS) without tz — reads as
+    *    TimestampNTZType → cast to TIMESTAMP, which under the UTC
+    *    session zone reinterprets the wall-clock instant exactly as
+    *    DuckDB's naive TIMESTAMP read does;
+    *  - already TIMESTAMP (LTZ) — leave untouched.
+    * Every downstream `unix_micros(ts)` / `window(ts, …)` call needs
+    * LTZ, so the views must never expose NTZ or a raw long. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def register(spark: SparkSession, dir: String): Unit = synchronized {
     if (!registered.get(spark).contains(dir)) {
-      // events.ts is parquet TIMESTAMP(NANOS): Spark has no ns
-      // timestamp type, so read it as a raw ns long and convert to a
-      // µs timestamp (lossless here — the generated data is µs-aligned;
-      // DuckDB's TIMESTAMP_NS read agrees after truncation).
+      // set BEFORE the read so a TIMESTAMP(NANOS) file surfaces as a
+      // long (no-op for micros files); normalizeTs handles both
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       names.foreach { n =>
         val df = spark.read.parquet(s"$dir/$n.parquet")
-        val fixed =
-          if (n == "events")
-            df.withColumn("ts",
-              org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
-          else df
+        val fixed = if (n == "events") normalizeTs(df) else df
         fixed.createOrReplaceTempView(n)
       }
       registered(spark) = dir

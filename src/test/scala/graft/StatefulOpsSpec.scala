@@ -91,8 +91,7 @@ class StatefulOpsSpec extends AnyFunSuite {
       tmp.resolve("part-00000.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(tmp.toString)
-    val fix = (df: org.apache.spark.sql.DataFrame) => df.withColumn("ts",
-      expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+    val fix = Tables.normalizeTs _
     val sdf = fix(spark.readStream.schema(raw.schema).parquet(tmp.toString))
     val q = StatefulOps.windowedCounts(sdf)
       .writeStream.format("memory").queryName("file_win")
@@ -117,8 +116,7 @@ class StatefulOpsSpec extends AnyFunSuite {
       tmp.resolve("part-00000.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(tmp.toString)
-    val fix = (df: org.apache.spark.sql.DataFrame) => df.withColumn("ts",
-      expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+    val fix = Tables.normalizeTs _
     val sdf = fix(spark.readStream.schema(raw.schema).parquet(tmp.toString))
     val q = StatefulOps.sessionCounts(sdf)
       .writeStream.format("memory").queryName("file_sess")
