@@ -2534,6 +2534,142 @@ object QueryInventory {
       |         dup_token_frac NULLS FIRST, n_mostly_dup NULLS FIRST""".stripMargin),
     "dedup,spans,substring,llm")
 
+  /** Learned quality-filter APPLY (the fasttext-style classifier
+    * every training-data pipeline runs after the heuristic pass,
+    * ql1/eng_quality_score): featurize each document (stopword
+    * ratio, type-token ratio, log length, max-token-frequency
+    * repetition signal), apply a fixed logistic-regression model,
+    * threshold at p=0.5. Scale shape: ONE shuffle (the (doc,token)
+    * count), then two linear per-doc aggregates — model apply is a
+    * projection, so the whole thing is shuffle-bounded by tokenize,
+    * never model-bounded; weights would broadcast if non-literal.
+    * The linear score z is rounded to 4dp BEFORE the sigmoid so both
+    * engines exponentiate the identical input. */
+  val ql19 = Q("ql19_quality_lr",
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM documents
+      |  LATERAL VIEW explode(split(lower(text), ' ')) AS tok),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      |f AS (SELECT doc_id, sum(c) AS n, count(*) AS dn, max(c) AS mx,
+      |             sum(CASE WHEN tok IN ('a', 'the') THEN c ELSE 0 END) AS st
+      |      FROM tc GROUP BY doc_id),
+      |z AS (SELECT doc_id,
+      |             round(-3.0 + 6.0 * st / n + 2.5 * dn / n
+      |                   + 0.35 * ln(1 + n) - 5.0 * mx / n, 4) AS z
+      |      FROM f)
+      |SELECT doc_id, round(1 / (1 + exp(-z)), 4) AS quality,
+      |       CAST(CASE WHEN 1 / (1 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM z
+      |ORDER BY doc_id NULLS FIRST, quality NULLS FIRST, keep NULLS FIRST""".stripMargin,
+    Some("""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      |f AS (SELECT doc_id, sum(c) AS n, count(*) AS dn, max(c) AS mx,
+      |             sum(CASE WHEN tok IN ('a', 'the') THEN c ELSE 0 END) AS st
+      |      FROM tc GROUP BY doc_id),
+      |z AS (SELECT doc_id,
+      |             round(-3.0 + 6.0 * st / n + 2.5 * dn / n
+      |                   + 0.35 * ln(1 + n) - 5.0 * mx / n, 4) AS z
+      |      FROM f)
+      |SELECT doc_id, round(1 / (1 + exp(-z)), 4) AS quality,
+      |       CAST(CASE WHEN 1 / (1 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM z
+      |ORDER BY doc_id NULLS FIRST, quality NULLS FIRST, keep NULLS FIRST""".stripMargin),
+    "quality,classifier,model-apply,llm")
+
+  /** Collocation mining via pointwise mutual information over word
+    * bigrams — the corpus-statistics op behind tokenizer-vocab and
+    * phrase-table construction. Scale shape: unigram and bigram
+    * counts are each ONE grouped aggregate with map-side partials
+    * (vocab-sized results, KBs), the totals are 1-row broadcast
+    * probes, and the final scoring joins bigrams to the two unigram
+    * frames on the token key — nothing is ever doc×doc or
+    * token×token. PMI is rounded before the ORDER BY so the top-20
+    * cut is identical cross-engine. */
+  val ql20 = Q("ql20_collocations",
+    """WITH toks AS (SELECT doc_id, split(lower(text), ' ') AS w FROM documents),
+      |uni AS (SELECT t AS tok, count(*) AS c
+      |        FROM toks LATERAL VIEW explode(w) AS t GROUP BY t),
+      |bi AS (SELECT w[i-1] AS t1, w[i] AS t2, count(*) AS c
+      |       FROM toks LATERAL VIEW explode(sequence(1, size(w) - 1)) AS i
+      |       WHERE size(w) >= 2
+      |       GROUP BY w[i-1], w[i]),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni),
+      |tb AS (SELECT CAST(sum(c) AS DOUBLE) AS nb FROM bi),
+      |p AS (SELECT b.t1, b.t2, b.c,
+      |             round(ln((CAST(b.c AS DOUBLE) / nb)
+      |                      / ((u1.c / nu) * (u2.c / nu))), 4) AS pmi
+      |      FROM bi b JOIN uni u1 ON b.t1 = u1.tok JOIN uni u2 ON b.t2 = u2.tok
+      |      CROSS JOIN tot CROSS JOIN tb
+      |      WHERE b.c >= 5)
+      |SELECT t1, t2, CAST(c AS BIGINT) AS c, pmi FROM p
+      |ORDER BY pmi DESC NULLS LAST, t1 NULLS FIRST, t2 NULLS FIRST, c NULLS FIRST
+      |LIMIT 20""".stripMargin,
+    Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |uni AS (SELECT unnest(w) AS tok FROM toks),
+      |unic AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+      |bi AS (SELECT w[i] AS t1, w[i+1] AS t2
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |       WHERE len(w) >= 2),
+      |bic AS (SELECT t1, t2, count(*) AS c FROM bi GROUP BY t1, t2),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM unic),
+      |tb AS (SELECT CAST(sum(c) AS DOUBLE) AS nb FROM bic),
+      |p AS (SELECT b.t1, b.t2, b.c,
+      |             round(ln((CAST(b.c AS DOUBLE) / nb)
+      |                      / ((u1.c / nu) * (u2.c / nu))), 4) AS pmi
+      |      FROM bic b JOIN unic u1 ON b.t1 = u1.tok JOIN unic u2 ON b.t2 = u2.tok
+      |      CROSS JOIN tot CROSS JOIN tb
+      |      WHERE b.c >= 5)
+      |SELECT t1, t2, CAST(c AS BIGINT) AS c, pmi FROM p
+      |ORDER BY pmi DESC NULLS LAST, t1 NULLS FIRST, t2 NULLS FIRST, c NULLS FIRST
+      |LIMIT 20""".stripMargin),
+    "collocations,pmi,ngram,llm")
+
+  /** TF-IDF relevance ranking — the oracle-checked companion of the
+    * engine-side BM25 (eng_bm25_topk, operators/Bm25.scala): smooth
+    * idf = ln((N+1)/(df+1)) + 1, tf normalized by doc length, summed
+    * over a literal 3-term query. Scale shape: the term list prunes
+    * the (doc,token) aggregate at the scan (an IN filter over the
+    * exploded tokens), df and N are tiny broadcast frames, and the
+    * score is one per-doc sum — ONE shuffle on doc_id. */
+  val ql21 = Q("ql21_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM documents
+      |  LATERAL VIEW explode(split(lower(text), ' ')) AS tok),
+      |dlen AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+      |tf AS (SELECT doc_id, tok, count(*) AS c FROM toks
+      |       WHERE tok IN ('scan', 'join', 'vector') GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+      |       WHERE tok IN ('scan', 'join', 'vector') GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      |s AS (SELECT tf.doc_id,
+      |             round(sum((tf.c / dl) * (ln((nd + 1) / (df.df + 1)) + 1)), 4) AS score
+      |      FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+      |      JOIN df ON tf.tok = df.tok
+      |      CROSS JOIN n
+      |      GROUP BY tf.doc_id)
+      |SELECT doc_id, score FROM s
+      |ORDER BY score DESC NULLS LAST, doc_id NULLS FIRST
+      |LIMIT 15""".stripMargin,
+    Some("""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |dlen AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+      |tf AS (SELECT doc_id, tok, count(*) AS c FROM toks
+      |       WHERE tok IN ('scan', 'join', 'vector') GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+      |       WHERE tok IN ('scan', 'join', 'vector') GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      |s AS (SELECT tf.doc_id,
+      |             round(sum((tf.c / dl) * (ln((nd + 1) / (df.df + 1)) + 1)), 4) AS score
+      |      FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+      |      JOIN df ON tf.tok = df.tok
+      |      CROSS JOIN n
+      |      GROUP BY tf.doc_id)
+      |SELECT doc_id, score FROM s
+      |ORDER BY score DESC NULLS LAST, doc_id NULLS FIRST
+      |LIMIT 15""".stripMargin),
+    "tfidf,ranking,retrieval,llm")
+
   // ---------------------------------------------------------------
   // Event-stream queries (Q-S*) — batch expressions of the
   // reference's streaming semantics (ref ops #31-37). Event-time
@@ -3204,7 +3340,7 @@ object QueryInventory {
     qt1, qt2, qt3,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
-    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18, ql19, ql20, ql21,
     qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9, qs10,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14, qx15, qx16)
 }
