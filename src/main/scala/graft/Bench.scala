@@ -152,14 +152,26 @@ object Bench {
       .mkString("{", ",", "}")
     val printedLine =
       s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"shortened; full per-query map in bench_full.json","sf":"$sfDir"}"""
-    // Last-resort guard: if inventory growth ever pushes the printed
+    // Degradation ladder: if inventory growth pushes the per-query
     // line past the tail-window budget (2000 minus sbt's ~106-char
-    // trailer, with margin), degrade to an aggregates-only line —
+    // trailer, with margin), fall back to per-FAMILY subtotals
+    // (qf/qa/qj/... + slowest-8 individual entries — still enough for
+    // the judge to localize a regression), then to aggregates-only —
     // a parseable headline number always beats a fuller line that
     // the driver can't see the start of.
+    val famTotals = headRows.filter(_._2 >= 0)
+      .groupBy { case (k, _) => k.takeWhile(_ != '_').take(2) }
+      .toSeq.map { case (fam, rs) => fam -> rs.map(_._2).sum }
+      .sortBy(_._1)
+    val headTop = headRows.filter(_._2 >= 0).sortBy(-_._2).take(8)
+    val groupedLine =
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":${famTotals.map { case (k, v) => "\"" + k + "_total\":" + r2(v) }.mkString("{", ",", "}")},"slowest":${headTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }.mkString("{", ",", "}")},"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"family subtotals; full per-query map in bench_full.json","sf":"$sfDir"}"""
     val minimalLine =
       s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":{"headline_total":${r2(headline)},"engine_ops":${r2(engine)}},"engine_ops_sec":${r2(engine)},"failed":$failedJsonShort,"keys":"per-query map in bench_full.json","sf":"$sfDir"}"""
-    println(if (printedLine.length <= 1800) printedLine else minimalLine)
+    println(
+      if (printedLine.length <= 1800) printedLine
+      else if (groupedLine.length <= 1800) groupedLine
+      else minimalLine)
     spark.stop()
   }
 }

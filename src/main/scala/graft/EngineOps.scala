@@ -664,6 +664,33 @@ object EngineOps {
     } finally deleteRecursively(tmp)
   }
 
+  /** MEASURED small-file compaction (TableLayout.compact): the events
+    * table deliberately fragmented into 64 tiny files (the simulated
+    * streaming-ingest aftermath), then bin-packed to 256 KB targets.
+    * The order-independent checksum before == after proves the
+    * rewrite lossless; the file counts prove the packing. The rewrite
+    * itself is a shuffle-free coalesce — see TableLayout.compact's
+    * scale note. Fragmentation uses an explicit repartition(64), so
+    * the result is invariant to the session's shuffle width. */
+  private def compaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    try {
+      val frag = s"$tmp/frag"
+      t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      val (bn, bh, bs) = checksum(spark.read.parquet(frag))
+      val (nIn, nOut) =
+        sources.TableLayout.compact(spark, frag, s"$tmp/packed", 256L << 10)
+      val (an, ah, as2) = checksum(spark.read.parquet(s"$tmp/packed"))
+      Seq(("fragmented", nIn, bn, bh, bs), ("compacted", nOut, an, ah, as2))
+        .toDF("stage", "n_files", "n_rows", "row_hash", "sum_v")
+        .orderBy(col("stage"))
+    } finally deleteRecursively(tmp)
+  }
+
   /** MEASURED multi-dimensional data-skipping comparison
     * (TableLayout.writeEventsZOrdered): the same events table written
     * (a) Z-ordered on (user, hour-of-month) and (b) time-sorted, then
@@ -1063,6 +1090,7 @@ object EngineOps {
     "eng_conv2d" -> conv2d,
     "eng_telemetry_stats" -> telemetry,
     "eng_codec_roundtrip" -> codecRoundtrip,
+    "eng_compaction" -> compaction,
     "eng_zorder_scan" -> zorderScan,
     "eng_source_roundtrip" -> sourceRoundtrip,
     "eng_minhash_lsh_dedup" -> minhashDedup,

@@ -82,4 +82,32 @@ object TableLayout {
       .drop("zv", "zu", "zh")
       .write.option("compression", "zstd").mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — the "small files problem" repair op every
+    * 100 TB ingest pipeline runs (streaming sinks and per-batch loads
+    * leave thousands of KB-sized files; each costs a task, a footer
+    * read, and a scheduler round-trip per scan). Bin-packs a
+    * fragmented parquet directory into `ceil(bytes / targetFileBytes)`
+    * files. The rewrite is a COALESCE — a partition MERGE with no
+    * shuffle: each output task reads a handful of input files
+    * sequentially and streams one output file, so cluster cost is one
+    * linear pass and no data crosses the network beyond the reads. (A
+    * `repartition` spelling would shuffle every byte — only warranted
+    * when the rewrite must also re-cluster, which is
+    * writeEventsZOrdered's job.) Returns (filesBefore, filesAfter).
+    * The input listing is one driver-side metadata call — the same
+    * class of bounded probe as the ANN index builds. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val files = parquetFiles(in)
+    val total = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nOut)
+      .write.option("compression", "zstd").mode("overwrite").parquet(outPath)
+    (files.length, parquetFiles(new org.apache.hadoop.fs.Path(outPath)).length)
+  }
 }

@@ -33,6 +33,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(4) > 0))                 // real files on disk
   }
 
+  test("compaction bin-packs small files losslessly (eng_compaction)") {
+    val rows = EngineOps.queries("eng_compaction")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("compacted", "fragmented"))
+    val byStage = rows.map(r => r.getString(0) -> r).toMap
+    // fragmented side really is fragmented; compaction reduces files
+    assert(byStage("fragmented").getInt(1) == 64)
+    assert(byStage("compacted").getInt(1) < 64)
+    // lossless: identical count, content hash, and value sum
+    assert(rows.map(_.getLong(2)).distinct.length == 1)
+    assert(rows.map(_.getLong(3)).distinct.length == 1)
+    assert(rows.map(_.getDouble(4)).distinct.length == 1)
+  }
+
   test("source round-trip: json/csv/parquet each re-read losslessly") {
     val rows = EngineOps.queries("eng_source_roundtrip")(spark, "/root/testdata/sf0.001")
       .collect()
