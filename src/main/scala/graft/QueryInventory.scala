@@ -1341,6 +1341,33 @@ object QueryInventory {
       |         share NULLS FIRST""".stripMargin,
     "window,ratio_to_report,share")
 
+  /** Running distinct cardinality per channel — the "unique users so
+    * far" live metric. Spark has no DISTINCT window aggregates, so
+    * the engine spelling is `size(collect_set() OVER ...)`; DuckDB's
+    * is the ANSI `count(DISTINCT) OVER`. Scale note: a running exact
+    * distinct carries O(cardinality) window state per partition — at
+    * 100 TB the answer is the mergeable HLL sketch state in
+    * eng_incremental_agg / eng_approx_distinct; this spelling is the
+    * exact companion, bounded here by the user slice. */
+  val qw9 = Q("qw9_running_distinct",
+    """SELECT event_type, event_id,
+      |       CAST(size(collect_set(user_id) OVER (
+      |         PARTITION BY event_type ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+      |         AS distinct_users
+      |FROM events WHERE user_id < 200
+      |ORDER BY event_type NULLS FIRST, event_id NULLS FIRST,
+      |         distinct_users NULLS FIRST""".stripMargin,
+    Some("""SELECT event_type, event_id,
+      |       CAST(count(DISTINCT user_id) OVER (
+      |         PARTITION BY event_type ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS distinct_users
+      |FROM events WHERE user_id < 200
+      |ORDER BY event_type NULLS FIRST, event_id NULLS FIRST,
+      |         distinct_users NULLS FIRST""".stripMargin),
+    "window,distinct,running")
+
   // ---------------------------------------------------------------
   // Sort / limit / top-k (Q-T*)
   // ---------------------------------------------------------------
@@ -3336,7 +3363,7 @@ object QueryInventory {
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16,
-    qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8,
+    qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9,
     qt1, qt2, qt3,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,

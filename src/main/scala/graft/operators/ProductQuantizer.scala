@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.vecDot
+
+/** Product quantization for ANN search (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+  * MEMORY-side scale path beside the engine's scan-side paths (LSH
+  * buckets, IVF cells): each vector splits into `m` subspaces, each
+  * subspace quantized by its own `k`-centroid codebook, so a
+  * dim-float vector stores as `m` small codes (dim·4 bytes → m bytes
+  * at k ≤ 256 — 32× for the 64-dim corpus here) and query distance
+  * is a sum of `m` lookups into a per-query table (asymmetric
+  * distance computation, ADC) — no float-vector arithmetic per row at
+  * query time. (Ref analog: the per-layer weight codebooks of the
+  * chip's quantized deployment path, /root/reference/tools/
+  * quantize_model.py:60-118 — a codebook trained offline, applied as
+  * pure lookups at inference.)
+  *
+  * Scale shape:
+  *  - training runs ALL m subspaces in ONE distributed aggregate per
+  *    Lloyd iteration over the exploded (subspace, sub-vector) rows —
+  *    m·k·subDim doubles to the driver per iteration, corpus never
+  *    collected;
+  *  - encoding is a single projection (argmin over literal
+  *    sub-codebooks per subspace) — shuffle-free, and the codes
+  *    column is what a 100 TB deployment persists;
+  *  - an ADC query broadcasts only the m×k lookup table inside plan
+  *    literals, scores with element_at sums, and ranks via
+  *    sort+limit (TakeOrderedAndProject — per-partition top-k then a
+  *    driver k-merge, never a global sort).
+  *
+  * Determinism: init is the deterministic id-ordered sample (the
+  * IVF/sampledCodebook discipline), updates round to 9 dp (vecSumAgg
+  * adds in partition order — rounding pins the codebook across
+  * shuffle widths), fixed iteration count. L2 distance is used
+  * throughout: for the unit-norm corpus ‖q−x‖² = 2−2·cos, so the L2
+  * ranking IS the cosine ranking. */
+object ProductQuantizer {
+
+  final case class Model(m: Int, k: Int, subDim: Int,
+                         codebooks: Array[Array[Array[Double]]])
+
+  /** The m sub-vector slices of a vector column (1-based slice). */
+  private def subSlices(vec: Column, m: Int, subDim: Int): Seq[Column] =
+    (0 until m).map(s => slice(vec, s * subDim + 1, subDim))
+
+  /** argmin-L2 cell of a sub-vector under one literal sub-codebook:
+    * min ‖x−c‖² = max (x·c − ‖c‖²/2); ties break to the LOWEST cell
+    * id (greatest() keeps the first of equal structs, so the
+    * descending id in the tiebreak field makes lower ids win). */
+  private def nearestSub(codebook: Array[Array[Double]])(sv: Column): Column = {
+    val scored = codebook.zipWithIndex.map { case (c, i) =>
+      val bias = c.map(x => x * x).sum / 2.0
+      struct((vecDot(sv, array(c.map(lit): _*)) - lit(bias)).as("score"),
+        lit(-i).as("negCell"))
+    }
+    -greatest(scored: _*).getField("negCell")
+  }
+
+  /** Train per-subspace codebooks: deterministic id-ordered sample
+    * init, `iters` Lloyd steps, all subspaces in one aggregate per
+    * step. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+          m: Int, k: Int, iters: Int = 5): Model = {
+    val dim = corpus.select(size(col(vecCol))).take(1).headOption match {
+      case Some(r) => r.getInt(0)
+      case None => throw new IllegalArgumentException(
+        s"ProductQuantizer.fit: corpus is empty — cannot derive dim from '$vecCol'")
+    }
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    // init: sub-slices of the first k vectors by id (bounded fetch —
+    // an index-build step, k×dim doubles)
+    val sample = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => sample.map(_.slice(s * subDim, (s + 1) * subDim)))
+    // exploded (subspace, sub-vector) rows — built once, reused every
+    // iteration; vecSumAgg's input contract is array<float>
+    val subRows = corpus.select(posexplode(
+        array(subSlices(col(vecCol), m, subDim).map(_.cast("array<float>")): _*))
+      .as(Seq("sub", "sv")))
+    val cached = subRows.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      while (it < iters) {
+        // per-subspace assignment: CASE on the subspace id, each branch
+        // the argmin expression under that subspace's literal codebook
+        val cell = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
+          when(col("sub") === s, nearestSub(books(s))(col("sv"))).otherwise(acc)
+        }
+        val sums = cached
+          .select(col("sub"), cell.as("cell"), col("sv"))
+          .groupBy(col("sub"), col("cell"))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.VecAggregates.vecSumAgg(col("sv")).as("s"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            (r.getLong(2), r.getSeq[Double](3).toArray))
+          .toMap
+        books = Array.tabulate(m) { s =>
+          books(s).zipWithIndex.map { case (old, c) =>
+            sums.get((s, c)) match {
+              case Some((n, vsum)) if n > 0 =>
+                vsum.map(x => math.rint(x / n * 1e9) / 1e9)
+              case _ => old // empty cell keeps its previous centroid
+            }
+          }
+        }
+        it += 1
+      }
+    } finally cached.unpersist(blocking = false)
+    Model(m, k, subDim, books)
+  }
+
+  /** Encode the corpus: id + the m-code array (one shuffle-free
+    * projection; this is the artifact a deployment persists). */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             model: Model): DataFrame = {
+    val codes = (0 until model.m).map { s =>
+      nearestSub(model.codebooks(s))(
+        slice(col(vecCol), s * model.subDim + 1, model.subDim))
+    }
+    corpus.select(col(idCol).as("id"), array(codes: _*).as("codes"))
+  }
+
+  /** ADC top-k: per-query m×k lookup table of exact sub-distances
+    * ‖q_s − c‖² (computed on the driver — m·k·subDim flops, an O(µs)
+    * constant), scored distributedly as m element_at lookups per row. */
+  def adcTopK(encoded: DataFrame, probe: Array[Float], model: Model,
+              k: Int): DataFrame = {
+    require(probe.length == model.m * model.subDim,
+      s"probe dim ${probe.length} != ${model.m}×${model.subDim}")
+    val lut: Array[Array[Double]] = Array.tabulate(model.m) { s =>
+      val q = probe.slice(s * model.subDim, (s + 1) * model.subDim).map(_.toDouble)
+      model.codebooks(s).map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+        math.rint(d * 1e9) / 1e9
+      }
+    }
+    val dist = (0 until model.m).map { s =>
+      // element_at(codes, s+1) is this row's 0-based code for subspace
+      // s; get() indexes the literal LUT 0-based with a Column index
+      get(array(lut(s).map(lit): _*), element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+    encoded
+      .select(col("id"), round(dist, 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc_nulls_last, col("id").asc)
+      .limit(k)
+  }
+
+  /** ADC retrieve + exact re-rank — the production PQ query shape
+    * (Jégou '11 §V's IVFADC refinement): the codes-only ADC pass
+    * prunes the corpus to a `shortlist`, whose ORIGINAL vectors are
+    * then scored exactly and cut to k. The shortlist is k-sized (a
+    * driver-side TakeOrderedAndProject result), so the re-rank join
+    * broadcasts it back onto the corpus — the only full-corpus work
+    * remains the lookup-sum scan. Quantization error then costs
+    * recall only when a true neighbor falls outside the ENTIRE
+    * shortlist, not when codes merely reorder the top-k
+    * (recall floor asserted in SimilaritySearchSpec). */
+  def adcTopKRefined(encoded: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, probe: Array[Float],
+                     model: Model, k: Int, shortlist: Int = 50): DataFrame = {
+    val short = adcTopK(encoded, probe, model, shortlist).select(col("id"))
+    val candidates = corpus.join(broadcast(short),
+      corpus(idCol) === short("id")).drop("id")
+    SimilaritySearch.bruteForceTopK(candidates, idCol, vecCol, probe, k)
+  }
+}

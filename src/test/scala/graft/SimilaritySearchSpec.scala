@@ -144,4 +144,38 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert((brute & ivf).size >= 8, s"IVF recall ${(brute & ivf).size}/10")
     assert((brute & lsh).size >= 7, s"LSH recall ${(brute & lsh).size}/10")
   }
+
+  test("PQ codes compress to m small ints; ADC+re-rank recall floor holds") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.table(spark, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val probe = Tables.table(spark, dir, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val model = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 16, k = 32)
+    // model shape: 16 codebooks × 32 centroids × 4 dims
+    assert(model.codebooks.length == 16)
+    assert(model.codebooks.forall(b => b.length == 32 && b.forall(_.length == 4)))
+    val enc = graft.operators.ProductQuantizer.encode(emb, "vec_id", "embedding", model)
+    val codeRows = enc.collect()
+    assert(codeRows.length == emb.count())
+    // every code array is m ints in [0, k): the m-byte storage claim
+    assert(codeRows.forall { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      cs.length == 16 && cs.forall(c => c >= 0 && c < 32)
+    })
+    val brute = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // codes-only ADC ranks approximately (measured 0.5 on this
+    // near-isotropic fixture — the hard case); the floor is loose
+    val adcOnly = graft.operators.ProductQuantizer.adcTopK(enc, probe, model, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert((brute & adcOnly).size >= 3, s"ADC recall ${(brute & adcOnly).size}/10")
+    // the production shape — 50-candidate shortlist + exact re-rank —
+    // recovers the exact top-10 here (measured 1.0; floor 8 with margin)
+    val refined = graft.operators.ProductQuantizer.adcTopKRefined(
+      enc, emb, "vec_id", "embedding", probe, model, k = 10, shortlist = 50)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert((brute & refined).size >= 8, s"refined recall ${(brute & refined).size}/10")
+  }
 }
