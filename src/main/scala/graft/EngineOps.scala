@@ -423,6 +423,27 @@ object EngineOps {
       .orderBy(col("user_id"), col("tsMicros"), col("fused"))
   }
 
+  /** Holt linear-trend forecasting per user (operators/Forecast —
+    * smoothed generalization of ref op #34's 2-point extrapolation):
+    * daily mean values per user fold to (level, trend) in one
+    * secondary-sort pass, 3-step-ahead forecasts emitted per key.
+    * Day indices make (key, t) unique, so the fold order is pinned. */
+  private def forecastHolt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = t(spark, dir, "events")
+      .filter(col("user_id") < 100)
+      .groupBy(col("user_id").as("key"),
+        (unix_micros(col("ts")) divide lit(86400000000L)).cast("long").as("t"))
+      .agg((sum(col("value")) / count(lit(1))).as("v"))
+      .as[operators.Forecast.SeriesPoint]
+    operators.Forecast.holt(daily, alpha = 0.3, beta = 0.1, horizon = 3).toDF()
+      .select(col("key"), col("n"), round(col("level"), 4).as("level"),
+        round(col("trend"), 4).as("trend"), col("h"),
+        round(col("forecast"), 4).as("forecast"))
+      .orderBy(col("key"), col("h"), col("n"), col("level"), col("trend"),
+        col("forecast"))
+  }
+
   /** True recursive EMA per user (ref IIR low-pass) — batch spelling
     * of the flatMapGroupsWithState recurrence. */
   private def emaBatch(spark: SparkSession, dir: String): DataFrame =
@@ -1141,6 +1162,7 @@ object EngineOps {
     "eng_ann_lsh_pairs" -> annPairJoin,
     "eng_ann_pq_topk" -> annPq,
     "eng_ema_stateful" -> emaBatch,
+    "eng_forecast_holt" -> forecastHolt,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,
     "eng_streaming_sessions" -> streamingSessions,
