@@ -146,12 +146,12 @@ object Bench {
     val qs = headRows.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val engSorted = engRows.filter(_._2 >= 0).sortBy(-_._2)
-    val engTop = engSorted.take(8)
-    val engRest = engSorted.drop(8).map(_._2).sum
+    val engTop = engSorted.take(6)
+    val engRest = engSorted.drop(6).map(_._2).sum
     val es = engTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val printedLine =
-      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"shortened; full per-query map in bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"short; see bench_full.json","sf":"$sfDir"}"""
     // Degradation ladder: if inventory growth pushes the per-query
     // line past the tail-window budget (2000 minus sbt's ~106-char
     // trailer, with margin), fall back to per-FAMILY subtotals
@@ -165,7 +165,7 @@ object Bench {
       .sortBy(_._1)
     val headTop = headRows.filter(_._2 >= 0).sortBy(-_._2).take(8)
     val groupedLine =
-      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":${famTotals.map { case (k, v) => "\"" + k + "_total\":" + r2(v) }.mkString("{", ",", "}")},"slowest":${headTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }.mkString("{", ",", "}")},"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"family subtotals; full per-query map in bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":${famTotals.map { case (k, v) => "\"" + k + "_total\":" + r2(v) }.mkString("{", ",", "}")},"slowest":${headTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }.mkString("{", ",", "}")},"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"family subtotals; see bench_full.json","sf":"$sfDir"}"""
     val minimalLine =
       s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":{"headline_total":${r2(headline)},"engine_ops":${r2(engine)}},"engine_ops_sec":${r2(engine)},"failed":$failedJsonShort,"keys":"per-query map in bench_full.json","sf":"$sfDir"}"""
     println(

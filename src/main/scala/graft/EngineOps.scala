@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Attention, Cascade, KMeans, LmScore, MinHashDedup, Multimodal, ProductQuantizer, SimilaritySearch}
+import graft.operators.{Attention, Cascade, KMeans, LmScore, MinHashDedup, Multimodal, PageRank, ProductQuantizer, SimilaritySearch}
 import graft.streaming.{StatefulOps, Telemetry}
 
 /** Engine-side-only operators (SURVEY §2.9 tail): approximate,
@@ -421,6 +421,27 @@ object EngineOps {
     StatefulOps.complementaryBatch(fused, alpha = 0.98).toDF()
       .select(col("user_id"), col("tsMicros"), round(col("fused"), 6).as("fused"))
       .orderBy(col("user_id"), col("tsMicros"), col("fused"))
+  }
+
+  /** PageRank power iteration (operators/PageRank) over the
+    * supplier↔customer trade graph: lineitem⋈orders gives an edge per
+    * line (supplier ships to customer), spelled BIdirectionally so the
+    * chain is ergodic; supplier nodes are negated to keep the two key
+    * spaces disjoint. 8 sweeps, top-20 influencers. Each sweep is one
+    * join + one grouped sum over the checkpointed fan-out edge list —
+    * the engine's iterative-join graph workload beside the one-shot
+    * connectedComponents. */
+  private def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((-col("l_suppkey")).as("s"), col("o_custkey").as("c"))
+    val edges = trade.select(col("s").as("src"), col("c").as("dst"))
+      .unionByName(trade.select(col("c").as("src"), col("s").as("dst")))
+    PageRank.run(edges, iters = 8)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc_nulls_last, col("node"))
+      .limit(20)
   }
 
   /** Holt linear-trend forecasting per user (operators/Forecast —
@@ -1163,6 +1184,7 @@ object EngineOps {
     "eng_ann_pq_topk" -> annPq,
     "eng_ema_stateful" -> emaBatch,
     "eng_forecast_holt" -> forecastHolt,
+    "eng_pagerank" -> pagerank,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,
     "eng_streaming_sessions" -> streamingSessions,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank power iteration over an edge list — the engine's
+  * iterative-join graph workload (Page et al. '99; the canonical
+  * Spark iterative benchmark). Complements the one-shot graph step
+  * already in the engine (DedupClusters.connectedComponents):
+  * components answer "which nodes belong together", PageRank ranks
+  * influence within the link structure.
+  *
+  * Unnormalized formulation with dangling-safe updates:
+  *   rank'(v) = (1−d) + d · Σ_{u→v} rank(u) / outdeg(u)
+  * Nodes with no in-edges settle at (1−d); the iteration is run a
+  * fixed `iters` times (deterministic — no convergence probe).
+  *
+  * Scale shape: per iteration ONE shuffle — contributions group on
+  * dst; the (node, outdeg) frame is computed once and reused (it
+  * carries the edge fan-out); ranks re-join edges on src each sweep.
+  * At cluster scale, edges are pre-partitioned on src and each
+  * iteration's join reuses that partitioning, so the only moving
+  * bytes are the (dst, contribution) pairs. Rank state is
+  * localCheckpoint'd every `checkpointEvery` sweeps: iterative plans
+  * otherwise double in depth each sweep and the optimizer re-walks
+  * the whole lineage per action (the classic iterative-Spark trap).
+  *
+  * Determinism: ranks round to 9 dp each sweep (fp summation order
+  * varies with partitioning — same discipline as KMeans/lloydStep). */
+object PageRank {
+
+  /** edges: (src, dst) long columns, multi-edges allowed (weighted by
+    * multiplicity). Returns (node, rank) for every node appearing as
+    * src or dst. */
+  def run(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+          checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // node universe and the fan-out-annotated edge list, each computed
+    // ONCE and checkpointed — every sweep reuses them
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val linked = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg")),
+        Seq("src"))
+      .localCheckpoint(true) // (src, dst, outdeg)
+    var rank = nodes.select(col("node"), lit(1.0).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contribs = linked
+        .join(rank.select(col("node").as("src_r"), col("rank").as("r")),
+          col("src") === col("src_r"))
+        .select(col("dst").as("node"), (col("r") / col("outdeg")).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("contrib"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0)), 9).as("rank"))
+      rank = if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        next.localCheckpoint(true)
+      else next
+      i += 1
+    }
+    rank
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.PageRank
+
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    import spark.implicits._
+    PageRank.run(edges.toDF("src", "dst"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("two-node cycle is the fixed point: both ranks stay 1.0") {
+    // rank' = 0.15 + 0.85 · (1.0 / 1) = 1.0 every sweep
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(r == Map(1L -> 1.0, 2L -> 1.0))
+  }
+
+  test("chain with a dangling sink matches the hand-computed values") {
+    // A→B: after sweep 1, A has no in-edges → 0.15; B converges to
+    // 0.15 + 0.85·0.15 = 0.2775 from sweep 2 on
+    val r = ranks(Seq((1L, 2L)), iters = 5)
+    assert(math.abs(r(1L) - 0.15) < 1e-9)
+    assert(math.abs(r(2L) - 0.2775) < 1e-9)
+  }
+
+  test("rank flows through the hub to its sole successor") {
+    // 3 spokes point at the hub; the hub points ONLY at spoke 1, so
+    // the hub's whole accumulated rank flows there — both far exceed
+    // the pure-source spokes, which settle exactly at 1−d
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (10L, 1L))
+    val r = ranks(edges, iters = 10)
+    assert(r(1L) > 1.0 && r(10L) > 1.0)
+    assert(r(1L) > r(2L) && r(10L) > r(2L))
+    assert(math.abs(r(2L) - 0.15) < 1e-9) // pure-source spokes settle at 1−d
+    assert(r(2L) == r(3L))                 // symmetric spokes tie exactly
+  }
+
+  test("ranks are invariant to input partitioning") {
+    import spark.implicits._
+    val edges = (0L until 300L).map(i => (i % 17, (i * 7 + 3) % 23))
+    def run(parts: Int) =
+      PageRank.run(edges.toDF("src", "dst").repartition(parts), iters = 6)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(run(2) == run(13))
+  }
+}
