@@ -1223,6 +1223,31 @@ object QueryInventory {
         .limit(20)
     })
 
+  /** TPC-H Q18 flavor (large-volume customers): join against a
+    * HAVING-filtered aggregate of the fact table itself. Scale shape:
+    * the `big` aggregate collapses lineitem to one slim row per
+    * qualifying order BEFORE any join (map-side partials), the
+    * orders⋈big join is keyed on the same l_orderkey the final
+    * per-order rollup groups on (AQE reuses the partitioning), and
+    * customer attaches as a broadcast. The top-100 cut orders on the
+    * ROUNDED quantity + both keys, so it is cross-engine
+    * deterministic. */
+  val qj17 = shared("qj17_big_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 4) AS totalprice,
+      |       round(sum(l.l_quantity), 4) AS total_qty
+      |FROM orders o
+      |JOIN big b ON o.o_orderkey = b.l_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+      |ORDER BY total_qty DESC NULLS LAST, c_custkey NULLS FIRST,
+      |         o_orderkey NULLS FIRST, totalprice NULLS FIRST
+      |LIMIT 100""".stripMargin,
+    "join,aggregate-subquery,tpch,topk")
+
   // ---------------------------------------------------------------
   // Window functions (Q-W*)
   // ---------------------------------------------------------------
@@ -3362,7 +3387,7 @@ object QueryInventory {
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19,
-    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16,
+    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16, qj17,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9,
     qt1, qt2, qt3,
     qu1, qu2, qu3, qu4, qu5, qu6,
