@@ -41,7 +41,13 @@ object PlanAudit {
     "qj14_interval_join" ->
       "Interval-overlap join keyed on the exploded time bucket: the session pair join is an equi-join on bkt (no BroadcastNestedLoopJoin / CartesianProduct anywhere), with the overlap predicate and the exactly-once max-start-bucket guard as join filters — per-task work is bounded by concurrent-session density.",
     "ql18_dup_spans" ->
-      "Span-level dup metric: one Exchange on the shingle hash (groupBy + join back), one per-doc window for the interval union, one per-source aggregate — no pairwise document comparison at any stage.")
+      "Span-level dup metric: one Exchange on the shingle hash (groupBy + join back), one per-doc window for the interval union, one per-source aggregate — no pairwise document comparison at any stage.",
+    "qj17_big_orders" ->
+      "TPC-H Q18 shape: the HAVING aggregate collapses lineitem to slim qualifying-order rows BEFORE any join; the per-order rollup reuses the same l_orderkey hash partitioning (no second fact shuffle); customer attaches as BroadcastHashJoin; TakeOrderedAndProject cuts the top-100.",
+    "ql19_quality_lr" ->
+      "Model apply is pure projection: one Exchange on (doc, token) for the count, two chained per-doc aggregates (AQE-coalesced small shuffles), the logistic score computed inline — no shuffle grows with the model.",
+    "eng_ann_pq_topk" ->
+      "PQ-ADC query: the codes scan feeds a lookup-table sum projection into TakeOrderedAndProject (shortlist), whose ids broadcast back onto the corpus for the exact re-rank — full-corpus work is the code-lookup scan only.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
