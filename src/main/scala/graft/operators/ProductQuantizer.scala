@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.vecDot
 
 /** Product quantization for ANN search (Jégou, Douze, Schmid, "Product
   * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
@@ -46,17 +45,21 @@ object ProductQuantizer {
   private def subSlices(vec: Column, m: Int, subDim: Int): Seq[Column] =
     (0 until m).map(s => slice(vec, s * subDim + 1, subDim))
 
-  /** argmin-L2 cell of a sub-vector under one literal sub-codebook:
-    * min ‖x−c‖² = max (x·c − ‖c‖²/2); ties break to the LOWEST cell
-    * id (greatest() keeps the first of equal structs, so the
-    * descending id in the tiebreak field makes lower ids win). */
-  private def nearestSub(codebook: Array[Array[Double]])(sv: Column): Column = {
-    val scored = codebook.zipWithIndex.map { case (c, i) =>
-      val bias = c.map(x => x * x).sum / 2.0
-      struct((vecDot(sv, array(c.map(lit): _*)) - lit(bias)).as("score"),
-        lit(-i).as("negCell"))
-    }
-    -greatest(scored: _*).getField("negCell")
+  /** argmin-L2 cell of a sub-vector under subspace `sub`'s codebook —
+    * the compiled PqNearestExpr kernel (ties to the lowest cell id).
+    * The combinator spelling (greatest over k structs × m subspaces)
+    * unrolls m·k·subDim arithmetic and breaches janino's 64 KB
+    * method limit at m=16, k=32, silently de-codegening the whole
+    * encode stage; the kernel keeps generated code constant-size with
+    * the codebooks as a plan reference object. */
+  private def nearestSub(books: Array[Array[Array[Double]]], subDim: Int)
+                        (sub: Column, sv: Column): Column = {
+    val flat = books.flatMap(_.flatten)
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.PqNearestExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(sub),
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(sv),
+        books.length, books(0).length, subDim, flat))
   }
 
   /** Train per-subspace codebooks: deterministic id-ordered sample
@@ -88,11 +91,9 @@ object ProductQuantizer {
     try {
       var it = 0
       while (it < iters) {
-        // per-subspace assignment: CASE on the subspace id, each branch
-        // the argmin expression under that subspace's literal codebook
-        val cell = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
-          when(col("sub") === s, nearestSub(books(s))(col("sv"))).otherwise(acc)
-        }
+        // per-subspace assignment: ONE kernel call — `sub` picks the
+        // codebook inside the compiled loop
+        val cell = nearestSub(books, subDim)(col("sub"), col("sv"))
         val sums = cached
           .select(col("sub"), cell.as("cell"), col("sv"))
           .groupBy(col("sub"), col("cell"))
@@ -122,8 +123,8 @@ object ProductQuantizer {
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
              model: Model): DataFrame = {
     val codes = (0 until model.m).map { s =>
-      nearestSub(model.codebooks(s))(
-        slice(col(vecCol), s * model.subDim + 1, model.subDim))
+      nearestSub(model.codebooks, model.subDim)(
+        lit(s), slice(col(vecCol), s * model.subDim + 1, model.subDim))
     }
     corpus.select(col(idCol).as("id"), array(codes: _*).as("codes"))
   }

@@ -145,6 +145,41 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert((brute & lsh).size >= 7, s"LSH recall ${(brute & lsh).size}/10")
   }
 
+  test("PqNearestExpr matches a plain-Scala argmin (differential)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val m = 4; val k = 5; val subDim = 3
+    val bookRnd = new scala.util.Random(11)
+    val books = Array.fill(m, k, subDim)(bookRnd.nextGaussian())
+    val flat = books.flatMap(_.flatten)
+    val data = (0 until 60).map { i =>
+      val r = new scala.util.Random(100 + i)
+      (i % m, Seq.fill(subDim)(r.nextGaussian().toFloat))
+    }
+    val df = data.toDF("sub", "sv")
+    val expr = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.PqNearestExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(col("sub")),
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(col("sv")),
+        m, k, subDim, flat))
+    val got = df.select(col("sub"), col("sv"), expr.as("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getInt(2)))
+    got.foreach { case (sub, sv, cell) =>
+      val dists = books(sub).map(c =>
+        c.zip(sv).map { case (x, y) => (y - x) * (y - x) }.sum)
+      val expected = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(cell == expected, s"sub=$sub got $cell expected $expected")
+    }
+    // out-of-range subspace and wrong-length sub-vector yield NULL
+    val bad = df.select(
+      org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.expressions.PqNearestExpr(
+          org.apache.spark.sql.graftshim.ColumnBridge.expr(lit(m)),
+          org.apache.spark.sql.graftshim.ColumnBridge.expr(col("sv")),
+          m, k, subDim, flat)).as("c")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("PQ codes compress to m small ints; ADC+re-rank recall floor holds") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"
