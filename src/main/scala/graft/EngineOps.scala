@@ -481,6 +481,18 @@ object EngineOps {
         round(col("h0"), 6).as("h0"), round(col("hNorm"), 6).as("h_norm"))
       .orderBy(col("user_id"), col("eventId"))
 
+  /** φ-heavy-hitters over event actors (operators/HeavyHitters —
+    * Misra-Gries candidates + exact verification, the frequent-items
+    * member of the sketch family): "which users exceed 0.8% of all
+    * traffic" — the hot-key detection that feeds the salting path
+    * (eng_salted_agg). Output is exact counts of the true hitters —
+    * deterministic on any partitioning (the sketch's order-dependent
+    * counters never reach the output). */
+  private def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    operators.HeavyHitters.heavyHitters(
+      t(spark, dir, "events").select(col("user_id").cast("string").as("actor")),
+      "actor", phi = 0.008)
+
   /** Language-ID heuristic vs the labeled lang column: per-language
     * accuracy of the n-gram/stopword scorer. */
   private def langId(spark: SparkSession, dir: String): DataFrame =
@@ -1201,6 +1213,7 @@ object EngineOps {
     "eng_approx_percentile" -> approxPercentile,
     "eng_salted_agg" -> saltedAgg,
     "eng_cms_bloom_sketch" -> sketches,
+    "eng_heavy_hitters" -> heavyHitters,
     "eng_quantize_int8" -> quantizeLib)
 }
 

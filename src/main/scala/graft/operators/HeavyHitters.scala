@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distributed φ-heavy-hitters via Misra-Gries + exact verification —
+  * the frequent-items member of the sketch family (HLL distinct, CMS
+  * frequency, Bloom membership, GK quantiles; Sketches.scala). At
+  * 100 TB an exact top-k over an unbounded key domain needs a
+  * full-domain aggregate; the two-pass sketch shape needs O(1/φ)
+  * state:
+  *
+  *  - pass 1: a Misra-Gries summary with cap = ⌈1/φ⌉ counters per
+  *    partition, merged associatively (Agarwal et al., "Mergeable
+  *    Summaries", PODS '12) — ONE distributed aggregate, KB-sized
+  *    driver artifact. Guarantee: every item with true frequency
+  *    > N/(cap+1) ≤ φ·N survives to the candidate set, under ANY
+  *    processing/merge order.
+  *  - pass 2: exact counts of the ≤cap candidates only (an IN filter
+  *    the scan prunes with), then the φ·N threshold keeps exactly the
+  *    TRUE heavy hitters.
+  *
+  * The sketch's order-dependent counters never reach the output —
+  * candidacy is order-robust (superset guarantee) and the exact
+  * pass-2 counts decide membership, so the result is DETERMINISTIC on
+  * any partitioning: the same discipline that keeps every other
+  * engine op oracle-comparable. */
+object HeavyHitters {
+
+  /** Misra-Gries frequent-candidates aggregator: keeps at most `cap`
+    * counters; a miss on a full buffer decrements all (classic MG);
+    * merge sums counters then subtracts the (cap+1)-th largest to
+    * restore the bound (mergeable-summaries rule). */
+  class MisraGriesAgg(cap: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      if (tok == null) b
+      else b.get(tok) match {
+        case Some(c) => b.updated(tok, c + 1)
+        case None if b.size < cap => b.updated(tok, 1L)
+        case None =>
+          // decrement-all: drop keys that hit zero (cancels one
+          // occurrence of cap+1 distinct items — the MG error unit)
+          b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
+      }
+
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val combined = y.foldLeft(x) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      if (combined.size <= cap) combined
+      else {
+        // subtract the (cap+1)-th largest counter value from all
+        val kth = combined.valuesIterator.toArray.sorted(Ordering[Long].reverse)(cap)
+        combined.flatMap { case (k, c) =>
+          if (c > kth) Some(k -> (c - kth)) else None
+        }
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Pass 1: the ≤cap candidate strings (bounded driver fetch — the
+    * sketch artifact, same class as the CMS/Bloom driver sketches). */
+  def candidates(items: DataFrame, itemCol: String, cap: Int): Seq[String] = {
+    val agg = udaf(new MisraGriesAgg(cap), ExpressionEncoder[String]())
+    items.select(agg(col(itemCol)).as("cand"))
+      .head().getSeq[String](0)
+  }
+
+  /** Both passes: every item with frequency > φ·N, with its EXACT
+    * count and frequency — deterministic output. */
+  def heavyHitters(items: DataFrame, itemCol: String, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    val cap = math.ceil(1.0 / phi).toInt
+    val cand = candidates(items, itemCol, cap)
+    val n = items.filter(col(itemCol).isNotNull).count()
+    val thresh = phi * n
+    items
+      .filter(col(itemCol).isin(cand: _*))
+      .groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > thresh)
+      .select(col("item"), col("cnt"),
+        round(col("cnt") / lit(n.toDouble), 4).as("freq"))
+      .orderBy(col("cnt").desc_nulls_last, col("item"))
+  }
+}
