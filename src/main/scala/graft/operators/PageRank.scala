@@ -36,22 +36,30 @@ object PageRank {
           checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    // node universe and the fan-out-annotated edge list, each computed
-    // ONCE and checkpointed — every sweep reuses them
+    // node universe and the WEIGHTED fan-out-annotated edge list, each
+    // computed ONCE and checkpointed — every sweep reuses them.
+    // Multi-edges collapse to (src, dst, w): a hot pair contributes
+    // w·rank/outdeg in one row instead of w rows — at 100 TB this is
+    // the edge-compression that keeps per-sweep shuffle volume bounded
+    // by DISTINCT pairs, not raw edge count (identical math: outdeg is
+    // the weight sum).
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    val linked = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg")),
+    val weighted = e.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val linked = weighted
+      .join(weighted.groupBy(col("src")).agg(sum(col("w")).as("outdeg")),
         Seq("src"))
-      .localCheckpoint(true) // (src, dst, outdeg)
+      .localCheckpoint(true) // (src, dst, w, outdeg)
     var rank = nodes.select(col("node"), lit(1.0).as("rank"))
     var i = 0
     while (i < iters) {
       val contribs = linked
         .join(rank.select(col("node").as("src_r"), col("rank").as("r")),
           col("src") === col("src_r"))
-        .select(col("dst").as("node"), (col("r") / col("outdeg")).as("c"))
+        .select(col("dst").as("node"),
+          (col("w") * col("r") / col("outdeg")).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("contrib"))
       val next = nodes
