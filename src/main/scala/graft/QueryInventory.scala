@@ -3049,6 +3049,30 @@ object QueryInventory {
       |FROM c ORDER BY active DESC NULLS LAST, hour_idx NULLS FIRST LIMIT 10""".stripMargin),
     "session,sweepline,concurrency,interval")
 
+  /** First-touch attribution — the marketing-analytics staple: each
+    * user's purchases attribute to the CHANNEL of their first-ever
+    * event. Scale shape: the first-touch pass is one window cut to
+    * rn=1 (WindowGroupLimit prunes per-user state to one row), the
+    * conversion rollup collapses events per user before the join, and
+    * the final report groups ≤|channels| rows — nothing joins at
+    * event granularity. */
+  val qs11 = shared("qs11_attribution",
+    """WITH f AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |ft AS (SELECT user_id, event_type AS first_touch FROM f WHERE rn = 1),
+      |conv AS (SELECT user_id, count(*) AS n_purchases
+      |         FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT ft.first_touch,
+      |       CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(coalesce(sum(conv.n_purchases), 0) AS BIGINT) AS n_purchases
+      |FROM ft LEFT JOIN conv ON ft.user_id = conv.user_id
+      |GROUP BY ft.first_touch
+      |ORDER BY first_touch NULLS FIRST, n_users NULLS FIRST,
+      |         n_purchases NULLS FIRST""".stripMargin,
+    "attribution,window,funnel")
+
   /** PIVOT: returnflag × linestatus quantity matrix. Oracle spells it
     * as conditional aggregation — same cells, same NULL for absent
     * combinations. */
@@ -3393,6 +3417,6 @@ object QueryInventory {
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18, ql19, ql20, ql21,
-    qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9, qs10,
+    qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9, qs10, qs11,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14, qx15, qx16)
 }
