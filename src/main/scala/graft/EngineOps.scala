@@ -469,6 +469,33 @@ object EngineOps {
         col("forecast"))
   }
 
+  /** Forecast-based anomaly detection: one-step-ahead Holt residuals
+    * per user (Forecast.holtResiduals — the model's genuine
+    * out-of-sample error at every point) thresholded by the per-user
+    * MAD of residuals (qa19's robust, division-free discipline:
+    * |resid| > 5.19·MAD ≈ 3.5σ for normal errors). Two shuffles
+    * total: the residual fold's key co-location and the per-key
+    * median; the flag join broadcasts the tiny (key, MAD) frame. */
+  private def anomalyForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = t(spark, dir, "events")
+      .filter(col("user_id") < 100)
+      .groupBy(col("user_id").as("key"),
+        (unix_micros(col("ts")) divide lit(86400000000L)).cast("long").as("t"))
+      .agg((sum(col("value")) / count(lit(1))).as("v"))
+      .as[operators.Forecast.SeriesPoint]
+    val res = operators.Forecast.holtResiduals(daily, alpha = 0.3, beta = 0.1).toDF()
+    val mad = res.groupBy(col("key"))
+      .agg(expr("percentile(abs(residual), 0.5)").as("mad"))
+    res.join(broadcast(mad), Seq("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(abs(col("residual")) > lit(5.19) * col("mad") && col("mad") > 0, 1)
+          .otherwise(0)).as("n_anomalies"),
+        round(max(abs(col("residual"))), 4).as("max_abs_resid"))
+      .orderBy(col("key"), col("n_points"), col("n_anomalies"), col("max_abs_resid"))
+  }
+
   /** True recursive EMA per user (ref IIR low-pass) — batch spelling
     * of the flatMapGroupsWithState recurrence. */
   private def emaBatch(spark: SparkSession, dir: String): DataFrame =
@@ -1200,6 +1227,7 @@ object EngineOps {
     "eng_ann_pq_topk" -> annPq,
     "eng_ema_stateful" -> emaBatch,
     "eng_forecast_holt" -> forecastHolt,
+    "eng_anomaly_forecast" -> anomalyForecast,
     "eng_pagerank" -> pagerank,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,

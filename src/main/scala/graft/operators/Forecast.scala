@@ -31,6 +31,8 @@ object Forecast {
   final case class SeriesPoint(key: Long, t: Long, v: Double)
   final case class HoltForecast(key: Long, n: Long, level: Double,
                                 trend: Double, h: Int, forecast: Double)
+  final case class HoltResidual(key: Long, t: Long, v: Double,
+                                predicted: Double, residual: Double)
 
   private def r9(x: Double): Double = math.rint(x * 1e9) / 1e9
 
@@ -76,6 +78,40 @@ object Forecast {
             pending = pending.tail
             head
           }
+        }
+      }
+  }
+
+  /** Per-point one-step-ahead residuals under the same Holt fold: each
+    * point's prediction is level+trend from the points BEFORE it (the
+    * first point of a series predicts itself — residual 0), so the
+    * residual stream is the model's genuine out-of-sample error at
+    * every step. Same single secondary-sort pass and O(1) per-key
+    * state as `holt`; feeding residuals to a robust threshold (MAD,
+    * qa19's discipline) is the forecast-based anomaly detector
+    * (eng_anomaly_forecast). */
+  def holtResiduals(points: Dataset[SeriesPoint], alpha: Double,
+                    beta: Double): Dataset[HoltResidual] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("t"), col("v"))
+      .mapPartitions { it =>
+        var curKey = Long.MinValue
+        var level = 0.0
+        var trend = 0.0
+        var started = false
+        it.map { p =>
+          if (p.key != curKey) { curKey = p.key; started = false }
+          val pred = if (started) level + trend else p.v
+          if (!started) { level = p.v; trend = 0.0; started = true }
+          else {
+            val prev = level
+            level = alpha * p.v + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+          }
+          HoltResidual(p.key, p.t, p.v, r9(pred), r9(p.v - pred))
         }
       }
   }

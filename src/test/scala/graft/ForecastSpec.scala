@@ -48,6 +48,39 @@ class ForecastSpec extends AnyFunSuite {
     assert(math.abs(k8(1).forecast - 2.0) < 1e-9)
   }
 
+  test("one-step residuals match the hand-computed golden series") {
+    import spark.implicits._
+    // y = [10, 12, 13] (α=.3, β=.1): pred₁ = 10 (self), pred₂ =
+    // level₁+trend₁ = 10, pred₃ = 10.6+0.06 = 10.66
+    val pts = Seq(
+      SeriesPoint(1L, 1L, 10.0), SeriesPoint(1L, 2L, 12.0),
+      SeriesPoint(1L, 3L, 13.0)).toDS()
+    val out = Forecast.holtResiduals(pts, 0.3, 0.1).collect().sortBy(_.t)
+    assert(out.map(_.predicted).toSeq == Seq(10.0, 10.0, 10.66))
+    assert(math.abs(out(0).residual - 0.0) < 1e-9)
+    assert(math.abs(out(1).residual - 2.0) < 1e-9)
+    assert(math.abs(out(2).residual - 2.34) < 1e-9)
+  }
+
+  test("a planted spike dominates the residual stream") {
+    import spark.implicits._
+    // smooth ramp with one spike at t=30: the spike's residual must be
+    // the largest by a wide margin (the anomaly detector's signal)
+    val pts = (0L until 60L).map(t =>
+      SeriesPoint(9L, t, if (t == 30L) 500.0 else 10.0 + t)).toDS()
+    val out = Forecast.holtResiduals(pts, 0.3, 0.1).collect()
+    val top = out.maxBy(r => math.abs(r.residual))
+    assert(top.t == 30L)
+    // the spike's ECHO (overshoot while level/trend recover over the
+    // following ~15 steps) is inherent to Holt, so the clean baseline
+    // is the PRE-spike stream; the robust MAD threshold below is what
+    // the detector actually uses and sees through the echo
+    val calm = out.filter(_.t < 30L).map(r => math.abs(r.residual)).max
+    assert(math.abs(top.residual) > 100 * calm)
+    val mad = out.map(r => math.abs(r.residual)).sorted.apply(out.length / 2)
+    assert(math.abs(top.residual) > 5.19 * mad)
+  }
+
   test("fold is invariant to input partitioning") {
     import spark.implicits._
     val pts = (0L until 200L).map(i =>
