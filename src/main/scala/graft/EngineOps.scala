@@ -257,6 +257,31 @@ object EngineOps {
       .withColumn("cosine", round(col("cosine"), 4))
   }
 
+  /** IVF-PQ composed index (ProductQuantizer.fitIvfPq — Jégou '11
+    * IVFADC): the Lloyd-refined IVF coarse cells prune the SCAN
+    * (nProbe=4 of 16 cells), residual-PQ codes prune the BYTES, and
+    * the shortlist re-ranks exactly — the full production vector-store
+    * shape. Index (cells + residual codebooks + encoded codes) cached
+    * per (session, dir); the measured path is the pruned-scan ADC
+    * query + re-rank. */
+  private val ivfPqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.IvfPq]]())
+  private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = t(spark, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val index = ivfPqCache
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.IvfPq]())
+      .computeIfAbsent(dir, _ => {
+        val idx = ProductQuantizer.fitIvfPq(corpus, "vec_id", "embedding",
+          refinedCodebook(spark, dir, corpus), m = 16, k = 32)
+        idx.copy(encoded = idx.encoded.localCheckpoint(true))
+      })
+    ProductQuantizer.ivfPqTopK(index, corpus, "vec_id", "embedding",
+        probeVec(spark, dir), k = 10, nProbe = 4, shortlist = 50)
+      .withColumn("cosine", round(col("cosine"), 4))
+  }
+
   /** All-pairs LSH near-neighbor join (scale path of qv4). */
   private def annPairJoin(spark: SparkSession, dir: String): DataFrame =
     SimilaritySearch.lshPairJoin(t(spark, dir, "embeddings"),
@@ -1225,6 +1250,7 @@ object EngineOps {
     "eng_ann_ivf_topk" -> annIvf,
     "eng_ann_lsh_pairs" -> annPairJoin,
     "eng_ann_pq_topk" -> annPq,
+    "eng_ann_ivfpq_topk" -> annIvfPq,
     "eng_ema_stateful" -> emaBatch,
     "eng_forecast_holt" -> forecastHolt,
     "eng_anomaly_forecast" -> anomalyForecast,

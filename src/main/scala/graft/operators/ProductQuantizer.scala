@@ -129,15 +129,11 @@ object ProductQuantizer {
     corpus.select(col(idCol).as("id"), array(codes: _*).as("codes"))
   }
 
-  /** ADC top-k: per-query m×k lookup table of exact sub-distances
-    * ‖q_s − c‖² (computed on the driver — m·k·subDim flops, an O(µs)
-    * constant), scored distributedly as m element_at lookups per row. */
-  def adcTopK(encoded: DataFrame, probe: Array[Float], model: Model,
-              k: Int): DataFrame = {
-    require(probe.length == model.m * model.subDim,
-      s"probe dim ${probe.length} != ${model.m}×${model.subDim}")
-    val lut: Array[Array[Double]] = Array.tabulate(model.m) { s =>
-      val q = probe.slice(s * model.subDim, (s + 1) * model.subDim).map(_.toDouble)
+  /** Per-query m×k lookup table of exact sub-distances ‖q_s − c‖²
+    * (computed on the driver — m·k·subDim flops, an O(µs) constant). */
+  private def lutFor(model: Model, probe: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(model.m) { s =>
+      val q = probe.slice(s * model.subDim, (s + 1) * model.subDim)
       model.codebooks(s).map { c =>
         var d = 0.0
         var i = 0
@@ -145,13 +141,24 @@ object ProductQuantizer {
         math.rint(d * 1e9) / 1e9
       }
     }
-    val dist = (0 until model.m).map { s =>
+
+  /** The ADC score column: m lookups into the literal LUT, summed. */
+  private def adcDist(model: Model, lut: Array[Array[Double]]): Column =
+    (0 until model.m).map { s =>
       // element_at(codes, s+1) is this row's 0-based code for subspace
       // s; get() indexes the literal LUT 0-based with a Column index
       get(array(lut(s).map(lit): _*), element_at(col("codes"), s + 1))
     }.reduce(_ + _)
+
+  /** ADC top-k: LUT in plan literals, scored distributedly as m
+    * element lookups per row. */
+  def adcTopK(encoded: DataFrame, probe: Array[Float], model: Model,
+              k: Int): DataFrame = {
+    require(probe.length == model.m * model.subDim,
+      s"probe dim ${probe.length} != ${model.m}×${model.subDim}")
     encoded
-      .select(col("id"), round(dist, 6).as("adc_dist"))
+      .select(col("id"),
+        round(adcDist(model, lutFor(model, probe.map(_.toDouble))), 6).as("adc_dist"))
       .orderBy(col("adc_dist").asc_nulls_last, col("id").asc)
       .limit(k)
   }
@@ -170,6 +177,79 @@ object ProductQuantizer {
                      idCol: String, vecCol: String, probe: Array[Float],
                      model: Model, k: Int, shortlist: Int = 50): DataFrame = {
     val short = adcTopK(encoded, probe, model, shortlist).select(col("id"))
+    val candidates = corpus.join(broadcast(short),
+      corpus(idCol) === short("id")).drop("id")
+    SimilaritySearch.bruteForceTopK(candidates, idCol, vecCol, probe, k)
+  }
+
+  // -------------------------------------------------------------
+  // IVF-PQ: coarse cells + PQ on RESIDUALS — the composed index the
+  // production vector stores ship (Jégou '11 §V, IVFADC). The coarse
+  // quantizer prunes the SCAN (only nProbe cells are read — at 100 TB
+  // the cell is a partition column, so pruning is file skipping); the
+  // residual PQ prunes the BYTES (m codes per vector). Encoding the
+  // residual vec − centroid[cell], not the raw vector, roughly halves
+  // quantization error: residuals concentrate near the origin where
+  // the sub-codebooks have all their resolution.
+  // -------------------------------------------------------------
+
+  final case class IvfPq(cells: Array[Array[Double]], model: Model,
+                         encoded: DataFrame /* (id, cell, codes) */)
+
+  /** The residual columns: cell assignment (argmax dot over the
+    * literal coarse codebook) + vec − centroid[cell] via a 2-D
+    * literal lookup. */
+  private def cellAndResidual(cells: Array[Array[Double]], vecCol: String)
+      : (Column, Column) = {
+    val scored = cells.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorFunctions.vecDot(col(vecCol),
+        array(c.map(lit): _*)).as("score"), lit(i).as("cell"))
+    }
+    val cell = greatest(scored: _*).getField("cell")
+    val centroidLit = array(cells.map(c => array(c.map(lit): _*)): _*)
+    val resid = zip_with(col(vecCol),
+      get(centroidLit, col("_cell")), (x, y) => x.cast("double") - y)
+    (cell, resid)
+  }
+
+  /** Index build: assign cells, PQ-fit on residuals, encode. */
+  def fitIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+               cells: Array[Array[Double]], m: Int, k: Int,
+               iters: Int = 5): IvfPq = {
+    val (cellCol, residCol) = cellAndResidual(cells, vecCol)
+    val resid = corpus
+      .withColumn("_cell", cellCol)
+      .withColumn("_rv", residCol.cast("array<float>"))
+      .select(col(idCol).as("id"), col("_cell").as("cell"), col("_rv"))
+    val model = fit(resid, "id", "_rv", m, k, iters)
+    val encoded = encode(resid, "id", "_rv", model)
+      .join(resid.select(col("id"), col("cell")), Seq("id"))
+    IvfPq(cells, model, encoded)
+  }
+
+  /** IVF-PQ query: the probe's nProbe best cells are scanned, each
+    * scored against ITS OWN residual LUT (probe − centroid[cell]),
+    * the per-cell branches unioned, shortlisted, and exactly
+    * re-ranked. At 100 TB each branch is a partition-pruned scan; the
+    * union is a union of pruned scans, never a full pass. */
+  def ivfPqTopK(index: IvfPq, corpus: DataFrame, idCol: String,
+                vecCol: String, probe: Array[Float], k: Int,
+                nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val p = probe.map(_.toDouble)
+    val probeCells = index.cells.zipWithIndex
+      .map { case (c, i) => (c.zip(p).map { case (x, y) => x * y }.sum, i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    val branches = probeCells.map { c =>
+      val residProbe = p.zip(index.cells(c)).map { case (x, y) => x - y }
+      index.encoded.filter(col("cell") === c)
+        .select(col("id"),
+          round(adcDist(index.model, lutFor(index.model, residProbe)), 6)
+            .as("adc_dist"))
+    }
+    val short = branches.reduce(_ unionByName _)
+      .orderBy(col("adc_dist").asc_nulls_last, col("id").asc)
+      .limit(shortlist)
+      .select(col("id"))
     val candidates = corpus.join(broadcast(short),
       corpus(idCol) === short("id")).drop("id")
     SimilaritySearch.bruteForceTopK(candidates, idCol, vecCol, probe, k)
