@@ -496,11 +496,16 @@ object EngineOps {
 
   /** Forecast-based anomaly detection: one-step-ahead Holt residuals
     * per user (Forecast.holtResiduals — the model's genuine
-    * out-of-sample error at every point) thresholded by the per-user
-    * MAD of residuals (qa19's robust, division-free discipline:
-    * |resid| > 5.19·MAD ≈ 3.5σ for normal errors). Two shuffles
-    * total: the residual fold's key co-location and the per-key
-    * median; the flag join broadcasts the tiny (key, MAD) frame. */
+    * out-of-sample error at every point) thresholded by the TRUE
+    * per-user MAD, median(|r − median(r)|) — centering on the median
+    * residual first keeps the calibration valid when a series drifts
+    * and residuals have non-zero median. |r − med| > 5.19·MAD ≈ 3.5σ
+    * for normal errors (qa19's robust, division-free discipline). A
+    * key whose MAD is 0 (over half its residuals identical) has no
+    * robust scale to calibrate against, so flagging is deliberately
+    * disabled there rather than dividing by zero — documented, not
+    * silent. Two grouped aggregates on the same key co-location; the
+    * flag join broadcasts the tiny (key, med, MAD) frame. */
   private def anomalyForecast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = t(spark, dir, "events")
@@ -510,12 +515,17 @@ object EngineOps {
       .agg((sum(col("value")) / count(lit(1))).as("v"))
       .as[operators.Forecast.SeriesPoint]
     val res = operators.Forecast.holtResiduals(daily, alpha = 0.3, beta = 0.1).toDF()
-    val mad = res.groupBy(col("key"))
-      .agg(expr("percentile(abs(residual), 0.5)").as("mad"))
+    val med = res.groupBy(col("key"))
+      .agg(expr("percentile(residual, 0.5)").as("med"))
+    val mad = res.join(broadcast(med), Seq("key"))
+      .groupBy(col("key"))
+      .agg(expr("percentile(abs(residual - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
     res.join(broadcast(mad), Seq("key"))
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_points"),
-        sum(when(abs(col("residual")) > lit(5.19) * col("mad") && col("mad") > 0, 1)
+        sum(when(abs(col("residual") - col("med")) > lit(5.19) * col("mad") &&
+            col("mad") > 0, 1)
           .otherwise(0)).as("n_anomalies"),
         round(max(abs(col("residual"))), 4).as("max_abs_resid"))
       .orderBy(col("key"), col("n_points"), col("n_anomalies"), col("max_abs_resid"))
@@ -595,8 +605,9 @@ object EngineOps {
         min(concat_ws("|", slice(col("wp"), 1, 5))).as("sample_pieces"))
       .orderBy(col("source"))
 
-  /** Multimodal binary-column pipeline (stubbed decode, real
-    * plumbing): per-kind feature summary. */
+  /** Multimodal binary-column pipeline (REAL PNG + WAV decode via
+    * JDK ImageIO / javax.sound.sampled, byte-fold stub for video
+    * only): per-kind feature summary. */
   private def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(t(spark, dir, "documents"))
     val feats = Multimodal.featurize(media).toDF()
@@ -882,10 +893,19 @@ object EngineOps {
     val rows = for ((layout, pn) <- Seq("linear", "zorder").flatMap(l => preds.map(l -> _)))
       yield {
         val (predName, pred) = pn
-        val df = spark.read.parquet(s"$tmp/$layout").filter(pred).select(col("value"))
-        val hits = df.collect()
-        val sum = math.rint(hits.map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0)).sum * 100) / 100
-        (layout, predName, hits.length.toLong, sum, scanOutputRows(df))
+        // count/sum are computed as an executor-side aggregate — only
+        // the 1-row (n, s) result crosses to the driver, so a hit set
+        // 100× larger changes nothing here; rows_scanned still reads
+        // the scan node's post-skip output metric from the same
+        // executed plan.
+        val agg = spark.read.parquet(s"$tmp/$layout").filter(pred)
+          .agg(count(lit(1)).as("n"),
+            round(coalesce(sum(coalesce(col("value"), lit(0.0))), lit(0.0)), 2).as("s"))
+        // collect() (not head()) so the metrics we read belong to the
+        // plan that actually ran — head() would execute a separate
+        // limit plan and leave this one's scan counters at 0
+        val head = agg.collect().head
+        (layout, predName, head.getLong(0), head.getDouble(1), scanOutputRows(agg))
       }
     rows.toDF("layout", "predicate", "n_hits", "sum_v", "rows_scanned")
       .orderBy(col("layout"), col("predicate"))
@@ -897,9 +917,12 @@ object EngineOps {
     * scan, so this isolates IO-side pruning). */
   private def scanOutputRows(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      // AQE query stages are leaves of the outer plan — the real scan
+      // lives inside the materialized stage plan
+      case q: QueryStageExec => find(q.plan)
       case f: FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(find)
     }

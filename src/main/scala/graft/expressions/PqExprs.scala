@@ -34,10 +34,26 @@ case class PqNearestExpr(left: Expression, right: Expression,
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
-  private def elemIsFloat: Boolean =
+  @transient private lazy val elemIsFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private def mayHaveNullElems: Boolean =
+  @transient private lazy val mayHaveNullElems: Boolean =
     right.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** Content-based equality: the default case-class equals compares
+    * `flat` referentially (Array equals is eq), so two logically
+    * identical kernels built from separate flatten calls would never
+    * canonicalize equal and common-subexpression elimination could
+    * not deduplicate them. Compare (and hash) the codebook by value. */
+  override def equals(other: Any): Boolean = other match {
+    case that: PqNearestExpr =>
+      left == that.left && right == that.right && m == that.m &&
+        k == that.k && subDim == that.subDim &&
+        java.util.Arrays.equals(flat, that.flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Int.box(m), Int.box(k),
+      Int.box(subDim), Int.box(java.util.Arrays.hashCode(flat)))
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val svOk = right.dataType match {

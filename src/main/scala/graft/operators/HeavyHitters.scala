@@ -29,64 +29,81 @@ import org.apache.spark.sql.functions._
   * engine op oracle-comparable. */
 object HeavyHitters {
 
+  /** Pass-1 buffer: the MG counters PLUS the running non-null item
+    * count — carrying N inside the same aggregate keeps the operator
+    * genuinely two-pass (sketch scan + exact-candidate scan), with no
+    * separate count job. */
+  final case class MgBuffer(counters: Map[String, Long], n: Long)
+
   /** Misra-Gries frequent-candidates aggregator: keeps at most `cap`
     * counters; a miss on a full buffer decrements all (classic MG);
     * merge sums counters then subtracts the (cap+1)-th largest to
     * restore the bound (mergeable-summaries rule). */
   class MisraGriesAgg(cap: Int)
-      extends Aggregator[String, Map[String, Long], Seq[String]] {
+      extends Aggregator[String, MgBuffer, (Seq[String], Long)] {
     require(cap >= 1, s"cap must be >= 1, got $cap")
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: MgBuffer = MgBuffer(Map.empty, 0L)
 
-    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
-      if (tok == null) b
-      else b.get(tok) match {
-        case Some(c) => b.updated(tok, c + 1)
-        case None if b.size < cap => b.updated(tok, 1L)
-        case None =>
-          // decrement-all: drop keys that hit zero (cancels one
-          // occurrence of cap+1 distinct items — the MG error unit)
-          b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
+    override def reduce(buf: MgBuffer, tok: String): MgBuffer =
+      if (tok == null) buf
+      else {
+        val b = buf.counters
+        val next = b.get(tok) match {
+          case Some(c) => b.updated(tok, c + 1)
+          case None if b.size < cap => b.updated(tok, 1L)
+          case None =>
+            // decrement-all: drop keys that hit zero (cancels one
+            // occurrence of cap+1 distinct items — the MG error unit)
+            b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
+        }
+        MgBuffer(next, buf.n + 1)
       }
 
-    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
-      val combined = y.foldLeft(x) { case (acc, (k, c)) =>
+    override def merge(x: MgBuffer, y: MgBuffer): MgBuffer = {
+      val combined = y.counters.foldLeft(x.counters) { case (acc, (k, c)) =>
         acc.updated(k, acc.getOrElse(k, 0L) + c)
       }
-      if (combined.size <= cap) combined
-      else {
-        // subtract the (cap+1)-th largest counter value from all
-        val kth = combined.valuesIterator.toArray.sorted(Ordering[Long].reverse)(cap)
-        combined.flatMap { case (k, c) =>
-          if (c > kth) Some(k -> (c - kth)) else None
+      val merged =
+        if (combined.size <= cap) combined
+        else {
+          // subtract the (cap+1)-th largest counter value from all
+          val kth = combined.valuesIterator.toArray.sorted(Ordering[Long].reverse)(cap)
+          combined.flatMap { case (k, c) =>
+            if (c > kth) Some(k -> (c - kth)) else None
+          }
         }
-      }
+      MgBuffer(merged, x.n + y.n)
     }
 
-    override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
+    override def finish(r: MgBuffer): (Seq[String], Long) =
+      (r.counters.keys.toSeq.sorted, r.n)
 
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
-    override def outputEncoder: Encoder[Seq[String]] =
-      ExpressionEncoder[Seq[String]]()
+    override def bufferEncoder: Encoder[MgBuffer] =
+      ExpressionEncoder[MgBuffer]()
+    override def outputEncoder: Encoder[(Seq[String], Long)] =
+      ExpressionEncoder[(Seq[String], Long)]()
   }
 
-  /** Pass 1: the ≤cap candidate strings (bounded driver fetch — the
-    * sketch artifact, same class as the CMS/Bloom driver sketches). */
-  def candidates(items: DataFrame, itemCol: String, cap: Int): Seq[String] = {
+  /** Pass 1: the ≤cap candidate strings and the exact non-null item
+    * count N, from ONE scan (bounded driver fetch — the sketch
+    * artifact, same class as the CMS/Bloom driver sketches). */
+  def candidatesAndCount(items: DataFrame, itemCol: String, cap: Int): (Seq[String], Long) = {
     val agg = udaf(new MisraGriesAgg(cap), ExpressionEncoder[String]())
-    items.select(agg(col(itemCol)).as("cand"))
-      .head().getSeq[String](0)
+    val row = items.select(agg(col(itemCol)).as("cand")).head().getStruct(0)
+    (row.getSeq[String](0), row.getLong(1))
   }
+
+  /** Pass 1, candidates only (kept for callers that track N themselves). */
+  def candidates(items: DataFrame, itemCol: String, cap: Int): Seq[String] =
+    candidatesAndCount(items, itemCol, cap)._1
 
   /** Both passes: every item with frequency > φ·N, with its EXACT
     * count and frequency — deterministic output. */
   def heavyHitters(items: DataFrame, itemCol: String, phi: Double): DataFrame = {
     require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
     val cap = math.ceil(1.0 / phi).toInt
-    val cand = candidates(items, itemCol, cap)
-    val n = items.filter(col(itemCol).isNotNull).count()
+    val (cand, n) = candidatesAndCount(items, itemCol, cap)
     val thresh = phi * n
     items
       .filter(col(itemCol).isin(cand: _*))

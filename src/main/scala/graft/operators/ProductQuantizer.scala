@@ -79,6 +79,10 @@ object ProductQuantizer {
     val sample = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // A corpus smaller than k yields sample.length centroids; the
+    // Model reports THAT k (kEff) so kernels/LUTs never index past
+    // the real codebook (stale-metadata guard).
+    val kEff = sample.length
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => sample.map(_.slice(s * subDim, (s + 1) * subDim)))
     // exploded (subspace, sub-vector) rows — built once, reused every
@@ -104,18 +108,32 @@ object ProductQuantizer {
             (r.getLong(2), r.getSeq[Double](3).toArray))
           .toMap
         books = Array.tabulate(m) { s =>
+          // empty cells (duplicate init vectors make them permanent
+          // under keep-old) are deterministically re-seeded by
+          // splitting the subspace's largest cell: its mean plus a
+          // cell-indexed 1e-6 offset on one coordinate — the classic
+          // empty-cluster repair, order-independent.
+          val counts = Array.tabulate(kEff)(c =>
+            sums.get((s, c)).map(_._1).getOrElse(0L))
+          val largest = counts.indexOf(counts.max)
           books(s).zipWithIndex.map { case (old, c) =>
             sums.get((s, c)) match {
               case Some((n, vsum)) if n > 0 =>
                 vsum.map(x => math.rint(x / n * 1e9) / 1e9)
-              case _ => old // empty cell keeps its previous centroid
+              case _ if counts(largest) > 0L =>
+                val donorN = counts(largest)
+                val donor = sums((s, largest))._2
+                  .map(x => math.rint(x / donorN * 1e9) / 1e9)
+                donor.zipWithIndex.map { case (x, j) =>
+                  if (j == c % subDim) x + 1e-6 * ((c % 7) + 1) else x }
+              case _ => old
             }
           }
         }
         it += 1
       }
     } finally cached.unpersist(blocking = false)
-    Model(m, k, subDim, books)
+    Model(m, kEff, subDim, books)
   }
 
   /** Encode the corpus: id + the m-code array (one shuffle-free
