@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * propagation is the right spelling here; a ln(n)-round
   * large-star/small-star variant only pays off on long-chain graphs
   * that dedup inputs don't produce. Lineage is truncated per round
-  * (localCheckpoint) so the plan doesn't grow with iterations — the
-  * standard iterative-algorithm discipline on Spark. */
+  * (Checkpoints.truncate — localCheckpoint locally, reliable FS
+  * checkpoint via `checkpointDir` on a cluster) so the plan doesn't
+  * grow with iterations — the standard iterative-algorithm discipline
+  * on Spark. */
 object DedupClusters {
 
   /** Components of the undirected graph given as a pair list.
@@ -53,7 +55,8 @@ object DedupClusters {
     * integral ids. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 12,
-                          localThreshold: Long = 2000000L): DataFrame = {
+                          localThreshold: Long = 2000000L,
+                          checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val integralIds = Seq(aCol, bCol).forall { c =>
       pairs.schema(c).dataType match {
@@ -66,14 +69,14 @@ object DedupClusters {
     // MinHash joins), and both the size probe and the chosen
     // component strategy consume it — without this checkpoint the
     // probe alone re-executes the whole upstream graph
-    val mat = pairs.localCheckpoint(true)
+    val mat = Checkpoints.truncate(pairs, checkpointDir)
     val probeLimit = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
     if (integralIds && mat.limit(probeLimit).count() <= localThreshold) {
       // cast labels back so both strategies return identical schemas
       val t = pairs.schema(aCol).dataType
       localUnionFind(mat, aCol, bCol)
         .select(col("node").cast(t).as("node"), col("cluster").cast(t).as("cluster"))
-    } else distributedComponents(mat, aCol, bCol, maxIter)
+    } else distributedComponents(mat, aCol, bCol, maxIter, checkpointDir)
   }
 
   /** Single-task union-find with path compression + union by rank;
@@ -115,7 +118,8 @@ object DedupClusters {
   }
 
   private def distributedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                                    maxIter: Int): DataFrame = {
+                                    maxIter: Int,
+                                    checkpointDir: Option[String]): DataFrame = {
     // undirected: both directions, deduplicated
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
@@ -124,9 +128,10 @@ object DedupClusters {
 
     // closed-neighborhood minimum as the initial label:
     // min over rows of least(a, b) = least(a, min(b))
-    var labels = edges.groupBy(col("a").as("node"))
-      .agg(min(least(col("a"), col("b"))).as("cluster"))
-      .localCheckpoint(true)
+    var labels = Checkpoints.truncate(
+      edges.groupBy(col("a").as("node"))
+        .agg(min(least(col("a"), col("b"))).as("cluster")),
+      checkpointDir)
 
     var converged = false
     var round = 0
@@ -142,10 +147,11 @@ object DedupClusters {
           least(col("cluster"), coalesce(col("offer"), col("cluster"))).as("cluster"))
       // pointer jumping: adopt the label of the node we now point at
       val parents = prop.select(col("node").as("p_node"), col("cluster").as("p_cluster"))
-      val next = prop.join(parents, prop("cluster") === parents("p_node"), "left")
-        .select(col("node"), col("old"),
-          least(col("cluster"), coalesce(col("p_cluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+      val next = Checkpoints.truncate(
+        prop.join(parents, prop("cluster") === parents("p_node"), "left")
+          .select(col("node"), col("old"),
+            least(col("cluster"), coalesce(col("p_cluster"), col("cluster"))).as("cluster")),
+        checkpointDir)
       converged = next.filter(col("cluster") < col("old")).isEmpty
       labels.unpersist(blocking = false)
       labels = next.select(col("node"), col("cluster"))

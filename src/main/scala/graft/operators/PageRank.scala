@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * At cluster scale, edges are pre-partitioned on src and each
   * iteration's join reuses that partitioning, so the only moving
   * bytes are the (dst, contribution) pairs. Rank state is
-  * localCheckpoint'd every `checkpointEvery` sweeps: iterative plans
-  * otherwise double in depth each sweep and the optimizer re-walks
-  * the whole lineage per action (the classic iterative-Spark trap).
+  * checkpointed every `checkpointEvery` sweeps (Checkpoints.truncate:
+  * localCheckpoint locally, reliable FS checkpoint on a cluster via
+  * `checkpointDir`): iterative plans otherwise double in depth each
+  * sweep and the optimizer re-walks the whole lineage per action (the
+  * classic iterative-Spark trap).
   *
   * Determinism: ranks round to 9 dp each sweep (fp summation order
   * varies with partitioning — same discipline as KMeans/lloydStep). */
@@ -31,9 +33,12 @@ object PageRank {
 
   /** edges: (src, dst) long columns, multi-edges allowed (weighted by
     * multiplicity). Returns (node, rank) for every node appearing as
-    * src or dst. */
+    * src or dst. `checkpointDir = Some(dir)` selects reliable
+    * (fault-tolerant-FS) checkpointing for cluster runs — see
+    * Checkpoints; results are identical either way (PageRankSpec). */
   def run(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-          checkpointEvery: Int = 4): DataFrame = {
+          checkpointEvery: Int = 4,
+          checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     // node universe and the WEIGHTED fan-out-annotated edge list, each
@@ -43,15 +48,17 @@ object PageRank {
     // the edge-compression that keeps per-sweep shuffle volume bounded
     // by DISTINCT pairs, not raw edge count (identical math: outdeg is
     // the weight sum).
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val nodes = Checkpoints.truncate(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      checkpointDir)
     val weighted = e.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
-    val linked = weighted
-      .join(weighted.groupBy(col("src")).agg(sum(col("w")).as("outdeg")),
-        Seq("src"))
-      .localCheckpoint(true) // (src, dst, w, outdeg)
+    val linked = Checkpoints.truncate(
+      weighted
+        .join(weighted.groupBy(col("src")).agg(sum(col("w")).as("outdeg")),
+          Seq("src")),
+      checkpointDir) // (src, dst, w, outdeg)
     var rank = nodes.select(col("node"), lit(1.0).as("rank"))
     var i = 0
     while (i < iters) {
@@ -68,7 +75,7 @@ object PageRank {
           round(lit(1.0 - damping) +
             lit(damping) * coalesce(col("contrib"), lit(0.0)), 9).as("rank"))
       rank = if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
-        next.localCheckpoint(true)
+        Checkpoints.truncate(next, checkpointDir)
       else next
       i += 1
     }

@@ -60,6 +60,20 @@ class DedupClustersSpec extends AnyFunSuite {
       maxIter = 12, localThreshold = 0L).count() == 0)
   }
 
+  test("reliable checkpointing yields identical components (distributed path)") {
+    val pairs = (Seq((2L, 3L), (3L, 1L), (10L, 11L)) ++
+      (40L until 55L).map(i => (i, i + 1))).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_cc").toString
+    try {
+      def collect(ckpt: Option[String]) =
+        DedupClusters.connectedComponents(pairs, "a", "b",
+            maxIter = 12, localThreshold = 0L, checkpointDir = ckpt)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(collect(Some(dir)) == collect(None))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("cluster stats roll up members and id checksum") {
     val stats = DedupClusters.clusterStats(
         DedupClusters.connectedComponents(

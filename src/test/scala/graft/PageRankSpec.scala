@@ -46,4 +46,18 @@ class PageRankSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
     assert(run(2) == run(13))
   }
+
+  test("reliable checkpointing yields identical ranks to localCheckpoint") {
+    import spark.implicits._
+    val edges = (0L until 300L).map(i => (i % 17, (i * 7 + 3) % 23))
+    val df = edges.toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
+    try {
+      def collect(ckpt: Option[String]) =
+        PageRank.run(df, iters = 6, checkpointEvery = 2, checkpointDir = ckpt)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(collect(Some(dir)) == collect(None))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
