@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE path is real: payloads are actual PNG bytes and the
   * decode is JDK-only `javax.imageio` — pixel statistics come from
-  * decoded pixels. Audio/video decode needs codecs this container
-  * doesn't ship, so those kinds fall back to a clearly-marked
-  * deterministic byte-fold signature (the documented stub); the
-  * Spark-side shape — binary payloads, partition-parallel batch map,
-  * fixed-length float feature contract — is the production shape
-  * either way (equivalent to a Pandas-UDF `mapInPandas` stage in the
-  * PySpark spelling). */
+  * decoded pixels. The AUDIO path is real too: payloads are actual
+  * RIFF/WAV bytes and the decode is JDK-only `javax.sound.sampled` —
+  * amplitude statistics come from decoded PCM samples. Only VIDEO
+  * decode needs codecs this container doesn't ship, so that kind
+  * falls back to a clearly-marked deterministic byte-fold signature
+  * (the documented stub); the Spark-side shape — binary payloads,
+  * partition-parallel batch map, fixed-length float feature
+  * contract — is the production shape either way (equivalent to a
+  * Pandas-UDF `mapInPandas` stage in the PySpark spelling). */
 object Multimodal {
 
   // ImageIO's default stream cache is a synchronized temp-FILE cache —
@@ -53,9 +55,80 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic tiny WAV: a seeded two-tone sinusoid as 16-bit
+    * signed PCM mono, really encoded through javax.sound.sampled —
+    * gives the audio pipeline genuine RIFF/WAV bytes to decode
+    * without shipping media assets (the audio analog of
+    * syntheticPng; ref analog: the sensor sample stream,
+    * /root/reference/hive_arch.md §2). */
+  def syntheticWav(seed: Long, nSamples: Int = 800,
+                   sampleRate: Float = 8000f): Array[Byte] = {
+    val f1 = 200.0 + java.lang.Math.floorMod(seed, 200)       // 200–399 Hz
+    val f2 = 600.0 + java.lang.Math.floorMod(seed * 7, 400)   // 600–999 Hz
+    val amp = 0.4 + java.lang.Math.floorMod(seed * 13, 100) / 250.0 // 0.4–0.8
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val t = i / sampleRate
+      val v = amp * (0.7 * math.sin(2 * math.Pi * f1 * t) +
+        0.3 * math.sin(2 * math.Pi * f2 * t))
+      val s = math.max(-32768.0, math.min(32767.0, math.rint(v * 32767))).toInt
+      pcm(2 * i) = (s & 0xff).toByte // little-endian per the format below
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV/PCM decode via JDK-only javax.sound.sampled: amplitude
+    * statistics from decoded samples —
+    * [sampleRate, nSamples, meanAmp, rms, peak, zeroCrossRate,
+    *  durationSec, channels]. Returns null when the payload is not a
+    * parseable 16-bit signed PCM WAV (caller falls back). */
+  def wavFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (ais == null) return null
+    val fmt = ais.getFormat
+    if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16) return null
+    val bytes = ais.readAllBytes()
+    val big = fmt.isBigEndian
+    val n = bytes.length / 2
+    if (n == 0) return null
+    var sum = 0.0; var sum2 = 0.0; var peak = 0.0; var zc = 0L; var prev = 0.0
+    var i = 0
+    while (i < n) {
+      val s =
+        if (big) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+        else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+      val v = s / 32768.0
+      sum += v; sum2 += v * v; peak = math.max(peak, math.abs(v))
+      if (i > 0 && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) zc += 1
+      prev = v
+      i += 1
+    }
+    val stats = Array(
+      fmt.getSampleRate.toDouble, n.toDouble, sum / n, math.sqrt(sum2 / n),
+      peak, zc.toDouble / n, n / (fmt.getSampleRate * fmt.getChannels),
+      fmt.getChannels.toDouble)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < math.min(dim, stats.length)) { out(i) = stats(i).toFloat; i += 1 }
+    out
+  }
+
   /** Deterministic byte-fold signature — the FALLBACK for media kinds
-    * whose codecs aren't available (audio/video stub; a cluster
-    * deployment swaps in a JNI/native decoder here). */
+    * whose codecs aren't available (video stub; a cluster deployment
+    * swaps in a JNI/native decoder here). */
   def byteFoldFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -69,12 +142,17 @@ object Multimodal {
   /** Decode + featurize. Image payloads decode through javax.imageio
     * and yield pixel statistics
     * [width, height, meanR, meanG, meanB, meanLuma, varLuma, aspect];
-    * undecodable payloads (audio/video) take the byte-fold fallback. */
+    * WAV payloads decode through javax.sound.sampled and yield
+    * amplitude statistics (wavFeatures); only undecodable payloads
+    * (video) take the byte-fold fallback. */
   def decodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val img =
       try ImageIO.read(new ByteArrayInputStream(payload))
       catch { case _: Throwable => null }
-    if (img == null) byteFoldFeatures(payload, dim)
+    if (img == null) {
+      val wav = wavFeatures(payload, dim)
+      if (wav != null) wav else byteFoldFeatures(payload, dim)
+    }
     else {
       val (w, h) = (img.getWidth, img.getHeight)
       var (sr, sg, sb, sl, sl2) = (0.0, 0.0, 0.0, 0.0, 0.0)
@@ -116,9 +194,10 @@ object Multimodal {
   }
 
   /** Builds a deterministic media table from documents: image rows
-    * carry REAL PNG payloads (seeded synthetic bitmaps), audio/video
-    * carry the text bytes as opaque payloads — exercising both the
-    * real-decode and fallback paths end to end. */
+    * carry REAL PNG payloads (seeded synthetic bitmaps), audio rows
+    * carry REAL WAV payloads (seeded synthetic PCM), video rows carry
+    * the text bytes as opaque payloads — exercising both real-decode
+    * paths and the fallback end to end. */
   def mediaFromDocuments(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -130,9 +209,11 @@ object Multimodal {
             case 1 => "audio"
             case _ => "video"
           }
-          val payload =
-            if (kind == "image") syntheticPng(id)
-            else text.getBytes("UTF-8")
+          val payload = kind match {
+            case "image" => syntheticPng(id)
+            case "audio" => syntheticWav(id)
+            case _ => text.getBytes("UTF-8")
+          }
           val (w, h) =
             if (kind == "image") (8, 8)
             else ((id % 640 + 64).toInt, (id % 480 + 48).toInt)

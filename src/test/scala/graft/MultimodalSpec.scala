@@ -20,13 +20,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.decodeFeatures(Multimodal.syntheticPng(43L)).sameElements(f))
   }
 
-  test("non-image payloads take the deterministic byte-fold fallback") {
-    val payload = "not an image".getBytes("UTF-8")
+  test("undecodable payloads take the deterministic byte-fold fallback") {
+    val payload = "not an image or wav".getBytes("UTF-8")
     val f = Multimodal.decodeFeatures(payload)
     assert(f.sameElements(Multimodal.byteFoldFeatures(payload)))
   }
 
-  test("featurize pipeline: real decode for images, fallback for audio/video") {
+  test("synthetic WAV round-trips through the real javax.sound decode (differential)") {
+    val seed = 42L
+    val wav = Multimodal.syntheticWav(seed, nSamples = 800, sampleRate = 8000f)
+    // RIFF/WAVE container magic — these really are WAV bytes
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = Multimodal.decodeFeatures(wav)
+    // differential oracle: regenerate the same samples in plain Scala
+    // and compute the stats directly, no audio API involved
+    val f1 = 200.0 + java.lang.Math.floorMod(seed, 200)
+    val f2 = 600.0 + java.lang.Math.floorMod(seed * 7, 400)
+    val amp = 0.4 + java.lang.Math.floorMod(seed * 13, 100) / 250.0
+    val samples = (0 until 800).map { i =>
+      val t = i / 8000f
+      val v = amp * (0.7 * math.sin(2 * math.Pi * f1 * t) +
+        0.3 * math.sin(2 * math.Pi * f2 * t))
+      math.max(-32768.0, math.min(32767.0, math.rint(v * 32767))).toInt / 32768.0
+    }
+    val rms = math.sqrt(samples.map(v => v * v).sum / samples.length)
+    val peak = samples.map(math.abs).max
+    assert(f(0) == 8000f && f(1) == 800f)          // sample rate, count
+    assert(math.abs(f(2) - samples.sum / 800) < 1e-6) // mean amplitude
+    assert(math.abs(f(3) - rms) < 1e-6)            // RMS from decoded PCM
+    assert(math.abs(f(4) - peak) < 1e-6)           // peak
+    assert(f(5) > 0f && f(5) < 1f)                 // zero-cross rate sane
+    assert(math.abs(f(6) - 0.1f) < 1e-6)           // 800 / 8000 Hz = 0.1 s
+    assert(f(7) == 1f)                             // mono
+    // determinism + seed sensitivity, same discipline as the PNG path
+    assert(Multimodal.decodeFeatures(Multimodal.syntheticWav(seed)).sameElements(f))
+    assert(!Multimodal.decodeFeatures(Multimodal.syntheticWav(seed + 1)).sameElements(f))
+  }
+
+  test("featurize pipeline: real decode for images and audio, fallback for video") {
     val docs = Seq((0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon"))
       .toDF("doc_id", "text")
     val feats = Multimodal.featurize(Multimodal.mediaFromDocuments(docs))
@@ -34,8 +66,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0L).kind == "image")
     assert(feats(0L).features(0) == 8.0f)     // decoded, not byte-folded
     assert(feats(1L).kind == "audio")
-    assert(feats(1L).features.sameElements(
-      Multimodal.byteFoldFeatures("gamma delta".getBytes("UTF-8"))))
+    assert(feats(1L).features(0) == 8000f)    // decoded sample rate
+    assert(feats(1L).features(1) == 800f)     // decoded sample count
     assert(feats(2L).kind == "video")
+    assert(feats(2L).features.sameElements(
+      Multimodal.byteFoldFeatures("epsilon".getBytes("UTF-8"))))
   }
 }
