@@ -22,6 +22,33 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
+    // Goldens for the eng_* (no-oracle) entries: checksum the parquet
+    // just written (no second execution), emit eng_goldens.tsv beside
+    // the dumps, and diff against the committed GOLDENS_eng.tsv so any
+    // eng-entry drift is loud in the driver log despite having no
+    // DuckDB oracle.
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val engEntries = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => n.startsWith("eng_") && keep(n))
+      .flatMap { name =>
+        try Some(name -> Goldens.checksum(spark.read.parquet(s"$outDir/$name")))
+        catch { case e: Throwable =>
+          System.err.println(s"[goldens] $name unreadable: ${e.getMessage}"); None
+        }
+      }
+    if (engEntries.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/eng_goldens.tsv"),
+        Goldens.toTsv(sfName, engEntries))
+      val committedPath = Paths.get("GOLDENS_eng.tsv")
+      if (Files.exists(committedPath)) {
+        val committed = Goldens.parseTsv(Files.readString(committedPath))
+        val drift = Goldens.diff(committed, sfName, engEntries)
+        if (drift.isEmpty)
+          System.err.println(
+            s"[goldens] ${engEntries.size} eng entries match GOLDENS_eng.tsv ($sfName)")
+        else drift.foreach(d => System.err.println(s"[goldens] $d"))
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
