@@ -56,6 +56,10 @@ object Tables {
       names.foreach { n =>
         val df = spark.read.parquet(s"$dir/$n.parquet")
         val fixed = if (n == "events") normalizeTs(df) else df
+        // one-line diagnosis at registration time instead of an
+        // AnalysisException cascade mid-query (the r5 ts outage,
+        // generalized to every table/column)
+        SchemaContract.check(n, fixed.schema)
         fixed.createOrReplaceTempView(n)
       }
       registered(spark) = dir
