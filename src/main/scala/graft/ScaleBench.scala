@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-evidence bench: times the data-heavy inventory entries at
+  * sf0.1 AND at a derived sf1 (ScaleData: sf0.1 key-shift-replicated
+  * ×10) in ONE session, and reports the per-entry time ratio against
+  * the 10× data ratio. The sf0.1 bench headline sits on a ~0.2-0.4 s
+  * session/JIT floor, so "would this survive 100×?" needs a second
+  * datapoint where data, not overhead, dominates — this produces it.
+  *
+  * Sub-linear ratios (< 10×) are expected for entries dominated by
+  * fixed overhead or bounded slices; anything super-linear (> 10×,
+  * with headroom for noise) is a scale red flag. Output: one JSON
+  * line per the bench discipline, written to BENCH_SCALE.json.
+  *
+  * The sf1 dataset lives in scratch space and is (re)derived when
+  * missing — only the committed JSON snapshot is a repo artifact. */
+object ScaleBench {
+
+  /** The data-heavy subset: full-scan aggregation, multi-table joins,
+    * global/grouped sorts, set-similarity + dedup families, iterative
+    * graph, ANN, windows/sessionization — entries whose work grows
+    * with the data, not the plan. */
+  val heavy: Seq[String] = Seq(
+    "qf1_project_filter", "qa1_pricing_summary", "qa4_percentile",
+    "qj1_star_join", "qj9_asof_join", "qj15_shipping_priority",
+    "qj16_waiting_supplier", "qj17_big_orders", "qt1_global_sort",
+    "qt2_topk_per_group", "qw3_moving_avg", "qs3_sessionize",
+    "ql2_exact_dedup", "ql3_shingle_jaccard", "ql15_setsim_join",
+    "ql17_segment_dedup", "ql18_dup_spans", "ql21_tfidf",
+    "eng_pagerank", "eng_minhash_lsh_dedup", "eng_simhash_dedup",
+    "eng_dedup_pipeline", "eng_embed_dedup", "eng_ann_brute_topk",
+    "eng_ann_lsh_topk", "eng_ann_ivf_topk", "eng_ann_ivfpq_topk",
+    "eng_heavy_hitters", "eng_salted_agg")
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val spark: SparkSession = GraftSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sf1/lineitem.parquet"))) {
+      System.err.println(s"[scale] deriving $sf1 = $sf01 x $factor")
+      val t0 = System.nanoTime()
+      ScaleData.scale(spark, sf01, sf1, factor)
+      System.err.println(f"[scale] derived in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val fns = SparkEntry.queries
+    // warm-up both dirs (session, codegen, parquet footers, bucketed
+    // layout builds — index builds are excluded from measurement, the
+    // Bench discipline)
+    for (dir <- Seq(sf01, sf1)) {
+      Tables.register(spark, dir)
+      spark.sql(QueryInventory.qa1.sparkSql).count()
+      sources.BucketedTables.ensureFacts(spark, dir)
+    }
+
+    def once(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try { fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] $name@$dir failed: ${e.getMessage}"); -1.0 }
+    }
+    // interleaved min-of-2 per (entry, sf) — same contention defense
+    // as Bench: the two samples of an entry are separated by the whole
+    // suite, so one contention window can't own both
+    def pass(label: String): Map[(String, String), Double] =
+      (for (dir <- Seq(sf01, sf1); name <- heavy) yield {
+        System.err.println(s"[scale] $label $name@$dir")
+        (name, dir) -> once(name, dir)
+      }).toMap
+    val p1 = pass("pass1")
+    val p2 = pass("pass2")
+    def best(k: (String, String)): Double =
+      if (p1(k) < 0 || p2(k) < 0) -1.0 else math.min(p1(k), p2(k))
+
+    def j(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rows = heavy.map { n =>
+      val (a, b) = (best((n, sf01)), best((n, sf1)))
+      val ratio = if (a > 0 && b >= 0) b / a else -1.0
+      (n, a, b, ratio)
+    }
+    val entries = rows.map { case (n, a, b, r) =>
+      s""""$n":{"sf01_sec":${j(a)},"sf1_sec":${j(b)},"ratio":${j(r)}}"""
+    }.mkString("{", ",", "}")
+    val worst = rows.filter(_._4 >= 0).sortBy(-_._4).take(5)
+      .map { case (n, _, _, r) => s""""$n":${j(r)}""" }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}
