@@ -911,11 +911,13 @@ object EngineOps {
       .orderBy(col("layout"), col("predicate"))
   }
 
-  /** Sum of the scan-node output-row metrics of an ALREADY-EXECUTED
-    * DataFrame — rows the parquet reader actually produced after
+  /** Sum of a scan-node metric over an ALREADY-EXECUTED DataFrame.
+    * "numOutputRows": rows the parquet reader actually produced after
     * row-group min/max skipping (the residual Filter runs above the
-    * scan, so this isolates IO-side pruning). */
-  private def scanOutputRows(df: DataFrame): Long = {
+    * scan, so this isolates IO-side pruning). "numFiles": files the
+    * scan read AFTER partition pruning — the directory-skipping
+    * census. */
+  private def scanMetricSum(df: DataFrame, metric: String): Long = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
@@ -926,7 +928,62 @@ object EngineOps {
       case f: FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(find)
     }
-    find(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+    find(df.queryExecution.executedPlan).map(_.metrics(metric).value).sum
+  }
+  private def scanOutputRows(df: DataFrame): Long = scanMetricSum(df, "numOutputRows")
+
+  /** MEASURED IVF partition pruning — the proof of ivfTopK's "at
+    * 100 TB the cell is a partition column" claim, in the same scan-
+    * metric discipline as eng_zorder_scan: the embeddings corpus is
+    * written once per (session, dir) physically partitioned by IVF
+    * cell (SimilaritySearch.writeIvfPartitioned — an INDEX BUILD, the
+    * zorderLayouts class), then the same top-k cosine query runs (a)
+    * over all cells and (b) filtered to the probe's nProbe best
+    * cells. `n_files` is the scan's post-partition-pruning file count
+    * and `rows_scanned` the reader's output rows: the pruned variant
+    * must read only nProbe of nCells directories — file skipping
+    * before any IO, asserted in LayoutSpec. */
+  private val ivfLayouts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]]())
+  private def ensureIvfLayout(spark: SparkSession, dir: String)
+      : (String, Array[Array[Double]]) =
+    ivfLayouts
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]())
+      .computeIfAbsent(dir, _ => {
+        val emb = t(spark, dir, "embeddings")
+        val centroids =
+          SimilaritySearch.sampledCodebook(emb, "vec_id", "embedding", 16)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivf")
+        SimilaritySearch.writeIvfPartitioned(
+          emb, "vec_id", "embedding", centroids, s"$tmp/cells")
+        (s"$tmp/cells", centroids)
+      })
+
+  private def ivfPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (path, centroids) = ensureIvfLayout(spark, dir)
+    val probe = probeVec(spark, dir)
+    val cells = SimilaritySearch.probeCells(centroids, probe, nProbe = 4)
+    val probeCol = array(probe.map(f => lit(f.toDouble)): _*)
+    val rows = Seq(
+      "full" -> spark.read.parquet(path),
+      "pruned" -> spark.read.parquet(path)
+        .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]): _*))
+    ).map { case (variant, base) =>
+      val topk = base.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          VectorFunctions.vecCosine(col("embedding"), probeCol).as("cosine"))
+        .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
+        .limit(10)
+      // collect() (not head()) so the metrics belong to the executed plan
+      val top = topk.collect()
+      (variant, scanMetricSum(topk, "numFiles"), scanOutputRows(topk),
+        top.head.getLong(0), math.rint(top.head.getDouble(1) * 1e4) / 1e4)
+    }
+    rows.toDF("variant", "n_files", "rows_scanned", "top1_id", "top1_cosine")
+      .orderBy(col("variant"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -1274,6 +1331,7 @@ object EngineOps {
     "eng_ann_lsh_pairs" -> annPairJoin,
     "eng_ann_pq_topk" -> annPq,
     "eng_ann_ivfpq_topk" -> annIvfPq,
+    "eng_ivf_pruned_scan" -> ivfPrunedScan,
     "eng_ema_stateful" -> emaBatch,
     "eng_forecast_holt" -> forecastHolt,
     "eng_anomaly_forecast" -> anomalyForecast,

@@ -130,6 +130,31 @@ object SimilaritySearch {
     }
   }
 
+  /** Write `corpus` physically partitioned by IVF cell — the at-rest
+    * layout the ivfTopK scaladoc promises at 100 TB: with the cell as
+    * a partition column, the query's nProbe cell filter becomes
+    * directory-level partition pruning (file skipping before any IO),
+    * measured by eng_ivf_pruned_scan and asserted via scan metrics in
+    * LayoutSpec. Repartitioning on the cell key pins one file per
+    * cell so the file census is deterministic. */
+  def writeIvfPartitioned(corpus: DataFrame, idCol: String, vecCol: String,
+                          centroids: Array[Array[Double]], path: String): Unit =
+    corpus.select(col(idCol), col(vecCol),
+        nearestCell(centroids)(col(vecCol)).as("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").option("compression", "zstd")
+      .mode("overwrite").parquet(path)
+
+  /** The probe's `nProbe` best cells under a codebook (driver-side
+    * O(nCentroids·dim) — the IVF routing step). */
+  def probeCells(centroids: Array[Array[Double]], probe: Array[Float],
+                 nProbe: Int): Seq[Int] = {
+    val p = probe.map(_.toDouble)
+    centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(p).map { case (x, y) => x * y }.sum, i) }
+      .sortBy(-_._1).take(nProbe).map(_._2).toSeq
+  }
+
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probe: Array[Float], k: Int, nCentroids: Int = 16,
               nProbe: Int = 4,

@@ -79,6 +79,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(timeL <= total / 2, s"linear time scan pruned nothing: $timeL of $total")
   }
 
+  test("IVF cell layout prunes the scan to nProbe directories (eng_ivf_pruned_scan)") {
+    val rows = EngineOps.queries("eng_ivf_pruned_scan")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (fFull, rFull, _, cosFull) = rows("full")
+    val (fPruned, rPruned, _, cosPruned) = rows("pruned")
+    // partition pruning happened at the FILE level, before any IO
+    assert(fPruned <= 4, s"pruned scan read $fPruned files, expected <= nProbe=4")
+    assert(fPruned < fFull, s"no file skipping: $fPruned vs $fFull files")
+    assert(rPruned < rFull, s"no row reduction: $rPruned vs $rFull rows")
+    // the pruned result is a genuine top-k (can only miss, never beat)
+    assert(cosPruned <= cosFull + 1e-9 && cosPruned > 0)
+  }
+
   test("salted two-phase aggregation equals the direct group-by") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val ev = spark.table("events")
