@@ -52,6 +52,46 @@ object EngineOps {
       .orderBy(col("est_jaccard").desc_nulls_last, col("doc_a"), col("doc_b"))
       .limit(50)
 
+  /** INCREMENTAL dedup (MinHashDedup.incrementalPairs) — the
+    * daily-ingest path: documents split into a BASE corpus (signed
+    * ONCE per session — the persisted signature index a production
+    * pipeline keeps in storage) and a DELTA batch (doc_id % 7 = 3,
+    * ~14%); the measured work is exactly what an ingest pays — sign
+    * the delta, collide its band keys against the index, score only
+    * delta-involving pairs. Equality with a full recompute restricted
+    * to delta pairs is spec-asserted (DedupSpec). */
+  private val baseSigCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  private def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val isDelta = col("doc_id") % 7 === 3
+    val baseSigned = baseSigCache
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(dir, _ =>
+        MinHashDedup.signatures(docs.filter(!isDelta), "doc_id", "text",
+            shingleK = 3, numHashes = 64)
+          .localCheckpoint(true))
+    val delta = docs.filter(isDelta)
+    val pairs = MinHashDedup.incrementalPairs(baseSigned, delta,
+      idCol = "doc_id", textCol = "text", shingleK = 3,
+      bands = 16, rowsPerBand = 4, threshold = 0.2)
+    // delta membership is a pure predicate on the id (the split rule
+    // above) — no lookup table needed
+    def d(c: org.apache.spark.sql.Column) = c % 7 === 3
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(d(col("doc_a")) && d(col("doc_b")), 1)
+          .otherwise(0)).as("n_delta_delta"),
+        sum(when(d(col("doc_a")) =!= d(col("doc_b")), 1)
+          .otherwise(0)).as("n_delta_base"),
+        count_distinct(when(d(col("doc_a")), col("doc_a"))
+          .otherwise(col("doc_b"))).as("n_dup_delta_docs"),
+        round(coalesce(avg(col("est_jaccard")), lit(0.0)), 4).as("avg_est_jaccard"))
+  }
+
   /** SimHash banded near-dup pairs. maxHamming=7 matches the 8×8-band
     * pigeonhole guarantee (every pair at hamming ≤7 shares a band);
     * a looser budget would both miss pairs the banding can't see and
@@ -1332,6 +1372,7 @@ object EngineOps {
     "eng_ann_pq_topk" -> annPq,
     "eng_ann_ivfpq_topk" -> annIvfPq,
     "eng_ivf_pruned_scan" -> ivfPrunedScan,
+    "eng_incremental_dedup" -> incrementalDedup,
     "eng_ema_stateful" -> emaBatch,
     "eng_forecast_holt" -> forecastHolt,
     "eng_anomaly_forecast" -> anomalyForecast,

@@ -2722,6 +2722,86 @@ object QueryInventory {
       |LIMIT 15""".stripMargin),
     "tfidf,ranking,retrieval,llm")
 
+  /** Deterministic content-keyed shard assignment + balance report —
+    * the training-data "global shuffle" writer's routing step: shard
+    * = content-hash % nShards, so the same document lands in the same
+    * shard on ANY cluster size, partitioning, or re-run (unlike
+    * rand()-based shuffles), and re-ingested duplicates collide into
+    * one shard where the local dedup pass catches them. The md5-hex
+    * fold is ql16's cross-engine uniform-hash idiom. Scale shape: one
+    * projection + one 16-group aggregate — the report is O(nShards)
+    * rows; the real writer is `partitionBy(shard)` on this column. */
+  val ql22 = shared("ql22_shard_assign",
+    """WITH h AS (
+      |  SELECT doc_id, source, n_chars,
+      |         ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+      |        + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+      |        + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+      |        + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) % 16 AS shard
+      |  FROM documents)
+      |SELECT CAST(shard AS INT) AS shard,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM h
+      |GROUP BY shard
+      |ORDER BY shard NULLS FIRST, n_docs NULLS FIRST, total_chars NULLS FIRST,
+      |         n_sources NULLS FIRST""".stripMargin,
+    "sharding,shuffle,llm")
+
+  /** Train/validation n-gram contamination coverage (the memorization
+    * -risk metric beside ql13's doc-level decontamination): for every
+    * held-out doc (doc_id % 5 = 0), the fraction of its 8-word
+    * shingles that appear anywhere in the training split — reported
+    * per source with a >= 50%-covered contamination count. Scale
+    * shape: both sides explode to (shingle-hash) streams; the train
+    * side is a DISTINCT hash set and the probe is ONE hash-keyed left
+    * join (uniform by construction, never doc×doc) followed by two
+    * linear aggregates. This is exactly how eval-set leakage is
+    * audited over a 100 TB corpus. */
+  val ql23 = Q("ql23_ngram_coverage",
+    """WITH t AS (SELECT doc_id, source, split(text, ' ') AS toks FROM documents),
+      |v AS (SELECT doc_id, source,
+      |             md5(concat_ws(' ', slice(toks, i, 8))) AS hs
+      |      FROM t LATERAL VIEW explode(sequence(1, greatest(size(toks) - 7, 1), 1)) u AS i
+      |      WHERE doc_id % 5 = 0),
+      |tr AS (SELECT DISTINCT md5(concat_ws(' ', slice(toks, i, 8))) AS hs
+      |       FROM t LATERAL VIEW explode(sequence(1, greatest(size(toks) - 7, 1), 1)) u AS i
+      |       WHERE doc_id % 5 <> 0),
+      |j AS (SELECT v.doc_id, v.source,
+      |             CASE WHEN tr.hs IS NOT NULL THEN 1 ELSE 0 END AS seen
+      |      FROM v LEFT JOIN tr ON v.hs = tr.hs),
+      |d AS (SELECT doc_id, source, count(*) AS n_sh, sum(seen) AS n_seen
+      |      FROM j GROUP BY doc_id, source)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_val_docs,
+      |       round(avg(CAST(n_seen AS DOUBLE) / n_sh), 4) AS avg_coverage,
+      |       CAST(sum(CASE WHEN n_seen * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM d GROUP BY source
+      |ORDER BY source NULLS FIRST, n_val_docs NULLS FIRST, avg_coverage NULLS FIRST,
+      |         n_contaminated NULLS FIRST""".stripMargin,
+    Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |v AS (SELECT doc_id, source,
+      |             md5(array_to_string(toks[i:i+7], ' ')) AS hs
+      |      FROM t, unnest(generate_series(1, greatest(len(toks) - 7, 1), 1)) AS u(i)
+      |      WHERE doc_id % 5 = 0),
+      |tr AS (SELECT DISTINCT md5(array_to_string(toks[i:i+7], ' ')) AS hs
+      |       FROM t, unnest(generate_series(1, greatest(len(toks) - 7, 1), 1)) AS u(i)
+      |       WHERE doc_id % 5 <> 0),
+      |j AS (SELECT v.doc_id, v.source,
+      |             CASE WHEN tr.hs IS NOT NULL THEN 1 ELSE 0 END AS seen
+      |      FROM v LEFT JOIN tr ON v.hs = tr.hs),
+      |d AS (SELECT doc_id, source, count(*) AS n_sh, sum(seen) AS n_seen
+      |      FROM j GROUP BY doc_id, source)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_val_docs,
+      |       round(avg(CAST(n_seen AS DOUBLE) / n_sh), 4) AS avg_coverage,
+      |       CAST(sum(CASE WHEN n_seen * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM d GROUP BY source
+      |ORDER BY source NULLS FIRST, n_val_docs NULLS FIRST, avg_coverage NULLS FIRST,
+      |         n_contaminated NULLS FIRST""".stripMargin),
+    "decontamination,coverage,llm")
+
   // ---------------------------------------------------------------
   // Event-stream queries (Q-S*) — batch expressions of the
   // reference's streaming semantics (ref ops #31-37). Event-time
@@ -3416,7 +3496,7 @@ object QueryInventory {
     qt1, qt2, qt3,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
-    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18, ql19, ql20, ql21,
+    ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18, ql19, ql20, ql21, ql22, ql23,
     qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9, qs10, qs11,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14, qx15, qx16)
 }

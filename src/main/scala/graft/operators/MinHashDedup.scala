@@ -110,12 +110,7 @@ object MinHashDedup {
     // every one of them dominated runtime 16× at scale. Pairs are
     // deduplicated skinny (two longs), then each DISTINCT pair is
     // scored once via joins back to the cached signatures.
-    val banded = signed.select(
-      col("doc"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "band_key")))
+    val banded = bandKeys(signed, bands, rowsPerBand)
 
     // skinny (doc, band, band_key) rows, two self-join consumers:
     // cache so neither side re-runs the banding + bucket-count join
@@ -139,6 +134,79 @@ object MinHashDedup {
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
     materializeAndRelease(result, signed, bucketed)
+  }
+
+  /** Band keys of a signed frame: (doc, band, band_key), one row per
+    * band — the banding step shared by candidatePairs and the
+    * incremental path. */
+  private def bandKeys(signed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    signed.select(
+      col("doc"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "band_key")))
+
+  /** INCREMENTAL near-dup candidate pairs — the daily-ingest path of
+    * a production dedup pipeline: dedupe a DELTA batch against an
+    * already-signed BASE corpus without re-pairing the base.
+    * `baseSigned` is the persisted signature index ((doc,
+    * minhash_sig) from `signatures`; at 100 TB it lives in storage
+    * and this job reads it, never the base text). Work per ingest is
+    * O(delta + colliding base rows): only delta docs are shingled and
+    * hashed; candidate pairs are delta×base and delta×delta band
+    * collisions — base×base pairs were resolved when the base was
+    * built and are excluded BY CONSTRUCTION (the pair join's left
+    * side is delta-only).
+    *
+    * Exactness: bucket sizes are counted over the UNION of base and
+    * delta band keys, so bucket survivorship (2..maxBucket) is
+    * identical to a full recompute — the result equals
+    * candidatePairs(base ∪ delta) restricted to pairs with ≥1 delta
+    * member, spec-asserted in DedupSpec. Buckets containing no delta
+    * doc are additionally dropped (they cannot produce a delta pair —
+    * that filter is the incremental saving). */
+  def incrementalPairs(baseSigned: DataFrame, deltaDocs: DataFrame,
+                       idCol: String, textCol: String, shingleK: Int = 3,
+                       bands: Int = 16, rowsPerBand: Int = 4,
+                       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val deltaSigned = signatures(deltaDocs, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tagged = bandKeys(baseSigned, bands, rowsPerBand)
+        .withColumn("is_delta", lit(false))
+      .unionByName(bandKeys(deltaSigned, bands, rowsPerBand)
+        .withColumn("is_delta", lit(true)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket guard over the UNION (full-recompute parity) + the
+    // incremental filter: only buckets holding >= 1 delta doc matter
+    val good = tagged.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"), max(col("is_delta")).as("has_delta"))
+      .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket &&
+        col("has_delta"))
+      .select(col("band"), col("band_key"))
+    val bucketed = tagged.join(good, Seq("band", "band_key"))
+    // left side delta-only: no base×base pair can form; canonical
+    // (least, greatest) ordering + distinct collapses the twice-found
+    // delta×delta pairs
+    val pairs = bucketed.filter(col("is_delta"))
+      .select(col("band"), col("band_key"), col("doc").as("doc_l"))
+      .join(bucketed.select(col("band"), col("band_key"), col("doc").as("doc_r")),
+        Seq("band", "band_key"))
+      .filter(col("doc_l") =!= col("doc_r"))
+      .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_l"), col("doc_r")).as("doc_b"))
+      .distinct()
+    val allSigned = baseSigned.unionByName(deltaSigned)
+    val est: Column =
+      size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+        when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / numHashes
+    val result = pairs
+      .join(allSigned.select(col("doc").as("doc_a"), col("minhash_sig").as("sig_a")), Seq("doc_a"))
+      .join(allSigned.select(col("doc").as("doc_b"), col("minhash_sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    materializeAndRelease(result, deltaSigned, tagged)
   }
 
   /** `(doc, sig)` SimHash signatures via the codegen'd one-pass

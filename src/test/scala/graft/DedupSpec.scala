@@ -126,6 +126,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental pairs equal the full recompute restricted to delta pairs") {
+    // corpus with planted near-dup families spanning the base/delta
+    // split: docs 1/2 near-dups (both base), 3/4 near-dups (base,
+    // delta), 5/6 exact dups (both delta), plus unrelated filler
+    val texts = Seq(
+      1L -> base, 2L -> near,                       // base-base pair
+      3L -> (base + " extra"), 4L -> (near + " extra"), // base-delta-ish
+      5L -> far, 6L -> far,                         // delta-delta exact
+      7L -> (1 to 20).map(i => s"zz$i").mkString(" "),
+      8L -> (1 to 20).map(i => s"yy$i").mkString(" "))
+    val docs = texts.toDF("doc_id", "text")
+    val isDelta = col("doc_id") >= 4
+    val baseSigned = MinHashDedup.signatures(
+      docs.filter(!isDelta), "doc_id", "text", shingleK = 3, numHashes = 64)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val incr = MinHashDedup.incrementalPairs(baseSigned, docs.filter(isDelta),
+        "doc_id", "text", threshold = 0.2)
+      .collect().map(key).toSet
+    val full = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+        threshold = 0.2)
+      .collect().map(key).toSet
+    val fullDeltaOnly = full.filter(p => p._1 >= 4 || p._2 >= 4)
+    assert(incr == fullDeltaOnly,
+      s"incremental $incr != restricted full $fullDeltaOnly")
+    // base-base pairs are excluded by construction, and the planted
+    // delta-involving dup (5,6) is found
+    assert(incr.exists(p => p._1 == 5L && p._2 == 6L))
+    assert(!incr.exists(p => p._1 < 4L && p._2 < 4L))
+    assert(full.exists(p => p._1 == 1L && p._2 == 2L)) // full sees base-base
+  }
+
   test("simhash pairs: near-dup within hamming budget, unrelated outside") {
     val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
     val pairs = MinHashDedup.simHashPairs(docs, "doc_id", "text", maxHamming = 16)
