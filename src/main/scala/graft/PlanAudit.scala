@@ -47,7 +47,13 @@ object PlanAudit {
     "ql19_quality_lr" ->
       "Model apply is pure projection: one Exchange on (doc, token) for the count, two chained per-doc aggregates (AQE-coalesced small shuffles), the logistic score computed inline — no shuffle grows with the model.",
     "eng_ann_pq_topk" ->
-      "PQ-ADC query: the codes scan feeds a lookup-table sum projection into TakeOrderedAndProject (shortlist), whose ids broadcast back onto the corpus for the exact re-rank — full-corpus work is the code-lookup scan only.")
+      "PQ-ADC query: the codes scan feeds a lookup-table sum projection into TakeOrderedAndProject (shortlist), whose ids broadcast back onto the corpus for the exact re-rank — full-corpus work is the code-lookup scan only.",
+    "ql22_shard_assign" ->
+      "Shard routing is a pure projection (md5 hex fold) into ONE 16-group hash aggregate with map-side partials — doc rows shuffle once, to 16 groups; the production writer is partitionBy(shard) on the same column.",
+    "ql23_ngram_coverage" ->
+      "Both splits explode to shingle-hash streams; the train side collapses to a DISTINCT hash set and the probe is one hash-keyed shuffle join (never doc×doc), followed by two linear per-doc/per-source aggregates.",
+    "eng_incremental_dedup" ->
+      "Only the delta batch is shingled and signed — the base contributes its persisted signature index; the collision join is keyed on (band, band_key) with a delta-only left side, so base×base pairs cannot form and per-ingest work is O(delta + colliding base rows).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
