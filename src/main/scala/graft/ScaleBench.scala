@@ -29,7 +29,9 @@ object ScaleBench {
     "qt2_topk_per_group", "qw3_moving_avg", "qs3_sessionize",
     "ql2_exact_dedup", "ql3_shingle_jaccard", "ql15_setsim_join",
     "ql17_segment_dedup", "ql18_dup_spans", "ql21_tfidf",
+    "ql22_shard_assign", "ql23_ngram_coverage",
     "eng_pagerank", "eng_minhash_lsh_dedup", "eng_simhash_dedup",
+    "eng_incremental_dedup",
     "eng_dedup_pipeline", "eng_embed_dedup", "eng_ann_brute_topk",
     "eng_ann_lsh_topk", "eng_ann_ivf_topk", "eng_ann_ivfpq_topk",
     "eng_heavy_hitters", "eng_salted_agg")
@@ -90,8 +92,38 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val worst = rows.filter(_._4 >= 0).sortBy(-_._4).take(5)
       .map { case (n, _, _, r) => s""""$n":${j(r)}""" }.mkString("{", ",", "}")
+
+    // engine-vs-baseline where they actually differ: the contract
+    // queries run verbatim through spark.sql (engine == baseline by
+    // construction), so the only entries with a distinct baseline are
+    // the 9 library-operator impl overrides — time impl vs the plain
+    // spark.sql spelling at sf1 (min-of-2 interleaved, same defense).
+    // The budget is impl <= 2x SQL; overrides exist to WIN at scale
+    // (skyline, range/interval joins), so most ratios sit below 1.
+    val overridden = QueryInventory.all.filter(_.impl.isDefined)
+    def onceBaseline(q: Q): Double = {
+      val t0 = System.nanoTime()
+      try { Tables.register(spark, sf1)
+        spark.sql(q.sparkSql).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] baseline ${q.name} failed: ${e.getMessage}"); -1.0 }
+    }
+    def implPass(): Map[String, Double] =
+      overridden.map(q => q.name -> once(q.name, sf1)).toMap
+    def sqlPass(): Map[String, Double] =
+      overridden.map(q => q.name -> onceBaseline(q)).toMap
+    val (i1, s1) = (implPass(), sqlPass())
+    val (i2, s2) = (implPass(), sqlPass())
+    val vsBaseline = overridden.map { q =>
+      val impl = if (i1(q.name) < 0 || i2(q.name) < 0) -1.0 else math.min(i1(q.name), i2(q.name))
+      val sql = if (s1(q.name) < 0 || s2(q.name) < 0) -1.0 else math.min(s1(q.name), s2(q.name))
+      val ratio = if (impl > 0 && sql > 0) impl / sql else -1.0
+      s""""${q.name}":{"impl_sec":${j(impl)},"sql_sec":${j(sql)},"impl_vs_sql":${j(ratio)}}"""
+    }.mkString("{", ",", "}")
+
     val line =
-      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)}}"""
+      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"impl_vs_baseline_sf1":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
     println(line)
