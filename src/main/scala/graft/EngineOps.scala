@@ -917,7 +917,12 @@ object EngineOps {
         val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
         val ev = t(spark, dir, "events")
         sources.TableLayout.writeEventsZOrdered(ev, s"$tmp/zorder")
-        ev.repartitionByRange(32, col("ts")).sortWithinPartitions("ts")
+        // deterministic day buckets, not repartitionByRange (sampled
+        // bounds drift across sessions — see writeEventsZOrdered)
+        ev.withColumn("_day", dayofmonth(col("ts")))
+          .repartition(32, col("_day"))
+          .sortWithinPartitions("_day", "ts")
+          .drop("_day")
           .write.option("compression", "zstd").mode("overwrite")
           .parquet(s"$tmp/linear")
         tmp.toString

@@ -42,7 +42,11 @@ object Verify {
       val committedPath = Paths.get("GOLDENS_eng.tsv")
       if (Files.exists(committedPath)) {
         val committed = Goldens.parseTsv(Files.readString(committedPath))
-        val drift = Goldens.diff(committed, sfName, engEntries)
+        val drift0 = Goldens.diff(committed, sfName, engEntries)
+        // a restricted dev run (third arg) legitimately produces a
+        // subset — only DRIFT/NEW are meaningful there
+        val drift =
+          if (only.isDefined) drift0.filterNot(_.startsWith("MISSING")) else drift0
         if (drift.isEmpty)
           System.err.println(
             s"[goldens] ${engEntries.size} eng entries match GOLDENS_eng.tsv ($sfName)")

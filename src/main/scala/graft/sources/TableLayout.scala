@@ -74,12 +74,21 @@ object TableLayout {
       val span = math.max(mx - mn + 1, 1L)
       floor((c - lit(mn)).cast("double") * 65536.0 / span).cast("long")
     }
+    // DETERMINISTIC range buckets, not repartitionByRange: the range
+    // partitioner samples its bounds with a per-RDD seed, so file /
+    // row-group boundaries (and every scan metric derived from them)
+    // drift between sessions — the eng goldens caught exactly that.
+    // The z-value is a bounded 32-bit interleave, so fixed-width
+    // buckets over its observed span cluster identically and
+    // reproducibly; hash-on-bucket sends each bucket to one partition.
+    val zMax = (65536L * 65536L) - 1L
     dims
       .withColumn("zv", zValue(lvl(col("zu"), b.getLong(0), b.getLong(1)),
         lvl(col("zh"), b.getLong(2), b.getLong(3))))
-      .repartitionByRange(nFiles, col("zv"))
-      .sortWithinPartitions("zv")
-      .drop("zv", "zu", "zh")
+      .withColumn("zb", floor(col("zv").cast("double") * nFiles / (zMax + 1.0)).cast("int"))
+      .repartition(nFiles, col("zb"))
+      .sortWithinPartitions("zb", "zv")
+      .drop("zv", "zu", "zh", "zb")
       .write.option("compression", "zstd").mode("overwrite").parquet(path)
   }
 
