@@ -40,6 +40,12 @@ object PageRank {
           checkpointEvery: Int = 4,
           checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // Measured note: disabling AQE for the iteration (the
+    // GraphX-style fixed-partitioner instinct) was tried and is ~2×
+    // SLOWER here — AQE's post-shuffle coalescing shrinks the
+    // constant-size rank/contrib frames to a handful of tasks per
+    // sweep, which outweighs its per-stage re-planning cost. Keep
+    // adaptive planning on.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     // node universe and the WEIGHTED fan-out-annotated edge list, each
     // computed ONCE and checkpointed — every sweep reuses them.
