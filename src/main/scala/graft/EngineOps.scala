@@ -1325,6 +1325,24 @@ object EngineOps {
     operators.Bm25.topK(docs, "doc_id", "text", bm25Terms, stats, k = 15)
   }
 
+  /** Hybrid lexical+dense retrieval (operators/HybridSearch): BM25
+    * candidates (cached corpus stats, compiled TF kernel) and dense
+    * cosine candidates (vec_id==doc_id) fused by reciprocal rank —
+    * the composed retrieval stack over the two index families the
+    * engine already ships. Fusion touches only the two ≤50-row
+    * candidate lists; differential-tested against a plain-Scala RRF
+    * in HybridSearchSpec. */
+  private def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val stats = bm25Cache
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(dir, _ => operators.Bm25.stats(docs, "text", bm25Terms))
+    operators.HybridSearch.hybridTopK(
+      docs, "doc_id", "text", bm25Terms, stats,
+      t(spark, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", probeVec(spark, dir), k = 15)
+  }
+
   /** Trigram-LM quality gate over the documents corpus (CCNet-style
     * perplexity filter). Threshold −7.2 sits inside the observed
     * in-language score band so the report exercises both sides of the
@@ -1378,6 +1396,7 @@ object EngineOps {
     "eng_ann_ivfpq_topk" -> annIvfPq,
     "eng_ivf_pruned_scan" -> ivfPrunedScan,
     "eng_incremental_dedup" -> incrementalDedup,
+    "eng_hybrid_search" -> hybridSearch,
     "eng_ema_stateful" -> emaBatch,
     "eng_forecast_holt" -> forecastHolt,
     "eng_anomaly_forecast" -> anomalyForecast,
