@@ -43,6 +43,38 @@ class GoldensSpec extends AnyFunSuite {
     assert(missing.exists(_.startsWith("MISSING eng_b")))
   }
 
+  test("property: checksum is permutation/partition invariant and value sensitive") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.functions.{col, when}
+    import spark.implicits._
+    val rowGen = for {
+      id <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      s <- Gen.oneOf("", "x", "a b", "∅", "tab\there", "nul")
+      v <- Gen.oneOf(Gen.const(Double.NaN), Gen.const(-0.0),
+        Gen.chooseNum(-1e6, 1e6))
+      arr <- Gen.listOfN(3, Gen.chooseNum(-5, 5))
+    } yield (id, s, v, arr)
+    val rows = (0 until 40).flatMap(i =>
+      rowGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    val df = rows.toDF("id", "s", "v", "arr")
+    val base = Goldens.checksum(df)
+    // permutation + partitioning invariance
+    assert(Goldens.checksum(df.repartition(7)) == base)
+    assert(Goldens.checksum(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        scala.util.Random.javaRandomToRandom(new java.util.Random(3))
+          .shuffle(df.collect().toSeq), 3), df.schema)) == base)
+    // -0.0 folds into 0.0 (the one value-level normalization)
+    val negZero = Seq((1L, "a", -0.0, List(1))).toDF("id", "s", "v", "arr")
+    val posZero = Seq((1L, "a", 0.0, List(1))).toDF("id", "s", "v", "arr")
+    assert(Goldens.checksum(negZero) == Goldens.checksum(posZero))
+    // any single-value mutation moves the hash
+    val mutated = df.withColumn("id",
+      when(col("id") === rows.head._1, col("id") + 1).otherwise(col("id")))
+    assert(Goldens.checksum(mutated) != base)
+  }
+
   test("committed goldens match freshly executed entries (sf0.001)") {
     val path = java.nio.file.Paths.get("GOLDENS_eng.tsv")
     assume(java.nio.file.Files.exists(path), "GOLDENS_eng.tsv not committed yet")
