@@ -1031,6 +1031,61 @@ object EngineOps {
       .orderBy(col("variant"))
   }
 
+  /** MEASURED dynamic partition pruning (DPP) — the third member of
+    * the scan-pruning proof family (eng_zorder_scan: row-group
+    * min/max skipping; eng_ivf_pruned_scan: static partition
+    * pruning): events written day-partitioned
+    * (TableLayout.writeEventsByDay, an index build cached per
+    * (session, dir)), then joined against a SMALL dim frame whose
+    * filter only resolves at runtime — Spark's DPP turns the
+    * broadcast dim into a runtime partition filter on the fact scan,
+    * so only the dim's surviving days are read at all. At 100 TB this
+    * is THE mechanism that keeps star joins over partitioned facts
+    * from scanning the full table; `n_files` (post-pruning file
+    * census) is the proof, asserted in LayoutSpec. The dim is written
+    * as parquet (not a LocalRelation) so the optimizer cannot
+    * constant-fold the filter into a static predicate. */
+  private val dppLayouts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def ensureDppLayout(spark: SparkSession, dir: String): String =
+    dppLayouts
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
+        sources.TableLayout.writeEventsByDay(t(spark, dir, "events"), s"$tmp/facts")
+        // dim: every event day tagged; 3 days carry the 'pick' tag the
+        // query filters on — the runtime-only pruning predicate
+        t(spark, dir, "events")
+          .select(to_date(col("ts")).as("event_date")).distinct()
+          .withColumn("tag",
+            when(dayofmonth(col("event_date")) % 10 === 3, lit("pick"))
+              .otherwise(lit("skip")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/dim")
+        tmp.toString
+      })
+
+  private def dppScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = ensureDppLayout(spark, dir)
+    val facts = spark.read.parquet(s"$tmp/facts")
+    val dim = spark.read.parquet(s"$tmp/dim")
+    val rows = Seq(
+      "full" -> facts.join(dim, Seq("event_date")),
+      "dpp" -> facts.join(dim.filter(col("tag") === "pick"), Seq("event_date"))
+    ).map { case (variant, joined) =>
+      val agg = joined.agg(count(lit(1)).as("n"),
+        round(coalesce(sum(col("value")), lit(0.0)), 2).as("s"))
+      val head = agg.collect().head
+      (variant, scanMetricSum(agg, "numFiles"), scanOutputRows(agg),
+        head.getLong(0), head.getDouble(1))
+    }
+    rows.toDF("variant", "n_files", "rows_scanned", "n_hits", "sum_v")
+      .orderBy(col("variant"))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq
@@ -1397,6 +1452,7 @@ object EngineOps {
     "eng_ivf_pruned_scan" -> ivfPrunedScan,
     "eng_incremental_dedup" -> incrementalDedup,
     "eng_hybrid_search" -> hybridSearch,
+    "eng_dpp_scan" -> dppScan,
     "eng_ema_stateful" -> emaBatch,
     "eng_forecast_holt" -> forecastHolt,
     "eng_anomaly_forecast" -> anomalyForecast,

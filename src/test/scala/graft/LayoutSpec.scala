@@ -94,6 +94,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(cosPruned <= cosFull + 1e-9 && cosPruned > 0)
   }
 
+  test("dynamic partition pruning reads only the dim's surviving days (eng_dpp_scan)") {
+    val rows = EngineOps.queries("eng_dpp_scan")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (fFull, rFull, nFull, _) = rows("full")
+    val (fDpp, rDpp, nDpp, _) = rows("dpp")
+    // the runtime dim filter pruned fact FILES, not just rows
+    assert(fDpp < fFull, s"no file pruning: $fDpp vs $fFull files")
+    assert(rDpp < rFull, s"no scan reduction: $rDpp vs $rFull rows")
+    assert(nDpp > 0 && nDpp < nFull)
+    // and the scan metric matches the semantic selectivity: only
+    // days with dayofmonth % 10 == 3 survive (3 of 31 in January)
+    assert(fDpp <= fFull * 4 / 31 + 1, s"pruned file census too large: $fDpp of $fFull")
+  }
+
   test("salted two-phase aggregation equals the direct group-by") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val ev = spark.table("events")
