@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression report.
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [threshold]
+
+Compares the per-query maps of two bench snapshots (BENCH_LOCAL_r*.json
+/ bench_full.json format) and reports entries slower than `threshold`x
+(default 2.0), plus added/removed entries and headline movement.
+Exit code 1 if any entry regressed past the threshold — usable as a
+gate. Times under 0.3 s are floor-dominated noise and are skipped.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("queries", {}), float(d.get("value", -1))
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    old, old_total = load(old_path)
+    new, new_total = load(new_path)
+    common = sorted(set(old) & set(new))
+    regressed = []
+    for name in common:
+        a, b = old[name], new[name]
+        if a <= 0 or b <= 0:
+            continue  # failed entries are reported by the bench itself
+        if a < 0.3 and b < 0.3:
+            continue  # both under the session-overhead floor
+        if b / a >= threshold:
+            regressed.append((name, a, b, b / a))
+    for name, a, b, r in sorted(regressed, key=lambda x: -x[3]):
+        print(f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+    for name in sorted(set(new) - set(old)):
+        print(f"ADDED {name}: {new[name]:.2f}s")
+    for name in sorted(set(old) - set(new)):
+        print(f"REMOVED {name}")
+    if old_total > 0 and new_total > 0:
+        print(f"headline: {old_total:.2f}s -> {new_total:.2f}s "
+              f"({new_total / old_total:.2f}x, {len(old)} -> {len(new)} entries)")
+    print(f"{len(regressed)} regressions >= {threshold}x over {len(common)} common entries")
+    sys.exit(1 if regressed else 0)
+
+
+if __name__ == "__main__":
+    main()
