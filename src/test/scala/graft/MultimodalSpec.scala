@@ -58,7 +58,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.decodeFeatures(Multimodal.syntheticWav(seed + 1)).sameElements(f))
   }
 
-  test("featurize pipeline: real decode for images and audio, fallback for video") {
+  test("synthetic video round-trips through per-frame ImageIO decode (differential)") {
+    val vid = Multimodal.syntheticVideo(9L, frames = 6)
+    assert(new String(vid.take(4), "US-ASCII") == "GVID")
+    val f = Multimodal.decodeFeatures(vid)
+    assert(f(0) == 6f && f(1) == 8f && f(2) == 8f) // frames, w, h
+    // differential oracle: decode the sampled frames (0, 3, 5)
+    // independently via the image path and recompute luma means
+    def luma(seed: Long): Double = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticPng(seed)))
+      val vals = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val rgb = img.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      vals.sum / vals.size
+    }
+    assert(math.abs(f(3) - luma(9L * 31)) < 1e-3)      // first frame
+    assert(math.abs(f(4) - luma(9L * 31 + 5 * 7)) < 1e-3) // last frame
+    assert(f(5) > 0f)                                  // frames differ ⇒ motion
+    assert(f(7) == 1f)                                 // aspect
+    // determinism + seed sensitivity
+    assert(Multimodal.decodeFeatures(Multimodal.syntheticVideo(9L)).sameElements(f))
+    assert(!Multimodal.decodeFeatures(Multimodal.syntheticVideo(10L)).sameElements(f))
+  }
+
+  test("featurize pipeline: real decode for all three kinds") {
     val docs = Seq((0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon"))
       .toDF("doc_id", "text")
     val feats = Multimodal.featurize(Multimodal.mediaFromDocuments(docs))
@@ -69,7 +95,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L).features(0) == 8000f)    // decoded sample rate
     assert(feats(1L).features(1) == 800f)     // decoded sample count
     assert(feats(2L).kind == "video")
-    assert(feats(2L).features.sameElements(
-      Multimodal.byteFoldFeatures("epsilon".getBytes("UTF-8"))))
+    assert(feats(2L).features(0) == 6f)       // decoded frame count
+    assert(feats(2L).features(5) > 0f)        // real inter-frame motion
   }
 }
