@@ -844,7 +844,7 @@ object EngineOps {
     try {
       val slice = eventsSlice(spark, dir)
       val schema = slice.schema
-      val rows = Seq("json", "csv", "parquet").map { fmt =>
+      val rows = Seq("json", "csv", "parquet", "orc").map { fmt =>
         val path = s"$tmp/$fmt"
         val w = slice.write.mode("overwrite").format(fmt)
         (if (fmt == "csv") w.option("header", "true") else w).save(path)
