@@ -1393,6 +1393,32 @@ object QueryInventory {
       |         distinct_users NULLS FIRST""".stripMargin),
     "window,distinct,running")
 
+  /** Event-TIME trailing window via a RANGE frame over integer
+    * microseconds (the everyday "activity in the last hour" query —
+    * distinct from qw6's numeric range frame): the frame bound is a
+    * time interval, so ties in ts share a frame and the result is
+    * deterministic without a unique ordering column. One user-keyed
+    * shuffle; the frame scan is linear per partition (Spark keeps a
+    * sliding aggregate, not a per-row rescan). */
+  val qw10 = Q("qw10_trailing_hour",
+    """SELECT user_id, event_id,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+      |       round(sum(value) OVER w, 4) AS sum_last_hour
+      |FROM events WHERE user_id < 100
+      |WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST,
+      |         n_last_hour NULLS FIRST, sum_last_hour NULLS FIRST""".stripMargin,
+    Some("""SELECT user_id, event_id,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+      |       round(sum(value) OVER w, 4) AS sum_last_hour
+      |FROM events WHERE user_id < 100
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST,
+      |         n_last_hour NULLS FIRST, sum_last_hour NULLS FIRST""".stripMargin),
+    "window,range,event-time")
+
   // ---------------------------------------------------------------
   // Sort / limit / top-k (Q-T*)
   // ---------------------------------------------------------------
@@ -3492,7 +3518,7 @@ object QueryInventory {
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16, qj17,
-    qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9,
+    qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9, qw10,
     qt1, qt2, qt3,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
