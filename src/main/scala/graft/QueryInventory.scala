@@ -292,6 +292,40 @@ object QueryInventory {
       |ORDER BY event_id NULLS FIRST, j NULLS FIRST, field_b NULLS FIRST""".stripMargin),
     "struct,json,nullsafe_eq")
 
+  /** Case-insensitive grouping via Spark 4 string collations
+    * (`COLLATE UTF8_LCASE`) — the engine-native spelling a Spark 4
+    * user writes instead of wrapping every key in lower(). A derived
+    * mixed-case key (upper for even part keys, lower for odd) makes
+    * the collation do real semantic work: binary grouping would
+    * return 2× the groups. Output representative is min() over the
+    * group (binary order → deterministic), never the collated key
+    * itself (an arbitrary case-variant). The oracle spells the same
+    * semantics as lower()-grouping. Collation is a property of the
+    * comparison, not a projection — the grouped aggregate still takes
+    * map-side partials and one hash shuffle at any scale. */
+  val qf16 = Q("qf16_collation",
+    """WITH mixed AS (
+      |  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+      |              ELSE lower(p_brand) END AS brand_mc,
+      |         p_retailprice
+      |  FROM part)
+      |SELECT min(brand_mc) AS brand_repr, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(p_retailprice), 4) AS retail_sum
+      |FROM mixed
+      |GROUP BY brand_mc COLLATE UTF8_LCASE
+      |ORDER BY brand_repr NULLS FIRST, n NULLS FIRST, retail_sum NULLS FIRST""".stripMargin,
+    Some("""WITH mixed AS (
+      |  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+      |              ELSE lower(p_brand) END AS brand_mc,
+      |         p_retailprice
+      |  FROM part)
+      |SELECT min(brand_mc) AS brand_repr, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(p_retailprice), 4) AS retail_sum
+      |FROM mixed
+      |GROUP BY lower(brand_mc)
+      |ORDER BY brand_repr NULLS FIRST, n NULLS FIRST, retail_sum NULLS FIRST""".stripMargin),
+    "collation,group_by,spark4")
+
   // ---------------------------------------------------------------
   // Aggregation (Q-A*)
   // ---------------------------------------------------------------
@@ -742,6 +776,38 @@ object QueryInventory {
       |GROUP BY d.event_type
       |ORDER BY event_type NULLS FIRST, mad NULLS FIRST, n_outliers NULLS FIRST, n NULLS FIRST""".stripMargin,
     "robust,outlier,median,agg")
+
+  /** Chi-square homogeneity drift test between two deterministic
+    * cohorts (`event_id % 2`) over the event_type distribution — the
+    * data-drift monitor a training pipeline runs between ingest
+    * batches. Scale shape: ONE grouped aggregate collapses the fact
+    * table to the (cohorts × types)-cell contingency frame (map-side
+    * partials); every window (row/column margins, grand total, the
+    * chi2 sum) runs over that ≤10-row frame — the aggregate-before-
+    * window discipline, nothing global touches the facts. Counts are
+    * integer-exact, so expected/contrib derive from identical inputs
+    * on both engines; ROUND 4 absorbs summation-order ulp. */
+  val qa20 = shared("qa20_chisq_drift",
+    """WITH cells AS (
+      |  SELECT CAST(event_id % 2 AS INT) AS cohort, event_type,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_id % 2, event_type),
+      |margins AS (
+      |  SELECT cohort, event_type, n,
+      |         CAST(sum(n) OVER (PARTITION BY cohort) AS DOUBLE) AS row_n,
+      |         CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS col_n,
+      |         CAST(sum(n) OVER () AS DOUBLE) AS grand
+      |  FROM cells)
+      |SELECT cohort, event_type, n,
+      |       round(row_n * col_n / grand, 4) AS expected,
+      |       round((n - row_n * col_n / grand) * (n - row_n * col_n / grand)
+      |             / (row_n * col_n / grand), 4) AS contrib,
+      |       round(sum((n - row_n * col_n / grand) * (n - row_n * col_n / grand)
+      |                 / (row_n * col_n / grand)) OVER (), 4) AS chi2
+      |FROM margins
+      |ORDER BY cohort NULLS FIRST, event_type NULLS FIRST, n NULLS FIRST,
+      |         expected NULLS FIRST, contrib NULLS FIRST, chi2 NULLS FIRST""".stripMargin,
+    "drift,chisq,stats,agg")
 
   // ---------------------------------------------------------------
   // Joins (Q-J*)
@@ -3501,6 +3567,35 @@ object QueryInventory {
       |         n_current NULLS FIRST, max_closed_us NULLS FIRST""".stripMargin),
     "scd2,dimension,window")
 
+  /** Position-aware generator (`posexplode` — the ordinal companion of
+    * qf7's plain explode): token streams need the position to rebuild
+    * order downstream (chunking, n-grams, first/last-token features).
+    * DuckDB spells it as zipped `unnest` + `generate_subscripts`
+    * (1-based → −1). Pure per-row expansion: no shuffle, generator
+    * fan-out stays inside the scan stage at any scale; the partkey
+    * filter pushes to the parquet scan before the generator runs. */
+  val qx17 = Q("qx17_posexplode",
+    """SELECT p_partkey, CAST(pos AS INT) AS pos, tok,
+      |       CAST(size(split(p_name, ' ')) AS INT) AS n_toks,
+      |       CAST(CASE WHEN pos = size(split(p_name, ' ')) - 1
+      |                 THEN 1 ELSE 0 END AS INT) AS is_last
+      |FROM part LATERAL VIEW posexplode(split(p_name, ' ')) t AS pos, tok
+      |WHERE p_partkey <= 200
+      |ORDER BY p_partkey NULLS FIRST, pos NULLS FIRST, tok NULLS FIRST,
+      |         n_toks NULLS FIRST, is_last NULLS FIRST""".stripMargin,
+    Some("""SELECT p_partkey,
+      |       CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
+      |       unnest(string_split(p_name, ' ')) AS tok,
+      |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_toks,
+      |       CAST(CASE WHEN generate_subscripts(string_split(p_name, ' '), 1) - 1
+      |                      = len(string_split(p_name, ' ')) - 1
+      |                 THEN 1 ELSE 0 END AS INT) AS is_last
+      |FROM part
+      |WHERE p_partkey <= 200
+      |ORDER BY p_partkey NULLS FIRST, pos NULLS FIRST, tok NULLS FIRST,
+      |         n_toks NULLS FIRST, is_last NULLS FIRST""".stripMargin),
+    "generator,posexplode,lateral_view")
+
   /** Recursive CTE (Spark 4 WITH RECURSIVE): generate the month domain
     * recursively, then aggregate orders against it — recursion for the
     * dimension, one scan for the facts. */
@@ -3515,8 +3610,8 @@ object QueryInventory {
 
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
-    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19,
+    qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15, qf16,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19, qa20,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16, qj17,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9, qw10,
     qt1, qt2, qt3,
@@ -3524,5 +3619,5 @@ object QueryInventory {
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18, ql19, ql20, ql21, ql22, ql23,
     qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9, qs10, qs11,
-    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14, qx15, qx16)
+    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14, qx15, qx16, qx17)
 }
