@@ -645,6 +645,29 @@ object EngineOps {
         min(concat_ws("|", slice(col("wp"), 1, 5))).as("sample_pieces"))
       .orderBy(col("source"))
 
+  /** BPE vocabulary TRAINING + application (the train half of the
+    * tokenizer pipeline; eng_wordpiece is the apply half with a fixed
+    * vocab): fit merges on the corpus word-frequency table (one
+    * distributed aggregate → bounded driver artifact → incremental
+    * merge loop), then re-encode the corpus through the learned
+    * kernel via the distinct-word broadcast join. Output: per-source
+    * compression stats + the first learned merges (deterministic —
+    * ties break lexicographically). */
+  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // merge budget deliberately BELOW full convergence: the synthetic
+    // corpus has ~31 distinct words (≈106 merges fully lexicalize it,
+    // collapsing every word to one symbol and flattening the stats);
+    // 30 merges leaves frequent words merged and rare words partial,
+    // so subwords_per_word stays discriminative per source
+    val model = operators.BpeTrain.fit(docs, "text", nMerges = 30)
+    operators.BpeTrain.subwordStats(docs, model)
+      .withColumn("n_merges", lit(model.merges.size))
+      .withColumn("first_merges",
+        lit(model.merges.take(3).map { case (a, b) => s"$a+$b" }.mkString("|")))
+      .orderBy(col("source"))
+  }
+
   /** Multimodal binary-column pipeline (REAL PNG + WAV decode via
     * JDK ImageIO / javax.sound.sampled, byte-fold stub for video
     * only): per-kind feature summary. */
@@ -1466,6 +1489,7 @@ object EngineOps {
     "eng_quality_score" -> qualityScore,
     "eng_doc_fingerprint" -> fingerprints,
     "eng_wordpiece" -> wordpiece,
+    "eng_bpe_train" -> bpeTrain,
     "eng_multimodal_features" -> multimodal,
     "eng_approx_distinct" -> approxDistinct,
     "eng_incremental_agg" -> incrementalAgg,
