@@ -221,6 +221,17 @@ object EngineOps {
       .withColumn("cosine", round(col("cosine"), 4))
   }
 
+  /** SQ8 scalar-quantized top-k (int8 codes + exact re-scoring)
+    * against the same probe — the 4×-smaller-scan ANN path beside
+    * PQ/IVF-PQ. */
+  private def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    SimilaritySearch.sq8TopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        probeVec(spark, dir), k = 10, rescore = 5)
+      .withColumn("cosine", round(col("cosine"), 4))
+  }
+
   /** LSH-bucketed approximate top-k against the same probe. */
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -1471,6 +1482,7 @@ object EngineOps {
     "eng_ann_ivf_topk" -> annIvf,
     "eng_ann_lsh_pairs" -> annPairJoin,
     "eng_ann_pq_topk" -> annPq,
+    "eng_ann_sq8_topk" -> annSq8,
     "eng_ann_ivfpq_topk" -> annIvfPq,
     "eng_ivf_pruned_scan" -> ivfPrunedScan,
     "eng_incremental_dedup" -> incrementalDedup,

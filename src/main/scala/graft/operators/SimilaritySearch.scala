@@ -178,6 +178,37 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** SQ8 scalar-quantized approximate top-k with exact re-scoring —
+    * the third quantized-ANN representation beside PQ/IVF-PQ: every
+    * vector compresses to 1 byte/dim (4× smaller scan at 100 TB; at
+    * rest, write `sq8_encode(v).codes` instead of the float array and
+    * join survivors back to the raw vectors by id). Ranking is the
+    * int8-code cosine — the per-vector scales cancel, so the
+    * approximate score is a ratio of exact integers, reproducible on
+    * any partitioning. The top `k·rescore` candidates by code score
+    * are re-ranked with the exact float cosine (a ≤ k·rescore-row
+    * frame), which repairs quantization rank inversions near the
+    * boundary. Probe and corpus are coded by the SAME
+    * `Sq8Exprs.quantizeSymmetric` rule. */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+              probe: Array[Float], k: Int, rescore: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expr}
+    val (probeCodes, _) =
+      graft.expressions.Sq8Exprs.quantizeSymmetric(probe.map(_.toDouble))
+    val probeCol = array(probe.map(f => lit(f.toDouble)): _*)
+    val approx = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        column(graft.expressions.Sq8CosineExpr(
+          expr(column(graft.expressions.Sq8EncodeExpr(expr(col(vecCol))))
+            .getField("codes")),
+          probeCodes)).as("acos"))
+      .orderBy(col("acos").desc_nulls_last, col("id").asc)
+      .limit(k * rescore)
+    approx
+      .select(col("id"), vecCosine(col("v"), probeCol).as("cosine"))
+      .orderBy(col("cosine").desc_nulls_last, col("id").asc)
+      .limit(k)
+  }
+
   /** All-pairs near-neighbor join via shared LSH buckets (the scale
     * path for Q-V4-style pair search): one shuffle on bucket id, no
     * cross product.

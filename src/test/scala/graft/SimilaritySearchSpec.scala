@@ -143,6 +143,78 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("id")).toSet
     assert((brute & ivf).size >= 8, s"IVF recall ${(brute & ivf).size}/10")
     assert((brute & lsh).size >= 7, s"LSH recall ${(brute & lsh).size}/10")
+    // SQ8 with exact top-50 re-scoring only misses when a true top-10
+    // vector falls outside the int8-code top-50 — near-impossible at
+    // 8-bit resolution; measured 10/10, floored at 9 for margin
+    val sq8 = SimilaritySearch.sq8TopK(emb, "vec_id", "embedding", probe,
+      k = 10, rescore = 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert((brute & sq8).size >= 9, s"SQ8 recall ${(brute & sq8).size}/10")
+  }
+
+  test("SQ8 quantization: round-trip error bound, scale cancellation, edge cases") {
+    import graft.expressions.Sq8Exprs.quantizeSymmetric
+    val v = Array(-1.0, 0.0, 0.5, 1.0, 0.25)
+    val (codes, scale) = quantizeSymmetric(v)
+    assert(scale === 1.0 / 127.0)
+    assert(codes(0) == -127 && codes(3) == 127 && codes(1) == 0)
+    // dequantization error ≤ scale/2 per element (round-half-even)
+    v.indices.foreach { i =>
+      assert(math.abs(codes(i) * scale - v(i)) <= scale / 2 + 1e-12)
+    }
+    // zero vector → zero scale, zero codes
+    val (zc, zs) = quantizeSymmetric(Array(0.0, 0.0))
+    assert(zs == 0.0 && zc.forall(_ == 0))
+    // code cosine approximates float cosine within int8 resolution
+    val a = Array(0.3, -0.7, 0.2, 0.9)
+    val b = Array(0.1, 0.4, -0.5, 0.8)
+    val (ca, _) = quantizeSymmetric(a)
+    val (cb, _) = quantizeSymmetric(b)
+    def intCos(x: Array[Byte], y: Array[Byte]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toLong * q }.sum
+      val nx = math.sqrt(x.map(p => p.toLong * p).sum.toDouble)
+      val ny = math.sqrt(y.map(p => p.toLong * p).sum.toDouble)
+      dot / (nx * ny)
+    }
+    def floatCos(x: Array[Double], y: Array[Double]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    assert(math.abs(intCos(ca, cb) - floatCos(a, b)) < 0.01)
+  }
+
+  test("Sq8 expressions: kernel parity with driver-side quantization, null on mismatch") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expr}
+    import graft.expressions.{Sq8CosineExpr, Sq8EncodeExpr, Sq8Exprs}
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(0.5f, -0.25f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(-2.0f, 4.0f, 8.0f)))
+    val probe = Array(1.0f, 2.0f, 2.0f)
+    val (pCodes, _) = Sq8Exprs.quantizeSymmetric(probe.map(_.toDouble))
+    val df = rows.toDF("id", "v")
+    val out = df.select(col("id"),
+        column(Sq8EncodeExpr(expr(col("v")))).as("q"),
+        column(Sq8CosineExpr(
+          expr(column(Sq8EncodeExpr(expr(col("v")))).getField("codes")),
+          pCodes)).as("acos"))
+      .orderBy("id").collect()
+    rows.zip(out).foreach { case ((_, v), r) =>
+      val (expCodes, expScale) = Sq8Exprs.quantizeSymmetric(v.map(_.toDouble))
+      val got = r.getStruct(1)
+      assert(got.getAs[Array[Byte]]("codes").toSeq == expCodes.toSeq)
+      assert(got.getAs[Double]("scale") === expScale)
+    }
+    // zero vector has no direction → null approx cosine
+    assert(out(1).isNullAt(2))
+    // dim mismatch yields null, never truncation
+    val mism = Seq((1L, Array(0.5f, 0.5f))).toDF("id", "v")
+      .select(column(Sq8CosineExpr(
+        expr(column(Sq8EncodeExpr(expr(col("v")))).getField("codes")),
+        pCodes)).as("acos")).head()
+    assert(mism.isNullAt(0))
   }
 
   test("PqNearestExpr matches a plain-Scala argmin (differential)") {
