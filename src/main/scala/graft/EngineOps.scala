@@ -232,6 +232,94 @@ object EngineOps {
       .withColumn("cosine", round(col("cosine"), 4))
   }
 
+  // per-(session, dir) scratch for the SQ8 at-rest layout pair —
+  // computed once, reused by bench samples and the fp sweep (the
+  // zorderLayouts discipline)
+  private val sq8Layouts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  /** Write the embeddings in the two at-rest representations the SQ8
+    * scaladoc compares: `float/` (vec_id + float32 array — the plain
+    * layout) and `sq8/` (vec_id + int8 codes + scale — the compact
+    * index). Both are totally ordered before the single-file write so
+    * the byte census is deterministic under any shuffle width. */
+  private def ensureSq8Layouts(spark: SparkSession, dir: String): String =
+    sq8Layouts
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sq8")
+        import org.apache.spark.sql.graftshim.ColumnBridge.{column, expr}
+        val emb = t(spark, dir, "embeddings")
+        emb.select(col("vec_id"), col("embedding"))
+          .coalesce(1).sortWithinPartitions("vec_id")
+          .write.option("compression", "zstd").mode("overwrite")
+          .parquet(s"$tmp/float")
+        emb.select(col("vec_id"),
+            column(graft.expressions.Sq8EncodeExpr(expr(col("embedding"))))
+              .as("q"))
+          .select(col("vec_id"), col("q.codes").as("codes"),
+            col("q.scale").as("scale"))
+          .coalesce(1).sortWithinPartitions("vec_id")
+          .write.option("compression", "zstd").mode("overwrite")
+          .parquet(s"$tmp/sq8")
+        tmp.toString
+      })
+
+  /** Measured SQ8 at-rest layout: byte footprint of the code layout
+    * vs the float layout (the "4× smaller candidate scan" claim of
+    * sq8TopK, proved the way eng_zorder_scan proves Z-order), plus
+    * the REAL at-rest query flow — candidates come from the small
+    * codes file, exact re-scoring joins back to the float file by id
+    * (broadcast: the candidate frame is ≤ k·rescore rows). Top-10
+    * equality with the float-only brute scan shows the compact path
+    * loses nothing on this corpus. */
+  private def sq8Layout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expr}
+    val tmp = ensureSq8Layouts(spark, dir)
+    def dataBytes(sub: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(s"$tmp/$sub")
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally s.close()
+    }
+    val floatBytes = dataBytes("float")
+    val sq8Bytes = dataBytes("sq8")
+    val probe = probeVec(spark, dir)
+    val probeCol = array(probe.map(f => lit(f.toDouble)): _*)
+    val (probeCodes, _) =
+      graft.expressions.Sq8Exprs.quantizeSymmetric(probe.map(_.toDouble))
+    val floatDf = spark.read.parquet(s"$tmp/float").filter(col("vec_id") =!= 0)
+    val floatTop = SimilaritySearch.bruteForceTopK(
+        floatDf, "vec_id", "embedding", probe, 10)
+      .collect().map(_.getAs[Long]("id"))
+    val cand = spark.read.parquet(s"$tmp/sq8").filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        column(graft.expressions.Sq8CosineExpr(expr(col("codes")), probeCodes))
+          .as("acos"))
+      .orderBy(col("acos").desc_nulls_last, col("vec_id").asc)
+      .limit(50)
+    val sq8Top = floatDf.join(broadcast(cand), Seq("vec_id"))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.vecCosine(col("embedding"), probeCol)
+          .as("cosine"))
+      .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
+      .limit(10)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val n = floatDf.count()
+    Seq(
+      ("float", n, 1.0, floatTop.mkString("|")),
+      ("sq8", n, math.rint(sq8Bytes.toDouble / floatBytes * 100) / 100,
+        sq8Top.mkString("|")))
+      .toDF("layout", "n_vectors", "bytes_ratio_vs_float", "top10_ids")
+      .orderBy(col("layout"))
+  }
+
   /** LSH-bucketed approximate top-k against the same probe. */
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -1483,6 +1571,7 @@ object EngineOps {
     "eng_ann_lsh_pairs" -> annPairJoin,
     "eng_ann_pq_topk" -> annPq,
     "eng_ann_sq8_topk" -> annSq8,
+    "eng_sq8_layout" -> sq8Layout,
     "eng_ann_ivfpq_topk" -> annIvfPq,
     "eng_ivf_pruned_scan" -> ivfPrunedScan,
     "eng_incremental_dedup" -> incrementalDedup,

@@ -94,6 +94,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(cosPruned <= cosFull + 1e-9 && cosPruned > 0)
   }
 
+  test("SQ8 at-rest layout shrinks bytes and keeps the exact top-10 (eng_sq8_layout)") {
+    val rows = EngineOps.queries("eng_sq8_layout")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getString(3))).toMap
+    val (nF, ratioF, topF) = rows("float")
+    val (nS, ratioS, topS) = rows("sq8")
+    assert(nF == nS && nF > 0)
+    assert(ratioF == 1.0)
+    // int8 codes at 1 byte/dim: on-disk footprint well under half the
+    // float layout (raw ratio would be ~0.25 + scale/id overhead)
+    assert(ratioS < 0.5, s"sq8 layout not compact: ratio $ratioS")
+    // candidates-from-codes + exact rescore reproduces the float-scan
+    // top-10 exactly on this corpus
+    assert(topS == topF, s"sq8 path diverged: $topS vs $topF")
+  }
+
   test("dynamic partition pruning reads only the dim's surviving days (eng_dpp_scan)") {
     val rows = EngineOps.queries("eng_dpp_scan")(spark, "/root/testdata/sf0.01")
       .collect()
