@@ -53,7 +53,9 @@ object PlanAudit {
     "ql23_ngram_coverage" ->
       "Both splits explode to shingle-hash streams; the train side collapses to a DISTINCT hash set and the probe is one hash-keyed shuffle join (never doc×doc), followed by two linear per-doc/per-source aggregates.",
     "eng_incremental_dedup" ->
-      "Only the delta batch is shingled and signed — the base contributes its persisted signature index; the collision join is keyed on (band, band_key) with a delta-only left side, so base×base pairs cannot form and per-ingest work is O(delta + colliding base rows).")
+      "Only the delta batch is shingled and signed — the base contributes its persisted signature index; the collision join is keyed on (band, band_key) with a delta-only left side, so base×base pairs cannot form and per-ingest work is O(delta + colliding base rows).",
+    "qt4_hash_sample" ->
+      "Deterministic bottom-k sample: ORDER BY hash LIMIT k plans as TakeOrderedAndProject — per-partition k-element heaps merged at the driver, no global Exchange/Sort of the table.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -73,7 +75,10 @@ object PlanAudit {
           org.apache.spark.sql.execution.FormattedMode)
         finally if (noBroadcast)
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      s"## $name\n\n$note\n\n```\n${plan.trim.take(6000)}\n```\n"
+      // scrub the per-PID tmp-metastore path so regenerating the file
+      // in a new session doesn't churn every Location line
+      val stable = plan.replaceAll("graft_metastore_\\d+-warehouse", "graft_metastore-warehouse")
+      s"## $name\n\n$note\n\n```\n${stable.trim.take(6000)}\n```\n"
     }.mkString("\n")
 
     val header =

@@ -809,6 +809,30 @@ object QueryInventory {
       |         expected NULLS FIRST, contrib NULLS FIRST, chi2 NULLS FIRST""".stripMargin,
     "drift,chisq,stats,agg")
 
+  /** Built-in linear-regression aggregates (`regr_slope`/`intercept`/
+    * `r2`/`count`/`avgx`/`avgy`) — the one-pass OLS fit per group that
+    * ql19's hand-rolled quality model generalizes. Fitting price
+    * against quantity per return flag is the classic "does the
+    * relationship drift by cohort" scan: a single grouped aggregate
+    * with map-side partials (the regr_* family reduces to
+    * sum/sum²/cross-sum moments), so one shuffle of 3 groups no
+    * matter the table size. ROUND 4 absorbs summation-order ulp, as
+    * in qa10. */
+  val qa21 = shared("qa21_regr_fit",
+    """SELECT l_returnflag,
+      |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+      |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+      |       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+      |       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+      |       round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST, slope NULLS FIRST,
+      |         icept NULLS FIRST, r2 NULLS FIRST, avg_qty NULLS FIRST,
+      |         avg_price NULLS FIRST""".stripMargin,
+    "regression,agg,stats")
+
   // ---------------------------------------------------------------
   // Joins (Q-J*)
   // ---------------------------------------------------------------
@@ -1485,6 +1509,30 @@ object QueryInventory {
       |         n_last_hour NULLS FIRST, sum_last_hour NULLS FIRST""".stripMargin),
     "window,range,event-time")
 
+  /** Distribution-position window functions (`percent_rank`,
+    * `cume_dist`, `nth_value`) — the normalized-rank family qw1's
+    * integer ranks don't cover: where a price sits inside its
+    * priority class as a [0,1] fraction, plus the class's 2nd-lowest
+    * price via an unbounded frame. The (o_totalprice, o_orderkey)
+    * ordering is total within each partition, so every value is
+    * deterministic. Same scale shape as qw1: one shuffle on the
+    * partition key, a single ordered pass per partition — nth_value
+    * with an unbounded frame materializes the frame head once, not
+    * per row. */
+  val qw11 = shared("qw11_dist_rank",
+    """SELECT o_orderkey, o_orderpriority,
+      |       round(percent_rank() OVER w, 4) AS pr,
+      |       round(cume_dist() OVER w, 4) AS cd,
+      |       round(nth_value(o_totalprice, 2) OVER (
+      |         PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+      |         AS second_lowest
+      |FROM orders WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
+      |         pr NULLS FIRST, cd NULLS FIRST, second_lowest NULLS FIRST""".stripMargin,
+    "window,percent_rank,cume_dist,nth_value")
+
   // ---------------------------------------------------------------
   // Sort / limit / top-k (Q-T*)
   // ---------------------------------------------------------------
@@ -1522,6 +1570,26 @@ object QueryInventory {
       |ORDER BY price DESC NULLS LAST, o_orderkey NULLS FIRST
       |LIMIT 15 OFFSET 25""".stripMargin,
     "sort,pagination,offset")
+
+  /** Deterministic uniform sample as bottom-k by multiplicative hash
+    * (Knuth: key × 2654435761 mod 2³²): every engine run and the
+    * oracle agree on the exact sample, unlike TABLESAMPLE/rand().
+    * This is the reservoir-sample equivalent a training pipeline uses
+    * to draw a fixed-size uniform document subset reproducibly. Scale
+    * shape: ORDER BY hash LIMIT k plans as TakeOrderedAndProject —
+    * each partition keeps a k-element heap and the driver merges
+    * k-sized heads; no global sort, no shuffle of the table. Ties are
+    * impossible in the order (o_orderkey is unique), so LIMIT is
+    * deterministic. Pure-integer arithmetic spells identically in
+    * both dialects; max key (6 M at sf1) × 2654435761 ≈ 1.6e16 stays
+    * far inside BIGINT. */
+  val qt4 = shared("qt4_hash_sample",
+    """SELECT o_orderkey, CAST((o_orderkey * 2654435761) % 4294967296 AS BIGINT) AS h,
+      |       round(o_totalprice, 4) AS price
+      |FROM orders
+      |ORDER BY h NULLS FIRST, o_orderkey NULLS FIRST
+      |LIMIT 64""".stripMargin,
+    "sample,topk,deterministic,hash")
 
   // ---------------------------------------------------------------
   // Set operations (Q-U*)
@@ -3596,6 +3664,38 @@ object QueryInventory {
       |         n_toks NULLS FIRST, is_last NULLS FIRST""".stripMargin),
     "generator,posexplode,lateral_view")
 
+  /** Wide-to-long reshaping via the SQL `UNPIVOT` clause — qx1's
+    * inverse: the per-status priority-count matrix melts back to
+    * (status, prio, n) rows. DuckDB oracle spells the same relational
+    * op as a UNION ALL over the wide frame (dialect translation; its
+    * UNPIVOT statement form isn't guaranteed on the driver's DuckDB).
+    * Scale shape: the melt is a per-row generator over the already-
+    * aggregated 3-row frame — all heavy lifting is the one grouped
+    * aggregate below it; no value is NULL so Spark's default
+    * exclude-nulls UNPIVOT semantics can't drop rows. */
+  val qx18 = Q("qx18_unpivot",
+    """SELECT o_orderstatus, prio, n
+      |FROM (
+      |  SELECT o_orderstatus,
+      |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+      |         CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+      |         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS other
+      |  FROM orders GROUP BY o_orderstatus
+      |) UNPIVOT (n FOR prio IN (urgent, high, other))
+      |ORDER BY o_orderstatus NULLS FIRST, prio NULLS FIRST, n NULLS FIRST""".stripMargin,
+    Some("""WITH w AS (
+      |  SELECT o_orderstatus,
+      |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+      |         CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+      |         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS other
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, prio, n FROM (
+      |  SELECT o_orderstatus, 'urgent' AS prio, urgent AS n FROM w
+      |  UNION ALL SELECT o_orderstatus, 'high' AS prio, high AS n FROM w
+      |  UNION ALL SELECT o_orderstatus, 'other' AS prio, other AS n FROM w)
+      |ORDER BY o_orderstatus NULLS FIRST, prio NULLS FIRST, n NULLS FIRST""".stripMargin),
+    "unpivot,reshape,melt")
+
   /** Recursive CTE (Spark 4 WITH RECURSIVE): generate the month domain
     * recursively, then aggregate orders against it — recursion for the
     * dimension, one scan for the facts. */
@@ -3611,13 +3711,13 @@ object QueryInventory {
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15, qf16,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19, qa20,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19, qa20, qa21,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16, qj17,
-    qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9, qw10,
-    qt1, qt2, qt3,
+    qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9, qw10, qw11,
+    qt1, qt2, qt3, qt4,
     qu1, qu2, qu3, qu4, qu5, qu6,
     qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18, ql19, ql20, ql21, ql22, ql23,
     qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9, qs10, qs11,
-    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14, qx15, qx16, qx17)
+    qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14, qx15, qx16, qx17, qx18)
 }

@@ -36,7 +36,8 @@ object ScaleBench {
     "eng_ann_lsh_topk", "eng_ann_ivf_topk", "eng_ann_ivfpq_topk",
     "eng_heavy_hitters", "eng_salted_agg",
     "eng_bpe_train", "eng_ann_sq8_topk",
-    "qa20_chisq_drift", "qx17_posexplode")
+    "qa20_chisq_drift", "qx17_posexplode",
+    "qa21_regr_fit", "qt4_hash_sample")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
