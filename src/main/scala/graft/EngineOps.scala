@@ -568,6 +568,44 @@ object EngineOps {
     out
   }
 
+  /** Measured streaming exact-dedup replay (ref op #36's ingest
+    * front): the events file replays as TWO unioned streams — every
+    * row arrives exactly twice — and StatefulOps.streamingDedup must
+    * emit each once, with per-key state the watermark expires instead
+    * of accumulating forever. The memory-sink rows then collapse to
+    * per-type counts, which equal the batch DISTINCT counts
+    * (stream==batch asserted in StatefulOpsSpec; here the doubled
+    * input makes any dedup miss loud — a miss doubles a count). */
+  private def streamingDedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def replay() = Tables.normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("ts"), col("event_id"), col("event_type"))
+    val qName = "graft_sdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      StatefulOps.streamingDedup(replay().union(replay()), Seq("event_id"))
+        .writeStream.format("memory").queryName(qName)
+        .option("checkpointLocation", scratchCheckpoint(qName))
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      dropScratchCheckpoint(qName)
+    }
+    val out = spark.table(qName)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(qName)
+    out
+  }
+
   /** Complementary filter over paired sensor channels (ref op #32,
     * /root/reference/firmware/middleware/fixed_point_filter.c:13-57):
     * s' = α(s + gyro·dt) + (1−α)·accel per user. Events are collapsed
@@ -1296,6 +1334,25 @@ object EngineOps {
         round(col("min_v"), 4).as("min_v"), round(col("max_v"), 4).as("max_v"))
       .orderBy(col("event_type"))
 
+  /** Salted equi-join over the same hot key (the join member of the
+    * skew pair beside eng_salted_agg): every events row joins the
+    * tiny per-type dimension on event_type — a handful of distinct
+    * values, so a plain shuffle join lands each type's entire row set
+    * on one reducer. Salting.saltedJoin spreads each type over 16
+    * salts with a 16×-replicated dimension; result equality with the
+    * plain join is asserted in LayoutSpec. The post-join aggregate
+    * keeps the entry's output bounded (one row per type). */
+  private def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_w", (pmod(xxhash64(col("event_type")), lit(97L)) + 1L))
+    operators.Salting.saltedJoin(ev, dim, "event_type", "event_id", salts = 16)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value") * col("type_w")), 4).as("weighted_v"))
+      .orderBy(col("event_type"))
+  }
+
   /** Approximate percentiles (Greenwald-Khanna quantile summaries —
     * the quantile member of the sketch family beside HLL, count-min
     * and Bloom): tail latencies per event type at accuracy 1000,
@@ -1585,6 +1642,7 @@ object EngineOps {
     "eng_streaming_replay" -> streamingReplay,
     "eng_streaming_sessions" -> streamingSessions,
     "eng_stream_join" -> streamJoin,
+    "eng_streaming_dedup" -> streamingDedupReplay,
     "eng_lstm_state" -> lstmState,
     "eng_lang_id" -> langId,
     "eng_quality_score" -> qualityScore,
@@ -1597,6 +1655,7 @@ object EngineOps {
     "eng_kmeans_fit" -> kmeansFit,
     "eng_approx_percentile" -> approxPercentile,
     "eng_salted_agg" -> saltedAgg,
+    "eng_salted_join" -> saltedJoinAgg,
     "eng_cms_bloom_sketch" -> sketches,
     "eng_heavy_hitters" -> heavyHitters,
     "eng_quantize_int8" -> quantizeLib)

@@ -28,4 +28,28 @@ object Salting {
         min(col("mn")).as("min_v"), max(col("mx")).as("max_v"))
       .withColumn("avg_v", col("sum_v") / col("cnt"))
   }
+
+  /** Salted equi-join — the join member of the skew pair. The probe
+    * (large) side derives a deterministic salt per row from
+    * `distinctCol`; the build (small) side is replicated `salts`×
+    * with an exploded salt column; the join runs on (key, salt), so a
+    * hot key's probe rows spread over `salts` tasks instead of one
+    * straggler. Result is EXACTLY the plain equi-join (asserted in
+    * LayoutSpec): each probe row meets precisely the one replica of
+    * its key carrying its salt, and build-side replication never
+    * duplicates output because the salt is part of the join key.
+    *
+    * 100 TB shape: AQE's skew-join splitting repairs sort-merge skew
+    * after it materializes; the explicit salt removes the hot
+    * partition before the shuffle exists, at the cost of `salts`×
+    * build-side replication — the right trade when the build side is
+    * dimension-sized and the skew is known up front. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 distinctCol: String, salts: Int): DataFrame = {
+    val l = large.withColumn("_salt",
+      pmod(xxhash64(col(distinctCol)), lit(salts.toLong)))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    l.join(s, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -140,4 +140,17 @@ class LayoutSpec extends AnyFunSuite {
         (math.round(r.getDouble(1) * 100), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(salted == direct)
   }
+
+  test("salted join equals the plain equi-join") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val ev = spark.table("events")
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("w", pmod(xxhash64(col("event_type")), lit(97L)))
+    val plain = ev.join(dim, "event_type")
+    val salted = Salting.saltedJoin(ev, dim, "event_type", "event_id", salts = 8)
+    // Goldens.checksum is column-sorted and row-order/partition
+    // independent — frame equality without materializing an order
+    assert(Goldens.checksum(salted) == Goldens.checksum(plain))
+    assert(plain.count() == ev.count()) // replication added no rows
+  }
 }

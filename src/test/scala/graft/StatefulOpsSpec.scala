@@ -358,4 +358,18 @@ class StatefulOpsSpec extends AnyFunSuite {
       "join tolerance no longer matches the synthetic event density")
     assert(rows.forall(_.getAs[Long]("n_pairs") > 0))
   }
+
+  test("eng_streaming_dedup collapses the doubled replay to batch distinct counts") {
+    // the entry replays every event twice; per-type counts must equal
+    // the batch DISTINCT-event_id counts — a dedup miss doubles one
+    val out = EngineOps.queries("eng_streaming_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_unique")).toMap
+    val batch = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(out == batch)
+    assert(out.values.sum > 0)
+  }
 }
