@@ -820,6 +820,34 @@ object EngineOps {
       .orderBy(col("kind"))
   }
 
+  /** Binary-FILE multimodal ingestion — the at-scale ingest shape:
+    * media arrives as OBJECTS in storage, not parquet columns. The
+    * image-kind payloads are materialized once per sf as individual
+    * .png files in scratch (an ingest fixture build, excluded from
+    * the measured query like BucketedTables.ensureFacts), then read
+    * back through Spark's `binaryFile` source (path/length/content
+    * rows, partition-parallel) and featurized by the SAME kernel as
+    * the column path — the summary must equal the column path's
+    * image row (asserted in MultimodalSpec). */
+  private def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixture = Multimodal.ensurePngFixture(t(spark, dir, "documents"), dir)
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(fixture)
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.png", 1).cast("long").as("media_id"),
+        lit("image").as("kind"), col("content").as("payload"),
+        lit(8).as("width"), lit(8).as("height"))
+      .as[Multimodal.MediaRecord]
+    Multimodal.featurize(media).toDF()
+      .select(col("kind"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("f0")), 4).as("avg_f0"))
+      .orderBy(col("kind"))
+  }
+
   /** Causal self-attention over a RoPE-rotated token table built from
     * embeddings (4 sequences × 16 positions) — the composed
     * MatMul→÷√d→Softmax→MatMul graph of the reference's transformer
@@ -1650,6 +1678,7 @@ object EngineOps {
     "eng_wordpiece" -> wordpiece,
     "eng_bpe_train" -> bpeTrain,
     "eng_multimodal_features" -> multimodal,
+    "eng_binary_ingest" -> binaryIngest,
     "eng_approx_distinct" -> approxDistinct,
     "eng_incremental_agg" -> incrementalAgg,
     "eng_kmeans_fit" -> kmeansFit,

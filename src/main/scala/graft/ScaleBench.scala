@@ -37,7 +37,8 @@ object ScaleBench {
     "eng_heavy_hitters", "eng_salted_agg",
     "eng_bpe_train", "eng_ann_sq8_topk",
     "qa20_chisq_drift", "qx17_posexplode",
-    "qa21_regr_fit", "qt4_hash_sample")
+    "qa21_regr_fit", "qt4_hash_sample",
+    "eng_salted_join", "eng_streaming_dedup")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

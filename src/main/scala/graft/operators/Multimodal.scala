@@ -298,6 +298,40 @@ object Multimodal {
     }
   }
 
+  /** Materializes the image-kind synthetic payloads as individual
+    * `media_<id>.png` FILES under scratch, once per sf dir — the
+    * binary-file ingest fixture (at 100 TB, media lives as objects in
+    * storage, not parquet columns; this stands in for that object
+    * store). Executor-parallel writes (local[*] shares one FS; a
+    * cluster fixture would land in the object store instead); the
+    * `_DONE` marker makes re-runs free. Returns the fixture path. */
+  def ensurePngFixture(documents: DataFrame, sfDir: String): String = {
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_png_fixture_$sfName")
+    val done = new java.io.File(out, "_DONE")
+    if (!done.exists()) {
+      out.mkdirs()
+      val spark = documents.sparkSession
+      import spark.implicits._
+      val outPath = out.getAbsolutePath
+      documents.select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 3 == 0) // the image-kind ids
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val f = new java.io.File(outPath, s"media_$id.png")
+            if (!f.exists()) {
+              val tmp = new java.io.File(outPath, s".media_$id.tmp")
+              java.nio.file.Files.write(tmp.toPath, syntheticPng(id))
+              tmp.renameTo(f)
+            }
+          }
+        }
+      done.createNewFile()
+    }
+    out.getAbsolutePath
+  }
+
   /** Builds a deterministic media table from documents: image rows
     * carry REAL PNG payloads (seeded synthetic bitmaps), audio rows
     * REAL WAV payloads (seeded synthetic PCM), video rows REAL GVID

@@ -98,4 +98,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2L).features(0) == 6f)       // decoded frame count
     assert(feats(2L).features(5) > 0f)        // real inter-frame motion
   }
+
+  test("binary-file ingest equals the column path's image summary") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val viaFiles = EngineOps.queries("eng_binary_ingest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // the column path, restricted to the image kind, summarized the
+    // same way — the two ingest shapes must agree exactly
+    val media = Multimodal.mediaFromDocuments(
+      Tables.table(spark, dir, "documents")).filter(_.kind == "image")
+    val viaColumn = Multimodal.featurize(media).toDF()
+      .select(col("kind"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("f0")), 4).as("avg_f0"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(viaFiles == viaColumn)
+    assert(viaFiles.head._2 > 0)
+  }
 }
