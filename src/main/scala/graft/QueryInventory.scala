@@ -2025,6 +2025,67 @@ object QueryInventory {
       |         all_small NULLS FIRST""".stripMargin),
     "hof,filter,exists,forall")
 
+  /** Nucleus (top-p) filtering (Holtzman '19 — the serving-side
+    * sampling-support op): per sequence, softmax the first 8 logits,
+    * keep the smallest probability-ordered prefix whose cumulative
+    * mass reaches p=0.9 (the crossing row included:
+    * `cum − prob < p`). Every window runs over the 8-row per-vec
+    * frame produced by the explode — one vec_id-keyed shuffle,
+    * bounded frames, nothing global. Accumulation order is pinned by
+    * (prob DESC, cls) so both engines add the same doubles in the
+    * same order. */
+  val qv14 = Q("qv14_nucleus",
+    """WITH logits AS (
+      |  SELECT vec_id, CAST(pos AS INT) AS cls, CAST(x AS DOUBLE) AS logit
+      |  FROM embeddings LATERAL VIEW posexplode(slice(embedding, 1, 8)) t AS pos, x
+      |  WHERE vec_id < 100),
+      |sm AS (
+      |  SELECT vec_id, cls,
+      |         exp(logit - max(logit) OVER (PARTITION BY vec_id)) AS ex
+      |  FROM logits),
+      |p AS (
+      |  SELECT vec_id, cls, ex / sum(ex) OVER (PARTITION BY vec_id) AS prob
+      |  FROM sm),
+      |c AS (
+      |  SELECT vec_id, cls, prob,
+      |         sum(prob) OVER (PARTITION BY vec_id ORDER BY prob DESC, cls
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM p)
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS kept,
+      |       round(sum(prob), 4) AS kept_mass,
+      |       round(max(prob), 4) AS top_p
+      |FROM c
+      |WHERE cum - prob < 0.9
+      |GROUP BY vec_id
+      |ORDER BY vec_id NULLS FIRST, kept NULLS FIRST, kept_mass NULLS FIRST,
+      |         top_p NULLS FIRST""".stripMargin,
+    Some("""WITH logits AS (
+      |  SELECT vec_id,
+      |         CAST(generate_subscripts(embedding[1:8], 1) - 1 AS INT) AS cls,
+      |         CAST(unnest(embedding[1:8]) AS DOUBLE) AS logit
+      |  FROM embeddings WHERE vec_id < 100),
+      |sm AS (
+      |  SELECT vec_id, cls,
+      |         exp(logit - max(logit) OVER (PARTITION BY vec_id)) AS ex
+      |  FROM logits),
+      |p AS (
+      |  SELECT vec_id, cls, ex / sum(ex) OVER (PARTITION BY vec_id) AS prob
+      |  FROM sm),
+      |c AS (
+      |  SELECT vec_id, cls, prob,
+      |         sum(prob) OVER (PARTITION BY vec_id ORDER BY prob DESC, cls
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM p)
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS kept,
+      |       round(sum(prob), 4) AS kept_mass,
+      |       round(max(prob), 4) AS top_p
+      |FROM c
+      |WHERE cum - prob < 0.9
+      |GROUP BY vec_id
+      |ORDER BY vec_id NULLS FIRST, kept NULLS FIRST, kept_mass NULLS FIRST,
+      |         top_p NULLS FIRST""".stripMargin),
+    "nucleus,top_p,softmax,window")
+
   /** Transformer activation family (reference
     * /root/reference/mlir_compiler/transformer_ops.py:43-50,117-133
     * GELU/SiLU; /root/reference/imc22_sdk/imc22_cim.c:282-293
@@ -3739,7 +3800,7 @@ object QueryInventory {
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9, qw10, qw11,
     qt1, qt2, qt3, qt4,
     qu1, qu2, qu3, qu4, qu5, qu6,
-    qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13,
+    qv1, qv2, qv3, qv4, qv5, qv6, qv7, qv8, qv9, qv10, qv11, qv12, qv13, qv14,
     ql1, ql2, ql3, ql4, ql5, ql6, ql7, ql8, ql9, ql10, ql11, ql12, ql13, ql14, ql15, ql16, ql17, ql18, ql19, ql20, ql21, ql22, ql23,
     qs1, qs2, qs3, qs4, qs5, qs6, qs7, qs8, qs9, qs10, qs11,
     qx1, qx2, qx3, qx4, qx5, qx6, qx7, qx8, qx9, qx10, qx11, qx12, qx13, qx14, qx15, qx16, qx17, qx18)
