@@ -586,9 +586,24 @@ object EngineOps {
     val qName = "graft_sdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // Dedup emits each surviving row exactly once across micro-
+    // batches, so summing per-batch partial counts is exact. The
+    // foreachBatch aggregate runs on EXECUTORS; the driver receives
+    // only O(types) rows per batch — never the deduped stream itself
+    // (a memory sink here would accumulate the whole table on the
+    // driver, the scale anti-pattern).
+    val partials = scala.collection.mutable.HashMap.empty[String, Long]
     try {
       StatefulOps.streamingDedup(replay().union(replay()), Seq("event_id"))
-        .writeStream.format("memory").queryName(qName)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("event_type")).count().collect().foreach { r =>
+            val k = r.getString(0)
+            partials.synchronized {
+              partials(k) = partials.getOrElse(k, 0L) + r.getLong(1)
+            }
+          }
+        }
         .option("checkpointLocation", scratchCheckpoint(qName))
         .outputMode("append").trigger(Trigger.AvailableNow())
         .start()
@@ -597,13 +612,9 @@ object EngineOps {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       dropScratchCheckpoint(qName)
     }
-    val out = spark.table(qName)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_unique"))
+    import spark.implicits._
+    partials.toSeq.sortBy(_._1).toDF("event_type", "n_unique")
       .orderBy(col("event_type"))
-      .localCheckpoint(true)
-    spark.catalog.dropTempView(qName)
-    out
   }
 
   /** Complementary filter over paired sensor channels (ref op #32,

@@ -44,6 +44,9 @@ object ScaleBench {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // second-scale-point runs (e.g. factor 20 → sf2) write elsewhere
+    // so the sf1 snapshot isn't clobbered
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
     val spark: SparkSession = GraftSession.create(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
@@ -129,7 +132,7 @@ object ScaleBench {
     val line =
       s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"impl_vs_baseline_sf1":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)}}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
+      java.nio.file.Paths.get(outPath), line + "\n")
     println(line)
     spark.stop()
   }
