@@ -546,10 +546,27 @@ object EngineOps {
     // ZERO pairs at every SF and the bench would time an empty join —
     // 4 hours yields 11/153/1466 pairs at sf0.001/0.01/0.1
     // (rows>0 asserted in StatefulOpsSpec)
+    // Inner-join output is append-exact across micro-batches, so
+    // per-batch partial (count, sum) merges are exact; the foreachBatch
+    // aggregate runs on EXECUTORS and the driver keeps only O(users)
+    // partials — never the raw pair stream (a memory sink would
+    // accumulate every join pair on the driver at scale).
+    val partials = scala.collection.mutable.HashMap.empty[Long, (Long, Double)]
     try {
       StatefulOps.streamStreamFuse(channel("click"), channel("view"),
           tolerance = "4 hours")
-        .writeStream.format("memory").queryName(qName)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"), sum(col("gyro") * col("accel")).as("s"))
+            .collect().foreach { r =>
+              val k = r.getLong(0)
+              partials.synchronized {
+                val (n0, s0) = partials.getOrElse(k, (0L, 0.0))
+                partials(k) = (n0 + r.getLong(1), s0 + r.getDouble(2))
+              }
+            }
+        }
         .option("checkpointLocation", scratchCheckpoint(qName))
         .outputMode("append").trigger(Trigger.AvailableNow())
         .start()
@@ -558,14 +575,12 @@ object EngineOps {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       dropScratchCheckpoint(qName)
     }
-    val out = spark.table(qName)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(sum(col("gyro") * col("accel")), 4).as("checksum"))
+    import spark.implicits._
+    partials.toSeq.map { case (u, (n, s)) => (u, n, s) }.sortBy(_._1)
+      .toDF("user_id", "n_pairs", "raw_sum")
+      .select(col("user_id"), col("n_pairs"),
+        round(col("raw_sum"), 4).as("checksum"))
       .orderBy(col("user_id"), col("n_pairs"), col("checksum"))
-      .localCheckpoint(true)
-    spark.catalog.dropTempView(qName)
-    out
   }
 
   /** Measured streaming exact-dedup replay (ref op #36's ingest
