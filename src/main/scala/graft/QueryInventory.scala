@@ -809,53 +809,6 @@ object QueryInventory {
       |         expected NULLS FIRST, contrib NULLS FIRST, chi2 NULLS FIRST""".stripMargin,
     "drift,chisq,stats,agg")
 
-  /** Ordered string aggregation (LISTAGG analog): the per-group
-    * concatenated value list every report/export layer wants. Spark
-    * spells it `array_join(array_sort(collect_list(...)))` (the sort
-    * makes the concatenation order total — collect_list alone is
-    * partition-order-dependent); DuckDB spells it
-    * `string_agg(... ORDER BY ...)`. Scale shape: one grouped
-    * aggregate; the per-group payload is bounded by the group's
-    * cardinality, so this is for dimension-sized groups (here: 5
-    * regions × ≤25 nations) — unbounded groups want qa3's counts or
-    * a capped window instead. */
-  val qa22 = Q("qa22_listagg",
-    """SELECT r_name, array_join(array_sort(collect_list(n_name)), ',') AS nations,
-      |       CAST(count(*) AS BIGINT) AS n
-      |FROM nation JOIN region ON n_regionkey = r_regionkey
-      |GROUP BY r_name
-      |ORDER BY r_name NULLS FIRST, nations NULLS FIRST, n NULLS FIRST""".stripMargin,
-    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
-      |       CAST(count(*) AS BIGINT) AS n
-      |FROM nation JOIN region ON n_regionkey = r_regionkey
-      |GROUP BY r_name
-      |ORDER BY r_name NULLS FIRST, nations NULLS FIRST, n NULLS FIRST""".stripMargin),
-    "listagg,string_agg,agg")
-
-  /** Built-in linear-regression aggregates (`regr_slope`/`intercept`/
-    * `r2`/`count`/`avgx`/`avgy`) — the one-pass OLS fit per group that
-    * ql19's hand-rolled quality model generalizes. Fitting price
-    * against quantity per return flag is the classic "does the
-    * relationship drift by cohort" scan: a single grouped aggregate
-    * with map-side partials (the regr_* family reduces to
-    * sum/sum²/cross-sum moments), so one shuffle of 3 groups no
-    * matter the table size. ROUND 4 absorbs summation-order ulp, as
-    * in qa10. */
-  val qa21 = shared("qa21_regr_fit",
-    """SELECT l_returnflag,
-      |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-      |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-      |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
-      |       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
-      |       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
-      |       round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
-      |FROM lineitem
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag NULLS FIRST, n NULLS FIRST, slope NULLS FIRST,
-      |         icept NULLS FIRST, r2 NULLS FIRST, avg_qty NULLS FIRST,
-      |         avg_price NULLS FIRST""".stripMargin,
-    "regression,agg,stats")
-
   // ---------------------------------------------------------------
   // Joins (Q-J*)
   // ---------------------------------------------------------------
@@ -3795,7 +3748,7 @@ object QueryInventory {
   /** Full oracle-checked inventory, in declaration order. */
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15, qf16,
-    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19, qa20, qa21, qa22,
+    qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19, qa20,
     qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16, qj17,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9, qw10, qw11,
     qt1, qt2, qt3, qt4,

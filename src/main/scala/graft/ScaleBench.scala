@@ -36,8 +36,7 @@ object ScaleBench {
     "eng_ann_lsh_topk", "eng_ann_ivf_topk", "eng_ann_ivfpq_topk",
     "eng_heavy_hitters", "eng_salted_agg",
     "eng_bpe_train", "eng_ann_sq8_topk",
-    "qa20_chisq_drift", "qx17_posexplode",
-    "qa21_regr_fit", "qt4_hash_sample",
+    "qa20_chisq_drift", "qx17_posexplode", "qt4_hash_sample",
     "eng_salted_join", "eng_streaming_dedup")
 
   def main(args: Array[String]): Unit = {
