@@ -846,6 +846,72 @@ object EngineOps {
       .orderBy(col("kind"))
   }
 
+  /** Streaming checkpoint recovery — the exactly-once restart
+    * contract (ref op #35's 1 kHz loop restarting after a power
+    * cycle, sim_reflex.py's persistent loop state): a file-source
+    * query drains batch 1 (one events copy), STOPS, a second copy
+    * lands, and the query restarts FROM THE SAME CHECKPOINT — the
+    * source's file log must skip everything batch 1 processed, so
+    * run 2 sees exactly the new file and per-type totals come out
+    * at precisely 2× one copy (n_first == n_second asserted in
+    * StatefulOpsSpec; a recovery failure either reprocesses run 1's
+    * file, doubling n_second, or loses it). Counting uses the same
+    * executor-side foreachBatch partials as the other replay
+    * entries. */
+  private def streamRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stage = new java.io.File(sys.props("java.io.tmpdir"), s"graft_recov_$runId")
+    stage.mkdirs()
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    def drain(): Map[String, Long] = {
+      val partials = scala.collection.mutable.HashMap.empty[String, Long]
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables.normalizeTs(spark.readStream.schema(schema)
+            .parquet(stage.getAbsolutePath))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.groupBy(col("event_type")).count().collect().foreach { r =>
+              val k = r.getString(0)
+              partials.synchronized {
+                partials(k) = partials.getOrElse(k, 0L) + r.getLong(1)
+              }
+            }
+          }
+          // SAME checkpoint across both drains — this is the contract
+          // under test (scratchCheckpoint is keyed by the run id)
+          .option("checkpointLocation", scratchCheckpoint(s"recov_$runId"))
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      partials.toMap
+    }
+    try {
+      java.nio.file.Files.copy(src, stage.toPath.resolve("part1.parquet"))
+      val first = drain()
+      java.nio.file.Files.copy(src, stage.toPath.resolve("part2.parquet"))
+      val second = drain()
+      import spark.implicits._
+      // each drain's accumulator is fresh, so `second` holds exactly
+      // what run 2 processed: the new file alone iff recovery worked
+      // (a failure reprocesses part1 too, doubling n_second)
+      (first.keySet ++ second.keySet).toSeq.sorted.map { k =>
+        val (a, b) = (first.getOrElse(k, 0L), second.getOrElse(k, 0L))
+        (k, a, b, a + b)
+      }.toDF("event_type", "n_first", "n_second", "total")
+        .orderBy(col("event_type"))
+    } finally {
+      dropScratchCheckpoint(s"recov_$runId")
+      stage.listFiles().foreach(_.delete())
+      stage.delete()
+    }
+  }
+
   /** Binary-FILE multimodal ingestion — the at-scale ingest shape:
     * media arrives as OBJECTS in storage, not parquet columns. The
     * image-kind payloads are materialized once per sf as individual
@@ -1697,6 +1763,7 @@ object EngineOps {
     "eng_streaming_sessions" -> streamingSessions,
     "eng_stream_join" -> streamJoin,
     "eng_streaming_dedup" -> streamingDedupReplay,
+    "eng_stream_recovery" -> streamRecovery,
     "eng_lstm_state" -> lstmState,
     "eng_lang_id" -> langId,
     "eng_quality_score" -> qualityScore,

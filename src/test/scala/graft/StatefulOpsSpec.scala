@@ -372,4 +372,19 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(out == batch)
     assert(out.values.sum > 0)
   }
+
+  test("eng_stream_recovery restarts exactly-once from the checkpoint") {
+    val rows = EngineOps.queries("eng_stream_recovery")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (first, second, total) =
+        (r.getAs[Long]("n_first"), r.getAs[Long]("n_second"), r.getAs[Long]("total"))
+      // run 2 must process exactly the NEW file: equal to run 1's
+      // counts (reprocessing doubles it; losing the file zeroes it)
+      assert(first > 0)
+      assert(second == first, s"recovery broke exactly-once: $r")
+      assert(total == 2 * first)
+    }
+  }
 }
