@@ -913,7 +913,11 @@ object EngineOps {
   }
 
   /** Binary-FILE multimodal ingestion — the at-scale ingest shape:
-    * media arrives as OBJECTS in storage, not parquet columns. The
+    * media arrives as OBJECTS in storage, not parquet columns (the
+    * reference's binaries-as-files path:
+    * /root/reference/tools/binary_packer.py:9 packs payloads to
+    * standalone files, /root/reference/tools/flash_io_benchmark.py
+    * measures reading them back). The
     * image-kind payloads are materialized once per sf as individual
     * .png files in scratch (an ingest fixture build, excluded from
     * the measured query like BucketedTables.ensureFacts), then read
