@@ -846,6 +846,71 @@ object EngineOps {
       .orderBy(col("kind"))
   }
 
+  /** Schema-evolution read (`mergeSchema`) — the ingest-drift
+    * contract (SURVEY §2.8 gap-fill; the reference pins one model
+    * binary layout per version, /root/reference/MODEL_LOADER_GUIDE.md,
+    * and has no evolving-table story): batch 2 adds a `quality`
+    * column batch 1 lacks, and the merged read surfaces the union
+    * schema with nulls for legacy files — no history rewrite. At
+    * 100 TB mergeSchema is a footer-union planning cost only; the
+    * per-type legacy-row census is asserted in LayoutSpec. */
+  private def schemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_schema_merge_$sfName")
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    if (!new java.io.File(stage, "_DONE").exists()) {
+      ev.filter(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(stage.getAbsolutePath)
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("quality", round(col("value") / 10.0, 4))
+        .write.mode("append").parquet(stage.getAbsolutePath)
+      new java.io.File(stage, "_DONE").createNewFile()
+    }
+    spark.read.option("mergeSchema", "true").parquet(stage.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        round(sum(coalesce(col("quality"), lit(0.0))), 4).as("quality_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Dynamic partition overwrite — the idempotent "restate one day"
+    * backfill primitive: events land day-partitioned, then the
+    * earliest day is re-written with corrected values (×2) under
+    * `partitionOverwriteMode=dynamic`, which replaces ONLY the
+    * partitions present in the incoming frame. The read-back census
+    * must show the target day doubled and every sibling day
+    * untouched (LayoutSpec) — static overwrite would truncate the
+    * whole table, and at 100 TB a daily correction that rewrites
+    * history is not an option. */
+  private def partitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_dyn_overwrite_$sfName")
+    val ev = t(spark, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    if (!new java.io.File(stage, "_DONE").exists()) {
+      sources.TableLayout.writeEventsByDay(ev, stage.getAbsolutePath)
+      // 1-row bounded collect: the restated day's key
+      val day0 = ev.agg(min(to_date(col("ts"))).as("d")).collect()(0).getDate(0)
+      ev.withColumn("event_date", to_date(col("ts")))
+        .filter(col("event_date") === lit(day0))
+        .withColumn("value", col("value") * 2)
+        .write.partitionBy("event_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .mode("overwrite").parquet(stage.getAbsolutePath)
+      new java.io.File(stage, "_DONE").createNewFile()
+    }
+    spark.read.parquet(stage.getAbsolutePath)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+        col("n"), col("sum_v"))
+      .orderBy(col("day"))
+  }
+
   /** Streaming checkpoint recovery — the exactly-once restart
     * contract (ref op #35's 1 kHz loop restarting after a power
     * cycle, sim_reflex.py's persistent loop state): a file-source
@@ -1768,6 +1833,8 @@ object EngineOps {
     "eng_stream_join" -> streamJoin,
     "eng_streaming_dedup" -> streamingDedupReplay,
     "eng_stream_recovery" -> streamRecovery,
+    "eng_schema_merge" -> schemaMerge,
+    "eng_partition_overwrite" -> partitionOverwrite,
     "eng_lstm_state" -> lstmState,
     "eng_lang_id" -> langId,
     "eng_quality_score" -> qualityScore,

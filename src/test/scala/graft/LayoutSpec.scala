@@ -153,4 +153,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(Goldens.checksum(salted) == Goldens.checksum(plain))
     assert(plain.count() == ev.count()) // replication added no rows
   }
+
+  test("mergeSchema read surfaces the union schema with nulls for legacy files") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EngineOps.queries("eng_schema_merge")(spark, dir).collect()
+    val ev = Tables.table(spark, dir, "events")
+    // legacy (no-quality) rows are exactly the even-event_id batch
+    val legacyByType = ev.filter(col("event_id") % 2 === 0)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_legacy") == legacyByType(r.getAs[String]("event_type")))
+      assert(r.getAs[Double]("quality_sum") > 0.0) // new column populated
+    }
+  }
+
+  test("dynamic partition overwrite restates one day and leaves siblings intact") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EngineOps.queries("eng_partition_overwrite")(spark, dir).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_v"))).toMap
+    val ev = Tables.table(spark, dir, "events")
+    val orig = ev.groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("s")).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    val day0 = orig.keys.min
+    assert(out.keySet == orig.keySet)
+    orig.foreach { case (d, (n, s)) =>
+      val (on, os) = out(d)
+      assert(on == n, s"row count changed for $d")
+      if (d == day0) assert(math.abs(os - 2 * s) < 0.01, s"target day not doubled: $os vs ${2 * s}")
+      else assert(math.abs(os - s) < 0.01, s"sibling day $d was touched: $os vs $s")
+    }
+  }
 }
