@@ -846,6 +846,35 @@ object EngineOps {
       .orderBy(col("kind"))
   }
 
+  /** Observed metrics (`Dataset.observe` + the Observation helper):
+    * audit counters collected ON EXECUTORS during the normal pass —
+    * zero extra scans, the production shape for per-job data-quality
+    * counters (the reference's per-layer profiler counters,
+    * /root/reference/simulator/profiler.py:71-166, are harvested
+    * during the run the same way). The observed values equal an
+    * explicit aggregate by construction (asserted in TelemetrySpec);
+    * the pipeline here is a filter+projection whose metrics ride the
+    * single scan. */
+  private def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation(
+      "audit_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val ev = t(spark, dir, "events")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        round(sum(col("value")), 4).as("sum_v"))
+      .filter(col("value") > 0)
+    ev.write.format("noop").mode("overwrite").save() // the observed pass
+    val row = obs.get
+    import spark.implicits._
+    Seq(
+      ("n_error", row("n_error").asInstanceOf[Long].toDouble),
+      ("n_rows", row("n_rows").asInstanceOf[Long].toDouble),
+      ("sum_v", row("sum_v").asInstanceOf[Double]))
+      .toDF("metric", "value")
+      .orderBy(col("metric"))
+  }
+
   /** Schema-evolution read (`mergeSchema`) — the ingest-drift
     * contract (SURVEY §2.8 gap-fill; the reference pins one model
     * binary layout per version, /root/reference/MODEL_LOADER_GUIDE.md,
@@ -1835,6 +1864,7 @@ object EngineOps {
     "eng_stream_recovery" -> streamRecovery,
     "eng_schema_merge" -> schemaMerge,
     "eng_partition_overwrite" -> partitionOverwrite,
+    "eng_observed_metrics" -> observedMetrics,
     "eng_lstm_state" -> lstmState,
     "eng_lang_id" -> langId,
     "eng_quality_score" -> qualityScore,

@@ -52,4 +52,19 @@ class TelemetrySpec extends AnyFunSuite {
     assert(s.getAs[Long]("total_samples") == 3)
     assert(s.getAs[Long]("total_batches") == 2)
   }
+
+  test("observed metrics equal an explicit aggregate over the same table") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EngineOps.queries("eng_observed_metrics")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ev = Tables.table(spark, sf, "events")
+    val direct = ev.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"),
+        round(sum(col("value")), 4).as("s")).collect().head
+    assert(out("n_rows") == direct.getLong(0).toDouble)
+    assert(out("n_error") == direct.getLong(1).toDouble)
+    assert(math.abs(out("sum_v") - direct.getDouble(2)) < 1e-6)
+    assert(out("n_rows") > 0)
+  }
 }
