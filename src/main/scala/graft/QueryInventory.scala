@@ -1314,6 +1314,38 @@ object QueryInventory {
       |LIMIT 100""".stripMargin,
     "join,aggregate-subquery,tpch,topk")
 
+  /** Triangle counting over the supplier co-occurrence graph — the
+    * graph-analytics join pattern beside eng_pagerank's iteration:
+    * suppliers sharing a high-value order form an edge (the value
+    * filter keeps the graph sparse — unfiltered, ~7 lines/order makes
+    * the 1000-supplier graph near-complete and triangles degenerate);
+    * triangles are one wedge join (e1.s2 = e2.s1) closed by an edge
+    * probe. The s1 < s2 orientation counts each edge and each
+    * triangle exactly once and halves wedge generation — the standard
+    * orientation trick; production triangle counting additionally
+    * orients by DEGREE so wedges generate at low-degree vertices
+    * (Schank '05), which this spelling inherits by replacing the key
+    * comparison with a (degree, key) comparison. Work is
+    * O(Σ deg²) on the thinned edge set, never O(V³). */
+  val qj18 = shared("qj18_triangles",
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      |  FROM lineitem a
+      |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |                 AND a.l_suppkey < b.l_suppkey
+      |  WHERE a.l_extendedprice > 90000 AND b.l_extendedprice > 90000),
+      |tri AS (
+      |  SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e2.s1 = e1.s2
+      |  JOIN pairs e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+      |SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+      |       CAST(count(*) AS BIGINT) AS n_triangles,
+      |       CAST(count(DISTINCT x) AS BIGINT) AS n_apex
+      |FROM tri
+      |ORDER BY n_edges NULLS FIRST, n_triangles NULLS FIRST, n_apex NULLS FIRST""".stripMargin,
+    "graph,triangles,join,self-join")
+
   // ---------------------------------------------------------------
   // Window functions (Q-W*)
   // ---------------------------------------------------------------
@@ -3749,7 +3781,7 @@ object QueryInventory {
   val all: Seq[Q] = Seq(
     qf1, qf2, qf3, qf4, qf5, qf6, qf7, qf8, qf9, qf10, qf11, qf12, qf13, qf14, qf15, qf16,
     qa1, qa2, qa3, qa4, qa5, qa6, qa7, qa7b, qa7c, qa8, qa9, qa10, qa11, qa12, qa13, qa14, qa15, qa16, qa17, qa18, qa19, qa20,
-    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16, qj17,
+    qj1, qj2, qj3, qj3b, qj4, qj5, qj6, qj7, qj8, qj9, qj10, qj11, qj12, qj13, qj14, qj15, qj16, qj17, qj18,
     qw1, qw2, qw3, qw4, qw5, qw6, qw7, qw8, qw9, qw10, qw11,
     qt1, qt2, qt3, qt4,
     qu1, qu2, qu3, qu4, qu5, qu6,
