@@ -81,15 +81,23 @@ object EngineOps {
     // delta membership is a pure predicate on the id (the split rule
     // above) — no lookup table needed
     def d(c: org.apache.spark.sql.Column) = c % 7 === 3
-    pairs
+    val pairStats = pairs
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(d(col("doc_a")) && d(col("doc_b")), 1)
           .otherwise(0)).as("n_delta_delta"),
         sum(when(d(col("doc_a")) =!= d(col("doc_b")), 1)
           .otherwise(0)).as("n_delta_base"),
-        count_distinct(when(d(col("doc_a")), col("doc_a"))
-          .otherwise(col("doc_b"))).as("n_dup_delta_docs"),
         round(coalesce(avg(col("est_jaccard")), lit(0.0)), 4).as("avg_est_jaccard"))
+    // distinct delta docs across BOTH pair sides: a when(a).otherwise(b)
+    // pick counts one delta member per pair and misses doc_b of a
+    // delta-delta pair
+    val docStats = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .filter(d(col("doc")))
+      .agg(count_distinct(col("doc")).as("n_dup_delta_docs"))
+    pairStats.crossJoin(docStats) // 1-row × 1-row
+      .select(col("n_pairs"), col("n_delta_delta"), col("n_delta_base"),
+        col("n_dup_delta_docs"), col("avg_est_jaccard"))
   }
 
   /** SimHash banded near-dup pairs. maxHamming=7 matches the 8×8-band
@@ -831,9 +839,10 @@ object EngineOps {
       .orderBy(col("source"))
   }
 
-  /** Multimodal binary-column pipeline (REAL PNG + WAV decode via
-    * JDK ImageIO / javax.sound.sampled, byte-fold stub for video
-    * only): per-kind feature summary. */
+  /** Multimodal binary-column pipeline — REAL decode on all three
+    * kinds (PNG via ImageIO, WAV via javax.sound.sampled, GVID video
+    * via frame-sampled ImageIO; byte-fold only for unrecognized
+    * payloads): per-kind feature summary. */
   private def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(t(spark, dir, "documents"))
     val feats = Multimodal.featurize(media).toDF()

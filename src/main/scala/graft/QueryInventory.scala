@@ -2956,16 +2956,19 @@ object QueryInventory {
     * = content-hash % nShards, so the same document lands in the same
     * shard on ANY cluster size, partitioning, or re-run (unlike
     * rand()-based shuffles), and re-ingested duplicates collide into
-    * one shard where the local dedup pass catches them. The md5-hex
-    * fold is ql16's cross-engine uniform-hash idiom. Scale shape: one
-    * projection + one 16-group aggregate — the report is O(nShards)
-    * rows; the real writer is `partitionBy(shard)` on this column. */
+    * one shard where the local dedup pass catches them. Four md5 hex
+    * digits are SUMMED before % 16 (ql16's positional 16-bit fold
+    * collapses to its last digit under % 16 — the multiplied terms
+    * are all multiples of 16); the sum keeps every digit
+    * contributing. Scale shape: one projection + one 16-group
+    * aggregate — the report is O(nShards) rows; the real writer is
+    * `partitionBy(shard)` on this column. */
   val ql22 = shared("ql22_shard_assign",
     """WITH h AS (
       |  SELECT doc_id, source, n_chars,
-      |         ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
-      |        + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
-      |        + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+      |         ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+      |        + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+      |        + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)
       |        + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) % 16 AS shard
       |  FROM documents)
       |SELECT CAST(shard AS INT) AS shard,

@@ -42,6 +42,15 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     m
   }
 
+  /** Java-regex `\s` ([ \t\n\x0B\f\r]) — the EXACT predicate of
+    * BpeTrain's `split("\\s+")` training tokenization.
+    * Character.isWhitespace additionally accepts U+001C–001F and
+    * U+2028/2029, which would split apply-side words the model
+    * trained as single symbol sequences. */
+  private def isRegexSpace(ch: Char): Boolean =
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' ||
+      ch == '\f' || ch == '\r'
+
   /** Compiled per-row encoder, invoked from generated code. */
   def applyText(text: UTF8String): GenericArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
@@ -49,7 +58,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     var start = 0
     var i = 0
     while (i <= s.length) {
-      if (i == s.length || Character.isWhitespace(s.charAt(i))) {
+      if (i == s.length || isRegexSpace(s.charAt(i))) {
         if (i > start) {
           val pieces = graft.operators.BpeTrain.encodeWordRanked(
             s.substring(start, i), ranks)

@@ -21,15 +21,29 @@ import org.apache.spark.sql.DataFrame
   * PageRankSpec/DedupClustersSpec); only failure recovery differs. */
 object Checkpoints {
 
+  /** The raw dir last passed to setCheckpointDir, per context.
+    * SparkContext stores the QUALIFIED path plus a random UUID
+    * subdirectory (`file:<dir>/<uuid>`), so comparing
+    * `getCheckpointDir` against the raw string never matches — the
+    * naive guard would re-run setCheckpointDir on every truncation
+    * and scatter checkpoint blocks across one fresh UUID directory
+    * per call. Tracking the raw dir keeps repeated truncations of an
+    * iterative job in ONE directory. */
+  private val lastRawDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
   /** Eagerly truncate `df`'s lineage at the durability level implied
     * by `checkpointDir`. Setting the context's checkpoint dir is
-    * idempotent; distinct dirs across calls are honored last-wins
-    * (Spark's own semantics). */
+    * idempotent per raw path; distinct dirs across calls are honored
+    * last-wins (Spark's own semantics). */
   def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        if (lastRawDir.get(sc) != dir) {
+          sc.setCheckpointDir(dir)
+          lastRawDir.put(sc, dir)
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -159,7 +159,7 @@ object Multimodal {
     * where motion is the mean absolute per-pixel luma delta between
     * consecutive SAMPLED frames. Returns null when the payload is not
     * a GVID container (caller falls back). */
-  def videoFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+  def videoFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = try {
     if (payload.length < 8 || !payload.take(4).sameElements(VideoMagic)) return null
     val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
     in.skipBytes(4)
@@ -226,6 +226,12 @@ object Multimodal {
     i = 0
     while (i < math.min(dim, stats.length)) { out(i) = stats(i).toFloat; i += 1 }
     out
+  } catch {
+    // a truncated container (magic + count but missing frame bytes)
+    // hits readInt/readFully EOF — that's "not a parseable GVID",
+    // which the contract says is a null (caller byte-folds), never a
+    // task-killing exception
+    case _: java.io.IOException => null
   }
 
   /** Deterministic byte-fold signature — the FALLBACK for payloads no

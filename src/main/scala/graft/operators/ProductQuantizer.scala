@@ -124,8 +124,12 @@ object ProductQuantizer {
                 val donorN = counts(largest)
                 val donor = sums((s, largest))._2
                   .map(x => math.rint(x / donorN * 1e9) / 1e9)
+                // offset magnitude is keyed by the FULL cell index —
+                // a (c % subDim, c % 7) key collides for cells
+                // congruent mod lcm(subDim, 7), recreating the
+                // permanent-duplicate problem this repair fixes
                 donor.zipWithIndex.map { case (x, j) =>
-                  if (j == c % subDim) x + 1e-6 * ((c % 7) + 1) else x }
+                  if (j == c % subDim) x + 1e-6 * (c + 1) else x }
               case _ => old
             }
           }

@@ -166,13 +166,10 @@ object SimilaritySearch {
       codebook.getOrElse(sampledCodebook(corpus, idCol, vecCol, nCentroids))
     val indexed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       nearestCell(centroids)(col(vecCol)).as("cell"))
-    val probeSeq = probe.map(_.toDouble)
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (c.zip(probeSeq).map { case (x, y) => x * y }.sum, i) }
-      .sortBy(-_._1).take(nProbe).map(_._2)
+    val cells = probeCells(centroids, probe, nProbe)
     val probeCol = array(probe.map(f => lit(f.toDouble)): _*)
     indexed
-      .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
+      .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]): _*))
       .select(col("id"), vecCosine(col("v"), probeCol).as("cosine"))
       .orderBy(col("cosine").desc_nulls_last, col("id").asc)
       .limit(k)

@@ -84,6 +84,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.decodeFeatures(Multimodal.syntheticVideo(10L)).sameElements(f))
   }
 
+  test("truncated GVID payload byte-folds instead of failing the task") {
+    // magic + frame count but no frame bytes: readFully would EOF —
+    // the contract is null → byteFold fallback, never an exception
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array[Byte]('G', 'V', 'I', 'D')); out.writeInt(5); out.flush()
+    val truncated = bos.toByteArray
+    assert(Multimodal.videoFeatures(truncated) == null)
+    val f = Multimodal.decodeFeatures(truncated)
+    assert(f != null && f.length == 8) // the byte-fold fallback ran
+  }
+
   test("featurize pipeline: real decode for all three kinds") {
     val docs = Seq((0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon"))
       .toDF("doc_id", "text")
