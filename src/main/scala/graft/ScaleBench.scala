@@ -37,7 +37,8 @@ object ScaleBench {
     "eng_heavy_hitters", "eng_salted_agg",
     "eng_bpe_train", "eng_ann_sq8_topk",
     "qa20_chisq_drift", "qx17_posexplode", "qt4_hash_sample",
-    "eng_salted_join", "eng_streaming_dedup", "eng_binary_ingest")
+    "eng_salted_join", "eng_streaming_dedup", "eng_binary_ingest",
+    "qj18_triangles")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
