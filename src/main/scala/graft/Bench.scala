@@ -102,24 +102,8 @@ object Bench {
     val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val engine = results.filter(r => !headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // cap the PRINTED failure list so a mass failure can't push the
-    // line back out of the driver's tail window (bench_full.json
-    // keeps the uncapped list)
-    val failedJsonShort = (failed.take(10).map("\"" + _ + "\"") ++
-      (if (failed.size > 10) Seq("\"+" + (failed.size - 10) + " more\"") else Nil))
-      .mkString("[", ",", "]")
 
     // Full-precision, full-name map → bench_full.json (plus stderr).
-    // The PRINTED stdout line must fit, in its entirety, inside the
-    // driver's 2000-char stdout tail together with sbt's trailing
-    // "[success] Total time ..." line (~106 chars): round 4 recorded
-    // parsed:null because the per-query map (137 entries even with
-    // shortened keys) pushed the line's opening brace out of the
-    // window. So the printed line carries the headline set per-query
-    // plus an eng summary (total + slowest 8 + rest), ~1.6k chars
-    // with headroom; bench_full.json (written every run, committed by
-    // the driver) has the full-name full-precision map from the SAME
-    // run for per-query analysis.
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
@@ -127,11 +111,37 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     System.err.println(s"[bench] full result: $fullLine")
 
+    println(Bench.printedLine(results, headlineNames, sfDir))
+    spark.stop()
+  }
+
+  /** The PRINTED stdout line must fit, in its entirety, inside the
+    * driver's 2000-char stdout tail together with sbt's trailing
+    * "[success] Total time ..." line (~106 chars): round 4 recorded
+    * parsed:null because the per-query map (137 entries even with
+    * shortened keys) pushed the line's opening brace out of the
+    * window. So the printed line carries the headline set per-query
+    * plus an eng summary (total + slowest + rest) when it fits, and
+    * degrades to per-FAMILY subtotals (+ slowest-8 individual
+    * entries — still enough to localize a regression), then to
+    * aggregates-only — a parseable headline number always beats a
+    * fuller line whose start the driver can't see. Factored out of
+    * main so BenchLineSpec can pin the budget for any inventory
+    * size. */
+  def printedLine(results: Seq[(String, Double)], headlineNames: Set[String],
+                  sfDir: String): String = {
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0).map(_._2).sum
+    val engine = results.filter(r => !headlineNames(r._1) && r._2 >= 0).map(_._2).sum
+    // cap the PRINTED failure list so a mass failure can't push the
+    // line back out of the tail window (bench_full.json keeps it all)
+    val failedJsonShort = (failed.take(10).map("\"" + _ + "\"") ++
+      (if (failed.size > 10) Seq("\"+" + (failed.size - 10) + " more\"") else Nil))
+      .mkString("[", ",", "]")
     // Deterministic key shortening: token before the first '_' when
-    // unique, minus the constant leading 'q' (qf1→f1, qj7→j7 — the
-    // 'q' carries no information and the ~1-char × 120-key saving is
-    // real tail-window headroom); prefix + second token for families
-    // (qa7_cube→a7_cube, qj3_outer/qj3_full); eng_* → e_*.
+    // unique, minus the constant leading 'q' (qf1→f1, qj7→j7);
+    // prefix + second token for families (qa7_cube→a7_cube); eng_* →
+    // e_*.
     val prefixCount = results.map(_._1.takeWhile(_ != '_')).groupBy(identity).view.mapValues(_.size)
     def short(n: String): String =
       if (n.startsWith("eng_")) "e_" + n.drop(4)
@@ -161,15 +171,8 @@ object Bench {
     val engRest = engSorted.drop(6).map(_._2).sum
     val es = engTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    val printedLine =
+    val perQueryLine =
       s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"short; see bench_full.json","sf":"$sfDir"}"""
-    // Degradation ladder: if inventory growth pushes the per-query
-    // line past the tail-window budget (2000 minus sbt's ~106-char
-    // trailer, with margin), fall back to per-FAMILY subtotals
-    // (qf/qa/qj/... + slowest-8 individual entries — still enough for
-    // the judge to localize a regression), then to aggregates-only —
-    // a parseable headline number always beats a fuller line that
-    // the driver can't see the start of.
     val famTotals = headRows.filter(_._2 >= 0)
       .groupBy { case (k, _) => k.takeWhile(_ != '_').take(2) }
       .toSeq.map { case (fam, rs) => fam -> rs.map(_._2).sum }
@@ -179,10 +182,8 @@ object Bench {
       s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":${famTotals.map { case (k, v) => "\"" + k + "_total\":" + r2(v) }.mkString("{", ",", "}")},"slowest":${headTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }.mkString("{", ",", "}")},"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"family subtotals; see bench_full.json","sf":"$sfDir"}"""
     val minimalLine =
       s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":{"headline_total":${r2(headline)},"engine_ops":${r2(engine)}},"engine_ops_sec":${r2(engine)},"failed":$failedJsonShort,"keys":"per-query map in bench_full.json","sf":"$sfDir"}"""
-    println(
-      if (printedLine.length <= 1800) printedLine
-      else if (groupedLine.length <= 1800) groupedLine
-      else minimalLine)
-    spark.stop()
+    if (perQueryLine.length <= 1800) perQueryLine
+    else if (groupedLine.length <= 1800) groupedLine
+    else minimalLine
   }
 }

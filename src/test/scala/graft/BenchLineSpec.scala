@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver reads ONE stdout line from a 2000-char tail (shared
+  * with sbt's ~106-char success trailer); round 4's bench outage was
+  * exactly this line overflowing the window. Pins: the budget holds
+  * for the CURRENT inventory, keeps holding at 3× inventory growth
+  * (the degradation ladder engages), and a mass failure cannot
+  * overflow the printed failure list. Structural-JSON checks guard
+  * the driver's json.loads. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val names: Seq[String] =
+    QueryInventory.all.map(_.name) ++ EngineOps.queries.keys.toSeq.sorted
+  private val headline = QueryInventory.all.map(_.name).toSet
+
+  private def balanced(s: String): Boolean = {
+    var depth = 0; var inStr = false; var prev = ' '
+    s.foreach { c =>
+      if (inStr) { if (c == '"' && prev != '\\') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case _ =>
+      }
+      prev = c
+    }
+    depth == 0 && !inStr
+  }
+
+  test("printed line fits the tail budget for the current inventory") {
+    val results = names.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 17) * 0.37) }
+    val line = Bench.printedLine(results, headline, "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"printed line is ${line.length} chars")
+    assert(line.startsWith("{\"metric\":\"headline_total\""))
+    assert(balanced(line))
+  }
+
+  test("budget holds at 3x inventory growth (degradation ladder engages)") {
+    val extras = (1 to names.size * 2).map(i => s"qz${i}_future_entry")
+    val grown = names ++ extras
+    val results = grown.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 13) * 0.53) }
+    val line = Bench.printedLine(results, headline ++ extras, "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"printed line is ${line.length} chars")
+    assert(balanced(line))
+  }
+
+  test("mass failure cannot overflow the printed failure list") {
+    val results = names.map(n => n -> -1.0)
+    val line = Bench.printedLine(results, headline, "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"printed line is ${line.length} chars")
+    assert(line.contains("more\""))
+    assert(balanced(line))
+  }
+}
