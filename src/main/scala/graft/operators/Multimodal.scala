@@ -7,6 +7,8 @@ import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import graft.sources.FixtureCache
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
@@ -310,14 +312,18 @@ object Multimodal {
     * storage, not parquet columns; this stands in for that object
     * store). Executor-parallel writes (local[*] shares one FS; a
     * cluster fixture would land in the object store instead); the
-    * `_DONE` marker makes re-runs free. Returns the fixture path. */
+    * `_DONE` marker carries a fingerprint of the source documents
+    * table (FixtureCache), so re-runs are free but a regenerated
+    * dataset or a bumped generator version rebuilds the fixture
+    * instead of silently serving stale files. Returns the fixture
+    * path. */
   def ensurePngFixture(documents: DataFrame, sfDir: String): String = {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_png_fixture_$sfName")
-    val done = new java.io.File(out, "_DONE")
-    if (!done.exists()) {
-      out.mkdirs()
+    val fp = FixtureCache.fingerprint(
+      s"$sfDir/documents.parquet", "png_fixture_v1")
+    FixtureCache.ensure(out, fp) {
       val spark = documents.sparkSession
       import spark.implicits._
       val outPath = out.getAbsolutePath
@@ -333,7 +339,6 @@ object Multimodal {
             }
           }
         }
-      done.createNewFile()
     }
     out.getAbsolutePath
   }

@@ -267,11 +267,19 @@ object StatefulOps {
   /** Streaming exact deduplication — the unbounded spelling of
     * ql2/eng_exact_dedup. The event-time column rides in the dedup
     * key so the watermark bounds state: keys older than the delay are
-    * dropped from the store instead of accumulating forever (the only
-    * viable contract on an unbounded stream — identical duplicates
-    * separated by more than the watermark are by-design re-admitted).
-    * Asserted stream==batch over a duplicate-laden MemoryStream
-    * replay in StatefulOpsSpec. */
+    * dropped from the store instead of accumulating forever (Spark
+    * only evicts dropDuplicates state when the event-time column is
+    * part of the dedup key — the only viable contract on an unbounded
+    * stream; identical duplicates separated by more than the
+    * watermark are by-design re-admitted).
+    *
+    * CONTRACT: this is exact-ROW dedup on (keyCols, ts) — `keyCols`
+    * must functionally determine the event time (duplicates are exact
+    * replays, as in eng_streaming_dedup where event_id pins ts). Two
+    * rows sharing a key but carrying DIFFERENT timestamps both
+    * survive (pinned in StatefulOpsSpec's "same key, new ts" row);
+    * for retries that restamp clocks use [[streamingDedupWithin]],
+    * which drops any within-watermark copy without ts in the key. */
   def streamingDedup(events: DataFrame, keyCols: Seq[String],
                      tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
     events

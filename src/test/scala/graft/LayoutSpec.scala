@@ -151,7 +151,8 @@ class LayoutSpec extends AnyFunSuite {
     // Goldens.checksum is column-sorted and row-order/partition
     // independent — frame equality without materializing an order
     assert(Goldens.checksum(salted) == Goldens.checksum(plain))
-    assert(plain.count() == ev.count()) // replication added no rows
+    assert(plain.count() == ev.count())   // baseline join is 1:1
+    assert(salted.count() == ev.count()) // replication added no rows
   }
 
   test("mergeSchema read surfaces the union schema with nulls for legacy files") {

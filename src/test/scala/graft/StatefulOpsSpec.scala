@@ -253,7 +253,7 @@ class StatefulOpsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
       ("2024-01-01 00:01:00", 1L, "a"), ("2024-01-01 00:01:00", 1L, "a"), // dup
-      ("2024-01-01 00:02:00", 1L, "a"),                                   // same key, new ts
+      ("2024-01-01 00:02:00", 1L, "a"), // same key, NEW ts — survives: exact-ROW contract
       ("2024-01-01 00:02:00", 2L, "b"), ("2024-01-01 00:02:00", 2L, "b"), // dup
       ("2024-01-01 00:03:00", 3L, "c"))
       .map { case (t, u, ty) => (java.sql.Timestamp.valueOf(t), u, ty) }
