@@ -595,7 +595,8 @@ object EngineOps {
     * front): the events file replays as TWO unioned streams — every
     * row arrives exactly twice — and StatefulOps.streamingDedup must
     * emit each once, with per-key state the watermark expires instead
-    * of accumulating forever. The memory-sink rows then collapse to
+    * of accumulating forever (its exact-row contract holds here:
+    * duplicates are exact replays, so event_id determines ts). The memory-sink rows then collapse to
     * per-type counts, which equal the batch DISTINCT counts
     * (stream==batch asserted in StatefulOpsSpec; here the doubled
     * input makes any dedup miss loud — a miss doubles a count). */
@@ -682,6 +683,88 @@ object EngineOps {
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("rank").desc_nulls_last, col("node"))
       .limit(20)
+  }
+
+  /** Partitioned-table DDL through the Hive metastore — the catalog
+    * surface a migrating warehouse user touches first (the north
+    * star's Hive compatibility layer; partition dirs mirror the
+    * model-package directory layout of
+    * /root/reference/tools/hive_compile.py:143-194): CREATE TABLE …
+    * PARTITIONED BY (day), dynamic INSERT of two day partitions,
+    * SHOW PARTITIONS, ALTER TABLE DROP PARTITION, then an
+    * OUT-OF-BAND directory landing (files copied under day=… without
+    * the catalog's knowledge — the classic backfill-by-distcp move)
+    * reconciled by MSCK REPAIR TABLE. The per-stage census (partition
+    * count from SHOW PARTITIONS + row count through the catalog
+    * table) is exact and golden-stable; at 100 TB each stage is a
+    * metastore-only operation except the bounded two-day insert. */
+  private def hivePartitionedDdl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+      .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+    // bounded collect: the three earliest day keys drive the scenario
+    val days = ev.select(col("day")).distinct().orderBy(col("day"))
+      .limit(3).as[String].collect()
+    require(days.length == 3, s"need 3 distinct days, got ${days.toSeq}")
+    val (d0, d1, d2) = (days(0), days(1), days(2))
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_cat")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.events_part")
+    spark.sql(
+      """CREATE TABLE graft_cat.events_part
+        |  (event_id BIGINT, event_type STRING, value DOUBLE, day STRING)
+        |USING parquet PARTITIONED BY (day)""".stripMargin)
+    ev.filter(col("day").isin(d0, d1))
+      .select(col("event_id"), col("event_type"), col("value"), col("day"))
+      .write.insertInto("graft_cat.events_part")
+    def census(stage: String): (String, Long, Long) = {
+      val nPart = spark.sql("SHOW PARTITIONS graft_cat.events_part").count()
+      val nRows = spark.table("graft_cat.events_part").count()
+      (stage, nPart, nRows)
+    }
+    val s1 = census("1_insert_2_days")
+    spark.sql(s"ALTER TABLE graft_cat.events_part DROP PARTITION (day='$d1')")
+    val s2 = census("2_drop_partition")
+    // out-of-band landing: day=<d2> written straight to the table
+    // location, bypassing the catalog — MSCK must discover it
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("events_part", Some("graft_cat")))
+      .location.getPath
+    ev.filter(col("day") === d2)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$loc/day=$d2")
+    val s3 = census("3_outofband_unseen")
+    spark.sql("MSCK REPAIR TABLE graft_cat.events_part")
+    val s4 = census("4_msck_discovered")
+    Seq(s1, s2, s3, s4).toDF("stage", "n_partitions", "n_rows")
+      .orderBy(col("stage"))
+  }
+
+  /** Degree-oriented triangle counting (operators/Triangles, Schank
+    * '05) over the UNFILTERED supplier co-occurrence graph — the
+    * dense-graph face of qj18 (whose value filter exists only to
+    * keep its DuckDB oracle small). Reports the wedge work of BOTH
+    * orientations — the delta is the saved work; on this near-regular
+    * graph it is small, on a skewed graph it is the difference
+    * between O(m^1.5) and a hub's O(deg²) blow-up (TrianglesSpec
+    * pins both regimes, plus deg==key triangle equality). All three
+    * scalars are exact counts — partition-order independent, golden-
+    * stable. The edge list is persisted across its four uses and
+    * released before return; every collect is a 1-row aggregate. */
+  private def trianglesDeg(spark: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Triangles
+      .supplierCooccurrence(t(spark, dir, "lineitem"), minPrice = None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = edges.count()
+      val wKey = operators.Triangles.wedgeCount(
+        operators.Triangles.orientByKey(edges)).collect()(0).getLong(0)
+      val byDeg = operators.Triangles.orientByDegree(edges)
+      val wDeg = operators.Triangles.wedgeCount(byDeg).collect()(0).getLong(0)
+      val tri = operators.Triangles.triangleCount(byDeg).collect()(0).getLong(0)
+      import spark.implicits._
+      Seq((nEdges, wKey, wDeg, tri))
+        .toDF("n_edges", "wedges_key", "wedges_deg", "n_triangles")
+    } finally { edges.unpersist(); () }
   }
 
   /** Holt linear-trend forecasting per user (operators/Forecast —
@@ -871,7 +954,9 @@ object EngineOps {
       .observe(obs,
         count(lit(1)).as("n_rows"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
-        round(sum(col("value")), 4).as("sum_v"))
+        // coalesce: sum over zero rows (or all-null value) observes
+        // NULL — report 0.0 instead of NPE-ing at the unbox below
+        coalesce(round(sum(col("value")), 4), lit(0.0)).as("sum_v"))
       .filter(col("value") > 0)
     ev.write.format("noop").mode("overwrite").save() // the observed pass
     val row = obs.get
@@ -898,13 +983,15 @@ object EngineOps {
       sys.props("java.io.tmpdir"), s"graft_schema_merge_$sfName")
     val ev = t(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
-    if (!new java.io.File(stage, "_DONE").exists()) {
+    // marker carries a source-data fingerprint: a regenerated events
+    // table at the same path rebuilds the stage instead of going stale
+    sources.FixtureCache.ensure(stage,
+      sources.FixtureCache.fingerprint(s"$dir/events.parquet", "schema_merge_v1")) {
       ev.filter(col("event_id") % 2 === 0)
         .write.mode("overwrite").parquet(stage.getAbsolutePath)
       ev.filter(col("event_id") % 2 === 1)
         .withColumn("quality", round(col("value") / 10.0, 4))
         .write.mode("append").parquet(stage.getAbsolutePath)
-      new java.io.File(stage, "_DONE").createNewFile()
     }
     spark.read.option("mergeSchema", "true").parquet(stage.getAbsolutePath)
       .groupBy(col("event_type"))
@@ -928,7 +1015,8 @@ object EngineOps {
     val stage = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_dyn_overwrite_$sfName")
     val ev = t(spark, dir, "events").select(col("event_id"), col("ts"), col("value"))
-    if (!new java.io.File(stage, "_DONE").exists()) {
+    sources.FixtureCache.ensure(stage,
+      sources.FixtureCache.fingerprint(s"$dir/events.parquet", "dyn_overwrite_v1")) {
       sources.TableLayout.writeEventsByDay(ev, stage.getAbsolutePath)
       // 1-row bounded collect: the restated day's key
       val day0 = ev.agg(min(to_date(col("ts"))).as("d")).collect()(0).getDate(0)
@@ -939,7 +1027,6 @@ object EngineOps {
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "zstd")
         .mode("overwrite").parquet(stage.getAbsolutePath)
-      new java.io.File(stage, "_DONE").createNewFile()
     }
     spark.read.parquet(stage.getAbsolutePath)
       .groupBy(col("event_date"))
@@ -1865,6 +1952,8 @@ object EngineOps {
     "eng_forecast_holt" -> forecastHolt,
     "eng_anomaly_forecast" -> anomalyForecast,
     "eng_pagerank" -> pagerank,
+    "eng_triangles_deg" -> trianglesDeg,
+    "eng_hive_partitioned_ddl" -> hivePartitionedDdl,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,
     "eng_streaming_sessions" -> streamingSessions,

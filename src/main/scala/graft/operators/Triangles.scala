@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting with pluggable edge orientation —
+  * the scale refinement of qj18's key-oriented SQL spelling.
+  *
+  * Orientation turns the undirected edge {u,v} into one directed
+  * edge pointing from the smaller to the larger vertex under a total
+  * order; every triangle then has exactly one "apex" (its smallest
+  * vertex) and is generated exactly once as a wedge of the apex's
+  * two out-edges closed by the out-edge between its endpoints. Work
+  * is Σ_v C(outdeg(v), 2) — the ORDER decides the cost:
+  *
+  *  - KEY order (qj18): outdeg of low-key vertices is ~their full
+  *    degree; on a skewed graph a high-degree hub with a small key
+  *    generates O(deg²) wedges — the known blow-up at 100×.
+  *  - DEGREE order (Schank & Wagner '05, "Finding, Counting and
+  *    Listing all Triangles in Large Graphs"): edges point from
+  *    low-degree to high-degree endpoints ((deg, key) lexicographic,
+  *    key as tie-break), so wedges generate at LOW-degree vertices;
+  *    total wedge work is O(m^1.5) on any graph — hub vertices
+  *    receive edges instead of fanning them out. The cost-toward-
+  *    the-cheap-side idea mirrors the reference's cost-based
+  *    placement, /root/reference/mlir_compiler/partitioner.py:26-52.
+  *
+  * Execution shape (100 TB): the oriented edge list is the only
+  * shuffled state; the wedge join and the closing probe both join
+  * against the (bounded, two-int-column) edge list — broadcastable
+  * up to hundreds of millions of edges; beyond that AQE picks a
+  * shuffled hash join on the same plan. Wedges are generated and
+  * immediately probed inside one codegen'd pipeline — never
+  * materialized. Triangle totals are orientation-invariant (asserted
+  * deg == key in TrianglesSpec); wedge totals are not — the delta IS
+  * the saved work, and both are reported by eng_triangles_deg. */
+object Triangles {
+
+  /** Undirected supplier co-occurrence edges (s1 < s2, distinct):
+    * suppliers sharing an order. `minPrice` optionally thins lines
+    * (qj18 uses 90000 to keep its DuckDB oracle small); None faces
+    * the full ~91%-dense graph. */
+  def supplierCooccurrence(lineitem: DataFrame, minPrice: Option[Double]): DataFrame = {
+    val lines = minPrice.fold(lineitem)(p => lineitem.filter(col("l_extendedprice") > p))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    lines.as("a").join(lines.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+      .distinct()
+  }
+
+  /** Per-vertex undirected degree of an (s1 < s2) edge list. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("s1").as("v"))
+      .unionAll(edges.select(col("s2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+
+  /** Orients edges by KEY: src = min key. Emits (src, dst, dst_rank)
+    * where rank is the orientation order of dst — the wedge join
+    * needs it to order the two endpoints. For key order the rank IS
+    * the key. */
+  def orientByKey(edges: DataFrame): DataFrame =
+    edges.select(col("s1").as("src"), col("s2").as("dst"),
+      col("s2").cast("double").as("dst_rank"))
+
+  /** Orients edges by DEGREE ((deg, key) lexicographic): src = the
+    * endpoint smaller in that order. dst_rank encodes (deg, key) as
+    * a single orderable double — deg * 2^22 + key is exact for
+    * deg, key < 2^22 (far above any per-vertex degree or key here;
+    * at larger ids switch to a struct comparison). Two broadcast
+    * joins against the bounded degree table; no extra shuffle of the
+    * edge list. */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = broadcast(degrees(edges))
+    val rank1 = col("d1.deg") * lit(1 << 22).cast("double") + col("s1")
+    val rank2 = col("d2.deg") * lit(1 << 22).cast("double") + col("s2")
+    edges.join(deg.as("d1"), col("s1") === col("d1.v"))
+      .join(deg.as("d2"), col("s2") === col("d2.v"))
+      .select(
+        when(rank1 < rank2, col("s1")).otherwise(col("s2")).as("src"),
+        when(rank1 < rank2, col("s2")).otherwise(col("s1")).as("dst"),
+        when(rank1 < rank2, rank2).otherwise(rank1).as("dst_rank"))
+  }
+
+  /** Total wedge work Σ_v C(outdeg(v), 2) of an oriented edge list —
+    * a two-level aggregate, no wedge is generated. This is the
+    * number the orientation exists to minimize. */
+  def wedgeCount(oriented: DataFrame): DataFrame =
+    oriented.groupBy(col("src")).agg(count(lit(1)).as("o"))
+      .agg(coalesce(sum(col("o") * (col("o") - 1) / 2), lit(0))
+        .cast("long").as("wedges"))
+
+  /** Exact triangle count: wedges (apex src; endpoints ordered by
+    * dst_rank so the closing edge is oriented a→b) probed against
+    * the oriented edge list. Both joins broadcast the skinny edge
+    * list; the wedge stream stays inside one codegen'd pipeline. */
+  def triangleCount(oriented: DataFrame): DataFrame = {
+    val e = oriented.select(col("src"), col("dst"), col("dst_rank"))
+    val wedges = e.as("e1").join(broadcast(e.as("e2")),
+        col("e1.src") === col("e2.src") &&
+          col("e1.dst_rank") < col("e2.dst_rank"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    wedges.join(broadcast(e.select(col("src").as("a"), col("dst").as("b"))),
+        Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -32,4 +32,27 @@ class HiveCatalogSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(n == 5)
   }
+
+  test("partitioned DDL: insert, SHOW PARTITIONS, DROP PARTITION, MSCK REPAIR") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EngineOps.queries("eng_hive_partitioned_ddl")(TestSpark.spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.table(spark, dir, "events")
+      .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+    val perDay = ev.groupBy(col("day")).count().orderBy(col("day")).limit(3)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val Seq(n0, n1, n2) = perDay.map(_._2).toSeq
+    assert(out("1_insert_2_days") == (2L, n0 + n1))
+    assert(out("2_drop_partition") == (1L, n0))
+    // out-of-band files exist on disk but the catalog can't see them yet
+    assert(out("3_outofband_unseen") == (1L, n0))
+    // MSCK reconciles: the landed day appears with its full row count
+    assert(out("4_msck_discovered") == (2L, n0 + n2))
+    // and the discovered partition is queryable with partition pruning
+    val d2 = perDay(2)._1
+    val pruned = spark.sql(
+      s"SELECT count(*) FROM graft_cat.events_part WHERE day = '$d2'")
+      .collect().head.getLong(0)
+    assert(pruned == n2)
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Triangles
+
+class TrianglesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Plain-Scala reference: adjacency-set intersection over a
+    * driver-collected edge list (test graphs are small). */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Long = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // each triangle is seen once per its three edges
+    edges.map { case (a, b) => (adj(a) & adj(b)).size.toLong }.sum / 3
+  }
+
+  private def scalar(df: org.apache.spark.sql.DataFrame): Long =
+    df.collect()(0).getLong(0)
+
+  test("triangle count is orientation-invariant and matches brute force (co-occurrence graph)") {
+    val edges = Triangles.supplierCooccurrence(
+      Tables.table(spark, "/root/testdata/sf0.001", "lineitem"), minPrice = None)
+      .persist()
+    try {
+      val local = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(local.nonEmpty && local.forall { case (a, b) => a < b })
+      val triKey = scalar(Triangles.triangleCount(Triangles.orientByKey(edges)))
+      val triDeg = scalar(Triangles.triangleCount(Triangles.orientByDegree(edges)))
+      assert(triKey == triDeg)
+      assert(triKey == bruteTriangles(local))
+      // degree orientation never does more wedge work than key order here
+      val wKey = scalar(Triangles.wedgeCount(Triangles.orientByKey(edges)))
+      val wDeg = scalar(Triangles.wedgeCount(Triangles.orientByDegree(edges)))
+      assert(wDeg <= wKey, s"wedges(deg)=$wDeg > wedges(key)=$wKey")
+      assert(triDeg <= wDeg) // triangles are closed wedges
+    } finally { edges.unpersist(); () }
+  }
+
+  test("degree orientation collapses the hub blow-up on a skewed graph") {
+    import spark.implicits._
+    // hub vertex 0 (smallest KEY, largest DEGREE — key order's worst
+    // case) joined to 60 leaves, plus a 5-clique among high keys
+    val hub = (1L to 60L).map(l => (0L, l))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val edges = (hub ++ clique).toDF("s1", "s2")
+    val wKey = scalar(Triangles.wedgeCount(Triangles.orientByKey(edges)))
+    val wDeg = scalar(Triangles.wedgeCount(Triangles.orientByDegree(edges)))
+    // key order fans out C(60,2)=1770 wedges at the hub; degree order
+    // points every hub edge INTO the hub and generates none there
+    assert(wKey >= 1770)
+    assert(wDeg < wKey / 10, s"wedges(deg)=$wDeg not << wedges(key)=$wKey")
+    val triKey = scalar(Triangles.triangleCount(Triangles.orientByKey(edges)))
+    val triDeg = scalar(Triangles.triangleCount(Triangles.orientByDegree(edges)))
+    assert(triKey == triDeg)
+    assert(triDeg == 10L) // C(5,3) from the clique; the hub star is triangle-free
+  }
+
+  test("eng_triangles_deg reports consistent exact counts") {
+    val row = EngineOps.queries("eng_triangles_deg")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val (nEdges, wKey, wDeg, tri) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nEdges > 0 && tri > 0)
+    assert(wDeg <= wKey)
+    assert(tri <= wDeg)
+    // cross-check the edge census against an independent SQL spelling
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val sqlEdges = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT DISTINCT a.l_suppkey, b.l_suppkey
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(nEdges == sqlEdges)
+  }
+}
