@@ -62,8 +62,27 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Contention sentinel: a fixed trivial probe (footer-only count of
+    // the 5-row region file) timed every ~20 queries across every
+    // pass. Its cost is constant by construction, so its min is the
+    // machine's quiet floor and its max/min spread is a direct record
+    // of external host load during the run — the r7 headline shipped
+    // 30% inflated with no way for a reader to tell 80s-slow from
+    // 80s-busy. Reported as sentinel{min,max,n} in both outputs;
+    // tools/bench_diff.py refuses to call regressions when the spread
+    // says the run was dirty.
+    val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def sentinel(): Unit = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      sentinelSamples += (System.nanoTime() - t0) / 1e9
+      ()
+    }
+    sentinel() // prime: the first probe pays one-off FileIndex setup
+    sentinelSamples.clear()
     def pass(label: String, names: Seq[String]): Map[String, Double] =
-      names.map { name =>
+      names.zipWithIndex.map { case (name, i) =>
+        if (i % 20 == 0) sentinel()
         System.err.println(s"[bench] $label $name at ${java.time.Instant.now()}")
         name -> once(name)
       }.toMap
@@ -73,7 +92,15 @@ object Bench {
       if (samples.exists(_ < 0)) -1.0 else samples.min
     val after2: Map[String, Double] =
       ordered.map(n => n -> minOk(Seq(p1(n), p2(n)))).toMap
-    val stragglers = ordered.filter(n => after2(n) > 2.5)
+    // a third interleaved sample for entries that are still slow OR
+    // whose two samples disagree >1.5x (with a 50 ms absolute guard
+    // so sub-jitter wobble on trivial entries doesn't escalate) — two
+    // agreeing samples are evidence, two disagreeing ones are a
+    // coin-flip over which was contended
+    def disagree(a: Double, b: Double): Boolean =
+      a >= 0 && b >= 0 && math.max(a, b) > 1.5 * math.min(a, b) &&
+        math.max(a, b) - math.min(a, b) > 0.05
+    val stragglers = ordered.filter(n => after2(n) > 2.5 || disagree(p1(n), p2(n)))
     val p3 = pass("pass3", stragglers)
     val after3: Map[String, Double] = ordered.map { n =>
       n -> (if (p3.contains(n)) minOk(Seq(after2(n), p3(n))) else after2(n))
@@ -107,13 +134,26 @@ object Bench {
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$fullJson,"engine_ops_sec":$engine,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$fullJson,"engine_ops_sec":$engine,"failed":$failedJson,${sentinelJson(sentinelSamples.toSeq)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     System.err.println(s"[bench] full result: $fullLine")
 
-    println(Bench.printedLine(results, headlineNames, sfDir))
+    println(Bench.printedLine(results, headlineNames, sfDir, sentinelSamples.toSeq))
     spark.stop()
   }
+
+  /** `"sentinel":{...}` JSON fragment (no surrounding comma): min is
+    * the quiet floor, max/min the contention spread over the run. */
+  def sentinelJson(samples: Seq[Double]): String =
+    if (samples.isEmpty) "\"sentinel\":null"
+    else {
+      def r3(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val mn = samples.min
+      val mx = samples.max
+      val spread = if (mn > 0) mx / mn else -1.0
+      s""""sentinel":{"min":${r3(mn)},"max":${r3(mx)},"spread":${r3(spread)},"n":${samples.size}}"""
+    }
 
   /** The PRINTED stdout line must fit, in its entirety, inside the
     * driver's 2000-char stdout tail together with sbt's trailing
@@ -129,7 +169,8 @@ object Bench {
     * main so BenchLineSpec can pin the budget for any inventory
     * size. */
   def printedLine(results: Seq[(String, Double)], headlineNames: Set[String],
-                  sfDir: String): String = {
+                  sfDir: String, sentinel: Seq[Double] = Nil): String = {
+    val sentinelFrag = sentinelJson(sentinel)
     val failed = results.filter(_._2 < 0).map(_._1)
     val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val engine = results.filter(r => !headlineNames(r._1) && r._2 >= 0).map(_._2).sum
@@ -172,16 +213,16 @@ object Bench {
     val es = engTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"short; see bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":$qs,"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,$sentinelFrag,"keys":"short; see bench_full.json","sf":"$sfDir"}"""
     val famTotals = headRows.filter(_._2 >= 0)
       .groupBy { case (k, _) => k.takeWhile(_ != '_').take(2) }
       .toSeq.map { case (fam, rs) => fam -> rs.map(_._2).sum }
       .sortBy(_._1)
     val headTop = headRows.filter(_._2 >= 0).sortBy(-_._2).take(8)
     val groupedLine =
-      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":${famTotals.map { case (k, v) => "\"" + k + "_total\":" + r2(v) }.mkString("{", ",", "}")},"slowest":${headTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }.mkString("{", ",", "}")},"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,"keys":"family subtotals; see bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":${famTotals.map { case (k, v) => "\"" + k + "_total\":" + r2(v) }.mkString("{", ",", "}")},"slowest":${headTop.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }.mkString("{", ",", "}")},"engine_ops_sec":${r2(engine)},"eng_slowest":$es,"eng_rest_sec":${r2(engRest)},"failed":$failedJsonShort,$sentinelFrag,"keys":"family subtotals; see bench_full.json","sf":"$sfDir"}"""
     val minimalLine =
-      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":{"headline_total":${r2(headline)},"engine_ops":${r2(engine)}},"engine_ops_sec":${r2(engine)},"failed":$failedJsonShort,"keys":"per-query map in bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":${r2(headline)},"unit":"sec","queries":{"headline_total":${r2(headline)},"engine_ops":${r2(engine)}},"engine_ops_sec":${r2(engine)},"failed":$failedJsonShort,$sentinelFrag,"keys":"per-query map in bench_full.json","sf":"$sfDir"}"""
     if (perQueryLine.length <= 1800) perQueryLine
     else if (groupedLine.length <= 1800) groupedLine
     else minimalLine

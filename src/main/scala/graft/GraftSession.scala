@@ -51,6 +51,16 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalesce to the advisory partition SIZE instead of padding
+      // out to default parallelism (the Spark-docs-recommended
+      // production setting): small post-shuffle stages collapse to
+      // few tasks instead of fanning 32 near-empty ones. Measured
+      // (FloorLab, interleaved A/B over the full headline set,
+      // sf0.1): 71.1 s vs 84.0 s total (−15%), one query >1.2×
+      // (qa16), every other delta inside noise. At cluster scale the
+      // same setting is what keeps reducer counts proportional to
+      // data, not to spark.sql.shuffle.partitions.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
   }

@@ -47,6 +47,12 @@ object ScaleBench {
     // second-scale-point runs (e.g. factor 20 → sf2) write elsewhere
     // so the sf1 snapshot isn't clobbered
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
+    // restrict to a named subset (comma list; may include entries
+    // outside `heavy` — e.g. the sf5 point runs only the dedup + ANN
+    // entries whose 100 TB claims matter most)
+    val entriesRun: Seq[String] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(heavy)
     val spark: SparkSession = GraftSession.create(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
@@ -74,22 +80,44 @@ object ScaleBench {
       catch { case e: Throwable =>
         System.err.println(s"[scale] $name@$dir failed: ${e.getMessage}"); -1.0 }
     }
+    // same contention sentinel as Bench: a fixed trivial probe whose
+    // spread exposes external host load in the snapshot itself
+    val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def sentinel(): Unit = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sf01/region.parquet").count()
+      sentinelSamples += (System.nanoTime() - t0) / 1e9
+      ()
+    }
+    sentinel(); sentinelSamples.clear() // prime FileIndex setup
     // interleaved min-of-2 per (entry, sf) — same contention defense
     // as Bench: the two samples of an entry are separated by the whole
     // suite, so one contention window can't own both
-    def pass(label: String): Map[(String, String), Double] =
-      (for (dir <- Seq(sf01, sf1); name <- heavy) yield {
+    def pass(label: String, names: Seq[(String, String)]): Map[(String, String), Double] =
+      names.zipWithIndex.map { case ((name, dir), i) =>
+        if (i % 10 == 0) sentinel()
         System.err.println(s"[scale] $label $name@$dir")
         (name, dir) -> once(name, dir)
-      }).toMap
-    val p1 = pass("pass1")
-    val p2 = pass("pass2")
+      }.toMap
+    val keys = for (dir <- Seq(sf01, sf1); name <- entriesRun) yield (name, dir)
+    val p1 = pass("pass1", keys)
+    val p2 = pass("pass2", keys)
+    // a third interleaved sample where the first two disagree >1.5x
+    // (the r7 sf2 audit flag: qj1's 7.9x ratio sat on one noisy
+    // denominator sample) — two agreeing samples are evidence, two
+    // disagreeing ones a coin-flip
+    def disagree(a: Double, b: Double): Boolean =
+      a >= 0 && b >= 0 && math.max(a, b) > 1.5 * math.min(a, b) &&
+        math.max(a, b) - math.min(a, b) > 0.05
+    val unstable = keys.filter(k => disagree(p1(k), p2(k)))
+    val p3 = pass("pass3", unstable)
     def best(k: (String, String)): Double =
-      if (p1(k) < 0 || p2(k) < 0) -1.0 else math.min(p1(k), p2(k))
+      if (p1(k) < 0 || p2(k) < 0) -1.0
+      else math.min(math.min(p1(k), p2(k)), p3.getOrElse(k, Double.MaxValue))
 
     def j(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rows = heavy.map { n =>
+    val rows = entriesRun.map { n =>
       val (a, b) = (best((n, sf01)), best((n, sf1)))
       val ratio = if (a > 0 && b >= 0) b / a else -1.0
       (n, a, b, ratio)
@@ -107,7 +135,11 @@ object ScaleBench {
     // spark.sql spelling at sf1 (min-of-2 interleaved, same defense).
     // The budget is impl <= 2x SQL; overrides exist to WIN at scale
     // (skyline, range/interval joins), so most ratios sit below 1.
-    val overridden = QueryInventory.all.filter(_.impl.isDefined)
+    // subset runs (SPARK_GRAFT_SCALE_ONLY) are targeted scale points —
+    // skip the impl-vs-SQL section, it belongs to the full sf1 sweep
+    val overridden =
+      if (sys.env.contains("SPARK_GRAFT_SCALE_ONLY")) Seq.empty[Q]
+      else QueryInventory.all.filter(_.impl.isDefined)
     def onceBaseline(q: Q): Double = {
       val t0 = System.nanoTime()
       try { Tables.register(spark, sf1)
@@ -130,7 +162,7 @@ object ScaleBench {
     }.mkString("{", ",", "}")
 
     val line =
-      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"impl_vs_baseline_sf1":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)}}"""
+      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"impl_vs_baseline_sf1":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)},${Bench.sentinelJson(sentinelSamples.toSeq)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     println(line)

@@ -32,10 +32,20 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("printed line fits the tail budget for the current inventory") {
     val results = names.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 17) * 0.37) }
-    val line = Bench.printedLine(results, headline, "/root/testdata/sf0.1")
+    val sentinel = Seq(0.08, 0.11, 0.09, 0.31)
+    val line = Bench.printedLine(results, headline, "/root/testdata/sf0.1", sentinel)
     assert(line.length <= 1800, s"printed line is ${line.length} chars")
     assert(line.startsWith("{\"metric\":\"headline_total\""))
     assert(balanced(line))
+    // the contention sentinel rides the printed line
+    assert(line.contains("\"sentinel\":{\"min\":0.080,\"max\":0.310"))
+    assert(line.contains("\"n\":4}"))
+  }
+
+  test("sentinel fragment: empty samples render null, spread is max/min") {
+    assert(Bench.sentinelJson(Nil) == "\"sentinel\":null")
+    val frag = Bench.sentinelJson(Seq(0.1, 0.4))
+    assert(frag.contains("\"spread\":4.000"), frag)
   }
 
   test("budget holds at 3x inventory growth (degradation ladder engages)") {

@@ -65,11 +65,29 @@ class DedupClustersSpec extends AnyFunSuite {
       (40L until 55L).map(i => (i, i + 1))).toDF("a", "b")
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_cc").toString
     try {
-      def collect(ckpt: Option[String]) =
-        DedupClusters.connectedComponents(pairs, "a", "b",
-            maxIter = 12, localThreshold = 0L, checkpointDir = ckpt)
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(collect(Some(dir)) == collect(None))
+      val reliable = DedupClusters.connectedComponents(pairs, "a", "b",
+        maxIter = 12, localThreshold = 0L, checkpointDir = Some(dir))
+      val got = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = DedupClusters.connectedComponents(pairs, "a", "b",
+          maxIter = 12, localThreshold = 0L, checkpointDir = None)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == local)
+      // checkpoint blocks actually landed in the reliable dir
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val rddFiles = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.count(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getParent.getFileName.toString.startsWith("rdd-"))
+      } finally walk.close()
+      assert(rddFiles > 0, s"no rdd checkpoint part files under $dir")
+      // lineage truncated: the source LocalRelation never survives as
+      // a leaf — every leaf is a checkpointed RDD scan or the cached
+      // edge relation built from one
+      val leaves = reliable.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty &&
+        !leaves.exists(_.getClass.getSimpleName.contains("LocalRelation")),
+        leaves.map(_.getClass.getSimpleName).mkString(","))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }

@@ -53,10 +53,30 @@ class PageRankSpec extends AnyFunSuite {
     val df = edges.toDF("src", "dst")
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
     try {
-      def collect(ckpt: Option[String]) =
-        PageRank.run(df, iters = 6, checkpointEvery = 2, checkpointDir = ckpt)
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
-      assert(collect(Some(dir)) == collect(None))
+      val reliable = PageRank.run(df, iters = 6, checkpointEvery = 2,
+        checkpointDir = Some(dir))
+      val got = reliable.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val local = PageRank.run(df, iters = 6, checkpointEvery = 2,
+          checkpointDir = None)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(got == local)
+      // checkpoint blocks were ACTUALLY written to the reliable dir
+      // (Spark lays out <dir>/<uuid>/rdd-*/part-*)
+      val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val rddFiles = try {
+        import scala.jdk.CollectionConverters._
+        parts.iterator().asScala.count(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getParent.getFileName.toString.startsWith("rdd-"))
+      } finally parts.close()
+      assert(rddFiles > 0, s"no rdd checkpoint part files under $dir")
+      // and the lineage is truncated: every leaf of the final plan is
+      // a checkpointed RDD scan — the source LocalRelation is gone
+      val plan = reliable.queryExecution.optimizedPlan
+      assert(plan.collectLeaves().nonEmpty)
+      assert(plan.collectLeaves().forall(
+        _.getClass.getSimpleName == "LogicalRDD"), plan.toString.take(800))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }

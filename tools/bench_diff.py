@@ -8,6 +8,12 @@ Compares the per-query maps of two bench snapshots (BENCH_LOCAL_r*.json
 (default 2.0), plus added/removed entries and headline movement.
 Exit code 1 if any entry regressed past the threshold — usable as a
 gate. Times under 0.3 s are floor-dominated noise and are skipped.
+
+Contention gate: if either snapshot carries a `sentinel` block (the
+fixed trivial probe Bench times throughout the run) and its spread
+(max/min) is >= 2, the run was taken under external host load — the
+tool reports the dirty sentinel and REFUSES to declare regressions
+(exit 2): a diff against a contended run says nothing about plans.
 """
 import json
 import sys
@@ -16,14 +22,28 @@ import sys
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    return d.get("queries", {}), float(d.get("value", -1))
+    return d.get("queries", {}), float(d.get("value", -1)), d.get("sentinel")
+
+
+def dirty(label, sentinel, limit=2.0):
+    if not sentinel:
+        return False  # pre-sentinel snapshot: nothing to gate on
+    spread = float(sentinel.get("spread", -1))
+    if spread >= limit:
+        print(f"DIRTY {label}: sentinel spread {spread:.2f}x "
+              f"(min {sentinel['min']}s, max {sentinel['max']}s, "
+              f"n {sentinel['n']}) — host was contended; not declaring regressions")
+        return True
+    return False
 
 
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-    old, old_total = load(old_path)
-    new, new_total = load(new_path)
+    old, old_total, old_sent = load(old_path)
+    new, new_total, new_sent = load(new_path)
+    if dirty(old_path, old_sent) | dirty(new_path, new_sent):
+        sys.exit(2)
     common = sorted(set(old) & set(new))
     regressed = []
     for name in common:
