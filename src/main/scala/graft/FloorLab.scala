@@ -19,10 +19,15 @@ object FloorLab {
     val names = QueryInventory.all.map(_.name)
 
     val variants: Seq[(String, Map[String, String])] = Seq(
-      "base" -> Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true"),
-      "coalesce_size_first" -> Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false"))
+      "size_first_64m" -> Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m"),
+      "size_first_4m" -> Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m"),
+      "size_first_1m" -> Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m"))
 
     val best = scala.collection.mutable.Map[(String, String), Double]()
     // codegen warm both variants before timing

@@ -56,11 +56,21 @@ object GraftSession {
       // production setting): small post-shuffle stages collapse to
       // few tasks instead of fanning 32 near-empty ones. Measured
       // (FloorLab, interleaved A/B over the full headline set,
-      // sf0.1): 71.1 s vs 84.0 s total (−15%), one query >1.2×
-      // (qa16), every other delta inside noise. At cluster scale the
-      // same setting is what keeps reducer counts proportional to
-      // data, not to spark.sql.shuffle.partitions.
+      // sf0.1): −15% vs parallelism-first at the same advisory size.
+      // At cluster scale this is what keeps reducer counts
+      // proportional to data, not to spark.sql.shuffle.partitions.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // LOCAL-MODE advisory size: on a single 32-thread node the
+      // sub-GB bench stages need small reducers to keep the cores
+      // busy — 1 MB beats the 64 MB default by another −13% headline
+      // (FloorLab: 61.1 s vs 72.1 s) and un-serializes few-group
+      // aggregates like qa16's 3-group exact percentile (3.6 MB of
+      // buffers → 1 task at 64 MB). A CLUSTER deployment must keep
+      // the 64-256 MB default via --conf: 1 MB reducers at 100 TB
+      // would explode the task count — this value is sized to the
+      // local[32] test rig the builder hard-codes two lines up, and
+      // travels with that master setting, not with the engine.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
   }

