@@ -17,7 +17,7 @@ object PlanAudit {
     "qa1_pricing_summary" ->
       "Single hash aggregate with map-side partial aggregation (two HashAggregate nodes around one Exchange); whole-stage codegen spans scan to aggregate.",
     "qj1_star_join" ->
-      "Every dimension joins as BroadcastHashJoin; the only shuffle joins the two fact tables.",
+      "Every dimension joins as BroadcastHashJoin; the only shuffle joins the two fact tables. Scale behavior (measured, r8): at sf2 (20x data) AQE flips exactly one join to SortMergeJoin (4 BHJ -> 3 BHJ + 1 SMJ) as a build side outgrows the 10 MB broadcast threshold — the expected strategy transition, and the reason qj1's 20x time ratio (4.5x, BENCH_SCALE_sf2.json) sits above its 10x ratio without any super-linear blow-up.",
     "qj7_range_join" ->
       "Equi+range self-join keyed on the time bucket: the Exchange is on (user_id, bucket), so per-task work is O(bucket population), never O(per-key history).",
     "qt2_topk_per_group" ->

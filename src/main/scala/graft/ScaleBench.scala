@@ -38,7 +38,7 @@ object ScaleBench {
     "eng_bpe_train", "eng_ann_sq8_topk",
     "qa20_chisq_drift", "qx17_posexplode", "qt4_hash_sample",
     "eng_salted_join", "eng_streaming_dedup", "eng_binary_ingest",
-    "qj18_triangles")
+    "qj18_triangles", "eng_triangles_deg")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
