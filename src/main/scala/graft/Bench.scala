@@ -62,27 +62,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // Contention sentinel: a fixed trivial probe (footer-only count of
-    // the 5-row region file) timed every ~20 queries across every
-    // pass. Its cost is constant by construction, so its min is the
-    // machine's quiet floor and its max/min spread is a direct record
-    // of external host load during the run — the r7 headline shipped
-    // 30% inflated with no way for a reader to tell 80s-slow from
-    // 80s-busy. Reported as sentinel{min,max,n} in both outputs;
-    // tools/bench_diff.py refuses to call regressions when the spread
-    // says the run was dirty.
-    val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
-    def sentinel(): Unit = {
-      val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
-      sentinelSamples += (System.nanoTime() - t0) / 1e9
-      ()
-    }
-    sentinel() // prime: the first probe pays one-off FileIndex setup
-    sentinelSamples.clear()
+    // Contention sentinel timed every ~20 queries across every pass —
+    // see BenchUtil.SentinelProbe for the rationale. Reported as
+    // sentinel{min,max,spread,n} in both outputs.
+    val sentinel = new BenchUtil.SentinelProbe(spark, sfDir)
+    sentinel.prime()
     def pass(label: String, names: Seq[String]): Map[String, Double] =
       names.zipWithIndex.map { case (name, i) =>
-        if (i % 20 == 0) sentinel()
+        if (i % 20 == 0) sentinel.probe()
         System.err.println(s"[bench] $label $name at ${java.time.Instant.now()}")
         name -> once(name)
       }.toMap
@@ -93,17 +80,16 @@ object Bench {
     val after2: Map[String, Double] =
       ordered.map(n => n -> minOk(Seq(p1(n), p2(n)))).toMap
     // a third interleaved sample for entries that are still slow OR
-    // whose two samples disagree >1.5x (with a 50 ms absolute guard
-    // so sub-jitter wobble on trivial entries doesn't escalate) — two
-    // agreeing samples are evidence, two disagreeing ones are a
-    // coin-flip over which was contended
-    def disagree(a: Double, b: Double): Boolean =
-      a >= 0 && b >= 0 && math.max(a, b) > 1.5 * math.min(a, b) &&
-        math.max(a, b) - math.min(a, b) > 0.05
-    val stragglers = ordered.filter(n => after2(n) > 2.5 || disagree(p1(n), p2(n)))
+    // whose two samples disagree (BenchUtil.disagree). Extra samples
+    // only ever REFINE an established measurement (BenchUtil.refine):
+    // a transient pass-3/4 failure on a query that already holds two
+    // valid samples must not flip it to "failed" and drop it from the
+    // headline — a regression (or a flake) must not read as a speedup.
+    val stragglers = ordered.filter(n =>
+      after2(n) > 2.5 || BenchUtil.disagree(p1(n), p2(n)))
     val p3 = pass("pass3", stragglers)
     val after3: Map[String, Double] = ordered.map { n =>
-      n -> (if (p3.contains(n)) minOk(Seq(after2(n), p3(n))) else after2(n))
+      n -> BenchUtil.refine(after2(n), p3.get(n))
     }.toMap
     // BENCH_r04 showed a contention window can outlive even the third
     // sample (a 0.24 s query read 5.1 s official) — entries still slow
@@ -112,7 +98,7 @@ object Bench {
     val stragglers2 = ordered.filter(n => after3(n) > 2.5)
     val p4 = pass("pass4", stragglers2)
     val results: Seq[(String, Double)] = ordered.map { n =>
-      n -> (if (p4.contains(n)) minOk(Seq(after3(n), p4(n))) else after3(n))
+      n -> BenchUtil.refine(after3(n), p4.get(n))
     }
 
     // optional per-operator profile dump (M5): PROFILE_OUT=<path.csv>
@@ -134,26 +120,13 @@ object Bench {
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$fullJson,"engine_ops_sec":$engine,"failed":$failedJson,${sentinelJson(sentinelSamples.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$fullJson,"engine_ops_sec":$engine,"failed":$failedJson,${BenchUtil.sentinelJson(sentinel.samples)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     System.err.println(s"[bench] full result: $fullLine")
 
-    println(Bench.printedLine(results, headlineNames, sfDir, sentinelSamples.toSeq))
+    println(Bench.printedLine(results, headlineNames, sfDir, sentinel.samples))
     spark.stop()
   }
-
-  /** `"sentinel":{...}` JSON fragment (no surrounding comma): min is
-    * the quiet floor, max/min the contention spread over the run. */
-  def sentinelJson(samples: Seq[Double]): String =
-    if (samples.isEmpty) "\"sentinel\":null"
-    else {
-      def r3(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      val mn = samples.min
-      val mx = samples.max
-      val spread = if (mn > 0) mx / mn else -1.0
-      s""""sentinel":{"min":${r3(mn)},"max":${r3(mx)},"spread":${r3(spread)},"n":${samples.size}}"""
-    }
 
   /** The PRINTED stdout line must fit, in its entirety, inside the
     * driver's 2000-char stdout tail together with sbt's trailing
@@ -170,7 +143,7 @@ object Bench {
     * size. */
   def printedLine(results: Seq[(String, Double)], headlineNames: Set[String],
                   sfDir: String, sentinel: Seq[Double] = Nil): String = {
-    val sentinelFrag = sentinelJson(sentinel)
+    val sentinelFrag = BenchUtil.sentinelJson(sentinel)
     val failed = results.filter(_._2 < 0).map(_._1)
     val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val engine = results.filter(r => !headlineNames(r._1) && r._2 >= 0).map(_._2).sum

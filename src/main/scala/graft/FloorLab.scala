@@ -40,18 +40,27 @@ object FloorLab {
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       names.foreach { n =>
         val t0 = System.nanoTime()
-        fns(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val t = (System.nanoTime() - t0) / 1e9
-        val k = (vname, n)
-        best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
+        // one throwing entry must not abort the whole interleaved run
+        // and discard every timing already collected
+        try {
+          fns(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          val k = (vname, n)
+          best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
+        } catch { case e: Throwable =>
+          System.err.println(s"[floorlab] $n failed under $vname: ${e.getMessage}")
+        }
       }
       System.err.println(s"[floorlab] pass $p variant $vname done")
     }
+    val measured = names.filter(n => variants.forall(v => best.contains((v._1, n))))
+    if (measured.size < names.size)
+      System.err.println(s"[floorlab] ${names.size - measured.size} entries failed and are excluded from totals")
     for ((vname, _) <- variants) {
-      val total = names.map(n => best((vname, n))).sum
-      println(f"[floorlab] variant=$vname%-22s total=$total%8.2fs")
+      val total = measured.map(n => best((vname, n))).sum
+      println(f"[floorlab] variant=$vname%-22s total=$total%8.2fs (${measured.size} entries)")
     }
-    val deltas = names.map { n =>
+    val deltas = measured.map { n =>
       n -> (best((variants.last._1, n)) - best((variants.head._1, n)))
     }.sortBy(_._2)
     (deltas.take(8) ++ deltas.takeRight(8)).foreach { case (n, d) =>

@@ -80,22 +80,16 @@ object ScaleBench {
       catch { case e: Throwable =>
         System.err.println(s"[scale] $name@$dir failed: ${e.getMessage}"); -1.0 }
     }
-    // same contention sentinel as Bench: a fixed trivial probe whose
-    // spread exposes external host load in the snapshot itself
-    val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
-    def sentinel(): Unit = {
-      val t0 = System.nanoTime()
-      spark.read.parquet(s"$sf01/region.parquet").count()
-      sentinelSamples += (System.nanoTime() - t0) / 1e9
-      ()
-    }
-    sentinel(); sentinelSamples.clear() // prime FileIndex setup
+    // same contention sentinel as Bench (BenchUtil.SentinelProbe):
+    // the spread exposes external host load in the snapshot itself
+    val sentinel = new BenchUtil.SentinelProbe(spark, sf01)
+    sentinel.prime()
     // interleaved min-of-2 per (entry, sf) — same contention defense
     // as Bench: the two samples of an entry are separated by the whole
     // suite, so one contention window can't own both
     def pass(label: String, names: Seq[(String, String)]): Map[(String, String), Double] =
       names.zipWithIndex.map { case ((name, dir), i) =>
-        if (i % 10 == 0) sentinel()
+        if (i % 10 == 0) sentinel.probe()
         System.err.println(s"[scale] $label $name@$dir")
         (name, dir) -> once(name, dir)
       }.toMap
@@ -104,16 +98,15 @@ object ScaleBench {
     val p2 = pass("pass2", keys)
     // a third interleaved sample where the first two disagree >1.5x
     // (the r7 sf2 audit flag: qj1's 7.9x ratio sat on one noisy
-    // denominator sample) — two agreeing samples are evidence, two
-    // disagreeing ones a coin-flip
-    def disagree(a: Double, b: Double): Boolean =
-      a >= 0 && b >= 0 && math.max(a, b) > 1.5 * math.min(a, b) &&
-        math.max(a, b) - math.min(a, b) > 0.05
-    val unstable = keys.filter(k => disagree(p1(k), p2(k)))
+    // denominator sample). The resample only ever refines — a
+    // transient pass-3 failure must not mark an entry with two valid
+    // samples as failed (BenchUtil.refine discards negative extras).
+    val unstable = keys.filter(k => BenchUtil.disagree(p1(k), p2(k)))
     val p3 = pass("pass3", unstable)
     def best(k: (String, String)): Double =
-      if (p1(k) < 0 || p2(k) < 0) -1.0
-      else math.min(math.min(p1(k), p2(k)), p3.getOrElse(k, Double.MaxValue))
+      BenchUtil.refine(
+        if (p1(k) < 0 || p2(k) < 0) -1.0 else math.min(p1(k), p2(k)),
+        p3.get(k))
 
     def j(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -162,7 +155,7 @@ object ScaleBench {
     }.mkString("{", ",", "}")
 
     val line =
-      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"impl_vs_baseline_sf1":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)},${Bench.sentinelJson(sentinelSamples.toSeq)}}"""
+      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"impl_vs_baseline_sf1":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)},${BenchUtil.sentinelJson(sentinel.samples)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     println(line)

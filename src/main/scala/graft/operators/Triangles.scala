@@ -65,16 +65,32 @@ object Triangles {
       col("s2").cast("double").as("dst_rank"))
 
   /** Orients edges by DEGREE ((deg, key) lexicographic): src = the
-    * endpoint smaller in that order. dst_rank encodes (deg, key) as
-    * a single orderable double — deg * 2^22 + key is exact for
-    * deg, key < 2^22 (far above any per-vertex degree or key here;
-    * at larger ids switch to a struct comparison). Two broadcast
-    * joins against the bounded degree table; no extra shuffle of the
-    * edge list. */
+    * endpoint smaller in that order. Two broadcast joins against the
+    * bounded degree table; no extra shuffle of the edge list.
+    *
+    * dst_rank encodes (deg, key) as a single orderable DOUBLE —
+    * deg · 2²⁶ + key, exact (≤ 2⁵³) for keys < 2²⁶ and degrees
+    * < 2²⁷ — because the wedge join compares it ~2·wedges times and
+    * a scalar double compare measures ~2× faster there than a
+    * struct compare. The bounds are CHECKED at runtime (one
+    * aggregate over the small degree table, the same discipline as
+    * triangleCount's packable guard): ids outside them fall back to
+    * a lexicographic struct rank, trading the 2× for correctness on
+    * arbitrary key spaces instead of silently mis-orienting. */
   def orientByDegree(edges: DataFrame): DataFrame = {
-    val deg = broadcast(degrees(edges))
-    val rank1 = col("d1.deg") * lit(1 << 22).cast("double") + col("s1")
-    val rank2 = col("d2.deg") * lit(1 << 22).cast("double") + col("s2")
+    val degTable = degrees(edges)
+    val b = degTable.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      max(col("deg")).as("d")).collect()(0)
+    val packs = !b.isNullAt(0) && b.getLong(0) >= 0L &&
+      b.getLong(1) < (1L << 26) && b.getLong(2) < (1L << 27)
+    val deg = broadcast(degTable)
+    val (rank1, rank2) =
+      if (packs)
+        (col("d1.deg").cast("double") * lit((1L << 26).toDouble) + col("s1"),
+          col("d2.deg").cast("double") * lit((1L << 26).toDouble) + col("s2"))
+      else
+        (struct(col("d1.deg").as("d"), col("s1").as("k")),
+          struct(col("d2.deg").as("d"), col("s2").as("k")))
     edges.join(deg.as("d1"), col("s1") === col("d1.v"))
       .join(deg.as("d2"), col("s2") === col("d2.v"))
       .select(

@@ -43,23 +43,36 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("sentinel fragment: empty samples render null, spread is max/min") {
-    assert(Bench.sentinelJson(Nil) == "\"sentinel\":null")
-    val frag = Bench.sentinelJson(Seq(0.1, 0.4))
+    assert(BenchUtil.sentinelJson(Nil) == "\"sentinel\":null")
+    val frag = BenchUtil.sentinelJson(Seq(0.1, 0.4))
     assert(frag.contains("\"spread\":4.000"), frag)
   }
+
+  test("a failed resample refines to the established value, never to failed") {
+    assert(BenchUtil.refine(0.3, Some(-1.0)) == 0.3)
+    assert(BenchUtil.refine(0.3, Some(0.2)) == 0.2)
+    assert(BenchUtil.refine(0.3, Some(0.5)) == 0.3)
+    assert(BenchUtil.refine(0.3, None) == 0.3)
+    assert(BenchUtil.refine(-1.0, Some(0.2)) == -1.0) // p1/p2 failure stands
+  }
+
+  // production lines ALWAYS carry a sentinel fragment (pass 1 records
+  // at least one probe) — the budget tests must include it or they
+  // certify lines ~80 chars shorter than the real ones
+  private val sentinel = Seq(0.081, 0.112, 0.095, 0.310)
 
   test("budget holds at 3x inventory growth (degradation ladder engages)") {
     val extras = (1 to names.size * 2).map(i => s"qz${i}_future_entry")
     val grown = names ++ extras
     val results = grown.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 13) * 0.53) }
-    val line = Bench.printedLine(results, headline ++ extras, "/root/testdata/sf0.1")
+    val line = Bench.printedLine(results, headline ++ extras, "/root/testdata/sf0.1", sentinel)
     assert(line.length <= 1800, s"printed line is ${line.length} chars")
     assert(balanced(line))
   }
 
   test("mass failure cannot overflow the printed failure list") {
     val results = names.map(n => n -> -1.0)
-    val line = Bench.printedLine(results, headline, "/root/testdata/sf0.1")
+    val line = Bench.printedLine(results, headline, "/root/testdata/sf0.1", sentinel)
     assert(line.length <= 1800, s"printed line is ${line.length} chars")
     assert(line.contains("more\""))
     assert(balanced(line))

@@ -57,6 +57,22 @@ class TrianglesSpec extends AnyFunSuite {
     assert(triDeg == 10L) // C(5,3) from the clique; the hub star is triangle-free
   }
 
+  test("degree orientation stays exact for keys beyond the packable range") {
+    import spark.implicits._
+    // ids far above 2^26 force the struct-rank fallback; the packed
+    // double would collide across degree buckets here
+    val big = 300000000L
+    val clique = for (a <- big to (big + 4); b <- (a + 1) to (big + 4)) yield (a, b)
+    val star = (1L to 40L).map(l => (big - l, big)) // hub = big (largest key AND degree)
+    val edges = (clique ++ star).map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("s1", "s2")
+    val local = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val triDeg = scalar(Triangles.triangleCount(Triangles.orientByDegree(edges)))
+    val triKey = scalar(Triangles.triangleCount(Triangles.orientByKey(edges)))
+    assert(triDeg == triKey)
+    assert(triDeg == bruteTriangles(local))
+  }
+
   test("eng_triangles_deg reports consistent exact counts") {
     val row = EngineOps.queries("eng_triangles_deg")(spark, "/root/testdata/sf0.001")
       .collect()(0)
