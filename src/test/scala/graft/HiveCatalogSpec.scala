@@ -33,6 +33,29 @@ class HiveCatalogSpec extends AnyFunSuite {
     assert(n == 5)
   }
 
+  test("CTAS and persisted views resolve through the metastore") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_cat")
+    spark.sql("DROP VIEW IF EXISTS graft_cat.top_regions")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ctas_t")
+    // CTAS: table materialized from a query in one DDL statement
+    spark.sql(
+      """CREATE TABLE graft_cat.ctas_t USING parquet AS
+        |SELECT r_regionkey AS k, r_name AS name
+        |FROM parquet.`/root/testdata/sf0.001/region.parquet`""".stripMargin)
+    assert(spark.table("graft_cat.ctas_t").count() == 5)
+    // persisted (metastore-backed) view over the CTAS table
+    spark.sql(
+      """CREATE VIEW graft_cat.top_regions AS
+        |SELECT name FROM graft_cat.ctas_t WHERE k >= 2""".stripMargin)
+    assert(spark.catalog.listTables("graft_cat").collect()
+      .exists(t => t.name == "top_regions" && t.tableType == "VIEW"))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.top_regions")
+      .head.getLong(0) == 3)
+    // the view's definition round-trips out of the metastore
+    val ddl = spark.sql("SHOW CREATE TABLE graft_cat.top_regions").head.getString(0)
+    assert(ddl.contains("CREATE VIEW") && ddl.contains("ctas_t"), ddl)
+  }
+
   test("partitioned DDL: insert, SHOW PARTITIONS, DROP PARTITION, MSCK REPAIR") {
     val dir = "/root/testdata/sf0.001"
     val out = EngineOps.queries("eng_hive_partitioned_ddl")(TestSpark.spark, dir)
