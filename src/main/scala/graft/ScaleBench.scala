@@ -141,15 +141,22 @@ object ScaleBench {
       catch { case e: Throwable =>
         System.err.println(s"[scale] baseline ${q.name} failed: ${e.getMessage}"); -1.0 }
     }
-    def implPass(): Map[String, Double] =
-      overridden.map(q => q.name -> once(q.name, sf1)).toMap
-    def sqlPass(): Map[String, Double] =
-      overridden.map(q => q.name -> onceBaseline(q)).toMap
-    val (i1, s1) = (implPass(), sqlPass())
-    val (i2, s2) = (implPass(), sqlPass())
+    def implPass(qs: Seq[Q]): Map[String, Double] =
+      qs.map(q => q.name -> once(q.name, sf1)).toMap
+    def sqlPass(qs: Seq[Q]): Map[String, Double] =
+      qs.map(q => q.name -> onceBaseline(q)).toMap
+    val (i1, s1) = (implPass(overridden), sqlPass(overridden))
+    val (i2, s2) = (implPass(overridden), sqlPass(overridden))
+    // same disagreement escalation as the main sweep: a ratio whose
+    // numerator and denominator each rest on two agreeing samples is
+    // evidence; one noisy side misread qj16 as 1.48x (min-of-3: 1.13x)
+    val i3 = implPass(overridden.filter(q => BenchUtil.disagree(i1(q.name), i2(q.name))))
+    val s3 = sqlPass(overridden.filter(q => BenchUtil.disagree(s1(q.name), s2(q.name))))
     val vsBaseline = overridden.map { q =>
-      val impl = if (i1(q.name) < 0 || i2(q.name) < 0) -1.0 else math.min(i1(q.name), i2(q.name))
-      val sql = if (s1(q.name) < 0 || s2(q.name) < 0) -1.0 else math.min(s1(q.name), s2(q.name))
+      def two(a: Double, b: Double): Double =
+        if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      val impl = BenchUtil.refine(two(i1(q.name), i2(q.name)), i3.get(q.name))
+      val sql = BenchUtil.refine(two(s1(q.name), s2(q.name)), s3.get(q.name))
       val ratio = if (impl > 0 && sql > 0) impl / sql else -1.0
       s""""${q.name}":{"impl_sec":${j(impl)},"sql_sec":${j(sql)},"impl_vs_sql":${j(ratio)}}"""
     }.mkString("{", ",", "}")
