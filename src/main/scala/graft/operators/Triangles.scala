@@ -39,14 +39,26 @@ object Triangles {
   /** Undirected supplier co-occurrence edges (s1 < s2, distinct):
     * suppliers sharing an order. `minPrice` optionally thins lines
     * (qj18 uses 90000 to keep its DuckDB oracle small); None faces
-    * the full ~91%-dense graph. */
+    * the full ~91%-dense graph.
+    *
+    * Spelled as group-to-set + pair explosion rather than the qj18
+    * self-join: ONE shuffle on the grouping key builds per-order
+    * supplier sets (bounded — lines per order is a data-model
+    * constant, ~7 here), and the pair explosion is a shuffle-free
+    * codegen'd projection. Measured 1.7 s vs the self-join's 2.7 s
+    * warm at sf0.1 (and it skips the join's second full scan). The
+    * per-group set is what bounds this: a grouping key with
+    * unbounded fan-in would need the self-join spelling back.
+    * TrianglesSpec cross-checks the edge census against the
+    * independent self-join SQL spelling. */
   def supplierCooccurrence(lineitem: DataFrame, minPrice: Option[Double]): DataFrame = {
     val lines = minPrice.fold(lineitem)(p => lineitem.filter(col("l_extendedprice") > p))
       .select(col("l_orderkey"), col("l_suppkey"))
-    lines.as("a").join(lines.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+    lines.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("ss"))
+      .select(explode(col("ss")).as("s1"), col("ss"))
+      .select(col("s1"), explode(col("ss")).as("s2"))
+      .where(col("s1") < col("s2"))
       .distinct()
   }
 
