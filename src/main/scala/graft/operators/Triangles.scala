@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting with pluggable edge orientation —
@@ -27,14 +27,39 @@ import org.apache.spark.sql.functions._
   *
   * Execution shape (100 TB): the oriented edge list is the only
   * shuffled state; the wedge join and the closing probe both join
-  * against the (bounded, two-int-column) edge list — broadcastable
-  * up to hundreds of millions of edges; beyond that AQE picks a
-  * shuffled hash join on the same plan. Wedges are generated and
+  * against the (bounded, two-int-column) edge list. The broadcast
+  * hint is SIZE-GATED on the measured row count
+  * (`spark.graft.triangles.broadcastMaxRows`, default 32M ≈ 2 GB
+  * hashed — well under Spark's 8 GB broadcast hard limit): an
+  * explicit hint never falls back, so past the bound we emit the
+  * plain join and let AQE / autoBroadcastJoinThreshold choose the
+  * physical strategy. Wedges are generated and
   * immediately probed inside one codegen'd pipeline — never
   * materialized. Triangle totals are orientation-invariant (asserted
   * deg == key in TrianglesSpec); wedge totals are not — the delta IS
   * the saved work, and both are reported by eng_triangles_deg. */
 object Triangles {
+
+  /** Row-count bound for emitting a broadcast HINT. Measured, not
+    * assumed: an explicit `broadcast()` overrides AQE's size decision
+    * and hard-fails past Spark's 8 GB broadcast limit instead of
+    * degrading to a shuffled join — so the hint has to be earned by a
+    * runtime census, the same discipline as the packable guards
+    * below. 32M three-column rows hash to ~2 GB, comfortably under
+    * the limit; above the bound the plain join is emitted and
+    * AQE / autoBroadcastJoinThreshold pick the strategy. Mirrors the
+    * reference's measured-cost placement rule
+    * (/root/reference/mlir_compiler/partitioner.py:84-87). */
+  val BroadcastMaxRowsKey = "spark.graft.triangles.broadcastMaxRows"
+  val BroadcastMaxRowsDefault: Long = 32L * 1000 * 1000
+
+  private def broadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption(BroadcastMaxRowsKey).map(_.toLong)
+      .getOrElse(BroadcastMaxRowsDefault)
+
+  /** Hint only under the measured bound; plain frame above it. */
+  private def gatedBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= broadcastMaxRows(df.sparkSession)) broadcast(df) else df
 
   /** Undirected supplier co-occurrence edges (s1 < s2, distinct):
     * suppliers sharing an order. `minPrice` optionally thins lines
@@ -71,14 +96,19 @@ object Triangles {
   /** Orients edges by KEY: src = min key. Emits (src, dst, dst_rank)
     * where rank is the orientation order of dst — the wedge join
     * needs it to order the two endpoints. For key order the rank IS
-    * the key. */
+    * the key, kept as a LONG: a double cast would collapse distinct
+    * keys ≥ 2⁵³ and the strict dst_rank < predicate would then
+    * silently drop their wedges. */
   def orientByKey(edges: DataFrame): DataFrame =
     edges.select(col("s1").as("src"), col("s2").as("dst"),
-      col("s2").cast("double").as("dst_rank"))
+      col("s2").as("dst_rank"))
 
   /** Orients edges by DEGREE ((deg, key) lexicographic): src = the
-    * endpoint smaller in that order. Two broadcast joins against the
-    * bounded degree table; no extra shuffle of the edge list.
+    * endpoint smaller in that order. Two joins against the
+    * vertex-cardinality degree table — broadcast-hinted only under
+    * the measured [[BroadcastMaxRowsKey]] bound (a vertex set that
+    * outgrows the driver degrades to a shuffled join, never aborts);
+    * no extra shuffle of the edge list.
     *
     * dst_rank encodes (deg, key) as a single orderable DOUBLE —
     * deg · 2²⁶ + key, exact (≤ 2⁵³) for keys < 2²⁶ and degrees
@@ -92,10 +122,10 @@ object Triangles {
   def orientByDegree(edges: DataFrame): DataFrame = {
     val degTable = degrees(edges)
     val b = degTable.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-      max(col("deg")).as("d")).collect()(0)
+      max(col("deg")).as("d"), count(lit(1)).as("n")).collect()(0)
     val packs = !b.isNullAt(0) && b.getLong(0) >= 0L &&
       b.getLong(1) < (1L << 26) && b.getLong(2) < (1L << 27)
-    val deg = broadcast(degTable)
+    val deg = gatedBroadcast(degTable, b.getLong(3))
     val (rank1, rank2) =
       if (packs)
         (col("d1.deg").cast("double") * lit((1L << 26).toDouble) + col("s1"),
@@ -121,9 +151,10 @@ object Triangles {
 
   /** Exact triangle count: wedges (apex src; endpoints ordered by
     * dst_rank so the closing edge is oriented a→b) probed against
-    * the oriented edge list. Both joins broadcast the skinny edge
-    * list; the wedge stream is generated and probed inside one
-    * pipeline, never materialized. Returns a 1-row (n_triangles)
+    * the oriented edge list. Both joins broadcast-HINT the skinny
+    * edge list only under the measured [[BroadcastMaxRowsKey]] gate;
+    * the wedge stream is generated and probed inside one pipeline,
+    * never materialized. Returns a 1-row (n_triangles)
     * frame; the count executes eagerly so the edge cache's lifecycle
     * stays inside this call.
     *
@@ -148,28 +179,35 @@ object Triangles {
     val e = oriented.select(col("src"), col("dst"), col("dst_rank"))
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val bounds = e.agg(min(least(col("src"), col("dst"))).as("lo"),
-        max(greatest(col("src"), col("dst"))).as("hi")).collect()(0)
-      val packable = !bounds.isNullAt(0) &&
-        bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 32)
-      val wedges = e.as("e1").join(broadcast(e.as("e2")),
-        col("e1.src") === col("e2.src") &&
-          col("e1.dst_rank") < col("e2.dst_rank"))
-      val n =
-        if (packable) {
-          val closing = e.select(
-            shiftleft(col("src"), 32).bitwiseOR(col("dst")).as("ab"))
-          wedges.select(
-              shiftleft(col("e1.dst"), 32).bitwiseOR(col("e2.dst")).as("ab"))
-            .join(broadcast(closing), Seq("ab"), "left_semi")
-            .count()
-        } else
-          wedges.select(col("e1.dst").as("a"), col("e2.dst").as("b"))
-            .join(broadcast(e.select(col("src").as("a"), col("dst").as("b"))),
-              Seq("a", "b"), "left_semi")
-            .count()
-      Seq(n).toDF("n_triangles")
-    } finally { e.unpersist(); () }
+    try Seq(closedWedges(e).count()).toDF("n_triangles")
+    finally { e.unpersist(); () }
+  }
+
+  /** The closed-wedge probe over an already-materialized oriented
+    * edge frame — one output row per triangle; `count()` it for the
+    * total. Package-private so TrianglesSpec can assert the physical
+    * shape (hint under the gate → BroadcastExchange; over it → none). */
+  private[graft] def closedWedges(e: DataFrame): DataFrame = {
+    val bounds = e.agg(min(least(col("src"), col("dst"))).as("lo"),
+      max(greatest(col("src"), col("dst"))).as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    val packable = !bounds.isNullAt(0) &&
+      bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 32)
+    val nEdges = bounds.getLong(2)
+    val wedges = e.as("e1").join(gatedBroadcast(e.as("e2"), nEdges),
+      col("e1.src") === col("e2.src") &&
+        col("e1.dst_rank") < col("e2.dst_rank"))
+    if (packable) {
+      val closing = e.select(
+        shiftleft(col("src"), 32).bitwiseOR(col("dst")).as("ab"))
+      wedges.select(
+          shiftleft(col("e1.dst"), 32).bitwiseOR(col("e2.dst")).as("ab"))
+        .join(gatedBroadcast(closing, nEdges), Seq("ab"), "left_semi")
+    } else
+      wedges.select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+        .join(
+          gatedBroadcast(e.select(col("src").as("a"), col("dst").as("b")),
+            nEdges),
+          Seq("a", "b"), "left_semi")
   }
 }

@@ -73,6 +73,57 @@ class TrianglesSpec extends AnyFunSuite {
     assert(triDeg == bruteTriangles(local))
   }
 
+  test("orientByKey stays exact for keys at and beyond 2^53 (long rank, no double cast)") {
+    import spark.implicits._
+    // adjacent longs at 2^53 collide when cast to double (ulp = 2):
+    // with a double dst_rank the strict < wedge predicate would drop
+    // the {5, a, a+1} wedge at apex 5 and undercount
+    val a = 1L << 53
+    val local = Seq((5L, a), (5L, a + 1), (a, a + 1))
+    val edges = local.toDF("s1", "s2")
+    val triKey = scalar(Triangles.triangleCount(Triangles.orientByKey(edges)))
+    val triDeg = scalar(Triangles.triangleCount(Triangles.orientByDegree(edges)))
+    assert(triKey == 1L)
+    assert(triDeg == triKey)
+    assert(triKey == bruteTriangles(local))
+  }
+
+  test("broadcast hints are size-gated: identical counts and the plan flips at the threshold") {
+    val edges = Triangles.supplierCooccurrence(
+      Tables.table(spark, "/root/testdata/sf0.001", "lineitem"),
+      minPrice = Some(90000.0))
+
+    def probe(): (Long, String) = {
+      val e = Triangles.orientByDegree(edges).persist()
+      try {
+        val p = Triangles.closedWedges(e)
+        (p.count(), p.queryExecution.executedPlan.toString)
+      } finally { e.unpersist(); () }
+    }
+
+    // under the (default, 32M-row) gate the hint is emitted
+    val (nHint, planHint) = probe()
+    assert(planHint.contains("BroadcastExchange"), planHint)
+    val triHint = scalar(Triangles.triangleCount(Triangles.orientByDegree(edges)))
+
+    // over the gate (threshold 0 makes this edge list "too big"),
+    // with auto-broadcast disabled so AQE cannot re-introduce a
+    // broadcast on the tiny test graph: same counts, no hint — the
+    // plan degrades to shuffled joins instead of aborting
+    spark.conf.set(Triangles.BroadcastMaxRowsKey, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (nGated, planGated) = probe()
+      assert(nGated == nHint)
+      assert(!planGated.contains("BroadcastExchange"), planGated)
+      val triGated = scalar(Triangles.triangleCount(Triangles.orientByDegree(edges)))
+      assert(triGated == triHint)
+    } finally {
+      spark.conf.unset(Triangles.BroadcastMaxRowsKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("eng_triangles_deg reports consistent exact counts") {
     val row = EngineOps.queries("eng_triangles_deg")(spark, "/root/testdata/sf0.001")
       .collect()(0)
