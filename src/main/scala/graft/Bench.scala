@@ -51,9 +51,9 @@ object Bench {
     // passes separated by the full inventory (~minutes) cannot — no
     // single window owns both samples of any query. Queries whose
     // min-of-2 is still slow get a third pass, also interleaved. A
-    // query that throws is recorded as failed (value -1) and excluded
-    // from the headline total — a regression must not read as a
-    // speedup.
+    // query that throws in ALL its samples is recorded as failed
+    // (value -1) and excluded from the headline total — a regression
+    // must not read as a speedup.
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       val ok =
@@ -75,21 +75,26 @@ object Bench {
       }.toMap
     val p1 = pass("pass1", ordered)
     val p2 = pass("pass2", ordered)
-    def minOk(samples: Seq[Double]): Double =
-      if (samples.exists(_ < 0)) -1.0 else samples.min
     val after2: Map[String, Double] =
-      ordered.map(n => n -> minOk(Seq(p1(n), p2(n)))).toMap
-    // a third interleaved sample for entries that are still slow OR
-    // whose two samples disagree (BenchUtil.disagree). Extra samples
-    // only ever REFINE an established measurement (BenchUtil.refine):
-    // a transient pass-3/4 failure on a query that already holds two
-    // valid samples must not flip it to "failed" and drop it from the
-    // headline — a regression (or a flake) must not read as a speedup.
+      ordered.map(n => n -> BenchUtil.minOk(p1(n), p2(n))).toMap
+    // a third interleaved sample for entries that are still slow,
+    // whose two samples disagree (BenchUtil.disagree), OR where
+    // exactly one primary pass failed — a transient flake must
+    // neither permanently mark a query failed (the old any-failure
+    // rule left no path back to the headline: such pairs could
+    // never reach pass 3) nor stand as a single un-replicated
+    // sample (BenchUtil.combine demands the resample replicate
+    // success). Extra samples only ever REFINE an established
+    // measurement (BenchUtil.refine): a transient pass-3/4 failure
+    // on a query that already holds valid samples must not flip it
+    // to "failed" and drop it from the headline — a regression (or
+    // a flake) must not read as a speedup.
     val stragglers = ordered.filter(n =>
-      after2(n) > 2.5 || BenchUtil.disagree(p1(n), p2(n)))
+      after2(n) > 2.5 || BenchUtil.disagree(p1(n), p2(n)) ||
+        BenchUtil.oneFailed(p1(n), p2(n)))
     val p3 = pass("pass3", stragglers)
     val after3: Map[String, Double] = ordered.map { n =>
-      n -> BenchUtil.refine(after2(n), p3.get(n))
+      n -> BenchUtil.combine(p1(n), p2(n), p3.get(n))
     }.toMap
     // BENCH_r04 showed a contention window can outlive even the third
     // sample (a 0.24 s query read 5.1 s official) — entries still slow
@@ -97,8 +102,22 @@ object Bench {
     // slow entries are few, so the extra pass is bounded
     val stragglers2 = ordered.filter(n => after3(n) > 2.5)
     val p4 = pass("pass4", stragglers2)
-    val results: Seq[(String, Double)] = ordered.map { n =>
+    val after4: Map[String, Double] = ordered.map { n =>
       n -> BenchUtil.refine(after3(n), p4.get(n))
+    }.toMap
+    // Whole-run escalation (r8 judge directive): when the sentinel
+    // says the run was host-contended (spread ≥ 2×), the slowest
+    // decile — the entries carrying the headline — gets one more
+    // interleaved pass and is min-spliced. The run is still REPORTED
+    // dirty via the top-level flag below; the extra pass just
+    // minimizes the damage a contention window did to the total.
+    val worstDecile =
+      if (BenchUtil.isDirty(sentinel.samples))
+        ordered.sortBy(n => -after4(n)).take(math.max(1, ordered.size / 10))
+      else Seq.empty[String]
+    val p5 = pass("pass5", worstDecile)
+    val results: Seq[(String, Double)] = ordered.map { n =>
+      n -> BenchUtil.refine(after4(n), p5.get(n))
     }
 
     // optional per-operator profile dump (M5): PROFILE_OUT=<path.csv>
@@ -120,7 +139,7 @@ object Bench {
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$fullJson,"engine_ops_sec":$engine,"failed":$failedJson,${BenchUtil.sentinelJson(sentinel.samples)},"sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$fullJson,"engine_ops_sec":$engine,"failed":$failedJson,"dirty":${BenchUtil.isDirty(sentinel.samples)},${BenchUtil.sentinelJson(sentinel.samples)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     System.err.println(s"[bench] full result: $fullLine")
 
@@ -143,7 +162,11 @@ object Bench {
     * size. */
   def printedLine(results: Seq[(String, Double)], headlineNames: Set[String],
                   sfDir: String, sentinel: Seq[Double] = Nil): String = {
-    val sentinelFrag = BenchUtil.sentinelJson(sentinel)
+    // top-level contention verdict, readable without parsing the
+    // sentinel block (r8 judge directive: the official JSON must be
+    // self-describing about host load)
+    val sentinelFrag =
+      s""""dirty":${BenchUtil.isDirty(sentinel)},${BenchUtil.sentinelJson(sentinel)}"""
     val failed = results.filter(_._2 < 0).map(_._1)
     val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val engine = results.filter(r => !headlineNames(r._1) && r._2 >= 0).map(_._2).sum

@@ -48,6 +48,43 @@ object BenchUtil {
       case _ => base
     }
 
+  /** Exactly one of the two primary samples failed — a transient
+    * flake OR a real intermittent error; the pair must be escalated
+    * to a third sample, never silently resolved either way. */
+  def oneFailed(a: Double, b: Double): Boolean = (a < 0) != (b < 0)
+
+  /** min of the two primary samples: both valid → min; exactly one
+    * valid → the valid one (max picks it, since the other is -1) —
+    * PROVISIONAL, callers must escalate via [[oneFailed]]; both
+    * failed → -1. Replaces the old any-failure→failed rule, which
+    * let a single pass-1/2 flake permanently mark a query failed
+    * with no path to pass 3 (stragglers need after2 > 2.5 and
+    * disagree needs both samples valid). */
+  def minOk(a: Double, b: Double): Double =
+    if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+
+  /** Full three-pass combine. A salvaged pair (one primary failed)
+    * REQUIRES the resample to replicate success: if it also failed,
+    * 2 of 3 samples failed and the entry is failed; otherwise the
+    * resample only refines (never flips an established measurement
+    * to failed — the [[refine]] rule). */
+  def combine(a: Double, b: Double, resample: Option[Double]): Double =
+    resample match {
+      case Some(x) if oneFailed(a, b) && x < 0 => -1.0
+      case r => refine(minOk(a, b), r)
+    }
+
+  /** A run whose sentinel spread is ≥ 2× (or whose floor collapsed
+    * to 0 — a malformed probe) was taken under external host load:
+    * callers surface this as a top-level `dirty` flag so the JSON is
+    * self-describing without opening the sentinel block. Matches the
+    * tools/bench_diff.py refusal gate. */
+  def isDirty(samples: Seq[Double]): Boolean =
+    samples.nonEmpty && {
+      val mn = samples.min
+      mn <= 0 || samples.max / mn >= 2.0
+    }
+
   /** `"sentinel":{...}` JSON fragment (no surrounding comma): min is
     * the quiet floor, max/min the contention spread over the run. */
   def sentinelJson(samples: Seq[Double]): String =

@@ -19,7 +19,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(cores: String = "4"): SparkSession.Builder = {
+  /** `master` defaults to `local[cores]`. The LOCAL-ONLY AQE tunings
+    * (1 MB advisory size, size-first coalescing — FloorLab-measured on
+    * the single-node rig) are applied only when the resolved master is
+    * local: a caller reusing this builder with a cluster master gets
+    * Spark's production defaults (64 MB advisory) instead of a
+    * pathological 1 MB reducer size at 100 TB. */
+  def builder(cores: String = "4", master: String = ""): SparkSession.Builder = {
+    val resolvedMaster = if (master.nonEmpty) master else s"local[$cores]"
     // Hive-compatible catalog (the north-star "Spark SQL + Hive
     // metastore" layer): managed/external tables, databases, and
     // DDL resolve through a real HMS client. The embedded derby
@@ -27,8 +34,8 @@ object GraftSession {
     // contend on derby's single-instance lock; a cluster deployment
     // points ConnectionURL at the shared metastore instead.
     val metastoreDir = s"${System.getProperty("java.io.tmpdir")}/graft_metastore_${ProcessHandle.current().pid()}"
-    SparkSession.builder()
-      .master(s"local[$cores]")
+    val common = SparkSession.builder()
+      .master(resolvedMaster)
       .appName("graft")
       // engine optimizer passes (e.g. HOF dot-product fold →
       // codegen'd VecDotExpr); cluster deployments can equivalently
@@ -51,29 +58,31 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Coalesce to the advisory partition SIZE instead of padding
-      // out to default parallelism (the Spark-docs-recommended
-      // production setting): small post-shuffle stages collapse to
-      // few tasks instead of fanning 32 near-empty ones. Measured
-      // (FloorLab, interleaved A/B over the full headline set,
-      // sf0.1): −15% vs parallelism-first at the same advisory size.
-      // At cluster scale this is what keeps reducer counts
-      // proportional to data, not to spark.sql.shuffle.partitions.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      // LOCAL-MODE advisory size: on a single 32-thread node the
-      // sub-GB bench stages need small reducers to keep the cores
-      // busy — 1 MB beats the 64 MB default by another −13% headline
-      // (FloorLab: 61.1 s vs 72.1 s) and un-serializes few-group
-      // aggregates like qa16's 3-group exact percentile (3.6 MB of
-      // buffers → 1 task at 64 MB). A CLUSTER deployment must keep
-      // the 64-256 MB default via --conf: 1 MB reducers at 100 TB
-      // would explode the task count — this value is sized to the
-      // local[32] test rig the builder hard-codes two lines up, and
-      // travels with that master setting, not with the engine.
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+    localTunings(resolvedMaster).foldLeft(common) {
+      case (b, (k, v)) => b.config(k, v)
+    }
   }
+
+  /** LOCAL-ONLY AQE tunings, empty for any cluster master.
+    *  - Size-first coalescing: small post-shuffle stages collapse to
+    *    few tasks instead of fanning 32 near-empty ones. Measured
+    *    (FloorLab, interleaved A/B over the full headline set,
+    *    sf0.1): −15% vs parallelism-first at the same advisory size.
+    *  - 1 MB advisory size: on a single 32-thread node the sub-GB
+    *    bench stages need small reducers to keep the cores busy —
+    *    1 MB beats the 64 MB default by another −13% headline
+    *    (FloorLab: 61.1 s vs 72.1 s) and un-serializes few-group
+    *    aggregates like qa16's 3-group exact percentile (3.6 MB of
+    *    buffers → 1 task at 64 MB). 1 MB reducers at 100 TB would
+    *    explode the task count, so a cluster session keeps Spark's
+    *    64 MB default (tune via --conf). */
+  private[graft] def localTunings(master: String): Seq[(String, String)] =
+    if (!master.startsWith("local")) Nil
+    else Seq(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m")
 
   def create(cores: String = "4"): SparkSession = {
     val s = builder(cores).getOrCreate()

@@ -98,15 +98,17 @@ object ScaleBench {
     val p2 = pass("pass2", keys)
     // a third interleaved sample where the first two disagree >1.5x
     // (the r7 sf2 audit flag: qj1's 7.9x ratio sat on one noisy
-    // denominator sample). The resample only ever refines — a
-    // transient pass-3 failure must not mark an entry with two valid
-    // samples as failed (BenchUtil.refine discards negative extras).
-    val unstable = keys.filter(k => BenchUtil.disagree(p1(k), p2(k)))
+    // denominator sample) OR where exactly one pass failed (a flake
+    // must neither permanently fail the entry nor stand as a single
+    // un-replicated sample — BenchUtil.combine). The resample only
+    // ever refines an established measurement: a transient pass-3
+    // failure must not mark an entry with two valid samples as
+    // failed (BenchUtil.refine discards negative extras).
+    val unstable = keys.filter(k =>
+      BenchUtil.disagree(p1(k), p2(k)) || BenchUtil.oneFailed(p1(k), p2(k)))
     val p3 = pass("pass3", unstable)
     def best(k: (String, String)): Double =
-      BenchUtil.refine(
-        if (p1(k) < 0 || p2(k) < 0) -1.0 else math.min(p1(k), p2(k)),
-        p3.get(k))
+      BenchUtil.combine(p1(k), p2(k), p3.get(k))
 
     def j(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -150,19 +152,19 @@ object ScaleBench {
     // same disagreement escalation as the main sweep: a ratio whose
     // numerator and denominator each rest on two agreeing samples is
     // evidence; one noisy side misread qj16 as 1.48x (min-of-3: 1.13x)
-    val i3 = implPass(overridden.filter(q => BenchUtil.disagree(i1(q.name), i2(q.name))))
-    val s3 = sqlPass(overridden.filter(q => BenchUtil.disagree(s1(q.name), s2(q.name))))
+    val i3 = implPass(overridden.filter(q =>
+      BenchUtil.disagree(i1(q.name), i2(q.name)) || BenchUtil.oneFailed(i1(q.name), i2(q.name))))
+    val s3 = sqlPass(overridden.filter(q =>
+      BenchUtil.disagree(s1(q.name), s2(q.name)) || BenchUtil.oneFailed(s1(q.name), s2(q.name))))
     val vsBaseline = overridden.map { q =>
-      def two(a: Double, b: Double): Double =
-        if (a < 0 || b < 0) -1.0 else math.min(a, b)
-      val impl = BenchUtil.refine(two(i1(q.name), i2(q.name)), i3.get(q.name))
-      val sql = BenchUtil.refine(two(s1(q.name), s2(q.name)), s3.get(q.name))
+      val impl = BenchUtil.combine(i1(q.name), i2(q.name), i3.get(q.name))
+      val sql = BenchUtil.combine(s1(q.name), s2(q.name), s3.get(q.name))
       val ratio = if (impl > 0 && sql > 0) impl / sql else -1.0
       s""""${q.name}":{"impl_sec":${j(impl)},"sql_sec":${j(sql)},"impl_vs_sql":${j(ratio)}}"""
     }.mkString("{", ",", "}")
 
     val line =
-      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"impl_vs_baseline_sf1":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)},${BenchUtil.sentinelJson(sentinel.samples)}}"""
+      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"impl_vs_baseline_sf1":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)},"dirty":${BenchUtil.isDirty(sentinel.samples)},${BenchUtil.sentinelJson(sentinel.samples)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     println(line)

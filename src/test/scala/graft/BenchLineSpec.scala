@@ -56,6 +56,35 @@ class BenchLineSpec extends AnyFunSuite {
     assert(BenchUtil.refine(-1.0, Some(0.2)) == -1.0) // p1/p2 failure stands
   }
 
+  test("one-sided pass failure is salvageable under the replicate rule") {
+    assert(BenchUtil.oneFailed(-1.0, 0.3) && BenchUtil.oneFailed(0.3, -1.0))
+    assert(!BenchUtil.oneFailed(0.3, 0.4) && !BenchUtil.oneFailed(-1.0, -1.0))
+    assert(BenchUtil.minOk(0.3, 0.4) == 0.3)
+    assert(BenchUtil.minOk(-1.0, 0.3) == 0.3) // provisional — combine() arbitrates
+    assert(BenchUtil.minOk(-1.0, -1.0) == -1.0)
+    // salvaged pair + resample that replicates success → min of valid
+    assert(BenchUtil.combine(-1.0, 0.3, Some(0.2)) == 0.2)
+    assert(BenchUtil.combine(0.3, -1.0, Some(0.5)) == 0.3)
+    // salvaged pair + failed resample → 2 of 3 samples failed → failed
+    assert(BenchUtil.combine(-1.0, 0.3, Some(-1.0)) == -1.0)
+    // an established pair is never flipped to failed by a flaky extra
+    assert(BenchUtil.combine(0.3, 0.4, Some(-1.0)) == 0.3)
+    // a both-failed pair stays failed (no resample is even requested)
+    assert(BenchUtil.combine(-1.0, -1.0, None) == -1.0)
+  }
+
+  test("dirty flag: spread >= 2x or collapsed floor, printed at top level") {
+    assert(!BenchUtil.isDirty(Nil))
+    assert(!BenchUtil.isDirty(Seq(0.1, 0.15)))
+    assert(BenchUtil.isDirty(Seq(0.1, 0.25)))
+    assert(BenchUtil.isDirty(Seq(0.0, 0.1))) // floor collapsed: never clean
+    val results = names.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 17) * 0.37) }
+    val clean = Bench.printedLine(results, headline, "sf", Seq(0.1, 0.15))
+    val contended = Bench.printedLine(results, headline, "sf", Seq(0.1, 0.5))
+    assert(clean.contains("\"dirty\":false,\"sentinel\":"), clean)
+    assert(contended.contains("\"dirty\":true,\"sentinel\":"), contended)
+  }
+
   // production lines ALWAYS carry a sentinel fragment (pass 1 records
   // at least one probe) — the budget tests must include it or they
   // certify lines ~80 chars shorter than the real ones

@@ -11,9 +11,16 @@ gate. Times under 0.3 s are floor-dominated noise and are skipped.
 
 Contention gate: if either snapshot carries a `sentinel` block (the
 fixed trivial probe Bench times throughout the run) and its spread
-(max/min) is >= 2, the run was taken under external host load — the
-tool reports the dirty sentinel and REFUSES to declare regressions
-(exit 2): a diff against a contended run says nothing about plans.
+(max/min) is >= 2 — or is non-positive, which means the probe floor
+collapsed to 0 or the block is malformed, either way not evidence of
+a quiet host — the run was taken under external host load: the tool
+reports the dirty sentinel and REFUSES to declare regressions.
+
+Exit codes (for gate callers): 0 = clean diff, no regressions past
+the threshold; 1 = at least one regression declared (both snapshots
+had credible sentinels); 2 = refused to judge — a sentinel was dirty
+or unreadable, so the diff says nothing about plans. Treat 2 as
+"re-measure", not as "regressed".
 """
 import json
 import sys
@@ -29,10 +36,23 @@ def dirty(label, sentinel, limit=2.0):
     if not sentinel:
         return False  # pre-sentinel snapshot: nothing to gate on
     spread = float(sentinel.get("spread", -1))
+    # spread <= 0 with a PRESENT sentinel block is never clean: Bench
+    # emits spread=-1 when the probe floor collapsed to 0 (maximal
+    # contention), and a block missing the key entirely is malformed —
+    # recompute from min/max when possible rather than waving it through
+    if spread <= 0:
+        mn = float(sentinel.get("min", 0) or 0)
+        mx = float(sentinel.get("max", -1) or -1)
+        if mn > 0 and mx > 0:
+            spread = mx / mn
+        else:
+            print(f"DIRTY {label}: sentinel block present but unreadable "
+                  f"({sentinel}) — cannot certify a quiet host; not declaring regressions")
+            return True
     if spread >= limit:
         print(f"DIRTY {label}: sentinel spread {spread:.2f}x "
-              f"(min {sentinel['min']}s, max {sentinel['max']}s, "
-              f"n {sentinel['n']}) — host was contended; not declaring regressions")
+              f"(min {sentinel.get('min')}s, max {sentinel.get('max')}s, "
+              f"n {sentinel.get('n')}) — host was contended; not declaring regressions")
         return True
     return False
 
