@@ -694,10 +694,16 @@ object EngineOps {
     * SHOW PARTITIONS, ALTER TABLE DROP PARTITION, then an
     * OUT-OF-BAND directory landing (files copied under day=… without
     * the catalog's knowledge — the classic backfill-by-distcp move)
-    * reconciled by MSCK REPAIR TABLE. The per-stage census (partition
-    * count from SHOW PARTITIONS + row count through the catalog
-    * table) is exact and golden-stable; at 100 TB each stage is a
-    * metastore-only operation except the bounded two-day insert. */
+    * reconciled by MSCK REPAIR TABLE, and finally metastore-path
+    * SCHEMA EVOLUTION: ALTER TABLE ADD COLUMNS (quality DOUBLE) — the
+    * catalog twin of eng_schema_merge's datasource mergeSchema — with
+    * a fresh partition inserted under the widened schema; partitions
+    * written before the ALTER read NULL for the new column (the
+    * census's non-null count pins both regimes). The per-stage census
+    * (partition count from SHOW PARTITIONS + row count + non-null
+    * quality count through the catalog table) is exact and
+    * golden-stable; at 100 TB each stage is a metastore-only
+    * operation except the bounded per-day inserts. */
   private def hivePartitionedDdl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = t(spark, dir, "events")
@@ -716,10 +722,14 @@ object EngineOps {
     ev.filter(col("day").isin(d0, d1))
       .select(col("event_id"), col("event_type"), col("value"), col("day"))
       .write.insertInto("graft_cat.events_part")
-    def census(stage: String): (String, Long, Long) = {
+    def census(stage: String): (String, Long, Long, Long) = {
       val nPart = spark.sql("SHOW PARTITIONS graft_cat.events_part").count()
-      val nRows = spark.table("graft_cat.events_part").count()
-      (stage, nPart, nRows)
+      val tbl = spark.table("graft_cat.events_part")
+      val nRows = tbl.count()
+      // pre-ALTER stages have no quality column yet → 0 by definition
+      val nQuality = if (tbl.columns.contains("quality"))
+        tbl.filter(col("quality").isNotNull).count() else 0L
+      (stage, nPart, nRows, nQuality)
     }
     val s1 = census("1_insert_2_days")
     spark.sql(s"ALTER TABLE graft_cat.events_part DROP PARTITION (day='$d1')")
@@ -735,8 +745,110 @@ object EngineOps {
     val s3 = census("3_outofband_unseen")
     spark.sql("MSCK REPAIR TABLE graft_cat.events_part")
     val s4 = census("4_msck_discovered")
-    Seq(s1, s2, s3, s4).toDF("stage", "n_partitions", "n_rows")
+    // schema evolution through the catalog: widen, then land the
+    // (earlier-dropped) middle day under the NEW schema — its rows
+    // carry quality values, every pre-ALTER partition reads NULL
+    spark.sql("ALTER TABLE graft_cat.events_part ADD COLUMNS (quality DOUBLE)")
+    ev.filter(col("day") === d1)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 2, 4).as("quality"), col("day"))
+      .write.insertInto("graft_cat.events_part")
+    val s5 = census("5_add_column_insert")
+    Seq(s1, s2, s3, s4, s5)
+      .toDF("stage", "n_partitions", "n_rows", "n_quality")
       .orderBy(col("stage"))
+  }
+
+  /** Cost-based-optimizer statistics surface: `ANALYZE TABLE …
+    * COMPUTE STATISTICS [FOR COLUMNS]` through the metastore, plus a
+    * plan decision that PROVABLY changes with the stats — the Spark
+    * analog of the reference's measured-cost placement
+    * (/root/reference/mlir_compiler/partitioner.py:26-52, where the
+    * cost model, not the op name, chooses the physical variant).
+    *
+    * Stage "1_no_stats": external catalog tables over the contract
+    * parquet, no statistics. The broadcast threshold is pinned to
+    * HALF the planner's file-size estimate of the filtered dim
+    * subtree, so the stats-blind plan (filter selectivity treated as
+    * 1.0) keeps a shuffled join. Stage "2_analyzed_cbo": ANALYZE
+    * (table + c_custkey/c_nationkey column stats) with
+    * spark.sql.cbo.enabled — FilterEstimation now shrinks the
+    * c_nationkey dim under that SAME threshold via NDV selectivity,
+    * and the SAME query plans a BroadcastHashJoin. Both stages
+    * execute; their join results must be identical (the flip is
+    * physical only) and are goldened beside the catalog censuses
+    * (rowCount, NDV). The require() guards the margin: a with-stats
+    * estimate that fails to undercut the threshold fails loudly
+    * instead of goldening a non-flip.
+    *
+    * At 100 TB: CREATE EXTERNAL is metastore-only, ANALYZE is a
+    * one-time scan (FOR COLUMNS piggybacks NDV/min/max on it); the
+    * payoff is every subsequent plan choosing broadcast/shuffle/
+    * reorder from measured rowCount+NDV instead of raw file bytes —
+    * exactly the decision this entry measures. */
+  private def cboStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confKeys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_cat")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.orders_cbo")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.customer_cbo")
+      // LOCATION ⇒ external: DROP above never touches the source data
+      spark.sql(s"CREATE TABLE graft_cat.orders_cbo USING parquet LOCATION '$dir/orders.parquet'")
+      spark.sql(s"CREATE TABLE graft_cat.customer_cbo USING parquet LOCATION '$dir/customer.parquet'")
+
+      def dimSide: DataFrame = spark.table("graft_cat.customer_cbo")
+        .filter(col("c_nationkey") === 3).select(col("c_custkey"))
+      def estimate: BigInt = dimSide.queryExecution.optimizedPlan.stats.sizeInBytes
+      // revenue in exact integer cents: a double sum is partition-
+      // order dependent and would destabilize the golden
+      def probe(): DataFrame = spark.table("graft_cat.orders_cbo")
+        .join(spark.table("graft_cat.customer_cbo").filter(col("c_nationkey") === 3),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("join_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("join_revenue_cents"))
+      def joinKind(df: DataFrame): String =
+        if (df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+          "broadcast" else "shuffled"
+      def catalogStats(): (Long, Long) = {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("customer_cbo", Some("graft_cat")))
+        (meta.stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L),
+          meta.stats.flatMap(_.colStats.get("c_nationkey"))
+            .flatMap(_.distinctCount).map(_.toLong).getOrElse(-1L))
+      }
+
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val estNoStats = estimate
+      val threshold = estNoStats / 2
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      val (rc1, ndv1) = catalogStats()
+      val plan1 = joinKind(probe())
+      val res1 = probe().collect()(0)
+
+      spark.sql("ANALYZE TABLE graft_cat.customer_cbo COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE graft_cat.customer_cbo COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
+      spark.sql("ANALYZE TABLE graft_cat.orders_cbo COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE graft_cat.orders_cbo COMPUTE STATISTICS FOR COLUMNS o_custkey")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val estWithStats = estimate
+      require(estWithStats < threshold,
+        s"with-stats estimate $estWithStats did not undercut threshold $threshold (no-stats $estNoStats)")
+      val (rc2, ndv2) = catalogStats()
+      val plan2 = joinKind(probe())
+      val res2 = probe().collect()(0)
+
+      Seq(
+        ("1_no_stats", rc1, ndv1, plan1, res1.getLong(0), res1.getLong(1)),
+        ("2_analyzed_cbo", rc2, ndv2, plan2, res2.getLong(0), res2.getLong(1)))
+        .toDF("stage", "customer_rows", "ndv_nationkey", "probe_join",
+          "join_rows", "join_revenue_cents")
+        .orderBy(col("stage"))
+    } finally
+      saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   /** Degree-oriented triangle counting (operators/Triangles, Schank
@@ -1954,6 +2066,7 @@ object EngineOps {
     "eng_pagerank" -> pagerank,
     "eng_triangles_deg" -> trianglesDeg,
     "eng_hive_partitioned_ddl" -> hivePartitionedDdl,
+    "eng_cbo_stats" -> cboStats,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,
     "eng_streaming_sessions" -> streamingSessions,

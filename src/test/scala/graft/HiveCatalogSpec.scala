@@ -56,26 +56,68 @@ class HiveCatalogSpec extends AnyFunSuite {
     assert(ddl.contains("CREATE VIEW") && ddl.contains("ctas_t"), ddl)
   }
 
-  test("partitioned DDL: insert, SHOW PARTITIONS, DROP PARTITION, MSCK REPAIR") {
+  test("partitioned DDL: insert, SHOW PARTITIONS, DROP PARTITION, MSCK, ADD COLUMNS") {
     val dir = "/root/testdata/sf0.001"
     val out = EngineOps.queries("eng_hive_partitioned_ddl")(TestSpark.spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     val ev = Tables.table(spark, dir, "events")
       .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
     val perDay = ev.groupBy(col("day")).count().orderBy(col("day")).limit(3)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val Seq(n0, n1, n2) = perDay.map(_._2).toSeq
-    assert(out("1_insert_2_days") == (2L, n0 + n1))
-    assert(out("2_drop_partition") == (1L, n0))
+    assert(out("1_insert_2_days") == (2L, n0 + n1, 0L))
+    assert(out("2_drop_partition") == (1L, n0, 0L))
     // out-of-band files exist on disk but the catalog can't see them yet
-    assert(out("3_outofband_unseen") == (1L, n0))
+    assert(out("3_outofband_unseen") == (1L, n0, 0L))
     // MSCK reconciles: the landed day appears with its full row count
-    assert(out("4_msck_discovered") == (2L, n0 + n2))
+    assert(out("4_msck_discovered") == (2L, n0 + n2, 0L))
+    // schema evolution: after ALTER TABLE ADD COLUMNS + inserting the
+    // middle day under the widened schema, only that day's rows carry
+    // quality — both pre-ALTER partitions read NULL
+    assert(out("5_add_column_insert") == (3L, n0 + n1 + n2, n1))
     // and the discovered partition is queryable with partition pruning
     val d2 = perDay(2)._1
     val pruned = spark.sql(
       s"SELECT count(*) FROM graft_cat.events_part WHERE day = '$d2'")
       .collect().head.getLong(0)
     assert(pruned == n2)
+    // per-partition read-back across the schema boundary: exactly the
+    // post-ALTER day has quality == count(*), the old days read 0
+    val byDay = spark.sql(
+      """SELECT day, count(quality) AS q, count(*) AS n
+        |FROM graft_cat.events_part GROUP BY day ORDER BY day""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val d0 = perDay(0)._1
+    val d1 = perDay(1)._1
+    assert(byDay(d0) == (0L, n0))
+    assert(byDay(d1) == (n1, n1))
+    assert(byDay(d2) == (0L, n2))
+  }
+
+  test("ANALYZE TABLE stats flip the filtered dim join to broadcast (eng_cbo_stats)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EngineOps.queries("eng_cbo_stats")(TestSpark.spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5))).toMap
+    val (rc1, ndv1, plan1, jr1, rev1) = rows("1_no_stats")
+    val (rc2, ndv2, plan2, jr2, rev2) = rows("2_analyzed_cbo")
+    // without statistics the planner sees no reason to broadcast the
+    // filtered dim (threshold pinned under its file-size estimate)
+    assert(rc1 == -1L && ndv1 == -1L)
+    assert(plan1 == "shuffled")
+    // ANALYZE + CBO: exact rowCount lands in the catalog, NDV-based
+    // filter selectivity shrinks the dim under the same threshold,
+    // and the identical query now plans a broadcast join
+    val nCustomer = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(rc2 == nCustomer)
+    assert(ndv2 > 0)
+    assert(plan2 == "broadcast")
+    // the flip is physical only: both plans return identical results
+    assert(jr1 == jr2 && jr1 > 0)
+    assert(rev1 == rev2)
+    // the session's cbo/threshold confs are restored after the entry
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760b"
+      || spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10MB")
   }
 }
