@@ -34,6 +34,8 @@ object PlanAudit {
       "The correlated LATERAL subquery decorrelates: no CartesianProduct; the per-outer-row LIMIT plans as the same window-group-limit family as qt2.",
     "qj11_exists_subq" ->
       "EXISTS / NOT EXISTS decorrelate to one left-semi plus one left-anti hash join on o_custkey — subqueries never execute per outer row.",
+    "qj16_waiting_supplier" ->
+      "Override replaces the semi+anti decorrelated self-joins (4 lineitem-scale shuffles, 3 scans) with per-order top-2 supplier shipdate maxima: two Exchanges of one slim line projection, the per-order collect_list bounded by lines-per-order, supplier attached as BroadcastHashJoin, TakeOrderedAndProject for the top-20.",
     "eng_lm_score" ->
       "Scoring is a shuffle-free compiled projection (lm_score in the plan): the only Exchange aggregates the per-lang report rows. The model build (one explode + vocab-capped aggregate) runs once per session, cached like the IVF codebook.",
     "eng_bucketed_star" ->

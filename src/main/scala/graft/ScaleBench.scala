@@ -130,11 +130,13 @@ object ScaleBench {
     // spark.sql spelling at sf1 (min-of-2 interleaved, same defense).
     // The budget is impl <= 2x SQL; overrides exist to WIN at scale
     // (skyline, range/interval joins), so most ratios sit below 1.
-    // subset runs (SPARK_GRAFT_SCALE_ONLY) are targeted scale points —
-    // skip the impl-vs-SQL section, it belongs to the full sf1 sweep
-    val overridden =
-      if (sys.env.contains("SPARK_GRAFT_SCALE_ONLY")) Seq.empty[Q]
-      else QueryInventory.all.filter(_.impl.isDefined)
+    // A subset run (SPARK_GRAFT_SCALE_ONLY) measures impl-vs-SQL only
+    // for overridden queries IN the subset — that's how one drifting
+    // override (r8: qj16) gets a targeted gate-clean re-measure
+    // without paying for a full sweep.
+    val subset = sys.env.contains("SPARK_GRAFT_SCALE_ONLY")
+    val overridden = QueryInventory.all.filter(_.impl.isDefined)
+      .filter(q => !subset || entriesRun.contains(q.name))
     def onceBaseline(q: Q): Double = {
       val t0 = System.nanoTime()
       try { Tables.register(spark, sf1)

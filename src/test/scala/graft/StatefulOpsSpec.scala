@@ -373,6 +373,36 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(out.values.sum > 0)
   }
 
+  test("sessions + dedup are provider-uniform: HDFS-backed and RocksDB state stores agree") {
+    // eng_ema_stateful already exercises transformWithState on
+    // RocksDB; this matrix makes the 100 TB state story uniform for
+    // the remaining stateful entries — the session-window aggregation
+    // and the watermarked dedup run on BOTH providers (fresh
+    // checkpoints, so each run picks up the session conf) and must
+    // produce identical results
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def run(): (Seq[String], Seq[String]) = (
+      EngineOps.queries("eng_streaming_sessions")(spark, dir)
+        .collect().map(_.toString).toSeq,
+      EngineOps.queries("eng_streaming_dedup")(spark, dir)
+        .collect().map(_.toString).toSeq)
+    try {
+      spark.conf.unset(key) // Spark default: HDFSBackedStateStoreProvider
+      val (sessH, dedupH) = run()
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val (sessR, dedupR) = run()
+      assert(sessH.nonEmpty && dedupH.nonEmpty)
+      assert(sessH == sessR)
+      assert(dedupH == dedupR)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("eng_stream_recovery restarts exactly-once from the checkpoint") {
     val rows = EngineOps.queries("eng_stream_recovery")(
       spark, "/root/testdata/sf0.001").collect()
