@@ -872,7 +872,15 @@ object EngineOps {
         operators.Triangles.orientByKey(edges)).collect()(0).getLong(0)
       val byDeg = operators.Triangles.orientByDegree(edges)
       val wDeg = operators.Triangles.wedgeCount(byDeg).collect()(0).getLong(0)
-      val tri = operators.Triangles.triangleCount(byDeg).collect()(0).getLong(0)
+      // work-gated count: the blocks of this graph are ~91% dense at
+      // bench scale, so the per-component complement identity wins;
+      // the wedge censuses above still report the DIRECT orientation
+      // work (the delta between orientations is the operator's
+      // headline number), and (nEdges, wDeg) feed the route's cost
+      // probe so it isn't measured twice
+      val tri = operators.Triangles
+        .triangleCountAuto(edges, knownWork = Some((nEdges, wDeg)))
+        .collect()(0).getLong(0)
       import spark.implicits._
       Seq((nEdges, wKey, wDeg, tri))
         .toDF("n_edges", "wedges_key", "wedges_deg", "n_triangles")

@@ -183,6 +183,149 @@ object Triangles {
     finally { e.unpersist(); () }
   }
 
+  /** Per-component density gate for [[triangleCountAuto]]: complement
+    * a component when more than half of its vertex pairs are edges
+    * (m_c > C(n_c,2)/2 ⇒ its complement has fewer edges) — the gate
+    * implies the n_c²/2 candidate pairs are < 2·m_c, so complement
+    * generation is proportional to the edges it replaces. The n cap
+    * bounds candidate generation on adversarial inputs. Chosen from
+    * MEASURED counts, the partitioner.py:84-87 discipline. */
+  private[graft] def useComplement(n: Long, m: Long): Boolean =
+    n >= 3 && n <= ComplementMaxVerts && m > n * (n - 1) / 4
+
+  private val ComplementMaxVerts = 100000L
+
+  /** Work-gated exact triangle count. Dense graphs make the direct
+    * wedge probe quadratic-ish in degree — the unfiltered supplier
+    * co-occurrence graph probes 1.35e8 wedges at sf0.1 — while each
+    * dense region's COMPLEMENT is sparse. Triangles never cross
+    * connected components, so the count decomposes as Σ_c T(G_c),
+    * and for a dense component the triple/wedge inclusion–exclusion
+    * identity (count vertex triples by how many of their 3 pairs are
+    * edges):
+    *
+    *   T(G_c) = C(n_c,3) − m_c·(n_c−2) + Σ_v C(deg v, 2) − T(Ḡ_c)
+    *
+    * turns the count into three exact aggregates plus a Schank count
+    * on the sparse complement — wedge work O(m̄^1.5) instead of
+    * O(m^1.5). Route selection is all measured, never assumed:
+    *  1. if the direct orientation's wedge work (an aggregate — no
+    *     wedge is materialized) is ≤ directWorkFactor · m OR under
+    *     minWedgeWork in absolute terms, count directly: the
+    *     decomposition route carries ~5-8 s of fixed orchestration
+    *     (components, censuses, candidate anti-join — measured at
+    *     sf0.1, where direct probes 1.35e8 wedges in under 4 s and
+    *     the complement route LOSES; at 10× the wedges it wins by
+    *     ~1.5×), so the probe must be expensive enough to amortize
+    *     it — minWedgeWork defaults to 4e8 (~10 s of direct probe);
+    *  2. otherwise decompose into components
+    *     (DedupClusters.connectedComponents — single-task union-find
+    *     under 2M edges, pointer-jumping label propagation above) and
+    *     complement exactly the components passing [[useComplement]];
+    *     sparse components are counted directly as one union (they
+    *     are disjoint). A graph with heavy wedge work but no dense
+    *     component (e.g. skewed hubs) falls back to the direct count.
+    * The replicated bench graphs are the motivating case: sf1 is 10
+    * disjoint ~91%-dense blocks — globally 9% dense, so a whole-graph
+    * density test would miss them, but per-component the identity
+    * fires in every block. All routes are exact; TrianglesSpec
+    * asserts equality across the gate and against brute force. */
+  def triangleCountAuto(edges: DataFrame, directWorkFactor: Long = 16,
+                        minWedgeWork: Long = 400000000L,
+                        knownWork: Option[(Long, Long)] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("s1"), col("s2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // callers that already censused the graph (eng_triangles_deg
+      // reports edge and wedge counts anyway) pass (m, wDeg) through
+      // knownWork so the cost probe isn't paid twice
+      val (m, wDeg) = knownWork.getOrElse {
+        val mm = e.count()
+        (mm,
+          if (mm == 0) 0L
+          else wedgeCount(orientByDegree(e)).collect()(0).getLong(0))
+      }
+      if (wDeg <= directWorkFactor * m || wDeg <= minWedgeWork)
+        triangleCount(orientByDegree(e))
+      else {
+        val labels = DedupClusters.connectedComponents(e, "s1", "s2")
+          .select(col("node").as("v"), col("cluster").as("comp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nVerts = labels.count()
+          // per-edge component (s1's label; s2 shares it by definition)
+          val ec = e.join(
+              gatedBroadcast(labels.withColumnRenamed("v", "s1"), nVerts),
+              Seq("s1"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val census = labels.groupBy(col("comp")).agg(count(lit(1)).as("nc"))
+              .join(ec.groupBy(col("comp")).agg(count(lit(1)).as("mc")), Seq("comp"))
+              .join(degrees(e).join(gatedBroadcast(labels, nVerts), Seq("v"))
+                .groupBy(col("comp"))
+                .agg(coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0))
+                  .cast("long").as("wc")), Seq("comp"))
+              .withColumn("dense", col("nc") >= 3 &&
+                col("nc") <= lit(ComplementMaxVerts) &&
+                col("mc") > col("nc") * (col("nc") - 1) / 4)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // closed-form part of the identity over the dense comps,
+              // in exact integer arithmetic (DIV, all terms < 2^63)
+              val closedRow = census.filter(col("dense"))
+                .agg(coalesce(sum(expr(
+                    "nc * (nc - 1) * (nc - 2) DIV 6 - mc * (nc - 2) + wc")),
+                  lit(0)).cast("long").as("closed"),
+                  count(lit(1)).as("n_dense"),
+                  coalesce(sum(col("mc")), lit(0)).cast("long").as("m_dense"))
+                .collect()(0)
+              if (closedRow.getLong(1) == 0) triangleCount(orientByDegree(e))
+              else {
+                val denseComps = census.filter(col("dense")).select(col("comp"))
+                val vDense = labels
+                  .join(gatedBroadcast(denseComps, nVerts), Seq("comp"))
+                // complement candidates comp-by-comp; broadcasting the
+                // (vertex-cardinality) dense vertex table keeps the
+                // n_c² expansion spread across the probe side's tasks
+                // instead of one task per component key
+                val cand = vDense.select(col("comp"), col("v").as("s1"))
+                  .join(gatedBroadcast(vDense
+                      .select(col("comp").as("c2"), col("v").as("s2")), nVerts),
+                    col("comp") === col("c2") && col("s1") < col("s2"))
+                  .select(col("s1"), col("s2"))
+                // persisted: orientation + probe consume this lineage
+                // several times and the anti-join must run only once
+                val complementEdges = cand.join(e, Seq("s1", "s2"), "left_anti")
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                val triComplement =
+                  try triangleCount(orientByDegree(complementEdges))
+                    .collect()(0).getLong(0)
+                  finally { complementEdges.unpersist(); () }
+                // sparse-side edges = m − Σ dense m_c, known from the
+                // census — skip the whole count when there are none
+                val triSparse =
+                  if (m == closedRow.getLong(2)) 0L
+                  else {
+                    val sparseEdges = ec
+                      .join(gatedBroadcast(denseComps, nVerts), Seq("comp"), "left_anti")
+                      .select(col("s1"), col("s2"))
+                      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                    try triangleCount(orientByDegree(sparseEdges))
+                      .collect()(0).getLong(0)
+                    finally { sparseEdges.unpersist(); () }
+                  }
+                Seq(closedRow.getLong(0) - triComplement + triSparse)
+                  .toDF("n_triangles")
+              }
+            } finally { census.unpersist(); () }
+          } finally { ec.unpersist(); () }
+        } finally { labels.unpersist(); () }
+      }
+    } finally { e.unpersist(); () }
+  }
+
   /** The closed-wedge probe over an already-materialized oriented
     * edge frame — one output row per triangle; `count()` it for the
     * total. Package-private so TrianglesSpec can assert the physical

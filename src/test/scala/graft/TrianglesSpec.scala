@@ -124,6 +124,57 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  test("work-gated count: complement identity equals direct on both sides of the gate") {
+    import spark.implicits._
+    // dense: 12-clique minus a perfect matching — 60 of 66 pairs are
+    // edges (91%), over the per-component complement gate.
+    // directWorkFactor=0 forces the decomposition machinery on these
+    // toy graphs (at default 16 they are cheap enough to go direct).
+    val all = for (a <- 0L until 12L; b <- (a + 1) until 12L) yield (a, b)
+    val matching = (0L until 6L).map(i => (2 * i, 2 * i + 1)).toSet
+    val dense = all.filterNot(matching)
+    assert(Triangles.useComplement(12, dense.size))
+    val denseDf = dense.toDF("s1", "s2")
+    val auto = scalar(Triangles.triangleCountAuto(denseDf, directWorkFactor = 0, minWedgeWork = 0))
+    val direct = scalar(Triangles.triangleCount(Triangles.orientByDegree(denseDf)))
+    assert(auto == direct)
+    assert(auto == bruteTriangles(dense))
+    // complete graph: the complement is EMPTY and the identity still
+    // holds (T = C(12,3))
+    val clique = all.toDF("s1", "s2")
+    assert(scalar(Triangles.triangleCountAuto(clique, directWorkFactor = 0, minWedgeWork = 0)) == 220L)
+    // sparse: no component passes the density gate -> direct fallback
+    val sparse = (0L until 20L).map(i => (i, i + 1)) ++ Seq((0L, 2L))
+    assert(!Triangles.useComplement(21, sparse.size))
+    assert(scalar(Triangles.triangleCountAuto(sparse.toDF("s1", "s2"),
+      directWorkFactor = 0, minWedgeWork = 0)) == bruteTriangles(sparse))
+    // the default work gate: cheap graphs take the direct route and
+    // still agree
+    assert(scalar(Triangles.triangleCountAuto(denseDf)) == auto)
+    // gate boundaries: tiny and oversized vertex sets never take the
+    // complement route regardless of density
+    assert(!Triangles.useComplement(2, 1))
+    assert(!Triangles.useComplement(200000, Long.MaxValue / 2))
+  }
+
+  test("component-aware count: mixed dense blocks + sparse tail, exactly decomposed") {
+    import spark.implicits._
+    // the sf1-shaped regime: disjoint dense blocks that a WHOLE-graph
+    // density test would miss (globally sparse), plus a sparse chain
+    // with its own triangle — per-component gating must complement
+    // the two blocks and count the chain directly
+    def blockEdges(base: Long, n: Long, drop: Set[(Long, Long)]): Seq[(Long, Long)] =
+      (for (a <- 0L until n; b <- (a + 1) until n) yield (base + a, base + b))
+        .filterNot { case (a, b) => drop((a - base, b - base)) }
+    val block1 = blockEdges(0, 10, Set((0L, 1L), (2L, 3L)))
+    val block2 = blockEdges(100, 9, Set((4L, 5L)))
+    val chain = (200L until 220L).map(i => (i, i + 1)) ++ Seq((200L, 202L))
+    val edges = (block1 ++ block2 ++ chain).toDF("s1", "s2")
+    val auto = scalar(Triangles.triangleCountAuto(edges, directWorkFactor = 0, minWedgeWork = 0))
+    assert(auto == bruteTriangles(block1 ++ block2 ++ chain))
+    assert(auto == scalar(Triangles.triangleCount(Triangles.orientByDegree(edges))))
+  }
+
   test("eng_triangles_deg reports consistent exact counts") {
     val row = EngineOps.queries("eng_triangles_deg")(spark, "/root/testdata/sf0.001")
       .collect()(0)
