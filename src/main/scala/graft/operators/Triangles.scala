@@ -247,12 +247,22 @@ object Triangles {
           if (mm == 0) 0L
           else wedgeCount(orientByDegree(e)).collect()(0).getLong(0))
       }
-      if (wDeg <= directWorkFactor * m || wDeg <= minWedgeWork)
-        triangleCount(orientByDegree(e))
+      // components THROWS rather than returning over-split labels when
+      // propagation fails to converge (pathological >4096-diameter
+      // graphs above the union-find threshold) — an over-split label
+      // table would make the per-component census non-induced and the
+      // identity silently wrong, so the fallback is the always-exact
+      // direct count, not a best-effort decomposition
+      val labelsOpt =
+        if (wDeg <= directWorkFactor * m || wDeg <= minWedgeWork) None
+        else
+          try Some(DedupClusters.connectedComponents(e, "s1", "s2")
+            .select(col("node").as("v"), col("cluster").as("comp"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          catch { case _: IllegalStateException => None }
+      if (labelsOpt.isEmpty) triangleCount(orientByDegree(e))
       else {
-        val labels = DedupClusters.connectedComponents(e, "s1", "s2")
-          .select(col("node").as("v"), col("cluster").as("comp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labels = labelsOpt.get
         try {
           val nVerts = labels.count()
           // per-edge component (s1's label; s2 shares it by definition)
