@@ -175,6 +175,41 @@ class TrianglesSpec extends AnyFunSuite {
     assert(auto == scalar(Triangles.triangleCount(Triangles.orientByDegree(edges))))
   }
 
+  test("property: work-gated count equals brute force on random graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](gen: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(1042L + i)))
+    // random graphs across the regimes the router distinguishes:
+    // sparse and dense edge probability, unit and huge id strides
+    // (the latter exercising the struct-rank and anti-packing paths),
+    // occasionally multi-component via a disjoint id offset
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(4, 13)
+      p <- Gen.oneOf(0.25, 0.85)
+      stride <- Gen.oneOf(1L, 7L, 1L << 27)
+      offset <- Gen.oneOf(0L, 5L, 300000000L)
+      picks <- Gen.listOfN(n * (n - 1) / 2, Gen.chooseNum(0.0, 1.0))
+    } yield {
+      val pairs = for (a <- 0L until n; b <- (a + 1) until n) yield (a, b)
+      pairs.zip(picks).collect { case ((a, b), r) if r < p =>
+        (offset + a * stride, offset + b * stride) }
+    }
+    val graphs = samples(graphGen, 7).filter(_.nonEmpty).distinct
+    assert(graphs.size >= 5)
+    graphs.foreach { g =>
+      val df = g.toDF("s1", "s2")
+      val expected = bruteTriangles(g)
+      // forced decomposition machinery AND the default direct gate
+      // must both agree with the plain-Scala reference
+      assert(scalar(Triangles.triangleCountAuto(df, directWorkFactor = 0,
+        minWedgeWork = 0)) == expected, s"auto(forced) on $g")
+      assert(scalar(Triangles.triangleCount(Triangles.orientByDegree(df))) ==
+        expected, s"direct on $g")
+    }
+  }
+
   test("eng_triangles_deg reports consistent exact counts") {
     val row = EngineOps.queries("eng_triangles_deg")(spark, "/root/testdata/sf0.001")
       .collect()(0)
