@@ -781,6 +781,13 @@ object EngineOps {
     * estimate that fails to undercut the threshold fails loudly
     * instead of goldening a non-flip.
     *
+    * Each stage also records the optimizer's JOIN ORDER on a 3-table
+    * chain (orders ⋈ customer ⋈ nation, selective nation filter):
+    * stats-blind Catalyst keeps the written order, while
+    * spark.sql.cbo.joinReorder reorders by estimated cardinality to
+    * join the two dimensions first — the cost-based join-reorder
+    * decision, read from optimizedPlan leaf order and goldened.
+    *
     * At 100 TB: CREATE EXTERNAL is metastore-only, ANALYZE is a
     * one-time scan (FOR COLUMNS piggybacks NDV/min/max on it); the
     * payoff is every subsequent plan choosing broadcast/shuffle/
@@ -795,9 +802,11 @@ object EngineOps {
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_cat")
       spark.sql("DROP TABLE IF EXISTS graft_cat.orders_cbo")
       spark.sql("DROP TABLE IF EXISTS graft_cat.customer_cbo")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.nation_cbo")
       // LOCATION ⇒ external: DROP above never touches the source data
       spark.sql(s"CREATE TABLE graft_cat.orders_cbo USING parquet LOCATION '$dir/orders.parquet'")
       spark.sql(s"CREATE TABLE graft_cat.customer_cbo USING parquet LOCATION '$dir/customer.parquet'")
+      spark.sql(s"CREATE TABLE graft_cat.nation_cbo USING parquet LOCATION '$dir/nation.parquet'")
 
       def dimSide: DataFrame = spark.table("graft_cat.customer_cbo")
         .filter(col("c_nationkey") === 3).select(col("c_custkey"))
@@ -812,6 +821,20 @@ object EngineOps {
       def joinKind(df: DataFrame): String =
         if (df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
           "broadcast" else "shuffled"
+      // 3-table chain for the join-reorder decision; the optimized
+      // plan's leaf order IS the chosen join order
+      def reorderProbe(): DataFrame = spark.table("graft_cat.orders_cbo").as("o")
+        .join(spark.table("graft_cat.customer_cbo").as("c"),
+          col("o.o_custkey") === col("c.c_custkey"))
+        .join(spark.table("graft_cat.nation_cbo").as("n"),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .filter(col("n.n_nationkey") === 3)
+        .agg(count(lit(1)).as("n_rows"))
+      def leafOrder(df: DataFrame): String =
+        df.queryExecution.optimizedPlan.collectLeaves().map(_.toString).map { s =>
+          Seq("orders_cbo", "customer_cbo", "nation_cbo")
+            .find(s.contains).getOrElse("other")
+        }.mkString(",")
       def catalogStats(): (Long, Long) = {
         val meta = spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier("customer_cbo", Some("graft_cat")))
@@ -826,12 +849,16 @@ object EngineOps {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
       val (rc1, ndv1) = catalogStats()
       val plan1 = joinKind(probe())
+      val order1 = leafOrder(reorderProbe())
       val res1 = probe().collect()(0)
+      val nre1 = reorderProbe().collect()(0).getLong(0)
 
       spark.sql("ANALYZE TABLE graft_cat.customer_cbo COMPUTE STATISTICS")
       spark.sql("ANALYZE TABLE graft_cat.customer_cbo COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
       spark.sql("ANALYZE TABLE graft_cat.orders_cbo COMPUTE STATISTICS")
       spark.sql("ANALYZE TABLE graft_cat.orders_cbo COMPUTE STATISTICS FOR COLUMNS o_custkey")
+      spark.sql("ANALYZE TABLE graft_cat.nation_cbo COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE graft_cat.nation_cbo COMPUTE STATISTICS FOR COLUMNS n_nationkey")
       spark.conf.set("spark.sql.cbo.enabled", "true")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       val estWithStats = estimate
@@ -839,13 +866,15 @@ object EngineOps {
         s"with-stats estimate $estWithStats did not undercut threshold $threshold (no-stats $estNoStats)")
       val (rc2, ndv2) = catalogStats()
       val plan2 = joinKind(probe())
+      val order2 = leafOrder(reorderProbe())
       val res2 = probe().collect()(0)
+      val nre2 = reorderProbe().collect()(0).getLong(0)
 
       Seq(
-        ("1_no_stats", rc1, ndv1, plan1, res1.getLong(0), res1.getLong(1)),
-        ("2_analyzed_cbo", rc2, ndv2, plan2, res2.getLong(0), res2.getLong(1)))
+        ("1_no_stats", rc1, ndv1, plan1, order1, res1.getLong(0), res1.getLong(1), nre1),
+        ("2_analyzed_cbo", rc2, ndv2, plan2, order2, res2.getLong(0), res2.getLong(1), nre2))
         .toDF("stage", "customer_rows", "ndv_nationkey", "probe_join",
-          "join_rows", "join_revenue_cents")
+          "join_order", "join_rows", "join_revenue_cents", "reorder_rows")
         .orderBy(col("stage"))
     } finally
       saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }

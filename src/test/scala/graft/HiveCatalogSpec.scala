@@ -98,9 +98,10 @@ class HiveCatalogSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val rows = EngineOps.queries("eng_cbo_stats")(TestSpark.spark, dir)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5))).toMap
-    val (rc1, ndv1, plan1, jr1, rev1) = rows("1_no_stats")
-    val (rc2, ndv2, plan2, jr2, rev2) = rows("2_analyzed_cbo")
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val (rc1, ndv1, plan1, order1, jr1, rev1, nre1) = rows("1_no_stats")
+    val (rc2, ndv2, plan2, order2, jr2, rev2, nre2) = rows("2_analyzed_cbo")
     // without statistics the planner sees no reason to broadcast the
     // filtered dim (threshold pinned under its file-size estimate)
     assert(rc1 == -1L && ndv1 == -1L)
@@ -112,9 +113,14 @@ class HiveCatalogSpec extends AnyFunSuite {
     assert(rc2 == nCustomer)
     assert(ndv2 > 0)
     assert(plan2 == "broadcast")
-    // the flip is physical only: both plans return identical results
+    // join REORDER: stats-blind keeps the written 3-table order;
+    // CBO reorders by estimated cardinality to join the dims first
+    assert(order1 == "orders_cbo,customer_cbo,nation_cbo", order1)
+    assert(order2 == "customer_cbo,nation_cbo,orders_cbo", order2)
+    // the flips are physical only: identical results on both probes
     assert(jr1 == jr2 && jr1 > 0)
     assert(rev1 == rev2)
+    assert(nre1 == nre2 && nre1 > 0)
     // the session's cbo/threshold confs are restored after the entry
     assert(spark.conf.get("spark.sql.cbo.enabled") == "false")
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760b"
