@@ -18,16 +18,18 @@ object FloorLab {
     val fns = SparkEntry.queries
     val names = QueryInventory.all.map(_.name)
 
+    // variant sets are an experiment log — swap in the pair under
+    // study. Historical: advisory size ladder (64m/4m/1m — 1m won,
+    // now the gated GraftSession local default). Current: the
+    // ObjectHashAggregate sort-based fallback threshold — Spark's
+    // default of 128 in-memory keys demotes EVERY collect_list/
+    // collect_set aggregate to sort-based aggregation almost
+    // immediately.
     val variants: Seq[(String, Map[String, String])] = Seq(
-      "size_first_64m" -> Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m"),
-      "size_first_4m" -> Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m"),
-      "size_first_1m" -> Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m"))
+      "oha_fallback_128" -> Map(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128"),
+      "oha_fallback_1m" -> Map(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1000000"))
 
     val best = scala.collection.mutable.Map[(String, String), Double]()
     // codegen warm both variants before timing

@@ -12,6 +12,7 @@ class GraftSessionSpec extends AnyFunSuite {
     val local = GraftSession.localTunings("local[32]").toMap
     assert(local("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "1m")
     assert(local("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "false")
+    assert(local("spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "1000000")
     assert(GraftSession.localTunings("yarn").isEmpty)
     assert(GraftSession.localTunings("spark://host:7077").isEmpty)
     assert(GraftSession.localTunings("k8s://https://host:443").isEmpty)
