@@ -64,6 +64,17 @@ def main():
     new, new_total, new_sent = load(new_path)
     if dirty(old_path, old_sent) | dirty(new_path, new_sent):
         sys.exit(2)
+    # spread only sees VARIANCE within a run; a uniformly loaded host
+    # passes the spread gate with every number inflated. The sentinel
+    # MIN is the machine's quiet floor — compare it across snapshots
+    # and annotate (not refuse: a >25% floor shift means totals are
+    # not comparable 1:1, but per-query ratios remain informative)
+    if old_sent and new_sent:
+        of, nf = float(old_sent.get("min", 0) or 0), float(new_sent.get("min", 0) or 0)
+        if of > 0 and nf > 0 and max(of, nf) / min(of, nf) >= 1.25:
+            print(f"FLOOR DRIFT: sentinel min {of}s -> {nf}s "
+                  f"({nf / of:.2f}x) — the host's quiet floor moved between "
+                  f"snapshots; interpret total deltas with that scale in mind")
     common = sorted(set(old) & set(new))
     regressed = []
     for name in common:
