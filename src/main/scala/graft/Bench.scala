@@ -107,14 +107,23 @@ object Bench {
     }.toMap
     // Whole-run escalation (r8 judge directive): when the sentinel
     // says the run was host-contended (spread ≥ 2×), the slowest
-    // decile — the entries carrying the headline — gets one more
-    // interleaved pass and is min-spliced. The run is still REPORTED
-    // dirty via the top-level flag below; the extra pass just
-    // minimizes the damage a contention window did to the total.
+    // decile gets one more interleaved pass and is min-spliced —
+    // taken PER REPORTED TOTAL (headline contract queries and eng_*
+    // entries separately): the two sum into different JSON fields,
+    // and a single mixed decile would fill up with the genuinely
+    // heavy eng entries (triangles, pagerank, dedup builds) and
+    // leave the contention-inflated headline queries unrepaired.
+    // The run is still REPORTED dirty via the top-level flag below;
+    // the extra pass just minimizes the damage a contention window
+    // did to the totals.
+    val headlineSet = QueryInventory.all.map(_.name).toSet
     val worstDecile =
-      if (BenchUtil.isDirty(sentinel.samples))
-        ordered.sortBy(n => -after4(n)).take(math.max(1, ordered.size / 10))
-      else Seq.empty[String]
+      if (BenchUtil.isDirty(sentinel.samples)) {
+        def worst(names: Seq[String]): Seq[String] =
+          names.sortBy(n => -after4(n)).take(math.max(1, names.size / 10))
+        val (contract, eng) = ordered.partition(headlineSet)
+        worst(contract) ++ worst(eng)
+      } else Seq.empty[String]
     val p5 = pass("pass5", worstDecile)
     val results: Seq[(String, Double)] = ordered.map { n =>
       n -> BenchUtil.refine(after4(n), p5.get(n))
@@ -129,7 +138,7 @@ object Bench {
         Profiler.toCsv(profiles))
     }
 
-    val headlineNames = QueryInventory.all.map(_.name).toSet
+    val headlineNames = headlineSet
     val failed = results.filter(_._2 < 0).map(_._1)
     val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0).map(_._2).sum
     val engine = results.filter(r => !headlineNames(r._1) && r._2 >= 0).map(_._2).sum

@@ -848,10 +848,13 @@ object EngineOps {
       val threshold = estNoStats / 2
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
       val (rc1, ndv1) = catalogStats()
-      val plan1 = joinKind(probe())
-      val order1 = leafOrder(reorderProbe())
-      val res1 = probe().collect()(0)
-      val nre1 = reorderProbe().collect()(0).getLong(0)
+      // one DataFrame per probe per stage: the inspected plan IS the
+      // executed one, and Catalyst plans each join once, not twice
+      val probe1 = probe(); val reorder1 = reorderProbe()
+      val plan1 = joinKind(probe1)
+      val order1 = leafOrder(reorder1)
+      val res1 = probe1.collect()(0)
+      val nre1 = reorder1.collect()(0).getLong(0)
 
       spark.sql("ANALYZE TABLE graft_cat.customer_cbo COMPUTE STATISTICS")
       spark.sql("ANALYZE TABLE graft_cat.customer_cbo COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
@@ -865,10 +868,11 @@ object EngineOps {
       require(estWithStats < threshold,
         s"with-stats estimate $estWithStats did not undercut threshold $threshold (no-stats $estNoStats)")
       val (rc2, ndv2) = catalogStats()
-      val plan2 = joinKind(probe())
-      val order2 = leafOrder(reorderProbe())
-      val res2 = probe().collect()(0)
-      val nre2 = reorderProbe().collect()(0).getLong(0)
+      val probe2 = probe(); val reorder2 = reorderProbe()
+      val plan2 = joinKind(probe2)
+      val order2 = leafOrder(reorder2)
+      val res2 = probe2.collect()(0)
+      val nre2 = reorder2.collect()(0).getLong(0)
 
       Seq(
         ("1_no_stats", rc1, ndv1, plan1, order1, res1.getLong(0), res1.getLong(1), nre1),

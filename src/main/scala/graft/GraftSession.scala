@@ -79,7 +79,10 @@ object GraftSession {
     *    explode the task count, so a cluster session keeps Spark's
     *    64 MB default (tune via --conf). */
   private[graft] def localTunings(master: String): Seq[(String, String)] =
-    if (!master.startsWith("local")) Nil
+    // "local" / "local[N]" / "local[N,F]" only — NOT "local-cluster[…]",
+    // Spark's multi-JVM pseudo-cluster, which exists precisely to
+    // simulate distributed behavior and must get production defaults
+    if (!(master == "local" || master.startsWith("local["))) Nil
     else Seq(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",

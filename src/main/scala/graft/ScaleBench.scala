@@ -133,10 +133,15 @@ object ScaleBench {
     // A subset run (SPARK_GRAFT_SCALE_ONLY) measures impl-vs-SQL only
     // for overridden queries IN the subset — that's how one drifting
     // override (r8: qj16) gets a targeted gate-clean re-measure
-    // without paying for a full sweep.
+    // without paying for a full sweep. The section is sf1-only (the
+    // key SAYS sf1): at any other factor the timed dir holds sfN
+    // data, and recording those under "impl_vs_baseline_sf1" would
+    // pass off sfN numbers as sf1 evidence against the 2x budget.
     val subset = sys.env.contains("SPARK_GRAFT_SCALE_ONLY")
-    val overridden = QueryInventory.all.filter(_.impl.isDefined)
-      .filter(q => !subset || entriesRun.contains(q.name))
+    val overridden =
+      if (factor != 10) Seq.empty[Q]
+      else QueryInventory.all.filter(_.impl.isDefined)
+        .filter(q => !subset || entriesRun.contains(q.name))
     def onceBaseline(q: Q): Double = {
       val t0 = System.nanoTime()
       try { Tables.register(spark, sf1)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting with pluggable edge orientation —
@@ -193,6 +193,16 @@ object Triangles {
   private[graft] def useComplement(n: Long, m: Long): Boolean =
     n >= 3 && n <= ComplementMaxVerts && m > n * (n - 1) / 4
 
+  /** The SAME gate as a Column, for the per-component census — the
+    * expression triangleCountAuto actually routes on. n(n−1) is
+    * always even, so Spark's double division and useComplement's
+    * integer division agree for integer m (x.5 vs x: m > either ⟺
+    * m ≥ x+1); TrianglesSpec pins the two spellings to each other
+    * across the boundaries so an edit to one cannot silently leave
+    * the other behind. */
+  private[graft] def denseGate(nc: Column, mc: Column): Column =
+    nc >= 3 && nc <= lit(ComplementMaxVerts) && mc > nc * (nc - 1) / 4
+
   private val ComplementMaxVerts = 100000L
 
   /** Work-gated exact triangle count. Dense graphs make the direct
@@ -238,6 +248,13 @@ object Triangles {
     val e = edges.select(col("s1"), col("s2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // ONE degree orientation shared by the cost probe and the
+      // direct route — each orientByDegree call pays a degrees
+      // aggregate plus a driver bounds probe, so building it twice
+      // on the direct path would double that work; lazy so the
+      // decomposition route (which orients complement/sparse edge
+      // sets of its own) never builds it at all under knownWork
+      lazy val orientedE = orientByDegree(e)
       // callers that already censused the graph (eng_triangles_deg
       // reports edge and wedge counts anyway) pass (m, wDeg) through
       // knownWork so the cost probe isn't paid twice
@@ -245,7 +262,7 @@ object Triangles {
         val mm = e.count()
         (mm,
           if (mm == 0) 0L
-          else wedgeCount(orientByDegree(e)).collect()(0).getLong(0))
+          else wedgeCount(orientedE).collect()(0).getLong(0))
       }
       // components THROWS rather than returning over-split labels when
       // propagation fails to converge (pathological >4096-diameter
@@ -260,7 +277,7 @@ object Triangles {
             .select(col("node").as("v"), col("cluster").as("comp"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           catch { case _: IllegalStateException => None }
-      if (labelsOpt.isEmpty) triangleCount(orientByDegree(e))
+      if (labelsOpt.isEmpty) triangleCount(orientedE)
       else {
         val labels = labelsOpt.get
         try {
@@ -277,9 +294,7 @@ object Triangles {
                 .groupBy(col("comp"))
                 .agg(coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0))
                   .cast("long").as("wc")), Seq("comp"))
-              .withColumn("dense", col("nc") >= 3 &&
-                col("nc") <= lit(ComplementMaxVerts) &&
-                col("mc") > col("nc") * (col("nc") - 1) / 4)
+              .withColumn("dense", denseGate(col("nc"), col("mc")))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
               // closed-form part of the identity over the dense comps,
@@ -291,7 +306,7 @@ object Triangles {
                   count(lit(1)).as("n_dense"),
                   coalesce(sum(col("mc")), lit(0)).cast("long").as("m_dense"))
                 .collect()(0)
-              if (closedRow.getLong(1) == 0) triangleCount(orientByDegree(e))
+              if (closedRow.getLong(1) == 0) triangleCount(orientedE)
               else {
                 val denseComps = census.filter(col("dense")).select(col("comp"))
                 val vDense = labels

@@ -13,9 +13,15 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(local("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "1m")
     assert(local("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "false")
     assert(local("spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "1000000")
+    assert(GraftSession.localTunings("local").nonEmpty)
+    assert(GraftSession.localTunings("local[4,2]").nonEmpty)
     assert(GraftSession.localTunings("yarn").isEmpty)
     assert(GraftSession.localTunings("spark://host:7077").isEmpty)
     assert(GraftSession.localTunings("k8s://https://host:443").isEmpty)
+    // local-cluster[…] is Spark's multi-JVM pseudo-cluster — it
+    // exists to SIMULATE distributed behavior, so it must get the
+    // production defaults, not the single-node tunings
+    assert(GraftSession.localTunings("local-cluster[2,1,1024]").isEmpty)
   }
 
   test("the live (local) test session carries the local tunings") {

@@ -157,6 +157,30 @@ class TrianglesSpec extends AnyFunSuite {
     assert(!Triangles.useComplement(200000, Long.MaxValue / 2))
   }
 
+  test("the Scala and Column spellings of the density gate agree at every boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // useComplement (the unit-tested Scala copy) and denseGate (the
+    // Column triangleCountAuto's census actually routes on) must be
+    // the same predicate — probe both across the n >= 3 floor, the
+    // ComplementMaxVerts ceiling, and the m > n(n-1)/4 threshold
+    // (±1 around each, including the half-integer double-division
+    // cells where n(n-1) ≡ 2 mod 4)
+    val cells = for {
+      n <- Seq(1L, 2L, 3L, 4L, 7L, 99999L, 100000L, 100001L)
+      edge = n * (n - 1) / 4
+      m <- Seq(0L, edge - 1, edge, edge + 1, n * (n - 1) / 2).filter(_ >= 0).distinct
+    } yield (n, m)
+    val gateCol = cells.toDF("nc", "mc")
+      .select(col("nc"), col("mc"),
+        Triangles.denseGate(col("nc"), col("mc")).as("dense"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    cells.foreach { case (n, m) =>
+      assert(gateCol((n, m)) == Triangles.useComplement(n, m),
+        s"gate spellings diverge at n=$n m=$m")
+    }
+  }
+
   test("component-aware count: mixed dense blocks + sparse tail, exactly decomposed") {
     import spark.implicits._
     // the sf1-shaped regime: disjoint dense blocks that a WHOLE-graph
