@@ -884,6 +884,119 @@ object EngineOps {
       saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  /** Equi-height HISTOGRAM statistics — the selectivity decision
+    * NDV/min-max stats cannot make. eng_cbo_stats shows ANALYZE
+    * flipping an EQUALITY-filtered join via NDV; range predicates on
+    * skewed columns are the case that still goes wrong: without a
+    * histogram, FilterEstimation assumes the column is UNIFORM over
+    * [min, max], and the events.value distribution is exponential-
+    * shaped — `value > (min+max)/2` truly passes ~0.4–3 % of rows
+    * while the uniform assumption says 50 % (a 20–75× error at the
+    * tested SFs).
+    *
+    * Stage "1_basic_stats": ANALYZE … FOR COLUMNS with
+    * spark.sql.statistics.histogram.enabled=false — the filtered dim
+    * subtree is estimated at ~half the table and the user-activity
+    * join (all events of users who produced a tail event) plans
+    * SHUFFLED under a broadcast threshold pinned to the geometric
+    * mean of the two stages' estimates. Stage "2_histogram": the SAME
+    * ANALYZE with histograms on (254-bin equi-height, piggybacked on
+    * the stats scan) — FilterEstimation integrates actual bin heights,
+    * the estimate collapses under the SAME threshold, and the SAME
+    * query plans a BroadcastHashJoin. joinKind reads the
+    * pre-execution plan, so the flip measured is the cost-based
+    * decision, not AQE's runtime rescue. Both stages execute;
+    * identical join results and the histogram census are goldened,
+    * and the require() fails loudly if the estimates ever stop
+    * bracketing the threshold. Reference analog: the measured-cost
+    * placement of mlir_compiler/partitioner.py:26-52 — the decision
+    * follows the measured distribution, not a uniformity assumption.
+    *
+    * At 100 TB: the histogram adds one percentile sketch to the
+    * one-time ANALYZE scan; the payoff is every range-predicate plan
+    * (time windows, price tails, score thresholds) sizing its
+    * build side from the real distribution. */
+  private def cboHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confKeys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.statistics.histogram.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_cat")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.events_hist")
+      // LOCATION ⇒ external: DROP never touches the source data
+      spark.sql(s"CREATE TABLE graft_cat.events_hist USING parquet LOCATION '$dir/events.parquet'")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+
+      val mm = spark.table("graft_cat.events_hist")
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx")).collect()(0)
+      val cutoff = mm.getDouble(0) + 0.5 * (mm.getDouble(1) - mm.getDouble(0))
+
+      def dimSide: DataFrame = spark.table("graft_cat.events_hist")
+        .filter(col("value") > cutoff)
+        .select(col("event_id"), col("user_id"))
+      def estimate: BigInt = dimSide.queryExecution.optimizedPlan.stats.sizeInBytes
+      // anchor-context probe: every event by a user who produced a
+      // tail event, weighted by that user's tail-event count; exact
+      // integer cents keep the golden partition-order independent
+      def probe(): DataFrame = spark.table("graft_cat.events_hist").as("f")
+        .join(dimSide.select(col("user_id")).as("d"),
+          col("f.user_id") === col("d.user_id"))
+        .agg(count(lit(1)).as("join_rows"),
+          sum(round(col("f.value") * 100).cast("long")).as("value_cents"))
+      def joinKind(df: DataFrame): String =
+        if (df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+          "broadcast" else "shuffled"
+      def histInfo(): (Boolean, Long) = {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("events_hist", Some("graft_cat")))
+        val h = meta.stats.flatMap(_.colStats.get("value")).flatMap(_.histogram)
+        (h.isDefined, h.map(_.bins.length.toLong).getOrElse(0L))
+      }
+      def analyzeCols(): Unit = {
+        spark.sql("ANALYZE TABLE graft_cat.events_hist COMPUTE STATISTICS")
+        spark.sql("ANALYZE TABLE graft_cat.events_hist COMPUTE STATISTICS FOR COLUMNS user_id, value")
+      }
+
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+      analyzeCols()
+      val estBasic = estimate
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      analyzeCols()
+      val estHist = estimate
+      require(estHist * 2 <= estBasic,
+        s"histogram estimate $estHist did not undercut half the uniform estimate $estBasic")
+      // pinned BETWEEN the two estimates: only the histogram-informed
+      // plan may broadcast
+      val threshold = BigInt(
+        java.math.BigDecimal.valueOf(
+          math.sqrt((BigDecimal(estBasic) * BigDecimal(estHist)).toDouble)).toBigInteger)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      val (h2, bins2) = histInfo()
+      val probe2 = probe()
+      val plan2 = joinKind(probe2)
+      val res2 = probe2.collect()(0)
+      // revert to basic-only column stats: re-ANALYZE with histograms
+      // off REPLACES the column stats, so stage 1 plans from exactly
+      // what a histogram-less warehouse would hold
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+      analyzeCols()
+      val (h1, bins1) = histInfo()
+      val probe1 = probe()
+      val plan1 = joinKind(probe1)
+      val res1 = probe1.collect()(0)
+
+      Seq(
+        ("1_basic_stats", h1, bins1, plan1, res1.getLong(0), res1.getLong(1)),
+        ("2_histogram", h2, bins2, plan2, res2.getLong(0), res2.getLong(1)))
+        .toDF("stage", "has_histogram", "n_bins", "probe_join",
+          "join_rows", "value_cents")
+        .orderBy(col("stage"))
+    } finally
+      saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   /** Degree-oriented triangle counting (operators/Triangles, Schank
     * '05) over the UNFILTERED supplier co-occurrence graph — the
     * dense-graph face of qj18 (whose value filter exists only to
@@ -2108,6 +2221,7 @@ object EngineOps {
     "eng_triangles_deg" -> trianglesDeg,
     "eng_hive_partitioned_ddl" -> hivePartitionedDdl,
     "eng_cbo_stats" -> cboStats,
+    "eng_cbo_histogram" -> cboHistogram,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,
     "eng_streaming_sessions" -> streamingSessions,

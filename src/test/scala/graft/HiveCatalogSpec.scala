@@ -126,4 +126,28 @@ class HiveCatalogSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760b"
       || spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10MB")
   }
+
+  test("histogram stats flip the skewed-tail join to broadcast (eng_cbo_histogram)") {
+    val rows = EngineOps.queries("eng_cbo_histogram")(
+        TestSpark.spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getString(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    val (h1, bins1, plan1, jr1, vc1) = rows("1_basic_stats")
+    val (h2, bins2, plan2, jr2, vc2) = rows("2_histogram")
+    // basic column stats assume value is uniform over [min, max]:
+    // the mid-range tail filter is estimated at ~50% and the join
+    // stays shuffled under the pinned threshold
+    assert(!h1 && bins1 == 0L)
+    assert(plan1 == "shuffled")
+    // the equi-height histogram sees the exponential shape: the same
+    // filter estimate collapses and the SAME query plans a broadcast
+    assert(h2 && bins2 > 0L)
+    assert(plan2 == "broadcast")
+    // the flip is physical only: identical results on both probes
+    assert(jr1 == jr2 && jr1 > 0)
+    assert(vc1 == vc2)
+    // histogram conf restored after the entry
+    assert(spark.conf.get("spark.sql.statistics.histogram.enabled") == "false")
+  }
 }
