@@ -1826,6 +1826,94 @@ object EngineOps {
       .orderBy(col("variant"))
   }
 
+  /** MEASURED runtime Bloom-filter join pruning (InjectRuntimeFilter)
+    * — the ROW-level member of the scan-pruning proof family
+    * (eng_zorder_scan: row-group min/max skipping; eng_ivf_pruned_
+    * scan: static partition pruning; eng_dpp_scan: dynamic partition
+    * pruning). When NEITHER join side broadcasts (the 100 TB star
+    * shape: fact and dim both shuffle), the only early pruning left
+    * is Catalyst injecting a Bloom filter built from the dim's
+    * selective filter into the fact side — fact rows that cannot
+    * match are dropped BEFORE the shuffle instead of being exchanged
+    * and discarded by the join. Stage "1_filter_off" disables the
+    * rule: every fact row is shuffled. Stage "2_bloom_injected"
+    * enables it: the optimized plan carries a might_contain(
+    * bloom_filter_agg) predicate on the fact side, and the injected
+    * FilterExec's numOutputRows metric — deterministic, since the
+    * Bloom bit-array is an order-independent OR-merge over
+    * xxhash64 — measures the rows that actually reached the
+    * shuffle. Results are identical by construction (a Bloom filter
+    * admits all true matches); the row census quantifies the saved
+    * exchange. The two size thresholds are conf'd to make the small
+    * bench fact eligible; at 100 TB the defaults (creation side
+    * < 10 MB, application scan > 10 GB) gate the rule onto exactly
+    * this shape. LayoutSpec asserts injection, equality, and the
+    * pruning ratio. */
+  private def runtimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      // both sides too big to broadcast (forced here; true at 100 TB)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the bench fact is far under the 10 GB production gate
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = t(spark, dir, "lineitem")
+      val fullFact = li.count()
+      def dim = t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      def probe(): DataFrame = li
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("join_rows"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      def hasBloom(df: DataFrame): Boolean = {
+        val s = df.queryExecution.optimizedPlan.toString.toLowerCase
+        s.contains("might_contain") || s.contains("bloomfilter")
+      }
+      // rows surviving the injected bloom predicate, read from the
+      // executed plan's FilterExec metric (AQE-aware traversal, the
+      // scanMetricSum discipline)
+      def bloomOutputRows(df: DataFrame): Long = {
+        import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def find(p: SparkPlan): Seq[FilterExec] = p match {
+          case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+          case q: QueryStageExec => find(q.plan)
+          case f: FilterExec
+            if f.condition.toString.toLowerCase.contains("might_contain") => Seq(f)
+          case other => other.children.flatMap(find)
+        }
+        find(df.queryExecution.executedPlan) match {
+          case Seq() => -1L
+          case fs => fs.map(_.metrics("numOutputRows").value).sum
+        }
+      }
+
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val p1 = probe()
+      val b1 = hasBloom(p1)
+      val r1 = p1.collect()(0)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val p2 = probe()
+      val b2 = hasBloom(p2)
+      val r2 = p2.collect()(0)
+      val pruned = bloomOutputRows(p2)
+
+      Seq(
+        ("1_filter_off", b1, fullFact, r1.getLong(0), r1.getLong(1)),
+        ("2_bloom_injected", b2, pruned, r2.getLong(0), r2.getLong(1)))
+        .toDF("stage", "bloom_in_plan", "fact_rows_to_join",
+          "join_rows", "revenue_cents")
+        .orderBy(col("stage"))
+    } finally
+      saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq
@@ -2222,6 +2310,7 @@ object EngineOps {
     "eng_hive_partitioned_ddl" -> hivePartitionedDdl,
     "eng_cbo_stats" -> cboStats,
     "eng_cbo_histogram" -> cboHistogram,
+    "eng_runtime_filter" -> runtimeFilter,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,
     "eng_streaming_sessions" -> streamingSessions,

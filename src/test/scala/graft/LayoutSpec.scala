@@ -127,6 +127,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(fDpp <= fFull * 4 / 31 + 1, s"pruned file census too large: $fDpp of $fFull")
   }
 
+  test("runtime bloom filter prunes fact rows before the shuffle (eng_runtime_filter)") {
+    val rows = EngineOps.queries("eng_runtime_filter")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (b1, fact1, jr1, rev1) = rows("1_filter_off")
+    val (b2, fact2, jr2, rev2) = rows("2_bloom_injected")
+    // rule off: no might_contain in the plan, every fact row shuffles
+    assert(!b1)
+    // rule on: the bloom predicate is injected and MEASURED to drop
+    // fact rows before the exchange — never below the true match count
+    assert(b2)
+    assert(fact2 > 0 && fact2 < fact1,
+      s"bloom filter pruned nothing: $fact2 of $fact1 fact rows")
+    assert(fact2 >= jr2)
+    // a bloom filter admits all true matches: identical join results
+    assert(jr1 == jr2 && jr1 > 0)
+    assert(rev1 == rev2)
+  }
+
   test("salted two-phase aggregation equals the direct group-by") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val ev = spark.table("events")
