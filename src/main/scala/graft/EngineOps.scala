@@ -1914,6 +1914,183 @@ object EngineOps {
       saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  /** MEASURED AQE skew-join splitting (OptimizeSkewedJoin) — the
+    * runtime member of the skew-mitigation pair beside the explicit
+    * salting entries (eng_salted_agg / eng_salted_join handle skew
+    * the planner can see up front; this entry handles skew that only
+    * shows up in runtime shuffle statistics, which at 100 TB is the
+    * common case: a hub customer, a null-heavy key, yesterday's hot
+    * partition). The fact side maps ~97% of lineitem rows onto ONE
+    * join key, so a plain sort-merge join lands ~97% of the bytes on
+    * a single reducer — the straggler that decides wall-clock time.
+    * Stage "1_skew_off" disables the rule and measures that no
+    * skew repair happened; stage "2_skew_split" enables it:
+    * OptimizeSkewedJoin reads the map-output sizes AFTER the
+    * exchange materializes, slices the oversized partition into
+    * byte-bounded sub-reads and re-reads the matching dim partition
+    * once per slice. The AQEShuffleReadExec's numSkewedPartitions /
+    * numSkewedSplits metrics measure the repair; the goldened
+    * columns keep only the deterministic facts (detection boolean +
+    * identical join results — split COUNTS depend on runtime byte
+    * sizes, so the spec asserts them > 0 instead of goldening them).
+    * The thresholds are conf'd down so the KB-scale bench partition
+    * is "oversized"; at 100 TB the defaults (256 MB / 5× median)
+    * gate the rule onto exactly this shape. Splitting is a physical
+    * re-read — join semantics are unchanged, so both stages return
+    * identical aggregates by construction. Downstream of the join
+    * the entry aggregates globally: OptimizeSkewedJoin declines to
+    * split when the join's output partitioning feeds a downstream
+    * requirement, and a global aggregate imposes none.
+    * Reference analog: runtime repartitioning by measured cost in
+    * mlir_compiler/partitioner.py:84-87 (placement chosen from
+    * measured sizes, not static estimates). LayoutSpec asserts
+    * detection, split counts and equality. */
+  private def aqeSkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confKeys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      // both sides exceed broadcast (forced here; true at 100 TB)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // the KB-scale bench hot partition must register as skewed
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // ~97% of fact rows collapse onto join key 0 (the hub). The
+      // spread repartition exists because skew splits are MAPPER-
+      // RANGE slices of the reduce partition: the bench table is one
+      // parquet row group = one map task, which leaves nothing to
+      // slice — at 100 TB the scan has thousands of mappers and the
+      // pre-spread is the natural state, not an extra exchange.
+      val fact = t(spark, dir, "lineitem")
+        .repartition(24, col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cust_key",
+          when(pmod(col("l_orderkey"), lit(100)) < 97, lit(0L))
+            .otherwise(pmod(col("l_orderkey"), lit(100)).cast("long")))
+      val dim = spark.range(0, 100).select(col("id").as("cust_key"),
+        (col("id") * 7 % 13 + 1).as("tier"))
+      def probe(): DataFrame = fact
+        .join(dim, "cust_key")
+        .agg(count(lit(1)).as("join_rows"),
+          sum(round(col("l_extendedprice") * col("tier") * 100).cast("long"))
+            .as("weighted_cents"))
+      // skew-repair census from the executed plan's AQE shuffle reads
+      def skewStats(df: DataFrame): (Long, Long) = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+        def find(p: SparkPlan): Seq[AQEShuffleReadExec] = p match {
+          case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+          case q: QueryStageExec => find(q.plan)
+          case r: AQEShuffleReadExec => r +: r.children.flatMap(find)
+          case other => other.children.flatMap(find)
+        }
+        val reads = find(df.queryExecution.executedPlan)
+        def m(name: String) =
+          reads.flatMap(_.metrics.get(name)).map(_.value).sum
+        (m("numSkewedPartitions"), m("numSkewedSplits"))
+      }
+
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val p1 = probe()
+      val r1 = p1.collect()(0)
+      val (sk1, sp1) = skewStats(p1)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val p2 = probe()
+      val r2 = p2.collect()(0)
+      val (sk2, sp2) = skewStats(p2)
+
+      Seq(
+        ("1_skew_off", sk1 > 0, sp1 > 0, r1.getLong(0), r1.getLong(1)),
+        ("2_skew_split", sk2 > 0, sp2 > 0, r2.getLong(0), r2.getLong(1)))
+        .toDF("stage", "skew_detected", "splits_applied",
+          "join_rows", "weighted_cents")
+        .orderBy(col("stage"))
+    } finally
+      saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  /** MEASURED exchange reuse — the last member of the
+    * don't-repeat-work proof family (eng_dpp_scan prunes partitions,
+    * eng_runtime_filter prunes rows, eng_aqe_skew repairs the
+    * shuffle; this entry avoids RUNNING a shuffle twice). Self-
+    * comparative analytics — share-of-total, pct-of-max, "above
+    * average" — reference the same aggregate twice: once as the
+    * per-key relation, once reduced to the global figure it is
+    * compared against. Naively that scans and shuffles 100 TB twice;
+    * Catalyst's ReuseExchange rule (and AQE's stage cache) detects
+    * the identical exchange subtree and materializes it ONCE, the
+    * second consumer reading the same shuffle files. Stage
+    * "1_reuse_off" disables the rule (spark.sql.exchange.reuse):
+    * the per-supplier aggregate's exchange appears twice in the
+    * executed plan and both execute. Stage "2_reuse_on" re-runs the
+    * same share-of-total query: the executed plan replaces the
+    * duplicate with a ReusedExchangeExec. Both plan-census counts
+    * are goldened — the plan is a pure function of (query, confs,
+    * SF) here, so the census is as deterministic as the result
+    * rows. Results identical by construction. LayoutSpec asserts
+    * reuse-on executes strictly fewer exchanges and at least one
+    * ReusedExchangeExec, with equal results. */
+  private def exchangeReuse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.exchange.reuse"
+    val saved = spark.conf.getOption(key)
+    try {
+      // per-supplier revenue, referenced twice (rows AND total)
+      def census(df: DataFrame): (Long, Long) = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+        def walk(p: SparkPlan): (Long, Long) = {
+          val self = p match {
+            case _: ReusedExchangeExec => (0L, 1L)
+            case _: Exchange => (1L, 0L)
+            case _ => (0L, 0L)
+          }
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(walk(a.executedPlan))
+            case q: QueryStageExec => Seq(walk(q.plan))
+            case other => other.children.map(walk)
+          }
+          kids.foldLeft(self) { case ((e, r), (e2, r2)) => (e + e2, r + r2) }
+        }
+        walk(df.queryExecution.executedPlan)
+      }
+      def probe(): (DataFrame, (Long, Long), org.apache.spark.sql.Row) = {
+        val per = t(spark, dir, "lineitem").groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("rev_cents"))
+        val total = per.agg(sum(col("rev_cents")).as("total_cents"))
+        // suppliers holding >= 1% of total revenue (1-row stat side)
+        val df = per.crossJoin(total)
+          .filter(col("rev_cents") * 100 >= col("total_cents"))
+          .agg(count(lit(1)).as("n_major"),
+            coalesce(sum(col("rev_cents")), lit(0L)).as("major_cents"),
+            coalesce(max(col("total_cents")), lit(0L)).as("total_cents"))
+        val row = df.collect()(0)
+        (df, census(df), row)
+      }
+      spark.conf.set(key, "false")
+      val (_, (e1, r1), row1) = probe()
+      spark.conf.set(key, "true")
+      val (_, (e2, r2), row2) = probe()
+      Seq(
+        ("1_reuse_off", e1, r1, row1.getLong(0), row1.getLong(1), row1.getLong(2)),
+        ("2_reuse_on", e2, r2, row2.getLong(0), row2.getLong(1), row2.getLong(2)))
+        .toDF("stage", "n_exchanges", "n_reused",
+          "n_major", "major_cents", "total_cents")
+        .orderBy(col("stage"))
+    } finally
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq
@@ -2311,6 +2488,8 @@ object EngineOps {
     "eng_cbo_stats" -> cboStats,
     "eng_cbo_histogram" -> cboHistogram,
     "eng_runtime_filter" -> runtimeFilter,
+    "eng_aqe_skew" -> aqeSkew,
+    "eng_exchange_reuse" -> exchangeReuse,
     "eng_complementary_filter" -> complementaryFilter,
     "eng_streaming_replay" -> streamingReplay,
     "eng_streaming_sessions" -> streamingSessions,

@@ -147,6 +147,41 @@ class LayoutSpec extends AnyFunSuite {
     assert(rev1 == rev2)
   }
 
+  test("AQE splits the measured-skewed join partition (eng_aqe_skew)") {
+    val rows = EngineOps.queries("eng_aqe_skew")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))).toMap
+    val (det1, spl1, jr1, wc1) = rows("1_skew_off")
+    val (det2, spl2, jr2, wc2) = rows("2_skew_split")
+    // rule off: the hub partition runs as one straggler, unrepaired
+    assert(!det1 && !spl1)
+    // rule on: skew DETECTED from runtime map-output sizes and SPLIT
+    assert(det2, "AQE did not flag the hub partition as skewed")
+    assert(spl2, "AQE flagged skew but applied no splits")
+    // splitting is a physical re-read: identical join results
+    assert(jr1 == jr2 && jr1 > 0)
+    assert(wc1 == wc2)
+  }
+
+  test("the duplicated aggregate exchange materializes once (eng_exchange_reuse)") {
+    val rows = EngineOps.queries("eng_exchange_reuse")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (ex1, ru1, nm1, mc1, tc1) = rows("1_reuse_off")
+    val (ex2, ru2, nm2, mc2, tc2) = rows("2_reuse_on")
+    // rule off: the per-supplier aggregate's exchange runs twice
+    assert(ru1 == 0)
+    // rule on: the duplicate becomes a ReusedExchangeExec — strictly
+    // fewer exchanges actually execute
+    assert(ru2 >= 1, "no ReusedExchangeExec in the reuse-on plan")
+    assert(ex2 < ex1, s"reuse did not reduce executed exchanges: $ex2 vs $ex1")
+    // reading the same shuffle files: identical results
+    assert(nm1 == nm2 && nm1 > 0)
+    assert(mc1 == mc2 && tc1 == tc2 && tc1 > 0)
+  }
+
   test("salted two-phase aggregation equals the direct group-by") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val ev = spark.table("events")
