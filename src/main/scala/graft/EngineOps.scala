@@ -1302,6 +1302,107 @@ object EngineOps {
       .orderBy(col("day"))
   }
 
+  /** MEASURED stream-static enrichment + idempotent partitioned sink
+    * — the most common production streaming shape, and the stateless
+    * complement of the stream-stream eng_stream_join: a fact stream
+    * is joined per micro-batch against a FILE-BACKED dimension
+    * snapshot (the static side is re-planned and re-read every
+    * batch, so dimension updates land without restarting the query,
+    * and — unlike a stream-stream join — enrichment keeps ZERO
+    * watermark state; at 100 TB the dim broadcasts per batch while
+    * the stream never shuffles). The dim covers only even user_ids,
+    * so the left join's miss path is measured too (tier -1). The
+    * sink is event_date-partitioned parquet written under dynamic
+    * partition overwrite — the idempotent exactly-once contract when
+    * the sink is plain parquet rather than a transactional table:
+    * re-delivery of a payload REWRITES its date partitions
+    * identically instead of appending duplicates (restatement units
+    * must align with sink partitions, the same day-aligned contract
+    * as eng_partition_overwrite). After the drain, the SAME payload
+    * is re-applied in batch mode — simulating at-least-once
+    * redelivery — and the per-tier census must match exactly
+    * (reapply_identical, spec-asserted). Driver state: O(tiers)
+    * census rows; the stream lands on executors and files only. */
+  private def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    // file-backed dimension snapshot, built once per SF (the profile
+    // table a production pipeline keeps in the lake)
+    val dimDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_enrich_dim_$sfName")
+    sources.FixtureCache.ensure(dimDir,
+      sources.FixtureCache.fingerprint(s"$dir/events.parquet", "enrich_dim_v1")) {
+      t(spark, dir, "events").select(col("user_id")).distinct()
+        .filter(col("user_id") % 2 === 0)
+        .withColumn("tier", pmod(col("user_id"), lit(5)).cast("int"))
+        .write.mode("overwrite").parquet(dimDir.getAbsolutePath)
+    }
+    def dim = spark.read.parquet(dimDir.getAbsolutePath)
+    def enrich(df: DataFrame): DataFrame = df
+      .join(dim, Seq("user_id"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit(-1)))
+      .withColumn("event_date", to_date(col("ts")))
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("tier"), col("event_date"))
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val sink = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_enrich_sink_$runId")
+    // partition-aligned write: one task owns each date partition, so
+    // the sink gets one file per (date, writer wave) instead of
+    // tasks × dates small files — the standard anti-small-files
+    // recipe, and the same layout a 100 TB daily restatement wants
+    def applyBatch(batch: DataFrame): Unit = batch
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(sink.getAbsolutePath)
+    // bounded collect: one row per tier (≤ 6)
+    def census(): Seq[(Int, Long, Long, Long)] =
+      spark.read.parquet(sink.getAbsolutePath)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("event_date")).as("n_days"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      enrich(Tables.normalizeTs(spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+          .select(col("ts"), col("user_id"), col("event_type"), col("value")))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
+        .option("checkpointLocation", scratchCheckpoint(s"enrich_$runId"))
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      val first = census()
+      // at-least-once redelivery: the same payload re-applied in
+      // batch mode must leave the partitioned sink unchanged
+      applyBatch(enrich(t(spark, dir, "events")
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))))
+      val second = census()
+      val identical = first == second
+      first.map { case (tier, n, cents, days) => (tier, n, cents, days, identical) }
+        .toDF("tier", "n_events", "value_cents", "n_days", "reapply_identical")
+        .orderBy(col("tier"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      dropScratchCheckpoint(s"enrich_$runId")
+      // per-run scratch sink; the census rows are already materialized
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(sink)
+    }
+  }
+
   /** Streaming checkpoint recovery — the exactly-once restart
     * contract (ref op #35's 1 kHz loop restarting after a power
     * cycle, sim_reflex.py's persistent loop state): a file-source
@@ -2494,6 +2595,7 @@ object EngineOps {
     "eng_streaming_replay" -> streamingReplay,
     "eng_streaming_sessions" -> streamingSessions,
     "eng_stream_join" -> streamJoin,
+    "eng_stream_enrich" -> streamEnrich,
     "eng_streaming_dedup" -> streamingDedupReplay,
     "eng_stream_recovery" -> streamRecovery,
     "eng_schema_merge" -> schemaMerge,

@@ -403,6 +403,32 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("eng_stream_enrich: stream-static join census equals batch, reapply idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EngineOps.queries("eng_stream_enrich")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // redelivering the same payload must leave the partitioned sink
+    // unchanged — the idempotent exactly-once sink contract
+    assert(out.forall(_.getAs[Boolean]("reapply_identical")),
+      "dynamic-partition-overwrite redelivery changed the sink")
+    val byTier = out.map(r =>
+      r.getAs[Int]("tier") -> r.getAs[Long]("n_events")).toMap
+    // the dim covers even user_ids only: the miss path (tier -1)
+    // must be measured, not silently dropped by an inner join
+    assert(byTier.contains(-1), "left-join miss path missing from census")
+    // per-tier counts equal the batch spelling of the same enrichment
+    val ev = Tables.table(spark, dir, "events")
+    val dim = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("tier", pmod(col("user_id"), lit(5)).cast("int"))
+    val batch = ev.join(dim, Seq("user_id"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit(-1)))
+      .groupBy(col("tier")).count().collect()
+      .map(r => r.getAs[Int]("tier") -> r.getAs[Long]("count")).toMap
+    assert(byTier == batch)
+    assert(byTier.values.sum == ev.count())
+  }
+
   test("eng_stream_recovery restarts exactly-once from the checkpoint") {
     val rows = EngineOps.queries("eng_stream_recovery")(
       spark, "/root/testdata/sf0.001").collect()
