@@ -2192,6 +2192,66 @@ object EngineOps {
       saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  /** SQL UDFs (CREATE FUNCTION ... RETURN, Spark 4) with PROVEN
+    * inlining — the Hive-UDF migration surface: a warehouse user's
+    * first instinct is to port Java/Hive UDFs one-to-one, and every
+    * JVM UDF is an opaque ScalaUDF boundary that breaks whole-stage
+    * codegen on the hot path (this repo's own discipline: every hot
+    * lambda is a codegen'd Catalyst expression). A SQL UDF instead
+    * INLINES at analysis time — the body lands in the optimized plan
+    * as ordinary expressions, so the 100 TB scan keeps one codegen
+    * pipeline. Stage columns measure exactly that: `inlined` is true
+    * iff the optimized plan carries the body's CASE with NO ScalaUDF
+    * node; `matches_direct` asserts the UDF spelling equals the
+    * hand-inlined spelling row-for-row. A parameterized TABLE
+    * function (RETURNS TABLE) covers the view-with-arguments shape
+    * (tvf_rows == the direct filter count). Reference analog: the
+    * ONNX compiler inlines composite ops into one fused kernel
+    * rather than calling out per op (optimizer.py:126-218) — same
+    * reason, keep the compiled pipeline unbroken. */
+  private def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+    ev.createOrReplaceTempView("graft_sqludf_events")
+    try {
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_seg(v DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN v < 10 THEN 'low' WHEN v < 100 THEN 'mid' ELSE 'high' END""")
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_hot(cut DOUBLE)
+        RETURNS TABLE(user_id BIGINT, value DOUBLE)
+        RETURN SELECT user_id, value FROM graft_sqludf_events WHERE value > cut""")
+      val viaUdf = spark.sql("""
+        SELECT graft_seg(value) AS segment, count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM graft_sqludf_events GROUP BY 1""")
+      val plan = viaUdf.queryExecution.optimizedPlan.toString
+      val inlined = plan.contains("CASE WHEN") && !plan.contains("ScalaUDF")
+      val direct = ev.groupBy(
+          when(col("value") < 10, "low").when(col("value") < 100, "mid")
+            .otherwise("high").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      def keyed(df: DataFrame): Map[String, (Long, Long)] = df.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val (u, d) = (keyed(viaUdf), keyed(direct))
+      val matches = u == d
+      // parameterized table function vs the direct spelling
+      val cut = 50.0
+      val tvfRows = spark.sql(s"SELECT count(*) AS n FROM graft_hot($cut)")
+        .collect()(0).getLong(0)
+      val directRows = ev.filter(col("value") > cut).count()
+      u.toSeq.sortBy(_._1).map { case (seg, (n, cents)) =>
+        (seg, n, cents, inlined, matches, tvfRows, tvfRows == directRows)
+      }.toDF("segment", "n_events", "value_cents", "inlined",
+          "matches_direct", "tvf_rows", "tvf_matches")
+        .orderBy(col("segment"))
+    } finally {
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_seg")
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_hot")
+      spark.catalog.dropTempView("graft_sqludf_events")
+    }
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq
@@ -2589,6 +2649,7 @@ object EngineOps {
     "eng_cbo_stats" -> cboStats,
     "eng_cbo_histogram" -> cboHistogram,
     "eng_runtime_filter" -> runtimeFilter,
+    "eng_sql_udf" -> sqlUdf,
     "eng_aqe_skew" -> aqeSkew,
     "eng_exchange_reuse" -> exchangeReuse,
     "eng_complementary_filter" -> complementaryFilter,

@@ -127,6 +127,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(fDpp <= fFull * 4 / 31 + 1, s"pruned file census too large: $fDpp of $fFull")
   }
 
+  test("SQL UDF inlines into the plan and matches the direct spelling (eng_sql_udf)") {
+    val rows = EngineOps.queries("eng_sql_udf")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == Seq("high", "low", "mid"))
+    rows.foreach { r =>
+      // the UDF body must land in the optimized plan as plain
+      // expressions — no ScalaUDF codegen boundary on the hot path
+      assert(r.getAs[Boolean]("inlined"), "SQL UDF did not inline")
+      assert(r.getAs[Boolean]("matches_direct"))
+      assert(r.getAs[Boolean]("tvf_matches"))
+      assert(r.getAs[Long]("n_events") > 0)
+      assert(r.getAs[Long]("tvf_rows") > 0)
+    }
+  }
+
   test("runtime bloom filter prunes fact rows before the shuffle (eng_runtime_filter)") {
     val rows = EngineOps.queries("eng_runtime_filter")(spark, "/root/testdata/sf0.01")
       .collect()
