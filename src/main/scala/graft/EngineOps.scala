@@ -1675,7 +1675,8 @@ object EngineOps {
 
   /** Source-format breadth beside codecRoundtrip's parquet codecs:
     * the same slice written and re-read as JSON lines, CSV (header),
-    * and parquet, with an order-independent checksum proving the
+    * XML (the Spark-4 built-in source — legacy-feed ingest), parquet
+    * and ORC, with an order-independent checksum proving the
     * round-trip is lossless per format. Schemas are passed explicitly
     * on read — the schema-inference pass a naive reader pays would
     * double the scan at 100 TB (same note as Telemetry.stats). */
@@ -1685,12 +1686,17 @@ object EngineOps {
     try {
       val slice = eventsSlice(spark, dir)
       val schema = slice.schema
-      val rows = Seq("json", "csv", "parquet", "orc").map { fmt =>
+      def opts(fmt: String): Map[String, String] = fmt match {
+        case "csv" => Map("header" -> "true")
+        case "xml" => Map("rowTag" -> "row")
+        case _ => Map.empty
+      }
+      val rows = Seq("json", "csv", "xml", "parquet", "orc").map { fmt =>
         val path = s"$tmp/$fmt"
-        val w = slice.write.mode("overwrite").format(fmt)
-        (if (fmt == "csv") w.option("header", "true") else w).save(path)
-        val r = spark.read.schema(schema).format(fmt)
-        val back = (if (fmt == "csv") r.option("header", "true") else r).load(path)
+        slice.write.mode("overwrite").format(fmt)
+          .options(opts(fmt)).save(path)
+        val back = spark.read.schema(schema).format(fmt)
+          .options(opts(fmt)).load(path)
         val (n, h, s) = checksum(back)
         (fmt, n, h, s)
       }

@@ -47,10 +47,11 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(4)).distinct.length == 1)
   }
 
-  test("source round-trip: json/csv/parquet each re-read losslessly") {
+  test("source round-trip: json/csv/xml/parquet/orc each re-read losslessly") {
     val rows = EngineOps.queries("eng_source_roundtrip")(spark, "/root/testdata/sf0.001")
       .collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("csv", "json", "orc", "parquet", "source"))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("csv", "json", "orc", "parquet", "source", "xml"))
     assert(rows.map(_.getLong(1)).distinct.length == 1)   // same row count back
     assert(rows.map(_.getLong(2)).distinct.length == 1)   // same content hash
     assert(rows.map(_.getDouble(3)).distinct.length == 1) // same value sum
