@@ -1469,6 +1469,78 @@ object EngineOps {
     }
   }
 
+  /** MEASURED paced backfill — Trigger.AvailableNow + admission
+    * control (`maxFilesPerTrigger`): the catch-up contract for a
+    * scheduled incremental job. After downtime, the backlog is many
+    * files; an unpaced drain admits ALL of it into one giant
+    * micro-batch whose shuffle/state must fit executor memory at
+    * once — the restart-after-a-week failure mode at 100 TB. With a
+    * file cap, AvailableNow still processes everything and still
+    * terminates, but in bounded batches (here 6 backlog files, cap
+    * 2 → exactly 3 batches, censused from the query's progress
+    * events — the engine's own per-batch ledger, not driver
+    * bookkeeping). Totals must equal the batch read exactly —
+    * pacing changes batch BOUNDARIES, never results (asserted with
+    * the batch spelling in StatefulOpsSpec). Counting uses the same
+    * executor-side foreachBatch partials as the other replay
+    * entries; checkpoint + backlog are per-run scratch. Reference
+    * analog: the chunked flash reads of the reference's IO layer —
+    * fixed-size admission into a bounded buffer, never
+    * read-the-whole-backlog (tools/flash_io_benchmark.py's chunked
+    * pipeline mode). */
+  private def streamBackfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    // backlog fixture: the events table as 6 equal parquet files
+    val backlog = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_backlog_$sfName")
+    sources.FixtureCache.ensure(backlog,
+      sources.FixtureCache.fingerprint(s"$dir/events.parquet", "backfill_v1")) {
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartition(6)
+        .write.mode("overwrite").parquet(backlog.getAbsolutePath)
+    }
+    val schema = spark.read.parquet(backlog.getAbsolutePath).schema
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val partials = scala.collection.mutable.HashMap.empty[String, Long]
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      val query = Tables.normalizeTs(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(backlog.getAbsolutePath))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("event_type")).count().collect().foreach { r =>
+            val k = r.getString(0)
+            partials.synchronized {
+              partials(k) = partials.getOrElse(k, 0L) + r.getLong(1)
+            }
+          }
+        }
+        .option("checkpointLocation", scratchCheckpoint(s"backfill_$runId"))
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      query
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      dropScratchCheckpoint(s"backfill_$runId")
+    }
+    // the engine's own ledger: batches that admitted data
+    val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+    val maxBatchRows = q.recentProgress.map(_.numInputRows).maxOption.getOrElse(0L)
+    val total = partials.values.sum
+    import spark.implicits._
+    partials.toSeq.sortBy(_._1).map { case (k, n) =>
+      // paced: the cap held — no batch admitted more than 2 of the 6
+      // equal files (ceiling with the parquet row-group rounding)
+      (k, n, batches, batches == 3L && maxBatchRows < total)
+    }.toDF("event_type", "n_rows", "n_batches", "paced")
+      .orderBy(col("event_type"))
+  }
+
   /** Binary-FILE multimodal ingestion — the at-scale ingest shape:
     * media arrives as OBJECTS in storage, not parquet columns (the
     * reference's binaries-as-files path:
@@ -2258,6 +2330,263 @@ object EngineOps {
     }
   }
 
+  /** MEASURED DataSource V2 connector (sources/GraftLogSource) — the
+    * extension surface for data that does NOT already live in a
+    * Spark-native format: instead of pre-converting by hand, the
+    * `graft-log` source teaches the planner the format and proves
+    * every DSv2 optimization hook end-to-end. Reference analog: the
+    * flash/sensor ingest layer reads the chip's own record stream
+    * directly (raw format + register framing) rather than staging
+    * through a columnar store.
+    *
+    * Fixture: the events table rendered as 8 value-bucketed TSV
+    * `.glog` files whose names carry the bucket's exact [min,max]
+    * value range as IEEE-754 bits — a zone map in the directory
+    * listing (clustering by the hot filter column is the operator's
+    * documented layout contract, exactly eng_zorder_scan's).
+    *
+    * Three measured stages, every number read from the engine:
+    *  - `1_full` (option pushdown=false): all 8 files planned, all 6
+    *    columns parsed, readers emit every row — the foil.
+    *  - `2_pushed`: the SAME query with pushdown on. Planning keeps
+    *    only the files whose zone map intersects `value >= cut`
+    *    (files_kept census from the source's driver-side planning
+    *    hook), readers parse only the 3 referenced columns
+    *    (cols_read) and evaluate the pushed predicates before rows
+    *    reach Spark — rows_emitted comes from the connector's DSv2
+    *    CustomSumMetric (`rowsEmitted` on the BatchScanExec), the
+    *    same channel the SQL UI reads, valid on a real cluster.
+    *  - `3_limit`: SupportsPushDownLimit — `LIMIT 5` caps every
+    *    reader instead of draining the scan (`limit_capped`; the
+    *    exact emitted count races with early task termination by
+    *    design, so the census is the bound, not the count).
+    *  - `4_writeback`: the WRITE path — the filtered subset flows
+    *    back out through the connector's DSv2 task-commit protocol
+    *    (invisible `.inprogress` temps, job-commit rename to
+    *    zone-map-named files, SaveMode.Overwrite via
+    *    SupportsTruncate) and must survive a full round-trip; `ok`
+    *    additionally requires every committed file to carry pruning
+    *    bounds in its name.
+    * `matches_parquet` pins stages 1/2 to the identical aggregate
+    * over the parquet spelling — pushdown is an optimization, never
+    * a correctness dependency (pushed filters stay residual, Spark
+    * re-checks them post-scan, parquet's own discipline).
+    * Cut sits exactly on bucket boundary 5/8 of the value range, so
+    * zone-map pruning must drop exactly the 5 low buckets. */
+  private def dsv2Source(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val stage = new java.io.File(sys.props("java.io.tmpdir"), s"graft_glog_$sfName")
+    val ev = t(spark, dir, "events")
+    // bounded 1-row collect: the value range that defines the bucket
+    // zone maps (and the stage-2 cut below, pinned to a boundary)
+    val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+    val (vMin, vMax) = (mm.getDouble(0), mm.getDouble(1))
+    sources.FixtureCache.ensure(stage,
+      sources.FixtureCache.fingerprint(s"$dir/events.parquet", "glog_v1")) {
+      val tmp = new java.io.File(stage, "_tsv")
+      val bucketed = ev
+        .withColumn("bucket",
+          least(lit(7), floor((col("value") - vMin) / ((vMax - vMin) / 8.0))
+            .cast("int")))
+        .withColumn("line", concat_ws("\t",
+          col("event_id"), unix_micros(col("ts")),
+          col("user_id"), col("event_type"),
+          col("value").cast("string"), col("props")))
+      bucketed.select(col("bucket"), col("line"))
+        .repartition(8, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("line"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .text(tmp.getAbsolutePath)
+      // exact per-bucket value bounds: 8-row bounded collect
+      val bounds = bucketed.groupBy(col("bucket"))
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      var seq = 0
+      bounds.keys.toSeq.sorted.foreach { b =>
+        val (mn, mx) = bounds(b)
+        val parts = Option(new java.io.File(tmp, s"bucket=$b").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+          .sortBy(_.getName)
+        parts.foreach { p =>
+          val target = new java.io.File(stage,
+            sources.GraftLogSource.fileName(seq, mn, mx))
+          require(p.renameTo(target), s"rename $p -> $target failed")
+          seq += 1
+        }
+      }
+      deleteRecursively(tmp.toPath)
+    }
+
+    def glog(pushdown: Boolean): DataFrame = spark.read
+      .format("graft.sources.GraftLogSource")
+      .option("path", stage.getAbsolutePath)
+      .option("pushdown", pushdown.toString)
+      .load()
+    // stage-2 cut: exactly bucket boundary 5/8 — prunes 5 low files
+    val cut = vMin + (vMax - vMin) * 5.0 / 8.0
+    def q(src: DataFrame): DataFrame = src
+      .filter(col("event_type") === "purchase" && col("value") >= cut)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        approx_count_distinct(col("user_id")).as("nu"))
+    def rowsEmitted(df: DataFrame): Long = {
+      def walk(p: SparkPlan): Long = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case b: BatchScanExec =>
+          b.metrics.get("rowsEmitted").map(_.value).getOrElse(0L) +
+            b.children.map(walk).sum
+        case other => other.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def census(): (Int, Int, Int) =
+      sources.GraftLogSource.planCensus.get(stage.getAbsolutePath)
+
+    val oracleRow = q(ev).collect()(0)
+    def run(pushdown: Boolean): (Long, (Int, Int, Int), Boolean) = {
+      val df = q(glog(pushdown))
+      val row = df.collect()(0)
+      (rowsEmitted(df), census(),
+        row.getLong(0) == oracleRow.getLong(0) &&
+          row.getLong(1) == oracleRow.getLong(1) &&
+          row.getLong(2) == oracleRow.getLong(2))
+    }
+    val (rows1, (tot1, kept1, cols1), ok1) = run(pushdown = false)
+    val (rows2, (tot2, kept2, cols2), ok2) = run(pushdown = true)
+    // stage 3: pushed LIMIT caps the readers
+    val lim = glog(pushdown = true).select(col("event_id")).limit(5)
+    val nLim = lim.collect().length.toLong
+    val (_, keptL, _) = census()
+    val limCapped = rowsEmitted(lim) <= 5L * keptL
+
+    // stage 4: the WRITE path — task-commit protocol, zone-map-named
+    // committed files, SaveMode.Overwrite via SupportsTruncate; the
+    // written subset must survive a full connector round-trip
+    val sink = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_glog_sink_$sfName")
+    glog(pushdown = true)
+      .filter(col("event_type") === "purchase" && col("value") >= cut)
+      .write.format("graft.sources.GraftLogSource")
+      .option("path", sink.getAbsolutePath)
+      .mode("overwrite").save()
+    val sinkFiles = Option(sink.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".glog"))
+    // every committed file is zone-map named; no temp residue visible
+    val allNamed = sinkFiles.nonEmpty && sinkFiles.forall(f =>
+      sources.GraftLogSource.minMaxFromName(f.getName).isDefined)
+    val backDf = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", sink.getAbsolutePath).load()
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        approx_count_distinct(col("user_id")).as("nu"))
+    val back = backDf.collect()(0)
+    val ok4 = allNamed &&
+      back.getLong(0) == oracleRow.getLong(0) &&
+      back.getLong(1) == oracleRow.getLong(1) &&
+      back.getLong(2) == oracleRow.getLong(2)
+
+    Seq(
+      ("1_full", tot1, kept1, cols1, rows1, ok1),
+      ("2_pushed", tot2, kept2, cols2, rows2, ok2),
+      ("3_limit", tot2, keptL, 1, nLim, limCapped),
+      ("4_writeback", sinkFiles.length, sinkFiles.length, 6,
+        back.getLong(0), ok4))
+      .toDF("stage", "files_total", "files_kept", "cols_read",
+        "rows_emitted", "ok")
+      .orderBy(col("stage"))
+  }
+
+  /** MEASURED dataset caching (CACHE TABLE / InMemoryRelation) — the
+    * share-a-hot-intermediate surface every BI/dashboard deployment
+    * leans on: several consumers reference the same rollup, and
+    * without caching each one re-scans and re-aggregates the fact
+    * table. The cacheable thing at 100 TB is never the raw scan — it
+    * is the small shared AGGREGATE (here the per-user rollup), cached
+    * MEMORY_AND_DISK so an undersized executor pool spills instead of
+    * evicting-and-recomputing or OOMing. Reference analog: the
+    * weight-stationary discipline — load weights into CIM arrays once
+    * and reuse them across every inference instead of re-streaming
+    * from flash per call.
+    *
+    * Both stages run the same two consumers (top-5 spenders; an
+    * activity histogram). Stage `1_uncached`: each consumer's
+    * executed plan scans parquet again (n_file_scans census). Stage
+    * `2_cached`: after CACHE + a materializing pass, each consumer
+    * plan reads an InMemoryTableScan and NO file scan — the fact
+    * table is touched zero times (censuses from the executed plans,
+    * `is_cached` from the catalog). `match_uncached` pins identical
+    * results. Uncached/cached plan censuses and equality are
+    * spec-asserted in LayoutSpec; UNCACHE restores the catalog in
+    * `finally`. */
+  private def cacheTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val view = "graft_cached_rollup"
+    val rollup = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    rollup.createOrReplaceTempView(view)
+    try {
+      def scanCensus(df: DataFrame): (Long, Long) = {
+        def walk(p: SparkPlan): (Long, Long) = {
+          val self = p match {
+            case _: FileSourceScanExec => (1L, 0L)
+            case _: InMemoryTableScanExec => (0L, 1L)
+            case _ => (0L, 0L)
+          }
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(walk(a.executedPlan))
+            case q: QueryStageExec => Seq(walk(q.plan))
+            case other => other.children.map(walk)
+          }
+          kids.foldLeft(self) { case ((f, m), (f2, m2)) => (f + f2, m + m2) }
+        }
+        walk(df.queryExecution.executedPlan)
+      }
+      // two downstream consumers of the shared rollup
+      def consumers(): ((Long, Long), Long, Long) = {
+        val top = spark.table(view).orderBy(col("cents").desc, col("user_id"))
+          .limit(5).agg(sum(col("cents")).as("top_cents"))
+        val hist = spark.table(view)
+          .groupBy((col("n_events") / 10).cast("long").as("decade"))
+          .agg(count(lit(1)).as("n_users"))
+          .agg(sum(col("decade") * col("n_users")).as("hist_sum"))
+        val topCents = top.collect()(0).getLong(0)
+        val histSum = hist.collect()(0).getLong(0)
+        val (f1, m1) = scanCensus(top)
+        val (f2, m2) = scanCensus(hist)
+        ((f1 + f2, m1 + m2), topCents, histSum)
+      }
+      val ((files1, mem1), top1, hist1) = consumers()
+      spark.catalog.cacheTable(view,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      spark.table(view).count() // materialize the cache once
+      val cached = spark.catalog.isCached(view)
+      val ((files2, mem2), top2, hist2) = consumers()
+      Seq(
+        ("1_uncached", files1, mem1, false, top1, hist1, true),
+        ("2_cached", files2, mem2, cached, top2, hist2,
+          top2 == top1 && hist2 == hist1))
+        .toDF("stage", "n_file_scans", "n_mem_scans", "is_cached",
+          "top_cents", "hist_sum", "match_uncached")
+        .orderBy(col("stage"))
+    } finally {
+      spark.catalog.uncacheTable(view)
+      spark.catalog.dropTempView(view)
+      ()
+    }
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq
@@ -2656,6 +2985,8 @@ object EngineOps {
     "eng_cbo_histogram" -> cboHistogram,
     "eng_runtime_filter" -> runtimeFilter,
     "eng_sql_udf" -> sqlUdf,
+    "eng_dsv2_source" -> dsv2Source,
+    "eng_cache_table" -> cacheTable,
     "eng_aqe_skew" -> aqeSkew,
     "eng_exchange_reuse" -> exchangeReuse,
     "eng_complementary_filter" -> complementaryFilter,
@@ -2665,6 +2996,7 @@ object EngineOps {
     "eng_stream_enrich" -> streamEnrich,
     "eng_streaming_dedup" -> streamingDedupReplay,
     "eng_stream_recovery" -> streamRecovery,
+    "eng_stream_backfill" -> streamBackfill,
     "eng_schema_merge" -> schemaMerge,
     "eng_partition_overwrite" -> partitionOverwrite,
     "eng_observed_metrics" -> observedMetrics,

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftLogSource
+
+class Dsv2SourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("zone-map filename round-trips exact double bounds") {
+    for ((mn, mx) <- Seq((0.01, 490.02), (-3.75, 0.0), (1e-300, 1e300))) {
+      val name = GraftLogSource.fileName(3, mn, mx)
+      assert(GraftLogSource.minMaxFromName(name).contains((mn, mx)), name)
+    }
+    assert(GraftLogSource.minMaxFromName("part-0001.glog").isEmpty)
+  }
+
+  test("zone map keeps/drops files correctly on range predicates") {
+    import org.apache.spark.sql.sources._
+    val keep = GraftLogSource.zoneMapKeeps(10.0, 20.0, _: Seq[Filter])
+    assert(keep(Seq(GreaterThanOrEqual("value", 15.0))))
+    assert(keep(Seq(GreaterThanOrEqual("value", 20.0))))
+    assert(!keep(Seq(GreaterThan("value", 20.0))))
+    assert(!keep(Seq(GreaterThanOrEqual("value", 20.5))))
+    assert(keep(Seq(LessThan("value", 10.5))))
+    assert(!keep(Seq(LessThan("value", 10.0))))
+    assert(keep(Seq(EqualTo("value", 10.0))))
+    assert(!keep(Seq(EqualTo("value", 9.99))))
+    // unknown shapes and other columns are conservative: keep
+    assert(keep(Seq(EqualTo("event_type", "click"))))
+  }
+
+  test("glog connector round-trips the events table exactly") {
+    Tables.register(spark, sf)
+    // entry builds (or reuses) the fixture as a side effect
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect()
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    val glog = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", stage.getAbsolutePath).load()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .collect().map(_.toSeq).toSet
+    val (g, p) = (canon(glog), canon(spark.table("events")))
+    assert(g.size == p.size && g == p)
+    assert(g.nonEmpty)
+  }
+
+  test("eng_dsv2_source: measured pushdown, pruning, and limit censuses") {
+    val rows = EngineOps.queries("eng_dsv2_source")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_full", "2_pushed", "3_limit", "4_writeback"))
+    val byStage = rows.map(r => r.getString(0) -> r).toMap
+    val (full, pushed, lim) =
+      (byStage("1_full"), byStage("2_pushed"), byStage("3_limit"))
+    // every stage agrees with the parquet spelling / is capped
+    assert(rows.forall(_.getBoolean(5)))
+    // foil reads everything: all files, all 6 columns, every row
+    assert(full.getInt(1) == 8 && full.getInt(2) == 8 && full.getInt(3) == 6)
+    // pushdown prunes files at PLANNING time via the zone map...
+    assert(pushed.getInt(2) < pushed.getInt(1), s"no files pruned: $pushed")
+    // ...parses only the referenced columns...
+    assert(pushed.getInt(3) == 3, s"columns not pruned: $pushed")
+    // ...and emits strictly fewer rows from the readers
+    assert(pushed.getLong(4) < full.getLong(4),
+      s"no reader-side row pruning: pushed=$pushed full=$full")
+    assert(pushed.getLong(4) > 0)
+    // pushed LIMIT returns exactly k rows without draining the scan
+    assert(lim.getLong(4) == 5L)
+    // write path: committed zone-map-named files, exact round-trip
+    val wb = byStage("4_writeback")
+    assert(wb.getInt(1) > 0, "writeback committed no files")
+    assert(wb.getLong(4) == pushed.getLong(4),
+      s"writeback row count diverged: $wb vs $pushed")
+  }
+
+  test("writer task-commit protocol: overwrite replaces, temps never visible") {
+    Tables.register(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_wr").toFile
+    val ev = spark.table("events").select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    def write(df: org.apache.spark.sql.DataFrame, mode: String): Unit = df
+      .write.format("graft.sources.GraftLogSource")
+      .option("path", dir.getAbsolutePath).mode(mode).save()
+    def files() = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName)
+    write(ev.filter(col("event_id") % 2 === 0), "overwrite")
+    val n1 = files().count(_.endsWith(".glog"))
+    // append adds files, overwrite replaces them
+    write(ev.filter(col("event_id") % 2 === 1), "append")
+    assert(files().count(_.endsWith(".glog")) > n1)
+    val total = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", dir.getAbsolutePath).load().count()
+    assert(total == ev.count(), "append lost rows")
+    write(ev.limit(10), "overwrite")
+    val back = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", dir.getAbsolutePath).load().count()
+    assert(back == 10, s"overwrite did not replace: $back")
+    // no in-progress temp residue after committed jobs
+    assert(!files().exists(_.endsWith(".inprogress")), files().mkString(","))
+    // every committed file carries zone-map bounds
+    assert(files().filter(_.endsWith(".glog"))
+      .forall(n => GraftLogSource.minMaxFromName(n).isDefined))
+  }
+
+  test("pushed filters and limit surface in the executed plan") {
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect()
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    val df = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", stage.getAbsolutePath).load()
+      .filter(col("value") >= 100.0 && col("event_type") === "click")
+      .select(col("user_id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("glog"), plan.take(800))
+    val census = GraftLogSource.planCensus.get(stage.getAbsolutePath)
+    // residual filters keep value/event_type in the read schema
+    // (pushdown is an optimization, not a correctness dependency),
+    // so the pruned schema is the 3 referenced columns, not all 6
+    assert(census._3 == 3, s"read-schema not pruned: $census")
+    assert(census._2 < census._1, s"zone map pruned nothing: $census")
+  }
+}

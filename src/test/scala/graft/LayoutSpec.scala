@@ -258,4 +258,22 @@ class LayoutSpec extends AnyFunSuite {
       else assert(math.abs(os - s) < 0.01, s"sibling day $d was touched: $os vs $s")
     }
   }
+
+  test("CACHE TABLE serves consumers from InMemoryTableScan (eng_cache_table)") {
+    val rows = EngineOps.queries("eng_cache_table")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_uncached", "2_cached"))
+    val byStage = rows.map(r => r.getString(0) -> r).toMap
+    val (un, ca) = (byStage("1_uncached"), byStage("2_cached"))
+    // uncached: every consumer re-scans parquet, no memory scans
+    assert(un.getLong(1) >= 2 && un.getLong(2) == 0, s"uncached census: $un")
+    // cached: consumers read ONLY the InMemoryRelation — zero file scans
+    assert(ca.getLong(1) == 0 && ca.getLong(2) >= 2, s"cached census: $ca")
+    assert(ca.getBoolean(3), "catalog.isCached was false")
+    assert(ca.getBoolean(6), "cached results diverged from uncached")
+    assert(ca.getLong(4) == un.getLong(4) && ca.getLong(5) == un.getLong(5))
+    assert(un.getLong(4) > 0 && un.getLong(5) > 0)
+    // the entry must leave the catalog clean
+    assert(!spark.catalog.isCached("events"))
+  }
 }

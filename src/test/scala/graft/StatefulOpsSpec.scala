@@ -443,4 +443,23 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(total == 2 * first)
     }
   }
+
+  test("eng_stream_backfill paces the backlog into bounded batches, totals exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EngineOps.queries("eng_stream_backfill")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // pacing: 6 backlog files under maxFilesPerTrigger=2 → 3 batches,
+    // and no single batch admitted the whole backlog
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_batches") == 3L, r.toString)
+      assert(r.getAs[Boolean]("paced"), r.toString)
+    }
+    // pacing changes batch boundaries, never results
+    val batch = Tables.table(spark, dir, "events")
+      .groupBy(org.apache.spark.sql.functions.col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = rows.map(r =>
+      r.getAs[String]("event_type") -> r.getAs[Long]("n_rows")).toMap
+    assert(streamed == batch, s"paced totals diverged: $streamed vs $batch")
+  }
 }
