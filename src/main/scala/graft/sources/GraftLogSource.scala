@@ -49,6 +49,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reported through the standard DSv2 metric channel into the SQL
   *    UI / executedPlan metrics (how the entry measures row pruning
   *    on a real cluster, no driver-side shortcuts).
+  *  - MICRO_BATCH_READ — the directory doubles as an append-only
+  *    stream (GlogMicroBatchStream below): offsets index the sorted
+  *    committed-file list, admission control bounds each batch, and
+  *    Trigger.AvailableNow drains-and-terminates.
+  *  - DataSourceRegister — `format("glog")` and SQL
+  *    `CREATE TABLE ... USING glog` resolve via the service loader.
   *
   * Scale: one InputPartition per file (the fixture writes 8; a real
   * deployment writes thousands — Spark schedules them like any other
@@ -86,6 +92,14 @@ object GraftLogSource {
       catch { case _: NumberFormatException => None }
     else None
   }
+
+  /** The directory as a local File whether the caller handed a plain
+    * path or a `file:` URI (the session catalog stores table
+    * locations as URIs, so a `CREATE TABLE ... USING glog` read
+    * arrives here scheme-qualified). */
+  def resolveDir(path: String): File =
+    if (path.startsWith("file:")) new File(new java.net.URI(path).getPath)
+    else new File(path)
 
   def fileName(idx: Int, min: Double, max: Double): String =
     f"part-$idx%04d_${java.lang.Double.doubleToRawLongBits(min)}%x_" +
@@ -155,10 +169,14 @@ object GraftLogSource {
   }
 }
 
-/** Entry point: `spark.read.format("graft.sources.GraftLogSource")
-  * .option("path", dir)`. `option("pushdown", "false")` disables
-  * every optimization (the measured A/B foil). */
-class GraftLogSource extends TableProvider {
+/** Entry point: `spark.read.format("glog").option("path", dir)` (the
+  * short name registers through the DataSourceRegister service
+  * loader, so SQL `CREATE TABLE ... USING glog` resolves too; the
+  * fully-qualified class name also works). `option("pushdown",
+  * "false")` disables every optimization (the measured A/B foil). */
+class GraftLogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "glog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftLogSource.SchemaFixed
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -175,14 +193,17 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
   override def schema(): StructType = GraftLogSource.SchemaFixed
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GlogScanBuilder(path, pushdown)
+    new GlogScanBuilder(path, pushdown,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GlogWriteBuilder(path, info.schema())
 }
 
-private[sources] class GlogScanBuilder(path: String, pushdown: Boolean)
+private[sources] class GlogScanBuilder(path: String, pushdown: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -206,11 +227,14 @@ private[sources] class GlogScanBuilder(path: String, pushdown: Boolean)
     if (pushdown) { limit = l; true } else false
   }
 
-  override def build(): Scan = new GlogScan(path, required, pushed, limit)
+  override def build(): Scan =
+    new GlogScan(path, required, pushed, limit, maxFilesPerTrigger)
 }
 
 private[sources] class GlogScan(path: String, required: StructType,
-    pushed: Array[Filter], limit: Int) extends Scan with SupportsReportStatistics {
+    pushed: Array[Filter], limit: Int,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -219,7 +243,7 @@ private[sources] class GlogScan(path: String, required: StructType,
       (if (limit >= 0) s", PushedLimit=$limit" else "")
 
   private def listKept(): (Array[File], Int) = {
-    val all = Option(new File(path).listFiles())
+    val all = Option(GraftLogSource.resolveDir(path).listFiles())
       .getOrElse(Array.empty[File])
       .filter(_.getName.endsWith(".glog")).sortBy(_.getName)
     val kept = all.filter { f =>
@@ -257,6 +281,92 @@ private[sources] class GlogScan(path: String, required: StructType,
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new GlogRowsMetric)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GlogMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
+}
+
+/** Streaming read: the directory is an append-only log of committed
+  * `.glog` files; an offset is a position in the name-sorted file
+  * list (the writer's job-commit rename makes file appearance atomic
+  * and names monotone within a job, so the sorted listing is a
+  * stable, replayable sequence). Admission control
+  * (SupportsAdmissionControl + ReadLimit.maxFiles) bounds each
+  * micro-batch to `maxFilesPerTrigger`; SupportsTriggerAvailableNow
+  * snapshots the backlog so Trigger.AvailableNow drains everything
+  * in bounded batches and terminates — the same paced-backfill
+  * contract eng_stream_backfill proves for the file source. Pushed
+  * filters and the zone map apply per batch: a batch whose files all
+  * miss the predicate plans zero partitions but still advances the
+  * offset. */
+private[sources] class GlogOffset(val n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+  override def equals(o: Any): Boolean = o match {
+    case g: GlogOffset => g.n == n
+    case _ => false
+  }
+  override def hashCode(): Int = n
+}
+
+private[sources] class GlogMicroBatchStream(path: String,
+    required: StructType, pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def listAll(): Array[File] =
+    Option(GraftLogSource.resolveDir(path).listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".glog")).sortBy(_.getName)
+
+  // Trigger.AvailableNow: freeze the backlog at start so the query
+  // terminates even if files keep landing
+  @volatile private var frozenTotal: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenTotal = Some(listAll().length)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = new GlogOffset(0)
+  override def deserializeOffset(json: String): Offset = new GlogOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def latestOffset(): Offset =
+    new GlogOffset(frozenTotal.getOrElse(listAll().length))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val total = frozenTotal.getOrElse(listAll().length)
+    val from = start.asInstanceOf[GlogOffset].n
+    val capped = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(total, from + mf.maxFiles())
+      case _ => total
+    }
+    new GlogOffset(math.max(from, capped))
+  }
+
+  override def reportLatestOffset(): Offset =
+    new GlogOffset(listAll().length)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[GlogOffset].n, end.asInstanceOf[GlogOffset].n)
+    listAll().slice(a, b)
+      .filter { f =>
+        GraftLogSource.minMaxFromName(f.getName) match {
+          case Some((mn, mx)) => GraftLogSource.zoneMapKeeps(mn, mx, pushed.toSeq)
+          case None => true
+        }
+      }
+      .map(f => GlogPartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GlogReaderFactory(required.fieldNames, pushed, -1)
 }
 
 private[sources] class GlogRowsMetric extends CustomSumMetric {
@@ -355,7 +465,7 @@ private[sources] class GlogWriteBuilder(path: String, schema: StructType)
 private[sources] case class GlogCommit(tempPath: String, rows: Long,
     min: Double, max: Double) extends WriterCommitMessage
 
-private[sources] class GlogBatchWrite(path: String, schema: StructType,
+private[graft] class GlogBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean) extends BatchWrite {
   require(schema.fieldNames.sameElements(GraftLogSource.SchemaFixed.fieldNames),
     s"glog write schema must be ${GraftLogSource.SchemaFixed.fieldNames.mkString(",")}" +
@@ -365,7 +475,7 @@ private[sources] class GlogBatchWrite(path: String, schema: StructType,
     new GlogWriterFactory(path)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new File(path)
+    val dir = GraftLogSource.resolveDir(path)
     dir.mkdirs()
     if (truncateFirst)
       Option(dir.listFiles()).getOrElse(Array.empty[File])
@@ -389,12 +499,12 @@ private[sources] class GlogBatchWrite(path: String, schema: StructType,
       .foreach(m => new File(m.tempPath).delete())
 }
 
-private[sources] class GlogWriterFactory(path: String) extends DataWriterFactory {
+private[graft] class GlogWriterFactory(path: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GlogWriter(path, partitionId, taskId)
 }
 
-private[sources] class GlogWriter(path: String, partitionId: Int, taskId: Long)
+private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val temp = new File(path,
     f".write-$partitionId%05d-$taskId.glog.inprogress")

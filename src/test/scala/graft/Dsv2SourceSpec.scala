@@ -106,6 +106,124 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .forall(n => GraftLogSource.minMaxFromName(n).isDefined))
   }
 
+  test("writer abort discards the task's temp file; job abort leaves no residue") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_ab").toFile
+    val schema = GraftLogSource.SchemaFixed
+    // task-level: a failed/speculative task aborts its own writer
+    val factory = new graft.sources.GlogWriterFactory(dir.getAbsolutePath)
+    val w = factory.createWriter(0, 7L)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](1L, 1000000L, 2L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("click"), 3.5,
+        org.apache.spark.unsafe.types.UTF8String.fromString("{}")))
+    w.write(row)
+    assert(dir.listFiles().exists(_.getName.endsWith(".inprogress")))
+    w.abort()
+    assert(dir.listFiles().isEmpty, "abort left the temp file behind")
+    // job-level: BatchWrite.abort discards every staged commit message
+    val w2 = factory.createWriter(1, 8L)
+    w2.write(row)
+    val msg = w2.commit()
+    val bw = new graft.sources.GlogBatchWrite(dir.getAbsolutePath, schema,
+      truncateFirst = false)
+    bw.abort(Array(msg))
+    assert(dir.listFiles().isEmpty, "job abort left staged output behind")
+  }
+
+  test("short name and SQL DDL: CREATE TABLE ... USING glog resolves") {
+    Tables.register(spark, sf)
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    // short name through the service loader
+    val viaShort = spark.read.format("glog")
+      .option("path", stage.getAbsolutePath).load().count()
+    assert(viaShort == spark.table("events").count())
+    // SQL DDL through the session catalog
+    spark.sql("DROP TABLE IF EXISTS graft_glog_ddl")
+    try {
+      spark.sql(s"""CREATE TABLE graft_glog_ddl USING glog
+        OPTIONS (path '${stage.getAbsolutePath}')""")
+      val n = spark.sql(
+        "SELECT count(*) FROM graft_glog_ddl WHERE event_type = 'click'")
+        .collect()(0).getLong(0)
+      val expected = spark.table("events")
+        .filter(col("event_type") === "click").count()
+      assert(n == expected)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_glog_ddl")
+  }
+
+  test("reported statistics drive the broadcast decision") {
+    Tables.register(spark, sf)
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    def side(pushdown: Boolean) = spark.read.format("glog")
+      .option("path", stage.getAbsolutePath)
+      .option("pushdown", pushdown.toString).load()
+      .filter(col("value") >= 400.0)
+      .select(col("user_id"), col("value"))
+    // zone-map pruning + column pruning shrink the reported size
+    val sPruned = side(true).queryExecution.optimizedPlan.stats.sizeInBytes
+    val sFull = side(false).queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sPruned < sFull, s"stats did not shrink: $sPruned vs $sFull")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    // pre-execution plan: the COST-BASED decision (AQE's runtime
+    // rescue would broadcast the foil too once it sees actual bytes)
+    def joinPlan(glogSide: org.apache.spark.sql.DataFrame): String =
+      spark.table("events").join(glogSide, "user_id")
+        .agg(count(lit(1)))
+        .queryExecution.sparkPlan.toString
+    try {
+      // pin the threshold BETWEEN the two estimates: the pruned glog
+      // side (joined on the RIGHT) must be chosen as the build side;
+      // the unpruned foil must not be (the planner either broadcasts
+      // the other side or falls back to a shuffled join)
+      spark.conf.set(key, ((sPruned + sFull) / 2).toString)
+      val pruned = joinPlan(side(true))
+      assert(pruned.contains("BroadcastHashJoin") && pruned.contains("BuildRight"),
+        pruned.take(600))
+      assert(!joinPlan(side(false)).contains("BuildRight"))
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("streaming read drains the directory in admission-bounded batches") {
+    Tables.register(spark, sf)
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_glog_ck").toString
+    val partials = scala.collection.mutable.HashMap.empty[String, Long]
+    val q = spark.readStream.format("glog")
+      .option("path", stage.getAbsolutePath)
+      .option("maxFilesPerTrigger", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy(col("event_type")).count().collect().foreach { r =>
+          partials.synchronized {
+            partials(r.getString(0)) =
+              partials.getOrElse(r.getString(0), 0L) + r.getLong(1)
+          }
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 8 fixture files under maxFilesPerTrigger=3 → 3 bounded batches
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches == 3, s"expected 3 paced batches, got $batches")
+    val batch = spark.table("events").groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(partials.toMap == batch,
+      s"streamed totals diverged: $partials vs $batch")
+  }
+
   test("pushed filters and limit surface in the executed plan") {
     EngineOps.queries("eng_dsv2_source")(spark, sf).collect()
     val stage = new java.io.File(
