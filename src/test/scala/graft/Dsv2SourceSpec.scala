@@ -154,6 +154,61 @@ class Dsv2SourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_glog_ddl")
   }
 
+  test("SQL DML: INSERT INTO appends, DELETE FROM rewrites only covered files") {
+    Tables.register(spark, sf)
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    // work on a copy — the shared fixture must stay immutable
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_dml").toFile
+    stage.listFiles().filter(_.getName.endsWith(".glog")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(dir, f.getName).toPath)
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_glog_dml")
+    try {
+      spark.sql(s"""CREATE TABLE graft_glog_dml USING glog
+        OPTIONS (path '${dir.getAbsolutePath}')""")
+      def count() = spark.sql("SELECT count(*) FROM graft_glog_dml")
+        .collect()(0).getLong(0)
+      val n0 = count()
+      assert(n0 == spark.table("events").count())
+      // INSERT INTO appends through the connector's write path
+      spark.sql("""INSERT INTO graft_glog_dml
+        VALUES (900001, TIMESTAMP'2024-01-01 00:00:00', 7, 'click', 42.5, '{}')""")
+      assert(count() == n0 + 1)
+      // DELETE: files whose zone map cannot match must stay untouched
+      val cut = 100.0
+      val before = dir.listFiles().filter(_.getName.endsWith(".glog"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      val untouchable = before.keySet.filter(n =>
+        GraftLogSource.minMaxFromName(n).exists(_._2 < cut))
+      assert(untouchable.nonEmpty, "fixture lost its low-value files")
+      val expectSurvivors = spark.sql(
+        s"SELECT count(*) FROM graft_glog_dml WHERE NOT (value >= $cut)")
+        .collect()(0).getLong(0)
+      spark.sql(s"DELETE FROM graft_glog_dml WHERE value >= $cut")
+      assert(count() == expectSurvivors, "DELETE removed the wrong rows")
+      val after = dir.listFiles().filter(_.getName.endsWith(".glog"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      untouchable.foreach { n =>
+        assert(after.get(n).contains(before(n)), s"zone-skipped file $n was rewritten")
+      }
+      // survivors' refreshed bounds honor the deletion
+      after.keySet.foreach { n =>
+        GraftLogSource.minMaxFromName(n).foreach { case (_, mx) =>
+          assert(mx < cut, s"surviving file $n still claims values >= $cut")
+        }
+      }
+      assert(!dir.listFiles().exists(_.getName.endsWith(".rewrite")))
+      // unsupported predicate shapes are rejected, not mis-deleted
+      intercept[Exception] {
+        spark.sql("DELETE FROM graft_glog_dml WHERE props LIKE '%x%'")
+      }
+      assert(count() == expectSurvivors)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_glog_dml")
+  }
+
   test("reported statistics drive the broadcast decision") {
     Tables.register(spark, sf)
     EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
