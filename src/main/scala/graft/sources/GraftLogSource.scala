@@ -167,6 +167,58 @@ object GraftLogSource {
       case _ => true
     }
   }
+
+  /** Remove every row satisfying ALL `filters` from the committed
+    * files under `dir` — the shared kernel behind DELETE FROM
+    * (SupportsDelete) and overwrite-by-filter (SupportsOverwrite).
+    * Files whose zone map proves no row can match are left
+    * byte-untouched; others rewrite atomically (tmp + rename) with
+    * refreshed bounds, dropped entirely when nothing survives.
+    * Per-file idempotent: re-running converges. */
+  private[graft] def deleteMatching(dir: File, filters: Array[Filter]): Unit = {
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".glog")).foreach { f =>
+        val skip = minMaxFromName(f.getName)
+          .exists { case (mn, mx) => !zoneMapKeeps(mn, mx, filters.toSeq) }
+        if (!skip) {
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
+          val tmp = new File(dir, f.getName + ".rewrite")
+          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
+          var rows = 0L
+          var mn = Double.PositiveInfinity
+          var mx = Double.NegativeInfinity
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              val c = line.split("\t", 6)
+              val value = java.lang.Double.parseDouble(c(4))
+              // a row is deleted iff it satisfies EVERY filter
+              val deleted = filters.nonEmpty && filters.forall(
+                eval(_, c(0).toLong, c(1).toLong, c(2).toLong,
+                  c(3), value, if (c.length > 5) c(5) else ""))
+              if (!deleted) {
+                out.write(line); out.write('\n')
+                rows += 1
+                if (value < mn) mn = value
+                if (value > mx) mx = value
+              }
+              line = in.readLine()
+            }
+          } finally { in.close(); out.close() }
+          if (rows == 0L) {
+            require(tmp.delete() && f.delete(), s"delete of emptied $f failed")
+          } else {
+            // refreshed zone-map bounds; keep the original sequence id
+            val seq = f.getName.stripPrefix("part-").takeWhile(_.isDigit)
+            val target = new File(dir, fileName(seq.toInt, mn, mx))
+            require(f.delete() && tmp.renameTo(target),
+              s"rewrite rename $tmp -> $target failed")
+          }
+        }
+      }
+  }
 }
 
 /** Entry point: `spark.read.format("glog").option("path", dir)` (the
@@ -188,14 +240,16 @@ class GraftLogSource extends TableProvider
 
 private[sources] class GlogTable(path: String, pushdown: Boolean)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "graft-log source requires option(\"path\", dir)")
   override def name(): String = s"glog($path)"
   override def schema(): StructType = GraftLogSource.SchemaFixed
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlogScanBuilder(path, pushdown,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
@@ -216,53 +270,20 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(GraftLogSource.pushable)
 
-  override def deleteWhere(filters: Array[Filter]): Unit = {
-    val dir = GraftLogSource.resolveDir(path)
-    Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".glog")).foreach { f =>
-        val skip = GraftLogSource.minMaxFromName(f.getName)
-          .exists { case (mn, mx) =>
-            !GraftLogSource.zoneMapKeeps(mn, mx, filters.toSeq) }
-        if (!skip) {
-          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-            new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
-          val tmp = new File(dir, f.getName + ".rewrite")
-          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-            new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
-          var rows = 0L
-          var mn = Double.PositiveInfinity
-          var mx = Double.NegativeInfinity
-          try {
-            var line = in.readLine()
-            while (line != null) {
-              val c = line.split("\t", 6)
-              val value = java.lang.Double.parseDouble(c(4))
-              // a row is deleted iff it satisfies EVERY filter
-              val deleted = filters.nonEmpty && filters.forall(
-                GraftLogSource.eval(_, c(0).toLong, c(1).toLong, c(2).toLong,
-                  c(3), value, if (c.length > 5) c(5) else ""))
-              if (!deleted) {
-                out.write(line); out.write('\n')
-                rows += 1
-                if (value < mn) mn = value
-                if (value > mx) mx = value
-              }
-              line = in.readLine()
-            }
-          } finally { in.close(); out.close() }
-          if (rows == 0L) {
-            require(tmp.delete() && f.delete(), s"delete of emptied $f failed")
-          } else {
-            // refreshed zone-map bounds; keep the original sequence id
-            val seq = f.getName.stripPrefix("part-").takeWhile(_.isDigit)
-            val target = new File(dir,
-              GraftLogSource.fileName(seq.toInt, mn, mx))
-            require(f.delete() && tmp.renameTo(target),
-              s"rewrite rename $tmp -> $target failed")
-          }
-        }
-      }
-  }
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftLogSource.deleteMatching(GraftLogSource.resolveDir(path), filters)
+
+  /** `_file` metadata column (SupportsMetadataColumns): the committed
+    * file name serving each row — the lineage/debugging handle every
+    * file-based deployment reaches for (`SELECT _file, count(*) ...`
+    * to find a corrupt shard). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def comment(): String = "glog file name serving the row"
+    })
 }
 
 private[sources] class GlogScanBuilder(path: String, pushdown: Boolean,
@@ -284,7 +305,12 @@ private[sources] class GlogScanBuilder(path: String, pushdown: Boolean,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (pushdown) required = requiredSchema
+    required =
+      if (pushdown) requiredSchema
+      // foil mode still must honor a requested metadata column — only
+      // data-column pruning is being A/B'd
+      else StructType(GraftLogSource.SchemaFixed.fields ++
+        requiredSchema.fields.filter(_.name == "_file"))
 
   override def pushLimit(l: Int): Boolean = {
     if (pushdown) { limit = l; true } else false
@@ -450,6 +476,7 @@ private[sources] class GlogReader(file: String, fields: Array[String],
 
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
     new java.io.FileInputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+  private val fileNameUtf8 = UTF8String.fromString(new File(file).getName)
   private var current: InternalRow = _
   private var emitted = 0L
 
@@ -476,6 +503,7 @@ private[sources] class GlogReader(file: String, fields: Array[String],
             case "event_type" => UTF8String.fromString(eventType)
             case "value" => value
             case "props" => UTF8String.fromString(props)
+            case "_file" => fileNameUtf8 // metadata column
             case other => throw new IllegalArgumentException(s"unknown column $other")
           })
           i += 1
@@ -517,11 +545,32 @@ private[sources] class GlogReader(file: String, fields: Array[String],
   * an object-store deployment would swap the rename for a manifest
   * write, which this protocol's shape already supports. */
 private[sources] class GlogWriteBuilder(path: String, schema: StructType)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var truncateFirst = false
+  private var replaceWhere: Array[Filter] = Array.empty
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  /** Overwrite-by-filter (`writeTo(...).overwrite(cond)` / SQL
+    * `INSERT INTO ... REPLACE WHERE`): job commit first deletes the
+    * matching slice through the shared zone-map-aware kernel, then
+    * renames the staged files in — the idempotent "restate one
+    * slice" primitive, the connector twin of
+    * eng_partition_overwrite's dynamic mode. Unsupported predicate
+    * shapes are rejected at ANALYSIS time, not mis-applied. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncateFirst = true
+    else {
+      require(filters.forall(GraftLogSource.pushable),
+        s"glog overwrite supports value/user_id/event_type predicates, got: " +
+          filters.mkString(", "))
+      replaceWhere = filters
+    }
+    this
+  }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GlogBatchWrite(path, schema, truncateFirst)
+    override def toBatch: BatchWrite =
+      new GlogBatchWrite(path, schema, truncateFirst, replaceWhere)
   }
 }
 
@@ -529,7 +578,8 @@ private[sources] case class GlogCommit(tempPath: String, rows: Long,
     min: Double, max: Double) extends WriterCommitMessage
 
 private[graft] class GlogBatchWrite(path: String, schema: StructType,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, replaceWhere: Array[Filter] = Array.empty)
+    extends BatchWrite {
   require(schema.fieldNames.sameElements(GraftLogSource.SchemaFixed.fieldNames),
     s"glog write schema must be ${GraftLogSource.SchemaFixed.fieldNames.mkString(",")}" +
       s", got ${schema.fieldNames.mkString(",")}")
@@ -543,6 +593,8 @@ private[graft] class GlogBatchWrite(path: String, schema: StructType,
     if (truncateFirst)
       Option(dir.listFiles()).getOrElse(Array.empty[File])
         .filter(_.getName.endsWith(".glog")).foreach(_.delete())
+    if (replaceWhere.nonEmpty)
+      GraftLogSource.deleteMatching(dir, replaceWhere)
     val existing = Option(dir.listFiles()).getOrElse(Array.empty[File])
       .count(_.getName.endsWith(".glog"))
     messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows > 0)

@@ -209,6 +209,59 @@ class Dsv2SourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_glog_dml")
   }
 
+  test("_file metadata column and overwrite-by-filter restate one slice") {
+    Tables.register(spark, sf)
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_ow").toFile
+    stage.listFiles().filter(_.getName.endsWith(".glog")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(dir, f.getName).toPath)
+    }
+    // _file groups match the on-disk reality exactly
+    val byFile = spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load().select(col("_file")).groupBy(col("_file")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val onDisk = dir.listFiles().filter(_.getName.endsWith(".glog"))
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllLines(f.toPath).size.toLong).toMap
+    assert(byFile == onDisk, s"_file census diverged: $byFile vs $onDisk")
+    // overwrite-by-filter: restate the high-value slice doubled
+    spark.sql("DROP TABLE IF EXISTS graft_glog_ow")
+    try {
+      spark.sql(s"""CREATE TABLE graft_glog_ow USING glog
+        OPTIONS (path '${dir.getAbsolutePath}')""")
+      val cut = 100.0
+      val untouched = dir.listFiles().filter(_.getName.endsWith(".glog"))
+        .filter(f => GraftLogSource.minMaxFromName(f.getName).exists(_._2 < cut))
+        .map(f => f.getName -> f.lastModified()).toMap
+      val lowBefore = spark.sql(
+        s"SELECT count(*) FROM graft_glog_ow WHERE value < $cut")
+        .collect()(0).getLong(0)
+      // restated slice sourced from the immutable fixture copy (a
+      // self-referential overwrite is the reader's own race to lose)
+      val replacement = spark.read.format("glog")
+        .option("path", stage.getAbsolutePath).load()
+        .filter(col("value") >= cut)
+      val nSlice = replacement.count()
+      replacement.writeTo("graft_glog_ow").overwrite(col("value") >= cut)
+      val total = spark.sql("SELECT count(*) FROM graft_glog_ow")
+        .collect()(0).getLong(0)
+      assert(total == lowBefore + nSlice,
+        s"overwrite-by-filter lost/duplicated rows: $total")
+      // the untouched low-value files were not rewritten
+      untouched.foreach { case (n, m) =>
+        val f = new java.io.File(dir, n)
+        assert(f.exists() && f.lastModified() == m, s"zone-skipped $n rewritten")
+      }
+      // unsupported replace predicates are rejected at analysis time
+      intercept[Exception] {
+        replacement.writeTo("graft_glog_ow").overwrite(col("props") =!= "x")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_glog_ow")
+  }
+
   test("reported statistics drive the broadcast decision") {
     Tables.register(spark, sf)
     EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
