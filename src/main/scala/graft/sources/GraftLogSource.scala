@@ -168,6 +168,31 @@ object GraftLogSource {
     }
   }
 
+  /** Job-commit tail shared by every write shape: rename the staged
+    * `.inprogress` temps to final zone-map names (fresh indices past
+    * the current maximum, so a slot freed by a delete can never
+    * collide), discard empty-task temps. */
+  private[graft] def renameStagedIn(dir: File,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val nextIdx = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .map(_.getName).filter(_.endsWith(".glog"))
+      .flatMap(n => n.stripPrefix("part-").takeWhile(_.isDigit).toIntOption)
+      .maxOption.getOrElse(-1) + 1
+    messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows > 0)
+      .sortBy(_.tempPath).zipWithIndex.foreach { case (m, i) =>
+        val target = new File(dir, fileName(nextIdx + i, m.min, m.max))
+        require(new File(m.tempPath).renameTo(target),
+          s"commit rename ${m.tempPath} -> $target failed")
+      }
+    // empty tasks leave no file behind
+    messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows == 0)
+      .foreach(m => new File(m.tempPath).delete())
+  }
+
+  private[graft] def discardStaged(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GlogCommit => m }
+      .foreach(m => new File(m.tempPath).delete())
+
   /** Remove every row satisfying ALL `filters` from the committed
     * files under `dir` — the shared kernel behind DELETE FROM
     * (SupportsDelete) and overwrite-by-filter (SupportsOverwrite).
@@ -241,7 +266,8 @@ class GraftLogSource extends TableProvider
 private[sources] class GlogTable(path: String, pushdown: Boolean)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graft-log source requires option(\"path\", dir)")
   override def name(): String = s"glog($path)"
   override def schema(): StructType = GraftLogSource.SchemaFixed
@@ -273,6 +299,21 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
   override def deleteWhere(filters: Array[Filter]): Unit =
     GraftLogSource.deleteMatching(GraftLogSource.resolveDir(path), filters)
 
+  /** SQL UPDATE / MERGE INTO (and DELETE with predicates
+    * SupportsDelete cannot evaluate) via group-based copy-on-write
+    * row-level operations: the operation's scan zone-prunes to the
+    * AFFECTED files but emits them complete (readers drop nothing —
+    * untouched rows of a rewritten file must carry over), records
+    * exactly which files it planned, and the paired write stages
+    * replacement files through the normal task-commit protocol; job
+    * commit atomically swaps the recorded group files for the staged
+    * ones. A crash before commit leaves the table untouched; the
+    * statement re-runs idempotently. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GlogRowLevelOperation(path, info.command())
+
   /** `_file` metadata column (SupportsMetadataColumns): the committed
     * file name serving each row — the lineage/debugging handle every
     * file-based deployment reaches for (`SELECT _file, count(*) ...`
@@ -287,7 +328,8 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
 }
 
 private[sources] class GlogScanBuilder(path: String, pushdown: Boolean,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    groupScan: Option[java.util.Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -317,12 +359,13 @@ private[sources] class GlogScanBuilder(path: String, pushdown: Boolean,
   }
 
   override def build(): Scan =
-    new GlogScan(path, required, pushed, limit, maxFilesPerTrigger)
+    new GlogScan(path, required, pushed, limit, maxFilesPerTrigger, groupScan)
 }
 
 private[sources] class GlogScan(path: String, required: StructType,
     pushed: Array[Filter], limit: Int,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    groupScan: Option[java.util.Set[String]] = None)
     extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -360,11 +403,18 @@ private[sources] class GlogScan(path: String, required: StructType,
   override def toBatch: Batch = {
     val (kept, total) = listKept()
     GraftLogSource.planCensus.put(path, (total, kept.length, required.length))
+    // group mode (row-level UPDATE/MERGE/DELETE rewrite): record the
+    // affected files for the paired ReplaceGroups commit, and emit
+    // COMPLETE groups — zone-map file pruning still applies, but the
+    // readers must not drop rows (non-matching rows of a rewritten
+    // file have to be carried over)
+    groupScan.foreach { set => kept.foreach(f => set.add(f.getAbsolutePath)) }
+    val readerFilters = if (groupScan.isDefined) Array.empty[Filter] else pushed
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
         kept.map(f => GlogPartition(f.getAbsolutePath): InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
-        new GlogReaderFactory(required.fieldNames, pushed, limit)
+        new GlogReaderFactory(required.fieldNames, readerFilters, limit)
     }
   }
 
@@ -595,23 +645,56 @@ private[graft] class GlogBatchWrite(path: String, schema: StructType,
         .filter(_.getName.endsWith(".glog")).foreach(_.delete())
     if (replaceWhere.nonEmpty)
       GraftLogSource.deleteMatching(dir, replaceWhere)
-    val existing = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .count(_.getName.endsWith(".glog"))
-    messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows > 0)
-      .sortBy(_.tempPath).zipWithIndex.foreach { case (m, i) =>
-        val target = new File(dir,
-          GraftLogSource.fileName(existing + i, m.min, m.max))
-        require(new File(m.tempPath).renameTo(target),
-          s"commit rename ${m.tempPath} -> $target failed")
-      }
-    // empty tasks leave no file behind
-    messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows == 0)
-      .foreach(m => new File(m.tempPath).delete())
+    GraftLogSource.renameStagedIn(dir, messages)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GlogCommit => m }
-      .foreach(m => new File(m.tempPath).delete())
+    GraftLogSource.discardStaged(messages)
+}
+
+/** Copy-on-write row-level operation (UPDATE / MERGE / fallback
+  * DELETE). One instance spans the statement: its scan populates
+  * `affected` during planning (driver-side), its write replaces
+  * exactly those files at job commit. */
+private[sources] class GlogRowLevelOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  private val affected = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"glog copy-on-write $cmd($path)"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GlogScanBuilder(path, pushdown = true, groupScan = Some(affected))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GlogReplaceGroups(path, affected, info.schema())
+      }
+    }
+}
+
+/** Job commit for copy-on-write: swap the scan-recorded group files
+  * for the staged replacements in one driver-side pass. */
+private[graft] class GlogReplaceGroups(path: String,
+    affected: java.util.Set[String], schema: StructType) extends BatchWrite {
+  require(schema.fieldNames.sameElements(GraftLogSource.SchemaFixed.fieldNames),
+    s"glog rewrite schema must be ${GraftLogSource.SchemaFixed.fieldNames.mkString(",")}" +
+      s", got ${schema.fieldNames.mkString(",")}")
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GlogWriterFactory(path)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = GraftLogSource.resolveDir(path)
+    import scala.jdk.CollectionConverters._
+    affected.asScala.toSeq.sorted.foreach { p =>
+      val f = new File(p)
+      require(!f.exists() || f.delete(), s"group replace: delete $p failed")
+    }
+    GraftLogSource.renameStagedIn(dir, messages)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogSource.discardStaged(messages)
 }
 
 private[graft] class GlogWriterFactory(path: String) extends DataWriterFactory {
@@ -621,7 +704,7 @@ private[graft] class GlogWriterFactory(path: String) extends DataWriterFactory {
 
 private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val temp = new File(path,
+  private val temp = new File(GraftLogSource.resolveDir(path),
     f".write-$partitionId%05d-$taskId.glog.inprogress")
   temp.getParentFile.mkdirs()
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
@@ -631,11 +714,30 @@ private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long)
   private var mx = Double.NegativeInfinity
 
   override def write(row: InternalRow): Unit = {
-    val value = row.getDouble(4)
+    // guard the unsafe accessors: a surprise layout (missing column,
+    // unexpected null) must fail loud, never read garbage. Plain
+    // appends deliver exactly the 6 data columns; row-level rewrites
+    // (UPDATE/MERGE — ReplaceData) carry planner-internal columns
+    // BEFORE the data block, so the data occupies the trailing 6
+    // ordinals in schema order (verified by the round-trip equality
+    // asserts in Dsv2SourceSpec).
+    require(row.numFields >= 6,
+      s"glog writer expects >= 6 columns (${GraftLogSource.SchemaFixed.fieldNames
+        .mkString(",")}), got a ${row.numFields}-field row")
+    val base = row.numFields - 6
+    var i = 0
+    while (i < 6) {
+      require(!row.isNullAt(base + i),
+        s"glog format is dense: null in column " +
+          s"${GraftLogSource.SchemaFixed.fieldNames(i)}")
+      i += 1
+    }
+    val value = row.getDouble(base + 4)
     if (value < mn) mn = value
     if (value > mx) mx = value
-    out.write(s"${row.getLong(0)}\t${row.getLong(1)}\t${row.getLong(2)}\t" +
-      s"${row.getUTF8String(3)}\t$value\t${row.getUTF8String(5)}\n")
+    out.write(s"${row.getLong(base)}\t${row.getLong(base + 1)}\t" +
+      s"${row.getLong(base + 2)}\t${row.getUTF8String(base + 3)}\t$value\t" +
+      s"${row.getUTF8String(base + 5)}\n")
     rows += 1
   }
 

@@ -201,11 +201,16 @@ class Dsv2SourceSpec extends AnyFunSuite {
         }
       }
       assert(!dir.listFiles().exists(_.getName.endsWith(".rewrite")))
-      // unsupported predicate shapes are rejected, not mis-deleted
-      intercept[Exception] {
-        spark.sql("DELETE FROM graft_glog_dml WHERE props LIKE '%x%'")
-      }
-      assert(count() == expectSurvivors)
+      // predicate shapes SupportsDelete can't evaluate row-wise fall
+      // back to the copy-on-write row-level rewrite — the statement
+      // still works, with exact semantics
+      val likeMatches = spark.sql(
+        "SELECT count(*) FROM graft_glog_dml WHERE props LIKE '%7%'")
+        .collect()(0).getLong(0)
+      assert(likeMatches > 0, "fixture lost its LIKE-matching rows")
+      spark.sql("DELETE FROM graft_glog_dml WHERE props LIKE '%7%'")
+      assert(count() == expectSurvivors - likeMatches,
+        "row-level DELETE fallback removed the wrong rows")
     } finally spark.sql("DROP TABLE IF EXISTS graft_glog_dml")
   }
 
@@ -260,6 +265,73 @@ class Dsv2SourceSpec extends AnyFunSuite {
         replacement.writeTo("graft_glog_ow").overwrite(col("props") =!= "x")
       }
     } finally spark.sql("DROP TABLE IF EXISTS graft_glog_ow")
+  }
+
+  test("SQL UPDATE and MERGE INTO rewrite affected groups copy-on-write") {
+    Tables.register(spark, sf)
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_rlo").toFile
+    stage.listFiles().filter(_.getName.endsWith(".glog")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(dir, f.getName).toPath)
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_glog_rlo")
+    try {
+      spark.sql(s"""CREATE TABLE graft_glog_rlo USING glog
+        OPTIONS (path '${dir.getAbsolutePath}')""")
+      val cut = 100.0
+      val n0 = spark.table("graft_glog_rlo").count()
+      val nHigh = spark.table("graft_glog_rlo")
+        .filter(col("value") >= cut).count()
+      val untouched = dir.listFiles().filter(_.getName.endsWith(".glog"))
+        .filter(f => GraftLogSource.minMaxFromName(f.getName).exists(_._2 < cut))
+        .map(f => f.getName -> f.lastModified()).toMap
+      assert(untouched.nonEmpty)
+      val sumBefore = spark.sql(
+        s"SELECT sum(CAST(round(value*100) AS BIGINT)) FROM graft_glog_rlo WHERE value >= $cut")
+        .collect()(0).getLong(0)
+      // UPDATE: double the high-value slice; row count must not move,
+      // and afterwards the rows at value >= 2*cut are EXACTLY the
+      // updated set (anything previously >= 2*cut doubled past it)
+      spark.sql(s"UPDATE graft_glog_rlo SET value = value * 2 WHERE value >= $cut")
+      assert(spark.table("graft_glog_rlo").count() == n0, "UPDATE changed row count")
+      val doubled = spark.sql(
+        s"SELECT count(*), sum(CAST(round(value*100) AS BIGINT)) FROM graft_glog_rlo WHERE value >= ${2 * cut}")
+        .collect()(0)
+      assert(doubled.getLong(0) == nHigh, s"updated rows missing: $doubled vs $nHigh")
+      // cents re-round per row: |sum - 2*sumBefore| <= 1 per row
+      assert(math.abs(doubled.getLong(1) - 2 * sumBefore) <= nHigh,
+        s"updated sum off: ${doubled.getLong(1)} vs ${2 * sumBefore}")
+      // zone-skipped low files were not rewritten by the UPDATE
+      untouched.foreach { case (n, m) =>
+        val f = new java.io.File(dir, n)
+        assert(f.exists() && f.lastModified() == m, s"zone-skipped $n rewritten")
+      }
+      // MERGE INTO: matched rows restated, unmatched inserted
+      spark.table("graft_glog_rlo")
+        .filter(col("user_id") === 1).limit(3)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .createOrReplaceTempView("glog_merge_src")
+      val srcIds = spark.table("glog_merge_src")
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      assert(srcIds.nonEmpty)
+      spark.sql("""MERGE INTO graft_glog_rlo t USING glog_merge_src s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET t.event_type = 'merged'
+        WHEN NOT MATCHED THEN INSERT *""")
+      val merged = spark.sql(
+        "SELECT count(*) FROM graft_glog_rlo WHERE event_type = 'merged'")
+        .collect()(0).getLong(0)
+      assert(merged == srcIds.size, s"MERGE matched $merged of ${srcIds.size}")
+      assert(spark.table("graft_glog_rlo").count() == n0, "MERGE changed count")
+      assert(!dir.listFiles().exists(_.getName.endsWith(".inprogress")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_glog_rlo")
+      spark.catalog.dropTempView("glog_merge_src")
+    }
   }
 
   test("reported statistics drive the broadcast decision") {

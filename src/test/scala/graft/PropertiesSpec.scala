@@ -193,4 +193,62 @@ class PropertiesSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(5) - v.sum) < 1e-6)
     }
   }
+
+  test("property: glog zone-map names round-trip any double bounds exactly") {
+    import graft.sources.GraftLogSource
+    val dGen: Gen[Double] = Gen.oneOf(
+      Gen.chooseNum(-1e9, 1e9),
+      Gen.oneOf(0.0, -0.0, 1e-300, -1e-300, 1e300, -1e300,
+        Double.MinPositiveValue, Double.MaxValue, -Double.MaxValue))
+    val pairs = samples(Gen.zip(dGen, dGen), 200)
+    pairs.foreach { case (a, b) =>
+      val (mn, mx) = (math.min(a, b), math.max(a, b))
+      val name = GraftLogSource.fileName(12, mn, mx)
+      assert(GraftLogSource.minMaxFromName(name).contains((mn, mx)), name)
+      // zone-map soundness: a point query for any v inside [mn,mx]
+      // must keep the file
+      import org.apache.spark.sql.sources.EqualTo
+      Seq(mn, mx, mn / 2 + mx / 2).filter(v => v >= mn && v <= mx).foreach { v =>
+        assert(GraftLogSource.zoneMapKeeps(mn, mx, Seq(EqualTo("value", v))))
+      }
+    }
+  }
+
+  test("property: glog line format round-trips arbitrary rows through write+read") {
+    import graft.sources.GraftLogSource
+    val rowGen = for {
+      id <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      us <- Gen.chooseNum(0L, 4102444800000000L)
+      uid <- Gen.chooseNum(0L, 1L << 40)
+      et <- Gen.oneOf("click", "view", "a b", "ünïcode", "")
+      v <- Gen.oneOf(Gen.chooseNum(-1e12, 1e12),
+        Gen.oneOf(0.0, 1e-300, 123.456, 1e17 + 1))
+      props <- Gen.oneOf("""{"k": 1}""", "", "x,y|z", "quote\"inside", "héllo")
+    } yield (id, us, uid, et, v, props)
+    val rows = samples(rowGen, 120)
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_prop").toFile
+    import spark.implicits._
+    val df = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    df.write.format("glog").option("path", dir.getAbsolutePath)
+      .mode("overwrite").save()
+    val back = spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load()
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .collect().map(_.toSeq).toSet
+    val expected = rows.map { case (id, us, uid, et, v, p) =>
+      Seq(id, us, uid, et, v, p)
+    }.toSet
+    assert(back == expected)
+    // committed files carry sound zone maps for their own content
+    dir.listFiles().filter(_.getName.endsWith(".glog")).foreach { f =>
+      val (mn, mx) = GraftLogSource.minMaxFromName(f.getName).get
+      val vals = java.nio.file.Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String])
+        .map(_.split("\t", 6)(4).toDouble)
+      assert(vals.forall(v => v >= mn && v <= mx), f.getName)
+    }
+  }
 }
