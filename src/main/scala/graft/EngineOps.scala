@@ -2367,6 +2367,13 @@ object EngineOps {
     *    SupportsTruncate) and must survive a full round-trip; `ok`
     *    additionally requires every committed file to carry pruning
     *    bounds in its name.
+    *  - `5_dml`: SQL DELETE through the catalog on a per-run scratch
+    *    copy, with a predicate (value ≥ the 4.5/8 boundary) that
+    *    exercises all three file behaviors at once: zone-proven
+    *    unaffected files stay byte-untouched, fully-covered files
+    *    drop whole without being opened, the straddling file
+    *    rewrites with refreshed bounds. Survivor count pinned to the
+    *    parquet spelling.
     * `matches_parquet` pins stages 1/2 to the identical aggregate
     * over the parquet spelling — pushdown is an optimization, never
     * a correctness dependency (pushed filters stay residual, Spark
@@ -2492,12 +2499,47 @@ object EngineOps {
       back.getLong(1) == oracleRow.getLong(1) &&
       back.getLong(2) == oracleRow.getLong(2)
 
+    // stage 5: SQL DML — a DELETE whose predicate exercises all three
+    // file behaviors in one statement: files the zone map proves
+    // unaffected stay byte-untouched (metadata-only), fully-covered
+    // files drop whole (the retention-window case), the one
+    // straddling file rewrites with refreshed bounds. Runs on a
+    // scratch copy rebuilt per run (DML mutates); `files_kept`
+    // censuses the post-DELETE file count, `ok` pins survivor count
+    // to the parquet spelling plus zero temp residue.
+    val dml = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_glog_dml_$sfName")
+    if (dml.exists()) deleteRecursively(dml.toPath)
+    dml.mkdirs()
+    val fixtureFiles = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".glog"))
+    fixtureFiles.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dml, f.getName).toPath): Unit
+    }
+    val cut5 = vMin + (vMax - vMin) * 4.5 / 8
+    val expectSurvive = ev.filter(col("value") < cut5).count()
+    spark.sql("DROP TABLE IF EXISTS graft_glog_dml_bench")
+    val (filesAfter, nAfter, ok5) = try {
+      spark.sql(s"""CREATE TABLE graft_glog_dml_bench USING glog
+        OPTIONS (path '${dml.getAbsolutePath}')""")
+      spark.sql(s"DELETE FROM graft_glog_dml_bench WHERE value >= $cut5")
+      val after = Option(dml.listFiles()).getOrElse(Array.empty)
+      val glogs = after.count(_.getName.endsWith(".glog"))
+      val residue = after.exists(f => f.getName.endsWith(".rewrite") ||
+        f.getName.endsWith(".inprogress"))
+      val n = spark.sql("SELECT count(*) FROM graft_glog_dml_bench")
+        .collect()(0).getLong(0)
+      (glogs, n, n == expectSurvive && !residue)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_glog_dml_bench")
+
     Seq(
       ("1_full", tot1, kept1, cols1, rows1, ok1),
       ("2_pushed", tot2, kept2, cols2, rows2, ok2),
       ("3_limit", tot2, keptL, 1, nLim, limCapped),
       ("4_writeback", sinkFiles.length, sinkFiles.length, 6,
-        back.getLong(0), ok4))
+        back.getLong(0), ok4),
+      ("5_dml", fixtureFiles.length, filesAfter, 6, nAfter, ok5))
       .toDF("stage", "files_total", "files_kept", "cols_read",
         "rows_emitted", "ok")
       .orderBy(col("stage"))

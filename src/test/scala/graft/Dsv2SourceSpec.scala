@@ -52,7 +52,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
   test("eng_dsv2_source: measured pushdown, pruning, and limit censuses") {
     val rows = EngineOps.queries("eng_dsv2_source")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("1_full", "2_pushed", "3_limit", "4_writeback"))
+      Seq("1_full", "2_pushed", "3_limit", "4_writeback", "5_dml"))
     val byStage = rows.map(r => r.getString(0) -> r).toMap
     val (full, pushed, lim) =
       (byStage("1_full"), byStage("2_pushed"), byStage("3_limit"))
@@ -75,6 +75,13 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(wb.getInt(1) > 0, "writeback committed no files")
     assert(wb.getLong(4) == pushed.getLong(4),
       s"writeback row count diverged: $wb vs $pushed")
+    // DML: the DELETE leaves the 4 zone-untouched low files plus the
+    // one rewritten straddler; fully-covered files dropped whole
+    val dml = byStage("5_dml")
+    assert(dml.getBoolean(5), s"DML stage not ok: $dml")
+    assert(dml.getInt(2) < dml.getInt(1), s"DELETE dropped no files: $dml")
+    assert(dml.getInt(2) >= 4, s"DELETE dropped zone-untouched files: $dml")
+    assert(dml.getLong(4) > 0)
   }
 
   test("writer task-commit protocol: overwrite replaces, temps never visible") {
