@@ -74,6 +74,12 @@ object GraftLogSource {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Cost gate for the driver-side DELETE path: when a delete
+    * predicate's zone-map-affected file count exceeds this, the
+    * statement routes through the executor-parallel copy-on-write
+    * rewrite instead (see GlogTable.canDeleteWhere). */
+  val MaxDriverDeleteFiles = 16
+
   /** Driver-side planning census: path → (files total, files kept
     * after zone-map pruning, columns materialized). Populated during
     * `toBatch` planning (always on the driver), read by the entry /
@@ -287,17 +293,51 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
     * retention-window case deletes whole low-value/old files without
     * opening them); otherwise the file is rewritten atomically
     * (tmp + rename) with refreshed zone-map bounds, dropped entirely
-    * if nothing survives. Only predicate shapes the reader can
-    * evaluate row-wise are accepted — `canDeleteWhere` returns false
-    * for anything else, so Spark rejects the statement instead of
-    * deleting wrongly. Per-file idempotent: a crash mid-delete
+    * if nothing survives. Per-file idempotent: a crash mid-delete
     * leaves each file either untouched or fully rewritten, and
-    * re-running the DELETE converges. */
+    * re-running the DELETE converges.
+    *
+    * `canDeleteWhere` is a MEASURED-COST dispatch, not just a shape
+    * check: this path opens affected files on the DRIVER, which is
+    * the right trade only while the zone map bounds that work to a
+    * handful of boundary files (the clustered-layout contract).
+    * When the predicate shape is unsupported OR the zone map keeps
+    * more than [[GraftLogSource.MaxDriverDeleteFiles]] files, it
+    * returns false and Spark routes the SAME statement through the
+    * copy-on-write row-level path below — executor-parallel file
+    * rewrites — instead of serializing 100 TB of rewrites through
+    * the driver. Same discipline as the triangle-count broadcast
+    * gates: choose the physical route by measured cost, never
+    * unconditionally. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(GraftLogSource.pushable)
+    filters.forall(GraftLogSource.pushable) && {
+      val affected = Option(GraftLogSource.resolveDir(path).listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".glog"))
+        .count { f =>
+          GraftLogSource.minMaxFromName(f.getName) match {
+            case Some((mn, mx)) =>
+              GraftLogSource.zoneMapKeeps(mn, mx, filters.toSeq)
+            case None => true
+          }
+        }
+      affected <= GraftLogSource.MaxDriverDeleteFiles
+    }
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     GraftLogSource.deleteMatching(GraftLogSource.resolveDir(path), filters)
+
+  /** SQL `TRUNCATE TABLE`: metadata-only — unlink every committed
+    * file, never open one (the SupportsDelete default would route
+    * through deleteWhere(AlwaysTrue) and pointlessly rewrite 100 TB
+    * on the driver). */
+  override def truncateTable(): Boolean = {
+    Option(GraftLogSource.resolveDir(path).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".glog"))
+      .foreach(f => require(f.delete(), s"truncate: delete $f failed"))
+    true
+  }
 
   /** SQL UPDATE / MERGE INTO (and DELETE with predicates
     * SupportsDelete cannot evaluate) via group-based copy-on-write

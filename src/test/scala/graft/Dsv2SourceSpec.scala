@@ -341,6 +341,46 @@ class Dsv2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE routes by measured cost; TRUNCATE unlinks without reads") {
+    // 20 single-row files with disjoint zone maps
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_gate").toFile
+    (0 until 20).foreach { i =>
+      val v = i.toDouble
+      java.nio.file.Files.write(
+        new java.io.File(dir, GraftLogSource.fileName(i, v, v)).toPath,
+        s"$i\t${1000000L * i}\t$i\tclick\t$v\t{}\n".getBytes("UTF-8"))
+    }
+    import org.apache.spark.sql.connector.catalog.SupportsDelete
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val table = new GraftLogSource().getTable(null, Array.empty,
+      java.util.Map.of("path", dir.getAbsolutePath))
+      .asInstanceOf[SupportsDelete]
+    // a wide predicate affects 20 files > the 16-file driver budget:
+    // the driver path declines and Spark uses the executor-parallel
+    // copy-on-write rewrite for the SAME statement
+    import org.apache.spark.sql.sources.Filter
+    assert(!table.canDeleteWhere(
+      Array[Filter](GreaterThanOrEqual("value", 0.0))))
+    // a boundary predicate affects 2 files: driver path accepted
+    assert(table.canDeleteWhere(
+      Array[Filter](GreaterThanOrEqual("value", 18.0))))
+    spark.sql("DROP TABLE IF EXISTS graft_glog_gate")
+    try {
+      spark.sql(s"""CREATE TABLE graft_glog_gate USING glog
+        OPTIONS (path '${dir.getAbsolutePath}')""")
+      def count() = spark.sql("SELECT count(*) FROM graft_glog_gate")
+        .collect()(0).getLong(0)
+      assert(count() == 20)
+      // over-budget DELETE still works (row-level fallback), exactly
+      spark.sql("DELETE FROM graft_glog_gate WHERE value >= 5.0")
+      assert(count() == 5, "fallback DELETE removed the wrong rows")
+      // TRUNCATE TABLE: metadata-only unlink
+      spark.sql("TRUNCATE TABLE graft_glog_gate")
+      assert(count() == 0)
+      assert(!dir.listFiles().exists(_.getName.endsWith(".glog")))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_glog_gate")
+  }
+
   test("reported statistics drive the broadcast decision") {
     Tables.register(spark, sf)
     EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
