@@ -2372,8 +2372,9 @@ object EngineOps {
     *    exercises all three file behaviors at once: zone-proven
     *    unaffected files stay byte-untouched, fully-covered files
     *    drop whole without being opened, the straddling file
-    *    rewrites with refreshed bounds. Survivor count pinned to the
-    *    parquet spelling.
+    *    rewrites in place (atomic same-name swap; bounds stay a
+    *    sound superset). Survivor count pinned to the parquet
+    *    spelling.
     * `matches_parquet` pins stages 1/2 to the identical aggregate
     * over the parquet spelling — pushdown is an optimization, never
     * a correctness dependency (pushed filters stay residual, Spark

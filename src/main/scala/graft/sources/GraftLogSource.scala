@@ -111,27 +111,58 @@ object GraftLogSource {
     f"part-$idx%04d_${java.lang.Double.doubleToRawLongBits(min)}%x_" +
       f"${java.lang.Double.doubleToRawLongBits(max)}%x.glog"
 
+  /** Double comparison matching Spark SQL's total ordering — NaN is
+    * the LARGEST value and equals itself, and -0.0 == 0.0. Every
+    * reader-side predicate and zone-map bound uses this, never raw
+    * Java operators: Java's `NaN > x == false` would silently drop
+    * rows the engine's residual filter would keep (pushdown must be
+    * an optimization, never a semantics change). */
+  def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
   /** Can a file with value-range [min,max] contain rows passing all
     * pushed `value` range predicates? Conservative: unknown filter
-    * shapes keep the file. */
+    * shapes keep the file. NaN-aware via [[cmp]]: a file whose max is
+    * NaN (contains NaN rows) survives any `value > x` predicate,
+    * matching Spark's NaN-as-largest ordering. */
   def zoneMapKeeps(min: Double, max: Double, pushed: Seq[Filter]): Boolean =
     pushed.forall {
-      case GreaterThan("value", v: Number) => max > v.doubleValue()
-      case GreaterThanOrEqual("value", v: Number) => max >= v.doubleValue()
-      case LessThan("value", v: Number) => min < v.doubleValue()
-      case LessThanOrEqual("value", v: Number) => min <= v.doubleValue()
+      case GreaterThan("value", v: Number) => cmp(max, v.doubleValue()) > 0
+      case GreaterThanOrEqual("value", v: Number) => cmp(max, v.doubleValue()) >= 0
+      case LessThan("value", v: Number) => cmp(min, v.doubleValue()) < 0
+      case LessThanOrEqual("value", v: Number) => cmp(min, v.doubleValue()) <= 0
       case EqualTo("value", v: Number) =>
-        min <= v.doubleValue() && v.doubleValue() <= max
+        cmp(min, v.doubleValue()) <= 0 && cmp(v.doubleValue(), max) <= 0
       case _ => true
     }
+
+  /** Committed files under `dir` surviving the zone map for `pushed`
+    * → (kept, total). The ONE listing+pruning kernel shared by batch
+    * planning, streaming planning, the DELETE cost gate, and the
+    * DELETE executor — they must agree on the affected set. Files
+    * with unparsable names are conservatively kept. */
+  def listCommitted(dir: File, pushed: Seq[Filter]): (Array[File], Int) = {
+    val all = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".glog")).sortBy(_.getName)
+    val kept = all.filter { f =>
+      minMaxFromName(f.getName) match {
+        case Some((mn, mx)) => zoneMapKeeps(mn, mx, pushed)
+        case None => true
+      }
+    }
+    (kept, all.length)
+  }
 
   private[sources] def pushable(f: Filter): Boolean = f match {
     case GreaterThan(a, _: Number) => a == "value" || a == "user_id"
     case GreaterThanOrEqual(a, _: Number) => a == "value" || a == "user_id"
     case LessThan(a, _: Number) => a == "value" || a == "user_id"
     case LessThanOrEqual(a, _: Number) => a == "value" || a == "user_id"
-    case EqualTo(a, _) => a == "value" || a == "user_id" || a == "event_type"
-    case In(a, _) => a == "event_type"
+    case EqualTo(a, v) =>
+      v != null && (a == "value" || a == "user_id" || a == "event_type")
+    // IN-lists may carry null literals (SQL `IN ('a', NULL)`): leave
+    // those to the engine rather than mis-evaluating them here
+    case In(a, vs) => a == "event_type" && vs != null && !vs.contains(null)
     case IsNotNull(a) => SchemaFixed.fieldNames.contains(a)
     case _ => false
   }
@@ -155,18 +186,19 @@ object GraftLogSource {
       case _ => Double.NaN
     }
     f match {
-      case GreaterThan(a, v: Number) => num(a) > v.doubleValue()
-      case GreaterThanOrEqual(a, v: Number) => num(a) >= v.doubleValue()
-      case LessThan(a, v: Number) => num(a) < v.doubleValue()
-      case LessThanOrEqual(a, v: Number) => num(a) <= v.doubleValue()
+      case GreaterThan(a, v: Number) => cmp(num(a), v.doubleValue()) > 0
+      case GreaterThanOrEqual(a, v: Number) => cmp(num(a), v.doubleValue()) >= 0
+      case LessThan(a, v: Number) => cmp(num(a), v.doubleValue()) < 0
+      case LessThanOrEqual(a, v: Number) => cmp(num(a), v.doubleValue()) <= 0
       case EqualTo(a, v) => col(a) match {
-        case s: String => s == v.toString
+        case s: String => v != null && s == v.toString
         case l: Long => v.isInstanceOf[Number] && l == v.asInstanceOf[Number].longValue()
-        case d: Double => v.isInstanceOf[Number] && d == v.asInstanceOf[Number].doubleValue()
+        case d: Double =>
+          v.isInstanceOf[Number] && cmp(d, v.asInstanceOf[Number].doubleValue()) == 0
         case _ => false
       }
       case In(a, vs) => col(a) match {
-        case s: String => vs.exists(_.toString == s)
+        case s: String => vs != null && vs.exists(v => v != null && v.toString == s)
         case _ => false
       }
       case IsNotNull(_) => true // format is dense: no nulls by construction
@@ -177,7 +209,12 @@ object GraftLogSource {
   /** Job-commit tail shared by every write shape: rename the staged
     * `.inprogress` temps to final zone-map names (fresh indices past
     * the current maximum, so a slot freed by a delete can never
-    * collide), discard empty-task temps. */
+    * collide), discard empty-task temps. SINGLE-WRITER contract: two
+    * jobs committing into the same directory concurrently can race
+    * this listing and collide on indices — like any file sink
+    * without an external commit coordinator, concurrent writers need
+    * a table-level lock or a manifest-based committer (the
+    * documented object-store swap-in). */
   private[graft] def renameStagedIn(dir: File,
       messages: Array[WriterCommitMessage]): Unit = {
     val nextIdx = Option(dir.listFiles()).getOrElse(Array.empty[File])
@@ -202,53 +239,50 @@ object GraftLogSource {
   /** Remove every row satisfying ALL `filters` from the committed
     * files under `dir` — the shared kernel behind DELETE FROM
     * (SupportsDelete) and overwrite-by-filter (SupportsOverwrite).
-    * Files whose zone map proves no row can match are left
-    * byte-untouched; others rewrite atomically (tmp + rename) with
-    * refreshed bounds, dropped entirely when nothing survives.
-    * Per-file idempotent: re-running converges. */
+    * Files the zone map proves unaffected are left byte-untouched;
+    * others rewrite via an ATOMIC same-name rename (the survivors
+    * are staged to a `.rewrite` temp and `Files.move` with
+    * ATOMIC_MOVE replaces the original in one step — a crash leaves
+    * each file either fully old or fully new, never missing). The
+    * file KEEPS its name, so its zone-map bounds stay a sound
+    * SUPERSET of the surviving values (conservative: never prunes
+    * wrongly, may scan a fully-emptied range until compaction) —
+    * crash-atomicity is worth more than bound tightness. Files with
+    * no survivors are simply unlinked. Per-file idempotent:
+    * re-running converges. */
   private[graft] def deleteMatching(dir: File, filters: Array[Filter]): Unit = {
-    Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".glog")).foreach { f =>
-        val skip = minMaxFromName(f.getName)
-          .exists { case (mn, mx) => !zoneMapKeeps(mn, mx, filters.toSeq) }
-        if (!skip) {
-          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-            new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
-          val tmp = new File(dir, f.getName + ".rewrite")
-          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-            new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
-          var rows = 0L
-          var mn = Double.PositiveInfinity
-          var mx = Double.NegativeInfinity
-          try {
-            var line = in.readLine()
-            while (line != null) {
-              val c = line.split("\t", 6)
-              val value = java.lang.Double.parseDouble(c(4))
-              // a row is deleted iff it satisfies EVERY filter
-              val deleted = filters.nonEmpty && filters.forall(
-                eval(_, c(0).toLong, c(1).toLong, c(2).toLong,
-                  c(3), value, if (c.length > 5) c(5) else ""))
-              if (!deleted) {
-                out.write(line); out.write('\n')
-                rows += 1
-                if (value < mn) mn = value
-                if (value > mx) mx = value
-              }
-              line = in.readLine()
-            }
-          } finally { in.close(); out.close() }
-          if (rows == 0L) {
-            require(tmp.delete() && f.delete(), s"delete of emptied $f failed")
-          } else {
-            // refreshed zone-map bounds; keep the original sequence id
-            val seq = f.getName.stripPrefix("part-").takeWhile(_.isDigit)
-            val target = new File(dir, fileName(seq.toInt, mn, mx))
-            require(f.delete() && tmp.renameTo(target),
-              s"rewrite rename $tmp -> $target failed")
+    val (affected, _) = listCommitted(dir, filters.toSeq)
+    affected.foreach { f =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
+      val tmp = new File(dir, f.getName + ".rewrite")
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
+      var rows = 0L
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          val c = line.split("\t", 6)
+          val value = java.lang.Double.parseDouble(c(4))
+          // a row is deleted iff it satisfies EVERY filter
+          val deleted = filters.nonEmpty && filters.forall(
+            eval(_, c(0).toLong, c(1).toLong, c(2).toLong,
+              c(3), value, if (c.length > 5) c(5) else ""))
+          if (!deleted) {
+            out.write(line); out.write('\n')
+            rows += 1
           }
+          line = in.readLine()
         }
+      } finally { in.close(); out.close() }
+      if (rows == 0L) {
+        require(tmp.delete() && f.delete(), s"delete of emptied $f failed")
+      } else {
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
       }
+    }
   }
 }
 
@@ -291,11 +325,12 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
   /** SQL `DELETE FROM ... WHERE ...` (SupportsDelete) — metadata-only
     * where the zone map proves a file can hold no match (the common
     * retention-window case deletes whole low-value/old files without
-    * opening them); otherwise the file is rewritten atomically
-    * (tmp + rename) with refreshed zone-map bounds, dropped entirely
-    * if nothing survives. Per-file idempotent: a crash mid-delete
-    * leaves each file either untouched or fully rewritten, and
-    * re-running the DELETE converges.
+    * opening them); otherwise the file is rewritten IN PLACE via an
+    * atomic same-name rename (bounds stay a sound superset — see
+    * [[GraftLogSource.deleteMatching]]), dropped entirely if nothing
+    * survives. Per-file idempotent: a crash mid-delete leaves each
+    * file either fully old or fully new, and re-running the DELETE
+    * converges.
     *
     * `canDeleteWhere` is a MEASURED-COST dispatch, not just a shape
     * check: this path opens affected files on the DRIVER, which is
@@ -311,17 +346,9 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
     * unconditionally. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(GraftLogSource.pushable) && {
-      val affected = Option(GraftLogSource.resolveDir(path).listFiles())
-        .getOrElse(Array.empty[File])
-        .filter(_.getName.endsWith(".glog"))
-        .count { f =>
-          GraftLogSource.minMaxFromName(f.getName) match {
-            case Some((mn, mx)) =>
-              GraftLogSource.zoneMapKeeps(mn, mx, filters.toSeq)
-            case None => true
-          }
-        }
-      affected <= GraftLogSource.MaxDriverDeleteFiles
+      val (affected, _) = GraftLogSource.listCommitted(
+        GraftLogSource.resolveDir(path), filters.toSeq)
+      affected.length <= GraftLogSource.MaxDriverDeleteFiles
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit =
@@ -414,18 +441,8 @@ private[sources] class GlogScan(path: String, required: StructType,
       s"ReadSchema=${required.fieldNames.mkString(",")}" +
       (if (limit >= 0) s", PushedLimit=$limit" else "")
 
-  private def listKept(): (Array[File], Int) = {
-    val all = Option(GraftLogSource.resolveDir(path).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".glog")).sortBy(_.getName)
-    val kept = all.filter { f =>
-      GraftLogSource.minMaxFromName(f.getName) match {
-        case Some((mn, mx)) => GraftLogSource.zoneMapKeeps(mn, mx, pushed.toSeq)
-        case None => true
-      }
-    }
-    (kept, all.length)
-  }
+  private def listKept(): (Array[File], Int) =
+    GraftLogSource.listCommitted(GraftLogSource.resolveDir(path), pushed.toSeq)
 
   override def estimateStatistics(): Statistics = {
     val (kept, _) = listKept()
@@ -534,7 +551,17 @@ private[sources] class GlogMicroBatchStream(path: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (a, b) = (start.asInstanceOf[GlogOffset].n, end.asInstanceOf[GlogOffset].n)
-    listAll().slice(a, b)
+    val all = listAll()
+    // streaming offsets index the name-sorted listing, which is only
+    // stable while the directory is APPEND-ONLY. DML (DELETE/
+    // TRUNCATE/UPDATE) on a streamed table shrinks or reorders the
+    // listing and silently invalidates checkpoints — fail loud (the
+    // same contract as Spark's file source with source-side cleanup)
+    require(b <= all.length,
+      s"glog streaming offset $b exceeds the ${all.length}-file listing: " +
+        "the directory shrank mid-stream (DML on a streamed glog table " +
+        "invalidates its checkpoints; streams require append-only dirs)")
+    all.slice(a, b)
       .filter { f =>
         GraftLogSource.minMaxFromName(f.getName) match {
           case Some((mn, mx)) => GraftLogSource.zoneMapKeeps(mn, mx, pushed.toSeq)
@@ -570,31 +597,53 @@ private[sources] class GlogReader(file: String, fields: Array[String],
   private var current: InternalRow = _
   private var emitted = 0L
 
+  // hot-loop plan, computed ONCE per split: which source columns to
+  // actually parse (projection ∪ pushed-filter references — column
+  // pruning means skipping toLong/parseDouble, not just dropping
+  // fields), and an ordinal map replacing per-row string matching
+  private val filterRefs: Set[String] = pushed.flatMap(_.references).toSet
+  private def needed(name: String): Boolean =
+    fields.contains(name) || filterRefs.contains(name)
+  private val needEventId = needed("event_id")
+  private val needTs = needed("ts")
+  private val needUserId = needed("user_id")
+  private val needValue = needed("value")
+  // source ordinal per output field; -1 = the _file metadata column
+  private val ordinals: Array[Int] = fields.map {
+    case "event_id" => 0
+    case "ts" => 1
+    case "user_id" => 2
+    case "event_type" => 3
+    case "value" => 4
+    case "props" => 5
+    case "_file" => -1
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     var line = in.readLine()
     while (line != null) {
       val c = line.split("\t", 6)
-      val eventId = c(0).toLong
-      val tsMicros = c(1).toLong
-      val userId = c(2).toLong
+      val eventId = if (needEventId) c(0).toLong else 0L
+      val tsMicros = if (needTs) c(1).toLong else 0L
+      val userId = if (needUserId) c(2).toLong else 0L
       val eventType = c(3)
-      val value = java.lang.Double.parseDouble(c(4))
+      val value = if (needValue) java.lang.Double.parseDouble(c(4)) else 0.0
       val props = if (c.length > 5) c(5) else ""
       if (pushed.forall(GraftLogSource.eval(_, eventId, tsMicros, userId,
           eventType, value, props))) {
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
         var i = 0
         while (i < fields.length) {
-          row.update(i, fields(i) match {
-            case "event_id" => eventId
-            case "ts" => tsMicros
-            case "user_id" => userId
-            case "event_type" => UTF8String.fromString(eventType)
-            case "value" => value
-            case "props" => UTF8String.fromString(props)
-            case "_file" => fileNameUtf8 // metadata column
-            case other => throw new IllegalArgumentException(s"unknown column $other")
+          row.update(i, ordinals(i) match {
+            case 0 => eventId
+            case 1 => tsMicros
+            case 2 => userId
+            case 3 => UTF8String.fromString(eventType)
+            case 4 => value
+            case 5 => UTF8String.fromString(props)
+            case _ => fileNameUtf8 // metadata column
           })
           i += 1
         }
@@ -682,7 +731,8 @@ private[graft] class GlogBatchWrite(path: String, schema: StructType,
     dir.mkdirs()
     if (truncateFirst)
       Option(dir.listFiles()).getOrElse(Array.empty[File])
-        .filter(_.getName.endsWith(".glog")).foreach(_.delete())
+        .filter(_.getName.endsWith(".glog"))
+        .foreach(f => require(f.delete(), s"overwrite: delete $f failed"))
     if (replaceWhere.nonEmpty)
       GraftLogSource.deleteMatching(dir, replaceWhere)
     GraftLogSource.renameStagedIn(dir, messages)
@@ -773,11 +823,23 @@ private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long)
       i += 1
     }
     val value = row.getDouble(base + 4)
-    if (value < mn) mn = value
-    if (value > mx) mx = value
+    // NaN-aware bounds via cmp (NaN sorts largest, like Spark): a
+    // NaN row must widen max to NaN or the zone map would wrongly
+    // prune the file for `value > x` predicates
+    if (GraftLogSource.cmp(value, mn) < 0) mn = value
+    if (GraftLogSource.cmp(value, mx) > 0) mx = value
+    val eventType = row.getUTF8String(base + 3).toString
+    val props = row.getUTF8String(base + 5).toString
+    // the line format reserves TAB and newline: corrupting a file
+    // silently is never acceptable, so reject such strings loudly
+    def clean(s: String, colName: String): String = {
+      require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0,
+        s"glog format reserves TAB/newline; found one in column $colName")
+      s
+    }
     out.write(s"${row.getLong(base)}\t${row.getLong(base + 1)}\t" +
-      s"${row.getLong(base + 2)}\t${row.getUTF8String(base + 3)}\t$value\t" +
-      s"${row.getUTF8String(base + 5)}\n")
+      s"${row.getLong(base + 2)}\t${clean(eventType, "event_type")}\t$value\t" +
+      s"${clean(props, "props")}\n")
     rows += 1
   }
 

@@ -201,10 +201,18 @@ class Dsv2SourceSpec extends AnyFunSuite {
       untouchable.foreach { n =>
         assert(after.get(n).contains(before(n)), s"zone-skipped file $n was rewritten")
       }
-      // survivors' refreshed bounds honor the deletion
+      // rewritten files keep their name (atomic same-name swap), so
+      // bounds stay a sound SUPERSET of the surviving values — every
+      // remaining row must sit inside its file's claimed range
       after.keySet.foreach { n =>
-        GraftLogSource.minMaxFromName(n).foreach { case (_, mx) =>
-          assert(mx < cut, s"surviving file $n still claims values >= $cut")
+        GraftLogSource.minMaxFromName(n).foreach { case (mn, mx) =>
+          val vals = java.nio.file.Files
+            .readAllLines(new java.io.File(dir, n).toPath)
+            .toArray(Array.empty[String])
+            .map(_.split("\t", 6)(4).toDouble)
+          assert(vals.forall(v => v >= mn && v <= mx),
+            s"surviving file $n has rows outside its zone map")
+          assert(vals.forall(_ < cut), s"deleted rows survived in $n")
         }
       }
       assert(!dir.listFiles().exists(_.getName.endsWith(".rewrite")))
