@@ -766,7 +766,13 @@ private[sources] class GlogRowLevelOperation(path: String,
 }
 
 /** Job commit for copy-on-write: swap the scan-recorded group files
-  * for the staged replacements in one driver-side pass. */
+  * for the staged replacements in one driver-side pass. The staged
+  * files rename IN first, the replaced groups unlink after — a crash
+  * mid-commit can surface transient DUPLICATES (old + new rows both
+  * visible), never silent loss; a multi-file swap cannot be atomic
+  * on a plain filesystem, and duplicates are recoverable where loss
+  * is not (a manifest-based committer — the documented object-store
+  * swap-in — removes the window entirely). */
 private[graft] class GlogReplaceGroups(path: String,
     affected: java.util.Set[String], schema: StructType) extends BatchWrite {
   require(schema.fieldNames.sameElements(GraftLogSource.SchemaFixed.fieldNames),
@@ -776,12 +782,12 @@ private[graft] class GlogReplaceGroups(path: String,
     new GlogWriterFactory(path)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = GraftLogSource.resolveDir(path)
+    GraftLogSource.renameStagedIn(dir, messages)
     import scala.jdk.CollectionConverters._
     affected.asScala.toSeq.sorted.foreach { p =>
       val f = new File(p)
       require(!f.exists() || f.delete(), s"group replace: delete $p failed")
     }
-    GraftLogSource.renameStagedIn(dir, messages)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftLogSource.discardStaged(messages)
