@@ -136,6 +136,24 @@ object GraftLogSource {
       case _ => true
     }
 
+  /** Does the zone map PROVE every row of a file with value-range
+    * [min,max] satisfies all `filters`? True only for pure
+    * value-range conjunctions whose ranges contain the whole file —
+    * the retention-window case, where the file can be unlinked
+    * without ever being opened. Any non-value predicate → false
+    * (conservative: fall back to the row-wise rewrite). */
+  def zoneMapFullyCovers(min: Double, max: Double, filters: Seq[Filter]): Boolean =
+    filters.nonEmpty && filters.forall {
+      case GreaterThan("value", v: Number) => cmp(min, v.doubleValue()) > 0
+      case GreaterThanOrEqual("value", v: Number) => cmp(min, v.doubleValue()) >= 0
+      case LessThan("value", v: Number) => cmp(max, v.doubleValue()) < 0
+      case LessThanOrEqual("value", v: Number) => cmp(max, v.doubleValue()) <= 0
+      case EqualTo("value", v: Number) =>
+        cmp(min, v.doubleValue()) == 0 && cmp(max, v.doubleValue()) == 0
+      case IsNotNull(_) => true // format is dense
+      case _ => false
+    }
+
   /** Committed files under `dir` surviving the zone map for `pushed`
     * → (kept, total). The ONE listing+pruning kernel shared by batch
     * planning, streaming planning, the DELETE cost gate, and the
@@ -240,6 +258,9 @@ object GraftLogSource {
     * files under `dir` — the shared kernel behind DELETE FROM
     * (SupportsDelete) and overwrite-by-filter (SupportsOverwrite).
     * Files the zone map proves unaffected are left byte-untouched;
+    * files it proves FULLY covered unlink without ever being opened
+    * (the metadata-only retention-window path, spec-proven on a file
+    * whose content would not even parse);
     * others rewrite via an ATOMIC same-name rename (the survivors
     * are staged to a `.rewrite` temp and `Files.move` with
     * ATOMIC_MOVE replaces the original in one step — a crash leaves
@@ -253,34 +274,42 @@ object GraftLogSource {
   private[graft] def deleteMatching(dir: File, filters: Array[Filter]): Unit = {
     val (affected, _) = listCommitted(dir, filters.toSeq)
     affected.foreach { f =>
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
-      val tmp = new File(dir, f.getName + ".rewrite")
-      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-        new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
-      var rows = 0L
-      try {
-        var line = in.readLine()
-        while (line != null) {
-          val c = line.split("\t", 6)
-          val value = java.lang.Double.parseDouble(c(4))
-          // a row is deleted iff it satisfies EVERY filter
-          val deleted = filters.nonEmpty && filters.forall(
-            eval(_, c(0).toLong, c(1).toLong, c(2).toLong,
-              c(3), value, if (c.length > 5) c(5) else ""))
-          if (!deleted) {
-            out.write(line); out.write('\n')
-            rows += 1
-          }
-          line = in.readLine()
-        }
-      } finally { in.close(); out.close() }
-      if (rows == 0L) {
-        require(tmp.delete() && f.delete(), s"delete of emptied $f failed")
+      // retention-window fast path: the zone map PROVES every row
+      // matches → unlink without opening the file (metadata-only)
+      val fullyCovered = minMaxFromName(f.getName)
+        .exists { case (mn, mx) => zoneMapFullyCovers(mn, mx, filters.toSeq) }
+      if (fullyCovered) {
+        require(f.delete(), s"delete of fully-covered $f failed")
       } else {
-        java.nio.file.Files.move(tmp.toPath, f.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
+        val tmp = new File(dir, f.getName + ".rewrite")
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
+        var rows = 0L
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            val c = line.split("\t", 6)
+            val value = java.lang.Double.parseDouble(c(4))
+            // a row is deleted iff it satisfies EVERY filter
+            val deleted = filters.nonEmpty && filters.forall(
+              eval(_, c(0).toLong, c(1).toLong, c(2).toLong,
+                c(3), value, if (c.length > 5) c(5) else ""))
+            if (!deleted) {
+              out.write(line); out.write('\n')
+              rows += 1
+            }
+            line = in.readLine()
+          }
+        } finally { in.close(); out.close() }
+        if (rows == 0L) {
+          require(tmp.delete() && f.delete(), s"delete of emptied $f failed")
+        } else {
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
       }
     }
   }
@@ -459,7 +488,11 @@ private[sources] class GlogScan(path: String, required: StructType,
 
   override def toBatch: Batch = {
     val (kept, total) = listKept()
-    GraftLogSource.planCensus.put(path, (total, kept.length, required.length))
+    // key by the NORMALIZED path: catalog reads hand the scan a
+    // file: URI while callers look up by plain absolute path
+    GraftLogSource.planCensus.put(
+      GraftLogSource.resolveDir(path).getAbsolutePath,
+      (total, kept.length, required.length))
     // group mode (row-level UPDATE/MERGE/DELETE rewrite): record the
     // affected files for the paired ReplaceGroups commit, and emit
     // COMPLETE groups — zone-map file pruning still applies, but the
