@@ -349,6 +349,36 @@ class Dsv2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("fully-covered DELETE unlinks files without opening them") {
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, EqualTo}
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cov").toFile
+    // a file whose CONTENT would not parse: if deleteMatching opened
+    // it, parseDouble would throw — the metadata-only path must not
+    java.nio.file.Files.write(
+      new java.io.File(dir, GraftLogSource.fileName(0, 50.0, 60.0)).toPath,
+      "THIS IS NOT A VALID GLOG LINE".getBytes("UTF-8"))
+    // a straddling file that must survive partially
+    java.nio.file.Files.write(
+      new java.io.File(dir, GraftLogSource.fileName(1, 10.0, 55.0)).toPath,
+      "1\t1000\t1\tclick\t10.0\t{}\n2\t2000\t2\tclick\t55.0\t{}\n".getBytes("UTF-8"))
+    GraftLogSource.deleteMatching(dir,
+      Array[Filter](GreaterThanOrEqual("value", 50.0)))
+    val names = dir.listFiles().map(_.getName).filter(_.endsWith(".glog"))
+    assert(names.length == 1, names.mkString(","))
+    val lines = java.nio.file.Files.readAllLines(
+      new java.io.File(dir, names.head).toPath)
+    assert(lines.size == 1 && lines.get(0).startsWith("1\t"),
+      s"straddler not rewritten correctly: $lines")
+    // coverage proof is conservative: non-value predicates never take
+    // the metadata-only path
+    assert(!GraftLogSource.zoneMapFullyCovers(50.0, 60.0,
+      Seq(EqualTo("event_type", "click"))))
+    assert(GraftLogSource.zoneMapFullyCovers(50.0, 60.0,
+      Seq(GreaterThanOrEqual("value", 50.0))))
+    assert(!GraftLogSource.zoneMapFullyCovers(49.0, 60.0,
+      Seq(GreaterThanOrEqual("value", 50.0))))
+  }
+
   test("DELETE routes by measured cost; TRUNCATE unlinks without reads") {
     // 20 single-row files with disjoint zone maps
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_gate").toFile
