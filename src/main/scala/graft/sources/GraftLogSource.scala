@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the extension surface a library user reaches for when their data
   * does NOT already live in a Spark-native format (the reference
   * ingests sensor/flash streams through its own `flash_io` layer,
-  * firmware/flash_io/reader.c-style, rather than a columnar store;
+  * imc22_sdk/flash_loader.c:61-62 qspi_flash_read-style, rather
+  * than a columnar store;
   * this is the Spark-idiomatic analog: teach the planner the format
   * instead of pre-converting by hand).
   *
