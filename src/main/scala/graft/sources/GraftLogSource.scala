@@ -1,7 +1,9 @@
 package graft.sources
 
-import java.io.File
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, LocalFileSystem, Options, Path, RawLocalFileSystem}
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -12,6 +14,26 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOr
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+
+/** A Hadoop `Configuration` that survives the driver→executor hop.
+  * Captured ONCE on the driver (from the session's Hadoop conf, so
+  * s3a/hdfs credentials and tunings ride along) and Writable-encoded
+  * through Java serialization — the same trick Spark's own internal
+  * SerializableConfiguration uses, re-expressed here because that
+  * class is private[spark]. */
+private[graft] class SerializableConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
 
 /** A complete DataSource V2 connector over the `graft-log` format —
   * the extension surface a library user reaches for when their data
@@ -29,6 +51,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * the listing, so planning can skip whole files without opening
   * them (the same at-rest pruning contract as eng_zorder_scan, but
   * implemented INSIDE the source instead of on top of parquet).
+  *
+  * ALL IO goes through the Hadoop FileSystem API resolved from the
+  * session's Hadoop configuration — `path` may be a plain local
+  * path, a `file:` URI, or any scheme the deployment's Hadoop conf
+  * resolves (hdfs://, s3a://, …). That is the same one-seam IO
+  * boundary the reference draws at `imc22_sdk/flash_loader.c:61-62`
+  * (a single read primitive with a swappable backend). For the
+  * `file` scheme the RAW local filesystem is used (no `.crc`
+  * sidecars — the format carries no checksum contract, and mixing
+  * checksummed writes with the atomic-replace rewrite would strand
+  * stale checksums). Executors receive the driver's conf via
+  * [[SerializableConf]].
   *
   * What the connector implements (each one measured, none assumed):
   *  - SupportsPushDownRequiredColumns — readers parse/materialize
@@ -51,9 +85,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    UI / executedPlan metrics (how the entry measures row pruning
   *    on a real cluster, no driver-side shortcuts).
   *  - MICRO_BATCH_READ — the directory doubles as an append-only
-  *    stream (GlogMicroBatchStream below): offsets index the sorted
-  *    committed-file list, admission control bounds each batch, and
-  *    Trigger.AvailableNow drains-and-terminates.
+  *    stream (GlogMicroBatchStream below): offsets index the
+  *    part-index-sorted committed-file list, admission control
+  *    bounds each batch, and Trigger.AvailableNow
+  *    drains-and-terminates.
   *  - DataSourceRegister — `format("glog")` and SQL
   *    `CREATE TABLE ... USING glog` resolve via the service loader.
   *
@@ -62,9 +97,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * splits). Planning reads ONLY the directory listing; zone-map
   * pruning is O(files). Readers stream lines — O(1) memory.
   * Everything serializable crosses the driver→executor boundary the
-  * way a multi-node cluster requires (plain case classes, no
-  * driver-captured state); the planning census below is
-  * DRIVER-side bookkeeping only.
+  * way a multi-node cluster requires (plain case classes plus the
+  * Writable-encoded Hadoop conf, no driver-captured state); the
+  * planning census below is DRIVER-side bookkeeping only.
   */
 object GraftLogSource {
   val SchemaFixed: StructType = StructType(Seq(
@@ -88,6 +123,25 @@ object GraftLogSource {
   val planCensus: java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)] =
     new java.util.concurrent.ConcurrentHashMap()
 
+  /** The session's Hadoop configuration — the one seam every IO
+    * operation resolves its FileSystem through. Driver-side only;
+    * executors get a [[SerializableConf]] snapshot of this. */
+  private[graft] def driverHadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** FileSystem for a path under a conf. For the `file` scheme the
+    * RAW local filesystem (no checksum sidecars) — the glog format
+    * has no checksum contract, and the DELETE rewrite's atomic
+    * same-name replace would otherwise strand stale `.crc` files
+    * that fail later reads. */
+  private[graft] def fsFor(p: Path, conf: Configuration): FileSystem =
+    p.getFileSystem(conf) match {
+      case l: LocalFileSystem => l.getRawFileSystem
+      case other => other
+    }
+
   def minMaxFromName(name: String): Option[(Double, Double)] = {
     // part-NNNN_<minBits>_<maxBits>.glog
     val core = name.stripSuffix(".glog")
@@ -100,17 +154,43 @@ object GraftLogSource {
     else None
   }
 
-  /** The directory as a local File whether the caller handed a plain
-    * path or a `file:` URI (the session catalog stores table
-    * locations as URIs, so a `CREATE TABLE ... USING glog` read
-    * arrives here scheme-qualified). */
-  def resolveDir(path: String): File =
-    if (path.startsWith("file:")) new File(new java.net.URI(path).getPath)
-    else new File(path)
+  /** The table directory as a Hadoop Path, whatever shape the caller
+    * handed over — a plain path, a `file:` URI (the session catalog
+    * stores table locations scheme-qualified), or any other scheme
+    * the Hadoop conf resolves. Parse failures name the offending
+    * option instead of surfacing a bare URISyntaxException. */
+  def resolveDir(path: String): Path =
+    try new Path(path)
+    catch {
+      case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"glog: cannot parse option path='$path' as a filesystem path/URI", e)
+    }
+
+  /** planCensus key for a directory: the local absolute path for the
+    * `file` scheme (so callers can look up by `File.getAbsolutePath`)
+    * and the fully-qualified URI for everything else. */
+  private[graft] def censusKey(dir: Path, fs: FileSystem): String = {
+    val q = fs.makeQualified(dir)
+    if (q.toUri.getScheme == "file") q.toUri.getPath else q.toString
+  }
 
   def fileName(idx: Int, min: Double, max: Double): String =
     f"part-$idx%04d_${java.lang.Double.doubleToRawLongBits(min)}%x_" +
       f"${java.lang.Double.doubleToRawLongBits(max)}%x.glog"
+
+  /** Numeric part index parsed from a committed file name, or
+    * Int.MaxValue for foreign names. */
+  private[graft] def partIndex(name: String): Int =
+    name.stripPrefix("part-").takeWhile(_.isDigit).toIntOption
+      .getOrElse(Int.MaxValue)
+
+  /** Listing order: by NUMERIC part index, name as tie-break. A pure
+    * lexicographic sort would break past part-9999 (part-10000 sorts
+    * before part-2000), silently shifting the streaming offset→file
+    * mapping; the numeric key keeps the listing append-ordered at
+    * any file count. */
+  private[graft] def listingOrder(name: String): (Int, String) =
+    (partIndex(name), name)
 
   /** Double comparison matching Spark SQL's total ordering — NaN is
     * the LARGEST value and equals itself, and -0.0 == 0.0. Every
@@ -120,6 +200,27 @@ object GraftLogSource {
     * an optimization, never a semantics change). */
   def cmp(a: Double, b: Double): Int =
     if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** EXACT comparison of a Long column value against a pushed
+    * literal. Widening the Long to Double (the obvious spelling)
+    * corrupts IDs above 2^53 — a pushed `user_id > X` range would
+    * silently drop/keep the wrong rows, and the DELETE kernel would
+    * delete them. Integral literals compare as longs; fractional
+    * ones through BigDecimal (exact for any double); NaN sorts
+    * largest per Spark's ordering, so every long is below it. */
+  private[graft] def cmpLongExact(l: Long, v: Number): Int = v match {
+    case x: java.lang.Long => java.lang.Long.compare(l, x)
+    case x: java.lang.Integer => java.lang.Long.compare(l, x.longValue())
+    case x: java.lang.Short => java.lang.Long.compare(l, x.longValue())
+    case x: java.lang.Byte => java.lang.Long.compare(l, x.longValue())
+    case x: java.math.BigDecimal => java.math.BigDecimal.valueOf(l).compareTo(x)
+    case x: scala.math.BigDecimal =>
+      java.math.BigDecimal.valueOf(l).compareTo(x.bigDecimal)
+    case x =>
+      val d = x.doubleValue()
+      if (java.lang.Double.isNaN(d)) -1 // NaN is largest: every long below
+      else java.math.BigDecimal.valueOf(l).compareTo(new java.math.BigDecimal(d))
+  }
 
   /** Can a file with value-range [min,max] contain rows passing all
     * pushed `value` range predicates? Conservative: unknown filter
@@ -134,6 +235,11 @@ object GraftLogSource {
       case LessThanOrEqual("value", v: Number) => cmp(min, v.doubleValue()) <= 0
       case EqualTo("value", v: Number) =>
         cmp(min, v.doubleValue()) <= 0 && cmp(v.doubleValue(), max) <= 0
+      case In("value", vs) if vs != null && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+        vs.exists { v =>
+          val d = v.asInstanceOf[Number].doubleValue()
+          cmp(min, d) <= 0 && cmp(d, max) <= 0
+        }
       case _ => true
     }
 
@@ -159,12 +265,19 @@ object GraftLogSource {
     * → (kept, total). The ONE listing+pruning kernel shared by batch
     * planning, streaming planning, the DELETE cost gate, and the
     * DELETE executor — they must agree on the affected set. Files
-    * with unparsable names are conservatively kept. */
-  def listCommitted(dir: File, pushed: Seq[Filter]): (Array[File], Int) = {
-    val all = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".glog")).sortBy(_.getName)
-    val kept = all.filter { f =>
-      minMaxFromName(f.getName) match {
+    * with unparsable names are conservatively kept. Listing goes
+    * through the FileSystem API; a missing directory is an empty
+    * table, not an error (the first write creates it). */
+  def listCommitted(dir: Path, conf: Configuration,
+      pushed: Seq[Filter]): (Array[FileStatus], Int) = {
+    val fs = fsFor(dir, conf)
+    val all =
+      (try fs.listStatus(dir)
+       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".glog"))
+        .sortBy(s => listingOrder(s.getPath.getName))
+    val kept = all.filter { s =>
+      minMaxFromName(s.getPath.getName) match {
         case Some((mn, mx)) => zoneMapKeeps(mn, mx, pushed)
         case None => true
       }
@@ -187,8 +300,9 @@ object GraftLogSource {
   }
 
   /** Row-level evaluation of one pushed filter against a parsed
-    * line (full-schema field order). */
-  private[sources] def eval(f: Filter, eventId: Long, tsMicros: Long, userId: Long,
+    * line (full-schema field order). Long columns compare EXACTLY
+    * (see [[cmpLongExact]]); only `value` takes the double path. */
+  private[graft] def eval(f: Filter, eventId: Long, tsMicros: Long, userId: Long,
       eventType: String, value: Double, props: String): Boolean = {
     def col(a: String): Any = a match {
       case "event_id" => eventId
@@ -199,19 +313,23 @@ object GraftLogSource {
       case "props" => props
       case _ => null
     }
-    def num(a: String): Double = col(a) match {
-      case l: Long => l.toDouble
-      case d: Double => d
-      case _ => Double.NaN
+    // exact typed comparison for range predicates — only numeric
+    // columns are pushable as ranges, anything else is a bug upstream
+    def rangeCmp(a: String, v: Number): Int = col(a) match {
+      case l: Long => cmpLongExact(l, v)
+      case d: Double => cmp(d, v.doubleValue())
+      case other => throw new IllegalArgumentException(
+        s"glog: range predicate on non-numeric column $a ($other)")
     }
     f match {
-      case GreaterThan(a, v: Number) => cmp(num(a), v.doubleValue()) > 0
-      case GreaterThanOrEqual(a, v: Number) => cmp(num(a), v.doubleValue()) >= 0
-      case LessThan(a, v: Number) => cmp(num(a), v.doubleValue()) < 0
-      case LessThanOrEqual(a, v: Number) => cmp(num(a), v.doubleValue()) <= 0
+      case GreaterThan(a, v: Number) => rangeCmp(a, v) > 0
+      case GreaterThanOrEqual(a, v: Number) => rangeCmp(a, v) >= 0
+      case LessThan(a, v: Number) => rangeCmp(a, v) < 0
+      case LessThanOrEqual(a, v: Number) => rangeCmp(a, v) <= 0
       case EqualTo(a, v) => col(a) match {
         case s: String => v != null && s == v.toString
-        case l: Long => v.isInstanceOf[Number] && l == v.asInstanceOf[Number].longValue()
+        case l: Long => v.isInstanceOf[Number] &&
+          cmpLongExact(l, v.asInstanceOf[Number]) == 0
         case d: Double =>
           v.isInstanceOf[Number] && cmp(d, v.asInstanceOf[Number].doubleValue()) == 0
         case _ => false
@@ -228,32 +346,58 @@ object GraftLogSource {
   /** Job-commit tail shared by every write shape: rename the staged
     * `.inprogress` temps to final zone-map names (fresh indices past
     * the current maximum, so a slot freed by a delete can never
-    * collide), discard empty-task temps. SINGLE-WRITER contract: two
-    * jobs committing into the same directory concurrently can race
-    * this listing and collide on indices — like any file sink
-    * without an external commit coordinator, concurrent writers need
-    * a table-level lock or a manifest-based committer (the
-    * documented object-store swap-in). */
-  private[graft] def renameStagedIn(dir: File,
+    * collide), discard empty-task temps. Renames run through the
+    * FileSystem API — atomic on HDFS, File.renameTo on raw local.
+    * SINGLE-WRITER contract: two jobs committing into the same
+    * directory concurrently can race this listing and collide on
+    * indices — like any file sink without an external commit
+    * coordinator, concurrent writers need a table-level lock or a
+    * manifest-based committer (the documented object-store
+    * swap-in). */
+  private[graft] def renameStagedIn(dir: Path, conf: Configuration,
       messages: Array[WriterCommitMessage]): Unit = {
-    val nextIdx = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .map(_.getName).filter(_.endsWith(".glog"))
-      .flatMap(n => n.stripPrefix("part-").takeWhile(_.isDigit).toIntOption)
+    val fs = fsFor(dir, conf)
+    val names =
+      (try fs.listStatus(dir)
+       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+        .map(_.getPath.getName).filter(_.endsWith(".glog"))
+    val nextIdx = names.map(partIndex).filter(_ != Int.MaxValue)
       .maxOption.getOrElse(-1) + 1
     messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows > 0)
       .sortBy(_.tempPath).zipWithIndex.foreach { case (m, i) =>
-        val target = new File(dir, fileName(nextIdx + i, m.min, m.max))
-        require(new File(m.tempPath).renameTo(target),
+        val target = new Path(dir, fileName(nextIdx + i, m.min, m.max))
+        require(fs.rename(new Path(m.tempPath), target),
           s"commit rename ${m.tempPath} -> $target failed")
       }
     // empty tasks leave no file behind
     messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows == 0)
-      .foreach(m => new File(m.tempPath).delete())
+      .foreach(m => fs.delete(new Path(m.tempPath), false))
   }
 
-  private[graft] def discardStaged(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GlogCommit => m }
-      .foreach(m => new File(m.tempPath).delete())
+  private[graft] def discardStaged(conf: Configuration,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GlogCommit => m }.foreach { m =>
+      val p = new Path(m.tempPath)
+      fsFor(p, conf).delete(p, false): Unit
+    }
+
+  /** Replace `dst` with `tmp` in one step. Raw local: NIO ATOMIC_MOVE
+    * (true rename(2) atomicity). Other schemes: FileContext rename
+    * with Options.Rename.OVERWRITE — atomic server-side on HDFS; an
+    * object-store deployment swaps this for a manifest commit (the
+    * documented protocol note below). */
+  private def atomicReplace(fs: FileSystem, conf: Configuration,
+      tmp: Path, dst: Path): Unit = fs match {
+    case _: RawLocalFileSystem =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    case _ =>
+      FileContext.getFileContext(fs.getUri, conf)
+        .rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
 
   /** Remove every row satisfying ALL `filters` from the committed
     * files under `dir` — the shared kernel behind DELETE FROM
@@ -262,31 +406,33 @@ object GraftLogSource {
     * files it proves FULLY covered unlink without ever being opened
     * (the metadata-only retention-window path, spec-proven on a file
     * whose content would not even parse);
-    * others rewrite via an ATOMIC same-name rename (the survivors
-    * are staged to a `.rewrite` temp and `Files.move` with
-    * ATOMIC_MOVE replaces the original in one step — a crash leaves
-    * each file either fully old or fully new, never missing). The
-    * file KEEPS its name, so its zone-map bounds stay a sound
-    * SUPERSET of the surviving values (conservative: never prunes
-    * wrongly, may scan a fully-emptied range until compaction) —
-    * crash-atomicity is worth more than bound tightness. Files with
-    * no survivors are simply unlinked. Per-file idempotent:
-    * re-running converges. */
-  private[graft] def deleteMatching(dir: File, filters: Array[Filter]): Unit = {
-    val (affected, _) = listCommitted(dir, filters.toSeq)
-    affected.foreach { f =>
+    * others rewrite via an ATOMIC same-name replace (survivors are
+    * staged to a `.rewrite` temp and swapped in via [[atomicReplace]]
+    * — a crash leaves each file either fully old or fully new, never
+    * missing). The file KEEPS its name, so its zone-map bounds stay
+    * a sound SUPERSET of the surviving values (conservative: never
+    * prunes wrongly, may scan a fully-emptied range until
+    * compaction) — crash-atomicity is worth more than bound
+    * tightness. Files with no survivors are simply unlinked.
+    * Per-file idempotent: re-running converges. */
+  private[graft] def deleteMatching(dir: Path, conf: Configuration,
+      filters: Array[Filter]): Unit = {
+    val fs = fsFor(dir, conf)
+    val (affected, _) = listCommitted(dir, conf, filters.toSeq)
+    affected.foreach { st =>
+      val f = st.getPath
       // retention-window fast path: the zone map PROVES every row
       // matches → unlink without opening the file (metadata-only)
       val fullyCovered = minMaxFromName(f.getName)
         .exists { case (mn, mx) => zoneMapFullyCovers(mn, mx, filters.toSeq) }
       if (fullyCovered) {
-        require(f.delete(), s"delete of fully-covered $f failed")
+        require(fs.delete(f, false), s"delete of fully-covered $f failed")
       } else {
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-          new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8))
-        val tmp = new File(dir, f.getName + ".rewrite")
+          fs.open(f), java.nio.charset.StandardCharsets.UTF_8))
+        val tmp = new Path(dir, f.getName + ".rewrite")
         val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
+          fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
         var rows = 0L
         try {
           var line = in.readLine()
@@ -305,15 +451,19 @@ object GraftLogSource {
           }
         } finally { in.close(); out.close() }
         if (rows == 0L) {
-          require(tmp.delete() && f.delete(), s"delete of emptied $f failed")
+          require(fs.delete(tmp, false) && fs.delete(f, false),
+            s"delete of emptied $f failed")
         } else {
-          java.nio.file.Files.move(tmp.toPath, f.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          atomicReplace(fs, conf, tmp, f)
         }
       }
     }
   }
+
+  /** Driver-conf convenience overload (DELETE/overwrite entry points
+    * and specs run on the driver). */
+  private[graft] def deleteMatching(dir: Path, filters: Array[Filter]): Unit =
+    deleteMatching(dir, driverHadoopConf(), filters)
 }
 
 /** Entry point: `spark.read.format("glog").option("path", dir)` (the
@@ -356,7 +506,7 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
     * where the zone map proves a file can hold no match (the common
     * retention-window case deletes whole low-value/old files without
     * opening them); otherwise the file is rewritten IN PLACE via an
-    * atomic same-name rename (bounds stay a sound superset — see
+    * atomic same-name replace (bounds stay a sound superset — see
     * [[GraftLogSource.deleteMatching]]), dropped entirely if nothing
     * survives. Per-file idempotent: a crash mid-delete leaves each
     * file either fully old or fully new, and re-running the DELETE
@@ -377,7 +527,8 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(GraftLogSource.pushable) && {
       val (affected, _) = GraftLogSource.listCommitted(
-        GraftLogSource.resolveDir(path), filters.toSeq)
+        GraftLogSource.resolveDir(path), GraftLogSource.driverHadoopConf(),
+        filters.toSeq)
       affected.length <= GraftLogSource.MaxDriverDeleteFiles
     }
 
@@ -389,10 +540,12 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
     * through deleteWhere(AlwaysTrue) and pointlessly rewrite 100 TB
     * on the driver). */
   override def truncateTable(): Boolean = {
-    Option(GraftLogSource.resolveDir(path).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".glog"))
-      .foreach(f => require(f.delete(), s"truncate: delete $f failed"))
+    val dir = GraftLogSource.resolveDir(path)
+    val conf = GraftLogSource.driverHadoopConf()
+    val fs = GraftLogSource.fsFor(dir, conf)
+    val (all, _) = GraftLogSource.listCommitted(dir, conf, Seq.empty)
+    all.foreach(s =>
+      require(fs.delete(s.getPath, false), s"truncate: delete ${s.getPath} failed"))
     true
   }
 
@@ -471,12 +624,13 @@ private[sources] class GlogScan(path: String, required: StructType,
       s"ReadSchema=${required.fieldNames.mkString(",")}" +
       (if (limit >= 0) s", PushedLimit=$limit" else "")
 
-  private def listKept(): (Array[File], Int) =
-    GraftLogSource.listCommitted(GraftLogSource.resolveDir(path), pushed.toSeq)
+  private def listKept(): (Array[FileStatus], Int) =
+    GraftLogSource.listCommitted(GraftLogSource.resolveDir(path),
+      GraftLogSource.driverHadoopConf(), pushed.toSeq)
 
   override def estimateStatistics(): Statistics = {
     val (kept, _) = listKept()
-    val bytes = kept.map(_.length()).sum
+    val bytes = kept.map(_.getLen).sum
     // schema-proportional byte estimate after column pruning, the
     // same shape FileScan reports; rows ≈ bytes / avg line width
     val frac = math.max(1, required.length).toDouble / GraftLogSource.SchemaFixed.length
@@ -488,24 +642,27 @@ private[sources] class GlogScan(path: String, required: StructType,
   }
 
   override def toBatch: Batch = {
+    val conf = GraftLogSource.driverHadoopConf()
+    val dir = GraftLogSource.resolveDir(path)
     val (kept, total) = listKept()
     // key by the NORMALIZED path: catalog reads hand the scan a
     // file: URI while callers look up by plain absolute path
     GraftLogSource.planCensus.put(
-      GraftLogSource.resolveDir(path).getAbsolutePath,
+      GraftLogSource.censusKey(dir, GraftLogSource.fsFor(dir, conf)),
       (total, kept.length, required.length))
     // group mode (row-level UPDATE/MERGE/DELETE rewrite): record the
     // affected files for the paired ReplaceGroups commit, and emit
     // COMPLETE groups — zone-map file pruning still applies, but the
     // readers must not drop rows (non-matching rows of a rewritten
     // file have to be carried over)
-    groupScan.foreach { set => kept.foreach(f => set.add(f.getAbsolutePath)) }
+    groupScan.foreach { set => kept.foreach(s => set.add(s.getPath.toString)) }
     val readerFilters = if (groupScan.isDefined) Array.empty[Filter] else pushed
+    val confS = new SerializableConf(conf)
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        kept.map(f => GlogPartition(f.getAbsolutePath): InputPartition)
+        kept.map(s => GlogPartition(s.getPath.toString): InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
-        new GlogReaderFactory(required.fieldNames, readerFilters, limit)
+        new GlogReaderFactory(required.fieldNames, readerFilters, limit, confS)
     }
   }
 
@@ -518,10 +675,11 @@ private[sources] class GlogScan(path: String, required: StructType,
 }
 
 /** Streaming read: the directory is an append-only log of committed
-  * `.glog` files; an offset is a position in the name-sorted file
-  * list (the writer's job-commit rename makes file appearance atomic
-  * and names monotone within a job, so the sorted listing is a
-  * stable, replayable sequence). Admission control
+  * `.glog` files; an offset is a position in the part-index-sorted
+  * file list (the writer's job-commit rename makes file appearance
+  * atomic and indices monotone, so the numerically-sorted listing is
+  * a stable, replayable sequence at any file count — a pure name
+  * sort would reorder past part-9999). Admission control
   * (SupportsAdmissionControl + ReadLimit.maxFiles) bounds each
   * micro-batch to `maxFilesPerTrigger`; SupportsTriggerAvailableNow
   * snapshots the backlog so Trigger.AvailableNow drains everything
@@ -548,9 +706,9 @@ private[sources] class GlogMicroBatchStream(path: String,
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private def listAll(): Array[File] =
-    Option(GraftLogSource.resolveDir(path).listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".glog")).sortBy(_.getName)
+  private def listAll(): Array[FileStatus] =
+    GraftLogSource.listCommitted(GraftLogSource.resolveDir(path),
+      GraftLogSource.driverHadoopConf(), Seq.empty)._1
 
   // Trigger.AvailableNow: freeze the backlog at start so the query
   // terminates even if files keep landing
@@ -586,8 +744,8 @@ private[sources] class GlogMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (a, b) = (start.asInstanceOf[GlogOffset].n, end.asInstanceOf[GlogOffset].n)
     val all = listAll()
-    // streaming offsets index the name-sorted listing, which is only
-    // stable while the directory is APPEND-ONLY. DML (DELETE/
+    // streaming offsets index the part-index-sorted listing, which is
+    // only stable while the directory is APPEND-ONLY. DML (DELETE/
     // TRUNCATE/UPDATE) on a streamed table shrinks or reorders the
     // listing and silently invalidates checkpoints — fail loud (the
     // same contract as Spark's file source with source-side cleanup)
@@ -596,17 +754,18 @@ private[sources] class GlogMicroBatchStream(path: String,
         "the directory shrank mid-stream (DML on a streamed glog table " +
         "invalidates its checkpoints; streams require append-only dirs)")
     all.slice(a, b)
-      .filter { f =>
-        GraftLogSource.minMaxFromName(f.getName) match {
+      .filter { s =>
+        GraftLogSource.minMaxFromName(s.getPath.getName) match {
           case Some((mn, mx)) => GraftLogSource.zoneMapKeeps(mn, mx, pushed.toSeq)
           case None => true
         }
       }
-      .map(f => GlogPartition(f.getAbsolutePath): InputPartition)
+      .map(s => GlogPartition(s.getPath.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GlogReaderFactory(required.fieldNames, pushed, -1)
+    new GlogReaderFactory(required.fieldNames, pushed, -1,
+      new SerializableConf(GraftLogSource.driverHadoopConf()))
 }
 
 private[sources] class GlogRowsMetric extends CustomSumMetric {
@@ -617,17 +776,22 @@ private[sources] class GlogRowsMetric extends CustomSumMetric {
 private[sources] case class GlogPartition(file: String) extends InputPartition
 
 private[sources] class GlogReaderFactory(fields: Array[String],
-    pushed: Array[Filter], limit: Int) extends PartitionReaderFactory {
+    pushed: Array[Filter], limit: Int, confS: SerializableConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GlogReader(partition.asInstanceOf[GlogPartition].file, fields, pushed, limit)
+    new GlogReader(partition.asInstanceOf[GlogPartition].file, fields, pushed,
+      limit, confS)
 }
 
 private[sources] class GlogReader(file: String, fields: Array[String],
-    pushed: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], limit: Int, confS: SerializableConf)
+    extends PartitionReader[InternalRow] {
 
+  private val filePath = new Path(file)
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    new java.io.FileInputStream(file), java.nio.charset.StandardCharsets.UTF_8))
-  private val fileNameUtf8 = UTF8String.fromString(new File(file).getName)
+    GraftLogSource.fsFor(filePath, confS.value).open(filePath),
+    java.nio.charset.StandardCharsets.UTF_8))
+  private val fileNameUtf8 = UTF8String.fromString(filePath.getName)
   private var current: InternalRow = _
   private var emitted = 0L
 
@@ -713,10 +877,10 @@ private[sources] class GlogReader(file: String, fields: Array[String],
   * (SaveMode.Overwrite) removes prior committed files at job commit,
   * not before — the table stays readable until the new data is
   * fully staged, the same swap discipline as eng_compaction.
-  * NOTE: rename-based commit assumes a shared filesystem visible to
-  * driver and executors (local mode / NFS / POSIX object mounts);
-  * an object-store deployment would swap the rename for a manifest
-  * write, which this protocol's shape already supports. */
+  * NOTE: rename-based commit rides the FileSystem API — atomic on
+  * HDFS and raw-local; an object-store deployment would swap the
+  * rename for a manifest write, which this protocol's shape already
+  * supports. */
 private[sources] class GlogWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -758,22 +922,26 @@ private[graft] class GlogBatchWrite(path: String, schema: StructType,
       s", got ${schema.fieldNames.mkString(",")}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GlogWriterFactory(path)
+    new GlogWriterFactory(path,
+      new SerializableConf(GraftLogSource.driverHadoopConf()))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftLogSource.driverHadoopConf()
     val dir = GraftLogSource.resolveDir(path)
-    dir.mkdirs()
-    if (truncateFirst)
-      Option(dir.listFiles()).getOrElse(Array.empty[File])
-        .filter(_.getName.endsWith(".glog"))
-        .foreach(f => require(f.delete(), s"overwrite: delete $f failed"))
+    val fs = GraftLogSource.fsFor(dir, conf)
+    fs.mkdirs(dir)
+    if (truncateFirst) {
+      val (all, _) = GraftLogSource.listCommitted(dir, conf, Seq.empty)
+      all.foreach(s =>
+        require(fs.delete(s.getPath, false), s"overwrite: delete ${s.getPath} failed"))
+    }
     if (replaceWhere.nonEmpty)
-      GraftLogSource.deleteMatching(dir, replaceWhere)
-    GraftLogSource.renameStagedIn(dir, messages)
+      GraftLogSource.deleteMatching(dir, conf, replaceWhere)
+    GraftLogSource.renameStagedIn(dir, conf, messages)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    GraftLogSource.discardStaged(messages)
+    GraftLogSource.discardStaged(GraftLogSource.driverHadoopConf(), messages)
 }
 
 /** Copy-on-write row-level operation (UPDATE / MERGE / fallback
@@ -813,32 +981,42 @@ private[graft] class GlogReplaceGroups(path: String,
     s"glog rewrite schema must be ${GraftLogSource.SchemaFixed.fieldNames.mkString(",")}" +
       s", got ${schema.fieldNames.mkString(",")}")
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GlogWriterFactory(path)
+    new GlogWriterFactory(path,
+      new SerializableConf(GraftLogSource.driverHadoopConf()))
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftLogSource.driverHadoopConf()
     val dir = GraftLogSource.resolveDir(path)
-    GraftLogSource.renameStagedIn(dir, messages)
+    val fs = GraftLogSource.fsFor(dir, conf)
+    GraftLogSource.renameStagedIn(dir, conf, messages)
     import scala.jdk.CollectionConverters._
     affected.asScala.toSeq.sorted.foreach { p =>
-      val f = new File(p)
-      require(!f.exists() || f.delete(), s"group replace: delete $p failed")
+      val f = new Path(p)
+      require(!fs.exists(f) || fs.delete(f, false),
+        s"group replace: delete $p failed")
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    GraftLogSource.discardStaged(messages)
+    GraftLogSource.discardStaged(GraftLogSource.driverHadoopConf(), messages)
 }
 
-private[graft] class GlogWriterFactory(path: String) extends DataWriterFactory {
+private[graft] class GlogWriterFactory(path: String, confS: SerializableConf)
+    extends DataWriterFactory {
+  /** Driver-side convenience (specs construct the factory directly). */
+  def this(path: String) =
+    this(path, new SerializableConf(GraftLogSource.driverHadoopConf()))
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GlogWriter(path, partitionId, taskId)
+    new GlogWriter(path, partitionId, taskId, confS)
 }
 
-private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
-  private val temp = new File(GraftLogSource.resolveDir(path),
+private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long,
+    confS: SerializableConf) extends DataWriter[InternalRow] {
+  private val dir = GraftLogSource.resolveDir(path)
+  private val fs = GraftLogSource.fsFor(dir, confS.value)
+  private val temp = new Path(dir,
     f".write-$partitionId%05d-$taskId.glog.inprogress")
-  temp.getParentFile.mkdirs()
+  fs.mkdirs(dir)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    new java.io.FileOutputStream(temp), java.nio.charset.StandardCharsets.UTF_8))
+    fs.create(temp, true), java.nio.charset.StandardCharsets.UTF_8))
   private var rows = 0L
   private var mn = Double.PositiveInfinity
   private var mx = Double.NegativeInfinity
@@ -885,10 +1063,10 @@ private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long)
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GlogCommit(temp.getAbsolutePath, rows,
+    GlogCommit(temp.toString, rows,
       if (rows == 0) 0.0 else mn, if (rows == 0) 0.0 else mx)
   }
 
-  override def abort(): Unit = { out.close(); temp.delete(); () }
+  override def abort(): Unit = { out.close(); fs.delete(temp, false); () }
   override def close(): Unit = ()
 }

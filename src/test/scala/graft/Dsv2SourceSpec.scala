@@ -361,7 +361,8 @@ class Dsv2SourceSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       new java.io.File(dir, GraftLogSource.fileName(1, 10.0, 55.0)).toPath,
       "1\t1000\t1\tclick\t10.0\t{}\n2\t2000\t2\tclick\t55.0\t{}\n".getBytes("UTF-8"))
-    GraftLogSource.deleteMatching(dir,
+    GraftLogSource.deleteMatching(
+      new org.apache.hadoop.fs.Path(dir.getAbsolutePath),
       Array[Filter](GreaterThanOrEqual("value", 50.0)))
     val names = dir.listFiles().map(_.getName).filter(_.endsWith(".glog"))
     assert(names.length == 1, names.mkString(","))
@@ -487,6 +488,76 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(partials.toMap == batch,
       s"streamed totals diverged: $partials vs $batch")
+  }
+
+  test("Hadoop FS seam: listing, write, read, and DML through a file:// URI") {
+    // every IO touch goes through org.apache.hadoop.fs.FileSystem —
+    // this case drives the full lifecycle with a scheme-qualified
+    // URI (LocalFileSystem resolved from the session's Hadoop conf),
+    // the same code path an hdfs:// or s3a:// deployment exercises
+    Tables.register(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_fs").toFile
+    val uri = "file://" + dir.getAbsolutePath
+    val ev = spark.table("events").select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    // write through the FS API via the qualified URI
+    ev.write.format("glog").option("path", uri).mode("overwrite").save()
+    def names() = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName)
+    assert(names().count(_.endsWith(".glog")) > 0, "no committed files")
+    // raw local FS: no checksum sidecars may appear (they would go
+    // stale under the DELETE rewrite's atomic same-name replace)
+    assert(!names().exists(_.endsWith(".crc")), names().mkString(","))
+    // read back through the same URI: exact round-trip
+    val back = spark.read.format("glog").option("path", uri).load()
+    assert(back.count() == ev.count())
+    // DML through a catalog table whose LOCATION is the URI
+    spark.sql("DROP TABLE IF EXISTS graft_glog_fs")
+    try {
+      spark.sql(s"CREATE TABLE graft_glog_fs USING glog OPTIONS (path '$uri')")
+      val cut = 100.0
+      val expect = spark.sql(
+        s"SELECT count(*) FROM graft_glog_fs WHERE value < $cut")
+        .collect()(0).getLong(0)
+      spark.sql(s"DELETE FROM graft_glog_fs WHERE value >= $cut")
+      val n = spark.sql("SELECT count(*) FROM graft_glog_fs")
+        .collect()(0).getLong(0)
+      assert(n == expect, s"URI-path DELETE removed the wrong rows: $n vs $expect")
+      assert(!names().exists(n => n.endsWith(".rewrite") || n.endsWith(".crc")))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_glog_fs")
+  }
+
+  test("Long predicates on user_id evaluate exactly above 2^53") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThanOrEqual}
+    // 2^53 + 1 is the first long a double cannot represent: the old
+    // widen-to-double spelling collapsed it onto 2^53 and range
+    // predicates misevaluated silently
+    val big = (1L << 53) + 1
+    def ev(f: org.apache.spark.sql.sources.Filter, uid: Long): Boolean =
+      GraftLogSource.eval(f, 1L, 0L, uid, "click", 1.0, "{}")
+    assert(!ev(GreaterThan("user_id", java.lang.Long.valueOf(big)), big))
+    assert(ev(GreaterThan("user_id", java.lang.Long.valueOf(big)), big + 1))
+    assert(!ev(GreaterThan("user_id", java.lang.Long.valueOf(big)), big - 1))
+    assert(ev(LessThanOrEqual("user_id", java.lang.Long.valueOf(big)), big))
+    assert(!ev(LessThanOrEqual("user_id", java.lang.Long.valueOf(big)), big + 1))
+    assert(ev(EqualTo("user_id", java.lang.Long.valueOf(big)), big))
+    assert(!ev(EqualTo("user_id", java.lang.Long.valueOf(big)), big + 1))
+    // a fractional double literal never equals a long exactly
+    assert(!ev(EqualTo("user_id", java.lang.Double.valueOf(2.5)), 2L))
+    assert(ev(GreaterThan("user_id", java.lang.Double.valueOf(2.5)), 3L))
+    assert(!ev(GreaterThan("user_id", java.lang.Double.valueOf(2.5)), 2L))
+    // and Long.MaxValue compares exactly against a huge double
+    assert(ev(LessThanOrEqual("user_id", java.lang.Double.valueOf(9.3e18)), Long.MaxValue))
+    assert(!ev(GreaterThan("user_id", java.lang.Double.valueOf(9.3e18)), Long.MaxValue))
+  }
+
+  test("listing order is numeric in the part index, stable past part-9999") {
+    val names = Seq("part-10000_0_0.glog", "part-2000_0_0.glog",
+      "part-0001_0_0.glog", "part-9999_0_0.glog", "zzz-custom.glog")
+    val sorted = names.sortBy(GraftLogSource.listingOrder)
+    assert(sorted == Seq("part-0001_0_0.glog", "part-2000_0_0.glog",
+      "part-9999_0_0.glog", "part-10000_0_0.glog", "zzz-custom.glog"),
+      sorted.mkString(","))
   }
 
   test("pushed filters and limit surface in the executed plan") {
