@@ -2368,11 +2368,12 @@ object EngineOps {
     * re-checks them post-scan, parquet's own discipline).
     * Cut sits exactly on bucket boundary 5/8 of the value range, so
     * zone-map pruning must drop exactly the 5 low buckets. */
-  private def dsv2Source(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-
+  /** Stage (once per tmpdir+sf, fixture-cached) the events table as
+    * 8 value-bucketed `.glog` files with zone-map names — the shared
+    * fixture behind eng_dsv2_source and eng_dsv2_runtime_filter.
+    * Returns (stage dir, value min, value max). */
+  private def ensureGlogFixture(spark: SparkSession, dir: String)
+      : (java.io.File, Double, Double) = {
     val sfName = java.nio.file.Paths.get(dir).getFileName.toString
     val stage = new java.io.File(sys.props("java.io.tmpdir"), s"graft_glog_$sfName")
     val ev = t(spark, dir, "events")
@@ -2426,6 +2427,17 @@ object EngineOps {
       }
       deleteRecursively(tmp.toPath)
     }
+    (stage, vMin, vMax)
+  }
+
+  private def dsv2Source(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val (stage, vMin, vMax) = ensureGlogFixture(spark, dir)
+    val ev = t(spark, dir, "events")
 
     def glog(pushdown: Boolean): DataFrame = spark.read
       .format("graft.sources.GraftLogSource")
@@ -2537,6 +2549,150 @@ object EngineOps {
       ("5_dml", fixtureFiles.length, filesAfter, colsDml, nAfter, ok5))
       .toDF("stage", "files_total", "files_kept", "cols_read",
         "rows_emitted", "ok")
+      .orderBy(col("stage"))
+  }
+
+  /** MEASURED runtime filtering INTO the DSv2 scan
+    * (SupportsRuntimeV2Filtering) — the connector member of the
+    * runtime-pruning proof family (eng_runtime_filter: Bloom into a
+    * parquet fact; eng_dpp_scan: partition DPP; this: the same
+    * runtime signal delivered INSIDE a custom source). Reference
+    * analog: cascade early-exit — skip work on a runtime confidence
+    * signal another stage produced (dsp_models/cascade_model.c:71-133).
+    *
+    * Stages (shared 8-file glog fixture):
+    *  - `1_join_foil`: glog fact ⋈ broadcast(filtered dim) on
+    *    user_id with dynamic pruning disabled — every fixture row is
+    *    parsed and shipped into the join.
+    *  - `2_join_pruned`: the SAME join with dynamic pruning on:
+    *    Spark executes the dim filter first and hands the surviving
+    *    user_ids to the scan as a runtime IN predicate
+    *    (`rt_delivered` censuses the connector's runtimeFilterCensus
+    *    hook); the readers then drop non-matching rows BEFORE the
+    *    join — `rows_emitted` is the measured saving, results
+    *    identical (`ok`). (Join keys of DOUBLE type cannot take this
+    *    path on current Spark: NormalizeNaNAndZero wraps the key and
+    *    defeats the runtime-filter translation upstream — so the
+    *    zone map's file-level twin of this pruning only engages for
+    *    the `_file` group filter below; documented, not assumed.)
+    *  - `3_dml_group`: UPDATE with a predicate on a column the
+    *    format cannot prune by (event_id) on a scratch copy: Spark's
+    *    runtime group filtering (RowLevelOperationRuntimeGroupFiltering)
+    *    runs the condition as a subquery over the table, delivers
+    *    the matching `_file` names back through the SAME interface,
+    *    and the copy-on-write rewrite opens and restates ONLY those
+    *    files — `files_kept` censuses the rewrite set (1 of 8),
+    *    `rows_emitted` the byte-untouched file count (7). Round 9's
+    *    behavior — every zone-kept file rewritten — is the foil this
+    *    stage retires.
+    *
+    * At 100 TB: stage 2 is what keeps a glog fact ⋈ filtered-dim
+    * star join from parsing the whole log before the join throws
+    * 99 % of it away; stage 3 is what keeps a point UPDATE from
+    * rewriting every file the static zone map cannot exonerate. */
+  private val rtfDimLayouts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def ensureRtfDim(spark: SparkSession, dir: String): String =
+    rtfDimLayouts
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_rtf_dim")
+        // dim: every distinct user id, ~1/23 tagged 'pick' — written
+        // as parquet so the tag filter only resolves at runtime
+        t(spark, dir, "events").select(col("user_id")).distinct()
+          .withColumn("tag",
+            when(col("user_id") % 23 === 5, lit("pick")).otherwise(lit("skip")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/dim")
+        s"$tmp/dim"
+      })
+
+  private def dsv2RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+    val (stage, _, _) = ensureGlogFixture(spark, dir)
+    val dim = spark.read.parquet(ensureRtfDim(spark, dir))
+    val fact = spark.read.format("glog")
+      .option("path", stage.getAbsolutePath).load()
+
+    def rowsEmitted(df: DataFrame): Long =
+      flattenExecuted(df.queryExecution.executedPlan).collect {
+        case b: BatchScanExec =>
+          b.metrics.get("rowsEmitted").map(_.value).getOrElse(0L)
+      }.sum
+    def joined(): DataFrame = fact
+      .join(broadcast(dim.filter(col("tag") === "pick")), Seq("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+
+    val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    val saved = spark.conf.get(dppKey)
+    val (foil, pruned, rtDelivered) = try {
+      spark.conf.set(dppKey, "false")
+      val f = joined(); val fRow = f.collect()(0)
+      spark.conf.set(dppKey, "true")
+      sources.GraftLogSource.runtimeFilterCensus.remove(stage.getAbsolutePath)
+      val p = joined(); val pRow = p.collect()(0)
+      val delivered = Option(
+        sources.GraftLogSource.runtimeFilterCensus.get(stage.getAbsolutePath))
+        .exists(_.nonEmpty)
+      ((rowsEmitted(f), fRow), (rowsEmitted(p), pRow), delivered)
+    } finally spark.conf.set(dppKey, saved)
+    val joinOk = foil._2.getLong(0) == pruned._2.getLong(0) &&
+      foil._2.getLong(1) == pruned._2.getLong(1) && rtDelivered
+
+    // stage 3: runtime group filtering on a scratch copy
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val dml = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_glog_rtf_$sfName")
+    if (dml.exists()) deleteRecursively(dml.toPath)
+    dml.mkdirs()
+    val fixtureFiles = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".glog"))
+    fixtureFiles.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dml, f.getName).toPath): Unit
+    }
+    // one specific row: the max event id (bounded 1-row collect) —
+    // event_id is not a zone-map column, so WITHOUT runtime group
+    // filtering every file would rewrite
+    val targetId = t(spark, dir, "events")
+      .agg(max(col("event_id"))).collect()(0).getLong(0)
+    spark.sql("DROP TABLE IF EXISTS graft_glog_rtf_bench")
+    val (keptDml, untouched, ok3) = try {
+      spark.sql(s"""CREATE TABLE graft_glog_rtf_bench USING glog
+        OPTIONS (path '${dml.getAbsolutePath}')""")
+      val n0 = spark.sql("SELECT count(*) FROM graft_glog_rtf_bench")
+        .collect()(0).getLong(0)
+      val before = Option(dml.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".glog")).map(_.getName).toSet
+      spark.sql(s"""UPDATE graft_glog_rtf_bench
+        SET event_type = 'rtf_updated' WHERE event_id = $targetId""")
+      val after = Option(dml.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".glog")).map(_.getName).toSet
+      val untouched = (before intersect after).size
+      val (_, kept, _) =
+        sources.GraftLogSource.planCensus.get(dml.getAbsolutePath)
+      val updated = spark.sql("""SELECT count(*) FROM graft_glog_rtf_bench
+        WHERE event_type = 'rtf_updated'""").collect()(0).getLong(0)
+      val n1 = spark.sql("SELECT count(*) FROM graft_glog_rtf_bench")
+        .collect()(0).getLong(0)
+      (kept, untouched.toLong,
+        updated == 1L && n1 == n0 && untouched == before.size - 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_glog_rtf_bench")
+
+    Seq(
+      ("1_join_foil", fixtureFiles.length, fixtureFiles.length,
+        foil._1, foil._2.getLong(0), true),
+      ("2_join_pruned", fixtureFiles.length, fixtureFiles.length,
+        pruned._1, pruned._2.getLong(0), joinOk),
+      ("3_dml_group", fixtureFiles.length, keptDml, untouched,
+        1L, ok3))
+      .toDF("stage", "files_total", "files_kept", "rows_emitted",
+        "n_rows", "ok")
       .orderBy(col("stage"))
   }
 
@@ -3011,6 +3167,7 @@ object EngineOps {
     "eng_runtime_filter" -> runtimeFilter,
     "eng_sql_udf" -> sqlUdf,
     "eng_dsv2_source" -> dsv2Source,
+    "eng_dsv2_runtime_filter" -> dsv2RuntimeFilter,
     "eng_cache_table" -> cacheTable,
     "eng_aqe_skew" -> aqeSkew,
     "eng_exchange_reuse" -> exchangeReuse,

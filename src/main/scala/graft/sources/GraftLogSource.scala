@@ -123,6 +123,12 @@ object GraftLogSource {
   val planCensus: java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)] =
     new java.util.concurrent.ConcurrentHashMap()
 
+  /** Driver-side census of RUNTIME filters delivered to a scan
+    * (SupportsRuntimeV2Filtering), keyed like [[planCensus]]: the
+    * v1-translated filters of the latest `filter(...)` call. */
+  val runtimeFilterCensus: java.util.concurrent.ConcurrentHashMap[String, Array[Filter]] =
+    new java.util.concurrent.ConcurrentHashMap()
+
   /** The session's Hadoop configuration — the one seam every IO
     * operation resolves its FileSystem through. Driver-side only;
     * executors get a [[SerializableConf]] snapshot of this. */
@@ -191,6 +197,11 @@ object GraftLogSource {
     * any file count. */
   private[graft] def listingOrder(name: String): (Int, String) =
     (partIndex(name), name)
+
+  /** Normalize -0.0 to 0.0 so hashed set membership agrees with
+    * [[cmp]]'s total ordering (boxed -0.0 != 0.0 but cmp says
+    * equal). */
+  private[sources] def normD(d: Double): Double = if (d == 0.0) 0.0 else d
 
   /** Double comparison matching Spark SQL's total ordering — NaN is
     * the LARGEST value and equals itself, and -0.0 == 0.0. Every
@@ -293,8 +304,12 @@ object GraftLogSource {
     case EqualTo(a, v) =>
       v != null && (a == "value" || a == "user_id" || a == "event_type")
     // IN-lists may carry null literals (SQL `IN ('a', NULL)`): leave
-    // those to the engine rather than mis-evaluating them here
-    case In(a, vs) => a == "event_type" && vs != null && !vs.contains(null)
+    // those to the engine rather than mis-evaluating them here.
+    // Numeric IN on value/user_id is the shape runtime (DPP) filters
+    // arrive in — admitted when every element is a plain number.
+    case In(a, vs) => vs != null && !vs.contains(null) &&
+      (a == "event_type" ||
+        ((a == "value" || a == "user_id") && vs.forall(_.isInstanceOf[Number])))
     case IsNotNull(a) => SchemaFixed.fieldNames.contains(a)
     case _ => false
   }
@@ -336,6 +351,10 @@ object GraftLogSource {
       }
       case In(a, vs) => col(a) match {
         case s: String => vs != null && vs.exists(v => v != null && v.toString == s)
+        case l: Long => vs != null && vs.exists(v =>
+          v.isInstanceOf[Number] && cmpLongExact(l, v.asInstanceOf[Number]) == 0)
+        case d: Double => vs != null && vs.exists(v =>
+          v.isInstanceOf[Number] && cmp(d, v.asInstanceOf[Number].doubleValue()) == 0)
         case _ => false
       }
       case IsNotNull(_) => true // format is dense: no nulls by construction
@@ -464,6 +483,40 @@ object GraftLogSource {
     * and specs run on the driver). */
   private[graft] def deleteMatching(dir: Path, filters: Array[Filter]): Unit =
     deleteMatching(dir, driverHadoopConf(), filters)
+
+  /** Translate a connector V2 `Predicate` (the shape runtime filters
+    * arrive in through SupportsRuntimeV2Filtering) into the v1
+    * `Filter` vocabulary the zone map and readers already speak.
+    * Only the IN shape Spark's dynamic pruning actually emits is
+    * handled (`IN(col, lit, lit, …)`); anything else is dropped —
+    * a runtime filter is always an optimization, never required for
+    * correctness, so dropping is safe. */
+  private[graft] def v2PredicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Filter] = {
+    import org.apache.spark.sql.connector.{expressions => v2e}
+    def colName(e: v2e.Expression): Option[String] = e match {
+      case r: v2e.NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def litVal(e: v2e.Expression): Option[Any] = e match {
+      case l: v2e.Literal[_] => Some(l.value match {
+        case u: UTF8String => u.toString
+        case other => other
+      })
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty =>
+        val vs = p.children().drop(1).map(litVal)
+        colName(p.children()(0)) match {
+          case Some(c) if vs.forall(_.isDefined) => Some(In(c, vs.map(_.get)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }
 
 /** Entry point: `spark.read.format("glog").option("path", dir)` (the
@@ -577,9 +630,10 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
     })
 }
 
-private[sources] class GlogScanBuilder(path: String, pushdown: Boolean,
+private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
-    groupScan: Option[java.util.Set[String]] = None)
+    groupScan: Option[java.util.Set[String]] = None,
+    runtimeFilterable: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -609,14 +663,93 @@ private[sources] class GlogScanBuilder(path: String, pushdown: Boolean,
   }
 
   override def build(): Scan =
-    new GlogScan(path, required, pushed, limit, maxFilesPerTrigger, groupScan)
+    if (runtimeFilterable)
+      new GlogRuntimeFilterableScan(path, pushdown, required, pushed, limit,
+        maxFilesPerTrigger, groupScan)
+    else
+      new GlogScan(path, pushdown, required, pushed, limit,
+        maxFilesPerTrigger, groupScan)
 }
 
-private[sources] class GlogScan(path: String, required: StructType,
+/** The default scan shape: [[GlogScan]] plus the
+  * SupportsRuntimeV2Filtering marker. Split into a subclass because
+  * the MERGE row-level scan must NOT advertise the interface — a
+  * MERGE source can legally reference the target table itself, and
+  * Spark's runtime group-filter rule then injects a subquery over
+  * the deduplicated self-reference that its own planner cannot plan
+  * ("No plan for TableReference", an upstream edge). UPDATE/DELETE
+  * group scans and every regular batch scan keep the interface. */
+private[sources] class GlogRuntimeFilterableScan(path: String,
+    pushdown: Boolean, required: StructType,
+    pushed: Array[Filter], limit: Int,
+    maxFilesPerTrigger: Option[Int],
+    groupScan: Option[java.util.Set[String]])
+    extends GlogScan(path, pushdown, required, pushed, limit,
+      maxFilesPerTrigger, groupScan)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+
+private[sources] class GlogScan(path: String, pushdown: Boolean,
+    required: StructType,
     pushed: Array[Filter], limit: Int,
     maxFilesPerTrigger: Option[Int] = None,
     groupScan: Option[java.util.Set[String]] = None)
     extends Scan with SupportsReportStatistics {
+
+  /** Filters delivered AFTER planning by SupportsRuntimeV2Filtering
+    * (dynamic partition pruning / runtime group filtering). Spark
+    * calls `filter` then re-plans partitions via a fresh `toBatch`,
+    * so these participate in zone-map file pruning and reader-side
+    * row pruning exactly like statically pushed filters. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+  /** Runtime `_file` group restriction (row-level DML only): the set
+    * of file names the runtime subquery proved affected. */
+  private var runtimeFileNames: Option[Set[String]] = None
+
+  /** The join/pruning keys a runtime filter may arrive on. `value`
+    * additionally prunes whole files through the zone map; the
+    * others prune rows inside the readers before any shuffle. The
+    * row-level DML scan also accepts `_file` — Spark's runtime
+    * group filtering (the Iceberg-style copy-on-write narrowing)
+    * then restricts the rewrite to files that truly contain
+    * matches, even for predicates the format cannot evaluate
+    * row-wise. The pushdown=false foil declines runtime filters
+    * too (the A/B must isolate ALL connector-side pruning). */
+  def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (!pushdown) Array.empty
+    else if (groupScan.isDefined)
+      // the row-level (group) scan reports ONLY `_file`: runtime
+      // group filtering combines EVERY reported attribute into one
+      // composite struct-IN key, and a multi-attribute struct does
+      // not survive the v2 runtime-filter translation — one name,
+      // one translatable IN list of affected file names
+      (if (required.fieldNames.contains("_file"))
+        Array("_file") else Array.empty[String])
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    else {
+      // only columns present in the (pruned) output — Spark resolves
+      // these against the scan relation and fails on absent names
+      val avail = required.fieldNames.toSet
+      Array("value", "user_id", "event_type").filter(avail)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    }
+
+  def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val v1 = predicates.flatMap(GraftLogSource.v2PredicateToV1)
+    runtimeFileNames = v1.collectFirst {
+      case In("_file", vs) => vs.collect { case s: String => s }.toSet
+    }
+    runtimeFilters = v1.filter {
+      case In("_file", _) => false
+      case f => GraftLogSource.pushable(f)
+    }
+    val dir = GraftLogSource.resolveDir(path)
+    GraftLogSource.runtimeFilterCensus.put(
+      GraftLogSource.censusKey(dir,
+        GraftLogSource.fsFor(dir, GraftLogSource.driverHadoopConf())), v1)
+  }
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -624,9 +757,17 @@ private[sources] class GlogScan(path: String, required: StructType,
       s"ReadSchema=${required.fieldNames.mkString(",")}" +
       (if (limit >= 0) s", PushedLimit=$limit" else "")
 
-  private def listKept(): (Array[FileStatus], Int) =
-    GraftLogSource.listCommitted(GraftLogSource.resolveDir(path),
-      GraftLogSource.driverHadoopConf(), pushed.toSeq)
+  private def allFilters: Array[Filter] = pushed ++ runtimeFilters
+
+  private def listKept(): (Array[FileStatus], Int) = {
+    val (kept, total) = GraftLogSource.listCommitted(
+      GraftLogSource.resolveDir(path),
+      GraftLogSource.driverHadoopConf(), allFilters.toSeq)
+    runtimeFileNames match {
+      case Some(names) => (kept.filter(s => names.contains(s.getPath.getName)), total)
+      case None => (kept, total)
+    }
+  }
 
   override def estimateStatistics(): Statistics = {
     val (kept, _) = listKept()
@@ -646,23 +787,38 @@ private[sources] class GlogScan(path: String, required: StructType,
     val dir = GraftLogSource.resolveDir(path)
     val (kept, total) = listKept()
     // key by the NORMALIZED path: catalog reads hand the scan a
-    // file: URI while callers look up by plain absolute path
+    // file: URI while callers look up by plain absolute path.
+    // (Re-planning after a runtime filter overwrites the entry with
+    // the post-runtime census — what the measured entries read.)
     GraftLogSource.planCensus.put(
       GraftLogSource.censusKey(dir, GraftLogSource.fsFor(dir, conf)),
       (total, kept.length, required.length))
     // group mode (row-level UPDATE/MERGE/DELETE rewrite): record the
     // affected files for the paired ReplaceGroups commit, and emit
-    // COMPLETE groups — zone-map file pruning still applies, but the
-    // readers must not drop rows (non-matching rows of a rewritten
-    // file have to be carried over)
-    groupScan.foreach { set => kept.foreach(s => set.add(s.getPath.toString)) }
-    val readerFilters = if (groupScan.isDefined) Array.empty[Filter] else pushed
+    // COMPLETE groups — zone-map (and runtime-group) file pruning
+    // still applies, but the readers must not drop rows
+    // (non-matching rows of a rewritten file have to be carried
+    // over)
+    // clear-then-populate: a runtime group filter re-plans this batch
+    // with a SMALLER kept set, and commit must only swap files that
+    // were actually rewritten — a stale superset here would unlink
+    // files whose replacement was never staged (data loss)
+    groupScan.foreach { set =>
+      set.clear(); kept.foreach(s => set.add(s.getPath.toString))
+    }
+    val readerFilters = if (groupScan.isDefined) Array.empty[Filter] else allFilters
     val confS = new SerializableConf(conf)
     new Batch {
+      // reader filters ride the PARTITION, not the factory: after a
+      // runtime filter arrives, Spark re-plans partitions through a
+      // fresh toBatch but keeps the factory it built at planning
+      // time — filters baked into the factory would silently miss
+      // the runtime additions
       override def planInputPartitions(): Array[InputPartition] =
-        kept.map(s => GlogPartition(s.getPath.toString): InputPartition)
+        kept.map(s =>
+          GlogPartition(s.getPath.toString, readerFilters): InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
-        new GlogReaderFactory(required.fieldNames, readerFilters, limit, confS)
+        new GlogReaderFactory(required.fieldNames, limit, confS)
     }
   }
 
@@ -760,11 +916,11 @@ private[sources] class GlogMicroBatchStream(path: String,
           case None => true
         }
       }
-      .map(s => GlogPartition(s.getPath.toString): InputPartition)
+      .map(s => GlogPartition(s.getPath.toString, pushed): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GlogReaderFactory(required.fieldNames, pushed, -1,
+    new GlogReaderFactory(required.fieldNames, -1,
       new SerializableConf(GraftLogSource.driverHadoopConf()))
 }
 
@@ -773,14 +929,16 @@ private[sources] class GlogRowsMetric extends CustomSumMetric {
   override def description(): String = "rows emitted by glog readers"
 }
 
-private[sources] case class GlogPartition(file: String) extends InputPartition
+private[sources] case class GlogPartition(file: String,
+    filters: Array[Filter]) extends InputPartition
 
 private[sources] class GlogReaderFactory(fields: Array[String],
-    pushed: Array[Filter], limit: Int, confS: SerializableConf)
+    limit: Int, confS: SerializableConf)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GlogReader(partition.asInstanceOf[GlogPartition].file, fields, pushed,
-      limit, confS)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GlogPartition]
+    new GlogReader(p.file, fields, p.filters, limit, confS)
+  }
 }
 
 private[sources] class GlogReader(file: String, fields: Array[String],
@@ -818,6 +976,55 @@ private[sources] class GlogReader(file: String, fields: Array[String],
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 
+  // IN-lists compile to hash sets once per split — runtime (DPP)
+  // filters can carry thousands of values, and a per-row linear scan
+  // of the list would undo the pruning win. A set is built only when
+  // it provably agrees with eval's exact semantics (strings; doubles
+  // normalized via normD; longs only when every element is integral
+  // — a fractional literal falls back to the exact eval kernel).
+  private val inSets: Array[AnyRef] = pushed.map {
+    case In(a, vs) if vs != null && !vs.contains(null) => a match {
+      case "event_type" | "props" =>
+        vs.iterator.map(_.toString).toSet: AnyRef
+      case "value" if vs.forall(_.isInstanceOf[Number]) =>
+        vs.iterator.map(v => GraftLogSource.normD(
+          v.asInstanceOf[Number].doubleValue())).toSet: AnyRef
+      case _ if vs.forall(v => v.isInstanceOf[java.lang.Long] ||
+          v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Short] ||
+          v.isInstanceOf[java.lang.Byte]) =>
+        vs.iterator.map(_.asInstanceOf[Number].longValue()).toSet: AnyRef
+      case _ => null
+    }
+    case _ => null
+  }
+
+  private def passes(eventId: Long, tsMicros: Long, userId: Long,
+      eventType: String, value: Double, props: String): Boolean = {
+    var i = 0
+    while (i < pushed.length) {
+      val ok = inSets(i) match {
+        case null => GraftLogSource.eval(pushed(i), eventId, tsMicros, userId,
+          eventType, value, props)
+        case s => pushed(i) match {
+          case In(a, _) => a match {
+            case "event_type" => s.asInstanceOf[Set[String]].contains(eventType)
+            case "props" => s.asInstanceOf[Set[String]].contains(props)
+            case "value" =>
+              s.asInstanceOf[Set[Double]].contains(GraftLogSource.normD(value))
+            case "user_id" => s.asInstanceOf[Set[Long]].contains(userId)
+            case "event_id" => s.asInstanceOf[Set[Long]].contains(eventId)
+            case "ts" => s.asInstanceOf[Set[Long]].contains(tsMicros)
+            case _ => true
+          }
+          case _ => true
+        }
+      }
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     var line = in.readLine()
@@ -829,8 +1036,7 @@ private[sources] class GlogReader(file: String, fields: Array[String],
       val eventType = c(3)
       val value = if (needValue) java.lang.Double.parseDouble(c(4)) else 0.0
       val props = if (c.length > 5) c(5) else ""
-      if (pushed.forall(GraftLogSource.eval(_, eventId, tsMicros, userId,
-          eventType, value, props))) {
+      if (passes(eventId, tsMicros, userId, eventType, value, props)) {
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
         var i = 0
         while (i < fields.length) {
@@ -956,8 +1162,21 @@ private[sources] class GlogRowLevelOperation(path: String,
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def description(): String = s"glog copy-on-write $cmd($path)"
+  /** Project the `_file` metadata column into the row-level scan so
+    * Spark's runtime group filtering
+    * (RowLevelOperationRuntimeGroupFiltering) can narrow the
+    * rewrite: the rule runs the operation's condition as a subquery
+    * selecting matching `_file`s and delivers them back through
+    * SupportsRuntimeV2Filtering — files with no matches are neither
+    * read in full nor rewritten, even for predicates the format
+    * cannot evaluate row-wise (LIKE, UDFs). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GlogScanBuilder(path, pushdown = true, groupScan = Some(affected))
+    new GlogScanBuilder(path, pushdown = true, groupScan = Some(affected),
+      runtimeFilterable = cmd !=
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {

@@ -490,6 +490,60 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"streamed totals diverged: $partials vs $batch")
   }
 
+  test("runtime filters prune reader rows and DML rewrite groups (eng_dsv2_runtime_filter)") {
+    Tables.register(spark, sf)
+    val rows = EngineOps.queries("eng_dsv2_runtime_filter")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_join_foil", "2_join_pruned", "3_dml_group"))
+    // every stage ok: identical join results, runtime filter actually
+    // delivered (census), DML counts exact
+    assert(rows.forall(_.getBoolean(5)), rows.mkString("; "))
+    val byStage = rows.map(r => r.getString(0) -> r).toMap
+    val (foil, pruned, dml) =
+      (byStage("1_join_foil"), byStage("2_join_pruned"), byStage("3_dml_group"))
+    // the runtime IN drops non-matching rows BEFORE the join
+    assert(pruned.getLong(3) < foil.getLong(3),
+      s"no runtime row pruning: $pruned vs $foil")
+    assert(pruned.getLong(3) > 0)
+    // runtime group filtering narrows the copy-on-write rewrite to
+    // THE one file containing the updated row; the others stay
+    // byte-untouched even though the zone map cannot exonerate them
+    assert(dml.getInt(2) == 1, s"group filter did not narrow the rewrite: $dml")
+    assert(dml.getLong(3) == foil.getInt(1) - 1L,
+      s"untouched-file census off: $dml")
+  }
+
+  test("MERGE group scans decline runtime filtering; UPDATE/DELETE accept it") {
+    // the split exists because a MERGE source can reference the
+    // target table itself, and Spark's group-filter subquery over the
+    // deduplicated self-reference is unplannable — the self-merge in
+    // the UPDATE/MERGE spec above is the regression test; here the
+    // scan shapes themselves are pinned
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    def scanFor(cmd: Command) = {
+      val b = new graft.sources.GlogScanBuilder("/tmp/nowhere", pushdown = true,
+        groupScan = Some(java.util.concurrent.ConcurrentHashMap.newKeySet[String]()),
+        runtimeFilterable = cmd != Command.MERGE)
+      b.build()
+    }
+    assert(!scanFor(Command.MERGE).isInstanceOf[SupportsRuntimeV2Filtering])
+    assert(scanFor(Command.UPDATE).isInstanceOf[SupportsRuntimeV2Filtering])
+    assert(scanFor(Command.DELETE).isInstanceOf[SupportsRuntimeV2Filtering])
+    // regular batch scans accept runtime filters; the pushdown=false
+    // foil declines them (filterAttributes empty)
+    val regular = new graft.sources.GlogScanBuilder("/tmp/nowhere",
+      pushdown = true).build()
+    assert(regular.isInstanceOf[SupportsRuntimeV2Filtering])
+    assert(regular.asInstanceOf[SupportsRuntimeV2Filtering]
+      .filterAttributes().map(_.fieldNames()(0)).toSet ==
+      Set("value", "user_id", "event_type"))
+    val foil = new graft.sources.GlogScanBuilder("/tmp/nowhere",
+      pushdown = false).build()
+    assert(foil.asInstanceOf[SupportsRuntimeV2Filtering]
+      .filterAttributes().isEmpty)
+  }
+
   test("Hadoop FS seam: listing, write, read, and DML through a file:// URI") {
     // every IO touch goes through org.apache.hadoop.fs.FileSystem —
     // this case drives the full lifecycle with a scheme-qualified
