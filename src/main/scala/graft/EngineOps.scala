@@ -2552,6 +2552,130 @@ object EngineOps {
       .orderBy(col("stage"))
   }
 
+  /** MEASURED write-side clustering (RequiresDistributionAndOrdering)
+    * — the INGEST-time half of the connector's zone-map contract.
+    * The zone map's selectivity is only as good as the row layout the
+    * upstream plan happens to deliver: a scrambled write commits
+    * files that each span the full value range, and every later
+    * value predicate keeps every file. With `option("clustered",
+    * "true")` the WRITE itself requests a value-ordered distribution
+    * from Spark — one range exchange + in-task sort before the
+    * writers — so committed files carry tight, disjoint bounds on
+    * ANY upstream layout. Write-time twin of eng_zorder_scan's
+    * at-rest layout; reference analog: the weight-layout transpose
+    * pass that reorders data at LOAD time so the runtime access
+    * pattern is sequential (mlir_compiler/optimizer.py layout pass).
+    *
+    * Both stages write the SAME deliberately scrambled input (a
+    * round-robin repartition interleaves the value range across
+    * every task), then run the same top-quarter value
+    * query: `1_scrambled` keeps every file (bounds all overlap);
+    * `2_clustered` prunes the majority at planning time
+    * (`pruned_majority`; the exact kept count follows the range
+    * sampler, so the golden pins the bound and the spec asserts the
+    * strict census). `bounds_disjoint` censuses adjacent-file bound
+    * overlap from the committed names; `ok` pins rows+cents to the
+    * parquet spelling both ways. */
+  private def dsv2ClusteredWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val ev = t(spark, dir, "events").select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+    val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.75
+    val oracleRow = ev.filter(col("value") >= cut)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents")).collect()(0)
+    val scrambled = ev.repartition(8)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_glog_cl_$sfName")
+    if (base.exists()) deleteRecursively(base.toPath)
+
+    def stage(name: String, clustered: Boolean): (String, Long, Long, Long, Boolean, Boolean, Boolean) = {
+      val sink = new java.io.File(base, name)
+      scrambled.write.format("glog").option("path", sink.getAbsolutePath)
+        .option("clustered", clustered.toString).mode("overwrite").save()
+      val bounds = Option(sink.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".glog"))
+        .flatMap(f => sources.GraftLogSource.minMaxFromName(f.getName))
+        .sortBy(_._1)
+      val disjoint = bounds.sliding(2).forall {
+        case Array(a, b) => sources.GraftLogSource.cmp(b._1, a._2) >= 0
+        case _ => true
+      }
+      val q = spark.read.format("glog").option("path", sink.getAbsolutePath)
+        .load().filter(col("value") >= cut)
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val row = q.collect()(0)
+      val (total, kept, _) =
+        sources.GraftLogSource.planCensus.get(sink.getAbsolutePath)
+      (name, bounds.length.toLong, row.getLong(0), row.getLong(1),
+        disjoint, kept.toLong * 2 <= total.toLong,
+        row.getLong(0) == oracleRow.getLong(0) &&
+          row.getLong(1) == oracleRow.getLong(1) && total == 8)
+    }
+    Seq(stage("1_scrambled", clustered = false),
+        stage("2_clustered", clustered = true))
+      .toDF("stage", "n_files", "n_rows", "cents",
+        "bounds_disjoint", "pruned_majority", "ok")
+      .orderBy(col("stage"))
+  }
+
+  /** MEASURED streaming SINK through the connector — the write-side
+    * half of the connector's streaming story (the source side is
+    * eng_dsv2_source's MICRO_BATCH_READ + eng_stream_backfill's
+    * pacing): a full glog→glog streaming pipe. The fixture directory
+    * streams in admission-bounded batches (maxFilesPerTrigger=3,
+    * Trigger.AvailableNow) and lands back out through the
+    * connector's STREAMING_WRITE — per-epoch task-commit with
+    * `_epoch-N.committed` markers making replayed epochs no-ops
+    * (exactly-once into the directory; replay idempotence is
+    * spec-proven by re-committing a committed epoch). Censuses:
+    * paced batch count from the query's own progress ledger,
+    * committed files and rows from a batch read-back, content
+    * equality with the parquet spelling. At 100 TB this is the
+    * land-a-firehose pattern: bounded batches, atomic per-epoch
+    * visibility, and a crash-safe replay ledger — no partial epoch
+    * is ever scannable. */
+  private def dsv2StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val (stage, _, _) = ensureGlogFixture(spark, dir)
+    val sink = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_glog_ssink_$sfName")
+    if (sink.exists()) deleteRecursively(sink.toPath)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssink_ck").toString
+    val q = spark.readStream.format("glog")
+      .option("path", stage.getAbsolutePath)
+      .option("maxFilesPerTrigger", "3")
+      .load()
+      .writeStream.format("glog")
+      .option("path", sink.getAbsolutePath)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+    val names = Option(sink.listFiles()).getOrElse(Array.empty).map(_.getName)
+    val nFiles = names.count(_.endsWith(".glog")).toLong
+    val markersOk = names.count(_.startsWith("_epoch-")) >= batches &&
+      !names.exists(_.endsWith(".inprogress"))
+    val back = spark.read.format("glog")
+      .option("path", sink.getAbsolutePath).load()
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents")).collect()(0)
+    val oracle = t(spark, dir, "events")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents")).collect()(0)
+    deleteRecursively(java.nio.file.Paths.get(ckpt))
+    Seq((batches, nFiles, back.getLong(0), markersOk,
+      back.getLong(0) == oracle.getLong(0) &&
+        back.getLong(1) == oracle.getLong(1)))
+      .toDF("n_batches", "n_files", "n_rows", "epochs_marked", "matches_batch")
+  }
+
   /** MEASURED runtime filtering INTO the DSv2 scan
     * (SupportsRuntimeV2Filtering) — the connector member of the
     * runtime-pruning proof family (eng_runtime_filter: Bloom into a
@@ -3168,6 +3292,8 @@ object EngineOps {
     "eng_sql_udf" -> sqlUdf,
     "eng_dsv2_source" -> dsv2Source,
     "eng_dsv2_runtime_filter" -> dsv2RuntimeFilter,
+    "eng_dsv2_clustered_write" -> dsv2ClusteredWrite,
+    "eng_dsv2_stream_sink" -> dsv2StreamSink,
     "eng_cache_table" -> cacheTable,
     "eng_aqe_skew" -> aqeSkew,
     "eng_exchange_reuse" -> exchangeReuse,

@@ -110,6 +110,12 @@ object GraftLogSource {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Partition count a clustered write requests (see
+    * GlogClusteredWrite): pinned so the committed file count — and
+    * every census over it — is independent of
+    * spark.sql.shuffle.partitions. */
+  val ClusteredWriteFiles = 8
+
   /** Cost gate for the driver-side DELETE path: when a delete
     * predicate's zone-map-affected file count exceeds this, the
     * statement routes through the executor-parallel copy-on-write
@@ -547,13 +553,15 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlogScanBuilder(path, pushdown,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GlogWriteBuilder(path, info.schema())
+    new GlogWriteBuilder(path, info.schema(),
+      "true".equalsIgnoreCase(info.options().getOrDefault("clustered", "false")))
 
   /** SQL `DELETE FROM ... WHERE ...` (SupportsDelete) — metadata-only
     * where the zone map proves a file can hold no match (the common
@@ -1087,7 +1095,8 @@ private[sources] class GlogReader(file: String, fields: Array[String],
   * HDFS and raw-local; an object-store deployment would swap the
   * rename for a manifest write, which this protocol's shape already
   * supports. */
-private[sources] class GlogWriteBuilder(path: String, schema: StructType)
+private[sources] class GlogWriteBuilder(path: String, schema: StructType,
+    clustered: Boolean = false)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var truncateFirst = false
@@ -1111,10 +1120,109 @@ private[sources] class GlogWriteBuilder(path: String, schema: StructType)
     }
     this
   }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GlogBatchWrite(path, schema, truncateFirst, replaceWhere)
+  /** `option("clustered", "true")`: the write REQUESTS a
+    * value-ordered distribution from Spark
+    * (RequiresDistributionAndOrdering) — a range exchange + in-task
+    * sort by `value` runs before the writers, so every committed
+    * file carries TIGHT, near-disjoint zone-map bounds no matter how
+    * scrambled the upstream plan's row layout is. This is the
+    * write-time twin of TableLayout's Z-order (TableLayout.scala):
+    * pay one sort at ingest, and every later `value` predicate
+    * prunes whole files at planning time. Opt-in, because the
+    * exchange is a real cost the caller must choose — an append-only
+    * telemetry firehose may prefer cheap writes over read-side
+    * pruning. */
+  override def build(): Write =
+    if (clustered) new GlogClusteredWrite(path, schema, truncateFirst, replaceWhere)
+    else new Write {
+      override def toBatch: BatchWrite =
+        new GlogBatchWrite(path, schema, truncateFirst, replaceWhere)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        // streaming writes are APPEND-only: the directory is an
+        // append-only log by contract (the streaming READ's offsets
+        // depend on it), so Complete/Truncate output modes are
+        // rejected at analysis time rather than silently rewriting
+        // history every epoch
+        require(!truncateFirst && replaceWhere.isEmpty,
+          "glog streaming sink supports Append output mode only")
+        new GlogStreamingWrite(path, schema)
+      }
+    }
+}
+
+/** Streaming sink: the same task-commit protocol as the batch write,
+  * per EPOCH. Tasks stage invisible `.inprogress` temps; epoch
+  * commit renames them to zone-map-named `.glog` files and drops an
+  * `_epoch-N.committed` marker. The marker makes epoch commit
+  * IDEMPOTENT: after a failure Spark can replay a committed epoch,
+  * and the replayed commit sees the marker and discards its staged
+  * output instead of appending duplicates — exactly-once into the
+  * directory, the same ledger discipline as eng_stream_enrich's
+  * idempotent partitioned sink. Readers (batch and streaming) list
+  * only `*.glog`, so markers and uncommitted temps are never
+  * scanned. */
+private[graft] class GlogStreamingWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  require(schema.fieldNames.sameElements(GraftLogSource.SchemaFixed.fieldNames),
+    s"glog stream-write schema must be " +
+      s"${GraftLogSource.SchemaFixed.fieldNames.mkString(",")}" +
+      s", got ${schema.fieldNames.mkString(",")}")
+
+  private def marker(dir: Path, epochId: Long): Path =
+    new Path(dir, s"_epoch-$epochId.committed")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GlogStreamingWriterFactory(path,
+      new SerializableConf(GraftLogSource.driverHadoopConf()))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftLogSource.driverHadoopConf()
+    val dir = GraftLogSource.resolveDir(path)
+    val fs = GraftLogSource.fsFor(dir, conf)
+    fs.mkdirs(dir)
+    if (fs.exists(marker(dir, epochId))) {
+      // replayed epoch: already committed — discard, never duplicate
+      GraftLogSource.discardStaged(conf, messages)
+    } else {
+      GraftLogSource.renameStagedIn(dir, conf, messages)
+      val out = fs.create(marker(dir, epochId), true)
+      out.close()
+    }
   }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftLogSource.discardStaged(GraftLogSource.driverHadoopConf(), messages)
+}
+
+private[graft] class GlogStreamingWriterFactory(path: String,
+    confS: SerializableConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GlogWriter(path, partitionId, taskId, confS)
+}
+
+/** The clustered Write shape: same BatchWrite, plus the distribution
+  * contract. `requiredNumPartitions` pins the file count so the
+  * layout (and its censuses) do not silently follow
+  * spark.sql.shuffle.partitions. */
+private[sources] class GlogClusteredWrite(path: String, schema: StructType,
+    truncateFirst: Boolean, replaceWhere: Array[Filter]) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+  private def order: Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("value"), SortDirection.ASCENDING))
+  override def requiredDistribution(): Distribution = Distributions.ordered(order)
+  override def requiredOrdering(): Array[SortOrder] = order
+  override def requiredNumPartitions(): Int = GraftLogSource.ClusteredWriteFiles
+  override def toBatch: BatchWrite =
+    new GlogBatchWrite(path, schema, truncateFirst, replaceWhere)
 }
 
 private[sources] case class GlogCommit(tempPath: String, rows: Long,

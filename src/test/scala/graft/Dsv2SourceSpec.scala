@@ -513,6 +513,34 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"untouched-file census off: $dml")
   }
 
+  test("clustered writes commit disjoint bounds that prune the majority (eng_dsv2_clustered_write)") {
+    Tables.register(spark, sf)
+    val rows = EngineOps.queries("eng_dsv2_clustered_write")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_scrambled", "2_clustered"))
+    assert(rows.forall(_.getBoolean(6)), rows.mkString("; "))
+    val byStage = rows.map(r => r.getString(0) -> r).toMap
+    val (scr, cl) = (byStage("1_scrambled"), byStage("2_clustered"))
+    // identical content both ways
+    assert(scr.getLong(2) == cl.getLong(2) && scr.getLong(3) == cl.getLong(3))
+    // a round-robin-scrambled write spans the full range per file;
+    // the clustered write's range exchange makes bounds disjoint
+    assert(!scr.getBoolean(4) && cl.getBoolean(4), s"bounds: $scr vs $cl")
+    assert(!scr.getBoolean(5) && cl.getBoolean(5), s"pruning: $scr vs $cl")
+    // strict census: the same top-quarter query keeps strictly fewer
+    // files against the clustered layout
+    val sfName = java.nio.file.Paths.get(sf).getFileName.toString
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_glog_cl_$sfName")
+    def kept(name: String) = GraftLogSource.planCensus
+      .get(new java.io.File(base, name).getAbsolutePath)._2
+    // scrambled keeps a majority (at tiny SF a file can genuinely
+    // hold no top-quarter row, so == 8 would be flaky); clustered
+    // keeps strictly fewer and at most half
+    assert(kept("1_scrambled") * 2 > 8, s"scrambled foil pruned: ${kept("1_scrambled")}")
+    assert(kept("2_clustered") < kept("1_scrambled") && kept("2_clustered") >= 1 &&
+      kept("2_clustered") * 2 <= 8,
+      s"clustered layout not pruned: ${kept("2_clustered")} vs ${kept("1_scrambled")}")
+  }
+
   test("MERGE group scans decline runtime filtering; UPDATE/DELETE accept it") {
     // the split exists because a MERGE source can reference the
     // target table itself, and Spark's group-filter subquery over the
@@ -612,6 +640,67 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(sorted == Seq("part-0001_0_0.glog", "part-2000_0_0.glog",
       "part-9999_0_0.glog", "part-10000_0_0.glog", "zzz-custom.glog"),
       sorted.mkString(","))
+  }
+
+  test("streaming sink: stream-write -> batch-read equality, epoch replay idempotent") {
+    Tables.register(spark, sf)
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    val sink = java.nio.file.Files.createTempDirectory("graft_glog_ssink").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_glog_ssck").toString
+    // full loop: glog streaming SOURCE -> glog streaming SINK
+    val q = spark.readStream.format("glog")
+      .option("path", stage.getAbsolutePath)
+      .option("maxFilesPerTrigger", "3")
+      .load()
+      .writeStream.format("glog")
+      .option("path", sink.getAbsolutePath)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // each committed epoch leaves a marker; no temp residue
+    val names = sink.listFiles().map(_.getName)
+    assert(names.count(_.startsWith("_epoch-")) >= 3, names.mkString(","))
+    assert(!names.exists(_.endsWith(".inprogress")))
+    assert(names.filter(_.endsWith(".glog"))
+      .forall(n => GraftLogSource.minMaxFromName(n).isDefined))
+    // exact equality with the batch spelling
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .collect().map(_.toSeq).toSet
+    val streamed = canon(spark.read.format("glog")
+      .option("path", sink.getAbsolutePath).load())
+    assert(streamed == canon(spark.table("events")), "stream-write diverged")
+    assert(streamed.nonEmpty)
+    // epoch replay: committing the SAME epoch again must discard, not
+    // duplicate (the marker contract) — simulate a post-failure replay
+    val sw = new graft.sources.GlogStreamingWrite(sink.getAbsolutePath,
+      GraftLogSource.SchemaFixed)
+    val fac = sw.createStreamingWriterFactory(null)
+    val w = fac.createWriter(0, 999L, 0L)
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](123456789L, 1000000L, 1L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("replayed"), 1.0,
+        org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+    val msg = w.commit()
+    sw.commit(0L, Array(msg)) // epoch 0 already committed by the query
+    val after = canon(spark.read.format("glog")
+      .option("path", sink.getAbsolutePath).load())
+    assert(after == streamed, "replayed epoch appended duplicates")
+    // a FRESH epoch with the same staged shape commits normally
+    val w2 = fac.createWriter(0, 1000L, 777L)
+    w2.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](123456789L, 1000000L, 1L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("fresh"), 1.0,
+        org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+    sw.commit(777L, Array(w2.commit()))
+    val withFresh = spark.read.format("glog")
+      .option("path", sink.getAbsolutePath).load()
+    assert(withFresh.filter(col("event_type") === "fresh").count() == 1)
   }
 
   test("pushed filters and limit surface in the executed plan") {
