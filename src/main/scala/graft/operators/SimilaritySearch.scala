@@ -68,17 +68,6 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** IVF-flat approximate top-k: the corpus is partitioned into
-    * `nCentroids` cells (nearest centroid by dot; centroids are the
-    * first `nCentroids` vectors by id — a deterministic sampled
-    * codebook, the IVF analog of the LSH planes), and only the
-    * probe's `nProbe` best cells are scanned.
-    *
-    * Scale shape: the one-time index build is a narrow assignment
-    * pass (centroids broadcast as literals); each query prunes the
-    * scan to nProbe/nCentroids of the data — at 100 TB the cell
-    * assignment is written as a partition column so Spark's partition
-    * pruning turns the cell filter into file skipping. */
   /** Best cell for a vector under a literal codebook (dot score —
     * cosine for unit-norm data): the IVF assignment expression shared
     * by ivfTopK and lloydStep. */
@@ -155,17 +144,37 @@ object SimilaritySearch {
       .sortBy(-_._1).take(nProbe).map(_._2).toSeq
   }
 
+  /** IVF-flat approximate top-k. The DEFAULT query path expects a
+    * PRE-INDEXED corpus — a DataFrame that already carries a `cell`
+    * column assigned under the SAME codebook (typically the
+    * [[writeIvfPartitioned]] layout read back, where `cell` is a
+    * partition column and the nProbe filter becomes directory-level
+    * file skipping before any IO). A corpus without a `cell` column
+    * falls back to INLINE assignment — a full linear scan of the
+    * corpus per query, which is the differential-test foil, not the
+    * deployment path: at 100 TB the inline spelling would re-scan
+    * everything on every query, which is exactly what the persisted
+    * layout exists to avoid (measured: eng_ivf_pruned_scan). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probe: Array[Float], k: Int, nCentroids: Int = 16,
               nProbe: Int = 4,
               codebook: Option[Array[Array[Double]]] = None): DataFrame = {
-    val spark = corpus.sparkSession
+    val preIndexed = corpus.columns.contains("cell")
     // index-build step: caller-supplied (e.g. lloydStep-refined)
     // codebook, or the deterministic sample
     val centroids: Array[Array[Double]] =
-      codebook.getOrElse(sampledCodebook(corpus, idCol, vecCol, nCentroids))
-    val indexed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      nearestCell(centroids)(col(vecCol)).as("cell"))
+      codebook.getOrElse {
+        require(!preIndexed,
+          "ivfTopK: a pre-indexed corpus (cell column) requires the codebook " +
+            "it was assigned under — pass codebook=Some(...)")
+        sampledCodebook(corpus, idCol, vecCol, nCentroids)
+      }
+    val indexed =
+      if (preIndexed)
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
+      else // inline-assignment fallback: the test foil
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+          nearestCell(centroids)(col(vecCol)).as("cell"))
     val cells = probeCells(centroids, probe, nProbe)
     val probeCol = array(probe.map(f => lit(f.toDouble)): _*)
     indexed

@@ -65,6 +65,52 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.toSet.subsetOf(vecs.tail.map(_._1).toSet))
   }
 
+  test("ivfTopK pre-indexed default path equals the inline-assignment foil") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val corpus = spark.table("embeddings").filter(col("vec_id") =!= 0)
+    val p = spark.table("embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val cb = SimilaritySearch.sampledCodebook(corpus, "vec_id", "embedding", 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_pre")
+    SimilaritySearch.writeIvfPartitioned(
+      corpus, "vec_id", "embedding", cb, s"$tmp/cells")
+    val pre = spark.read.parquet(s"$tmp/cells")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6))).toSeq
+    // the persisted layout (cell as a partition column) and the
+    // inline-assignment foil return IDENTICAL rankings under the
+    // same codebook — the layout changes IO, never results
+    val viaLayout = ids(SimilaritySearch.ivfTopK(pre, "vec_id", "embedding",
+      p, k = 10, nProbe = 4, codebook = Some(cb)))
+    val viaInline = ids(SimilaritySearch.ivfTopK(corpus, "vec_id", "embedding",
+      p, k = 10, nProbe = 4, codebook = Some(cb)))
+    assert(viaLayout == viaInline && viaLayout.nonEmpty)
+    // the pre-indexed path must never silently re-assign under a
+    // DIFFERENT (freshly sampled) codebook — it requires the one the
+    // layout was built with
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopK(pre, "vec_id", "embedding", p, k = 10)
+    }
+    // and the plan over the layout prunes partitions: the cell filter
+    // reaches the scan as a partition filter, so only nProbe of the
+    // 16 cell directories are read
+    val q = SimilaritySearch.ivfTopK(pre, "vec_id", "embedding",
+      p, k = 10, nProbe = 4, codebook = Some(cb))
+    q.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def flat(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => flat(s.plan)
+      case o => o +: o.children.flatMap(flat)
+    }
+    val partitionsRead = flat(q.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.metrics.get("numPartitions").map(_.value).getOrElse(0L)
+    }.sum
+    assert(partitionsRead == 4, s"expected 4 pruned cell partitions, read $partitionsRead")
+  }
+
   test("lloyd refinement never decreases the spherical k-means objective") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.vecDot
