@@ -57,7 +57,9 @@ object PlanAudit {
     "eng_incremental_dedup" ->
       "Only the delta batch is shingled and signed — the base contributes its persisted signature index; the collision join is keyed on (band, band_key) with a delta-only left side, so base×base pairs cannot form and per-ingest work is O(delta + colliding base rows).",
     "qt4_hash_sample" ->
-      "Deterministic bottom-k sample: ORDER BY hash LIMIT k plans as TakeOrderedAndProject — per-partition k-element heaps merged at the driver, no global Exchange/Sort of the table.")
+      "Deterministic bottom-k sample: ORDER BY hash LIMIT k plans as TakeOrderedAndProject — per-partition k-element heaps merged at the driver, no global Exchange/Sort of the table.",
+    "eng_ann_ivf_topk" ->
+      "The ANN query reads the PERSISTED cell-partitioned corpus: PartitionFilters carries cell IN (the probe's nProbe cells), so the scan lists only those directories — no per-query corpus re-assignment (the round-9 scale-weak, closed: 10x-data ratio 1.0, BENCH_SCALE_ivfq.json); TakeOrderedAndProject replaces a global sort. The inline assignment spelling survives only as ivfTopK's documented fallback / differential foil.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

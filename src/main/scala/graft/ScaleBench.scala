@@ -138,8 +138,11 @@ object ScaleBench {
     // data, and recording those under "impl_vs_baseline_sf1" would
     // pass off sfN numbers as sf1 evidence against the 2x budget.
     val subset = sys.env.contains("SPARK_GRAFT_SCALE_ONLY")
+    // at factors other than 10 the section only runs for an explicit
+    // subset, and is recorded under a key NAMING the factor (below) —
+    // never as sf1 evidence
     val overridden =
-      if (factor != 10) Seq.empty[Q]
+      if (factor != 10 && !subset) Seq.empty[Q]
       else QueryInventory.all.filter(_.impl.isDefined)
         .filter(q => !subset || entriesRun.contains(q.name))
     def onceBaseline(q: Q): Double = {
@@ -170,8 +173,10 @@ object ScaleBench {
       s""""${q.name}":{"impl_sec":${j(impl)},"sql_sec":${j(sql)},"impl_vs_sql":${j(ratio)}}"""
     }.mkString("{", ",", "}")
 
+    val implKey =
+      if (factor == 10) "impl_vs_baseline_sf1" else s"impl_vs_sql_x$factor"
     val line =
-      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"impl_vs_baseline_sf1":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)},"dirty":${BenchUtil.isDirty(sentinel.samples)},${BenchUtil.sentinelJson(sentinel.samples)}}"""
+      s"""{"metric":"scale_ratio","data_factor":$factor,"queries":$entries,"worst_ratios":$worst,"$implKey":$vsBaseline,"sf01_total":${j(rows.filter(_._2 > 0).map(_._2).sum)},"sf1_total":${j(rows.filter(_._3 > 0).map(_._3).sum)},"dirty":${BenchUtil.isDirty(sentinel.samples)},${BenchUtil.sentinelJson(sentinel.samples)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     println(line)
