@@ -2566,13 +2566,28 @@ object EngineOps {
       (glogs, n, colsDml, n == expectSurvive && !residue)
     } finally spark.sql("DROP TABLE IF EXISTS graft_glog_dml_bench")
 
+    // stage 6: pushed TopN (SupportsPushDownTopN, partial) — ORDER BY
+    // value DESC LIMIT 5 drains each reader through an O(k) bounded
+    // heap, so the scan emits at most k rows per file instead of the
+    // whole table into the global sort; values pinned to the parquet
+    // spelling (Spark's TakeOrdered merge is the correctness net)
+    val topn = glog(pushdown = true)
+      .orderBy(col("value").desc).limit(5).select(col("value"))
+    val topVals = topn.collect().map(_.getDouble(0)).toSeq
+    val (_, keptT, colsT) = census()
+    val topEmitted = rowsEmitted(topn)
+    val oracleTop = ev.orderBy(col("value").desc).limit(5)
+      .select(col("value")).collect().map(_.getDouble(0)).toSeq
+    val ok6 = topEmitted <= 5L * keptT && topVals == oracleTop
+
     Seq(
       ("1_full", tot1, kept1, cols1, rows1, ok1),
       ("2_pushed", tot2, kept2, cols2, rows2, ok2),
       ("3_limit", tot2, keptL, colsL, nLim, limCapped),
       ("4_writeback", sinkFiles.length, sinkFiles.length, colsSink,
         back.getLong(0), ok4),
-      ("5_dml", fixtureFiles.length, filesAfter, colsDml, nAfter, ok5))
+      ("5_dml", fixtureFiles.length, filesAfter, colsDml, nAfter, ok5),
+      ("6_topn", tot2, keptT, colsT, topEmitted, ok6))
       .toDF("stage", "files_total", "files_kept", "cols_read",
         "rows_emitted", "ok")
       .orderBy(col("stage"))

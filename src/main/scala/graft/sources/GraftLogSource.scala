@@ -643,11 +643,48 @@ private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
     groupScan: Option[java.util.Set[String]] = None,
     runtimeFilterable: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftLogSource.SchemaFixed
   private var limit: Int = -1
+  private var topN: Option[(String, Boolean, Int)] = None
+
+  /** `ORDER BY <col> LIMIT k` (SupportsPushDownTopN, PARTIAL): each
+    * reader keeps only its k best rows in a bounded heap instead of
+    * emitting the whole split — Spark still runs the global
+    * TakeOrdered merge (isPartiallyPushed), so this is an
+    * optimization with the engine's correctness net, the same
+    * discipline as the residual filters. Accepted only for a
+    * single-column ordering on a parsed column; the format is dense
+    * (no nulls), so any null ordering is equivalent. Group scans
+    * decline (rewrites must carry complete files). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    if (!pushdown || groupScan.isDefined || orders.length != 1 || l <= 0)
+      return false
+    val o = orders(0)
+    val colName = o.expression() match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => r.fieldNames()(0)
+      case _ => return false
+    }
+    // numeric columns only: their total order is unambiguous (longs
+    // exact, doubles via the NaN-aware cmp). String columns decline —
+    // a reader-side collation that disagreed with Spark's binary
+    // ordering on exotic code points could evict a true top-k row,
+    // and partial pushdown must never change results. The heap is
+    // O(k) memory per reader, so unbounded limits decline too.
+    if (!Set("event_id", "ts", "user_id", "value").contains(colName) ||
+      l > 100000) return false
+    val asc = o.direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+    topN = Some((colName, asc, l))
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (pushdown) pushed = filters.filter(GraftLogSource.pushable)
@@ -673,10 +710,10 @@ private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
   override def build(): Scan =
     if (runtimeFilterable)
       new GlogRuntimeFilterableScan(path, pushdown, required, pushed, limit,
-        maxFilesPerTrigger, groupScan)
+        topN, maxFilesPerTrigger, groupScan)
     else
       new GlogScan(path, pushdown, required, pushed, limit,
-        maxFilesPerTrigger, groupScan)
+        topN, maxFilesPerTrigger, groupScan)
 }
 
 /** The default scan shape: [[GlogScan]] plus the
@@ -690,15 +727,17 @@ private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
 private[sources] class GlogRuntimeFilterableScan(path: String,
     pushdown: Boolean, required: StructType,
     pushed: Array[Filter], limit: Int,
+    topN: Option[(String, Boolean, Int)],
     maxFilesPerTrigger: Option[Int],
     groupScan: Option[java.util.Set[String]])
     extends GlogScan(path, pushdown, required, pushed, limit,
-      maxFilesPerTrigger, groupScan)
+      topN, maxFilesPerTrigger, groupScan)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
 
 private[sources] class GlogScan(path: String, pushdown: Boolean,
     required: StructType,
     pushed: Array[Filter], limit: Int,
+    topN: Option[(String, Boolean, Int)] = None,
     maxFilesPerTrigger: Option[Int] = None,
     groupScan: Option[java.util.Set[String]] = None)
     extends Scan with SupportsReportStatistics {
@@ -826,7 +865,7 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
         kept.map(s =>
           GlogPartition(s.getPath.toString, readerFilters): InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
-        new GlogReaderFactory(required.fieldNames, limit, confS)
+        new GlogReaderFactory(required.fieldNames, limit, topN, confS)
     }
   }
 
@@ -928,7 +967,7 @@ private[sources] class GlogMicroBatchStream(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GlogReaderFactory(required.fieldNames, -1,
+    new GlogReaderFactory(required.fieldNames, -1, None,
       new SerializableConf(GraftLogSource.driverHadoopConf()))
 }
 
@@ -941,16 +980,17 @@ private[sources] case class GlogPartition(file: String,
     filters: Array[Filter]) extends InputPartition
 
 private[sources] class GlogReaderFactory(fields: Array[String],
-    limit: Int, confS: SerializableConf)
+    limit: Int, topN: Option[(String, Boolean, Int)], confS: SerializableConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GlogPartition]
-    new GlogReader(p.file, fields, p.filters, limit, confS)
+    new GlogReader(p.file, fields, p.filters, limit, topN, confS)
   }
 }
 
 private[sources] class GlogReader(file: String, fields: Array[String],
-    pushed: Array[Filter], limit: Int, confS: SerializableConf)
+    pushed: Array[Filter], limit: Int,
+    topN: Option[(String, Boolean, Int)], confS: SerializableConf)
     extends PartitionReader[InternalRow] {
 
   private val filePath = new Path(file)
@@ -1033,7 +1073,87 @@ private[sources] class GlogReader(file: String, fields: Array[String],
     true
   }
 
+  private def mkRow(eventId: Long, tsMicros: Long, userId: Long,
+      eventType: String, value: Double, props: String): InternalRow = {
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
+    var i = 0
+    while (i < fields.length) {
+      row.update(i, ordinals(i) match {
+        case 0 => eventId
+        case 1 => tsMicros
+        case 2 => userId
+        case 3 => UTF8String.fromString(eventType)
+        case 4 => value
+        case 5 => UTF8String.fromString(props)
+        case _ => fileNameUtf8 // metadata column
+      })
+      i += 1
+    }
+    row
+  }
+
+  // TopN mode: drain the split through an O(k) bounded heap keyed on
+  // the pushed order column, then emit only the k best rows. The
+  // heap holds the WORST kept row at its head, so each non-improving
+  // line costs one comparison and zero allocation. Spark re-runs the
+  // global TakeOrdered merge (partial pushdown), so reader order
+  // within the k rows is irrelevant — only membership matters, and
+  // membership uses the same exact comparators as the filters
+  // (cmpLongExact / NaN-aware cmp).
+  private def orderKeyL(eventId: Long, tsMicros: Long, userId: Long): Long =
+    topN.get._1 match {
+      case "event_id" => eventId
+      case "ts" => tsMicros
+      case _ => userId
+    }
+  private var heapRows: Iterator[InternalRow] = _
+
+  private def drainTopN(): Iterator[InternalRow] = {
+    val (colName, asc, k) = topN.get
+    val isValue = colName == "value"
+    // ordering that puts the WORST kept row first (max-heap for asc)
+    val ord: Ordering[(Long, Double, InternalRow)] =
+      if (isValue) {
+        val base = Ordering.fromLessThan[(Long, Double, InternalRow)](
+          (a, b) => GraftLogSource.cmp(a._2, b._2) < 0)
+        if (asc) base else base.reverse
+      } else {
+        val base = Ordering.by[(Long, Double, InternalRow), Long](_._1)
+        if (asc) base else base.reverse
+      }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double, InternalRow)](ord)
+    var line = in.readLine()
+    while (line != null) {
+      val c = line.split("\t", 6)
+      val eventId = if (needEventId) c(0).toLong else 0L
+      val tsMicros = if (needTs) c(1).toLong else 0L
+      val userId = if (needUserId) c(2).toLong else 0L
+      val eventType = c(3)
+      val value = if (needValue) java.lang.Double.parseDouble(c(4)) else 0.0
+      val props = if (c.length > 5) c(5) else ""
+      if (passes(eventId, tsMicros, userId, eventType, value, props)) {
+        val key = (if (isValue) 0L else orderKeyL(eventId, tsMicros, userId),
+          if (isValue) value else 0.0)
+        val better = heap.size < k || ord.lt((key._1, key._2, null), heap.head)
+        if (better) {
+          if (heap.size >= k) { heap.dequeue(): Unit }
+          heap.enqueue((key._1, key._2,
+            mkRow(eventId, tsMicros, userId, eventType, value, props)))
+        }
+      }
+      line = in.readLine()
+    }
+    heap.iterator.map(_._3)
+  }
+
   override def next(): Boolean = {
+    if (topN.isDefined) {
+      if (heapRows == null) heapRows = drainTopN()
+      if (heapRows.hasNext) {
+        current = heapRows.next(); emitted += 1; return true
+      }
+      return false
+    }
     if (limit >= 0 && emitted >= limit) return false
     var line = in.readLine()
     while (line != null) {
@@ -1045,21 +1165,7 @@ private[sources] class GlogReader(file: String, fields: Array[String],
       val value = if (needValue) java.lang.Double.parseDouble(c(4)) else 0.0
       val props = if (c.length > 5) c(5) else ""
       if (passes(eventId, tsMicros, userId, eventType, value, props)) {
-        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
-        var i = 0
-        while (i < fields.length) {
-          row.update(i, ordinals(i) match {
-            case 0 => eventId
-            case 1 => tsMicros
-            case 2 => userId
-            case 3 => UTF8String.fromString(eventType)
-            case 4 => value
-            case 5 => UTF8String.fromString(props)
-            case _ => fileNameUtf8 // metadata column
-          })
-          i += 1
-        }
-        current = row
+        current = mkRow(eventId, tsMicros, userId, eventType, value, props)
         emitted += 1
         return true
       }

@@ -52,7 +52,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
   test("eng_dsv2_source: measured pushdown, pruning, and limit censuses") {
     val rows = EngineOps.queries("eng_dsv2_source")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("1_full", "2_pushed", "3_limit", "4_writeback", "5_dml"))
+      Seq("1_full", "2_pushed", "3_limit", "4_writeback", "5_dml", "6_topn"))
     val byStage = rows.map(r => r.getString(0) -> r).toMap
     val (full, pushed, lim) =
       (byStage("1_full"), byStage("2_pushed"), byStage("3_limit"))
@@ -82,6 +82,40 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(dml.getInt(2) < dml.getInt(1), s"DELETE dropped no files: $dml")
     assert(dml.getInt(2) >= 4, s"DELETE dropped zone-untouched files: $dml")
     assert(dml.getLong(4) > 0)
+    // pushed TopN: at most k rows per kept file reach the global sort
+    val topn = byStage("6_topn")
+    assert(topn.getLong(4) <= 5L * topn.getInt(2), s"TopN not capped: $topn")
+    assert(topn.getLong(4) < full.getLong(4), s"TopN emitted everything: $topn")
+  }
+
+  test("pushed TopN keeps exact results; unsupported orders decline safely") {
+    Tables.register(spark, sf)
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    val glog = spark.read.format("glog")
+      .option("path", stage.getAbsolutePath).load()
+    val pq = spark.table("events")
+    // ascending long-key top-k: exact vs the parquet spelling
+    val gotAsc = glog.orderBy(col("event_id").asc).limit(3)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    val expAsc = pq.orderBy(col("event_id").asc).limit(3)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    assert(gotAsc == expAsc)
+    // descending double-key top-k (NaN-aware cmp path)
+    val gotDesc = glog.orderBy(col("value").desc).limit(4)
+      .select(col("value")).collect().map(_.getDouble(0)).toSeq
+    val expDesc = pq.orderBy(col("value").desc).limit(4)
+      .select(col("value")).collect().map(_.getDouble(0)).toSeq
+    assert(gotDesc == expDesc)
+    // a string order declines pushdown (reader collation must never
+    // decide membership) but the query stays correct
+    val gotStr = glog.orderBy(col("event_type").asc, col("event_id").asc)
+      .limit(3).select(col("event_type")).collect().map(_.getString(0)).toSeq
+    val expStr = pq.orderBy(col("event_type").asc, col("event_id").asc)
+      .limit(3).select(col("event_type")).collect().map(_.getString(0)).toSeq
+    assert(gotStr == expStr)
   }
 
   test("writer task-commit protocol: overwrite replaces, temps never visible") {
