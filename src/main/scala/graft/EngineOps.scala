@@ -2607,16 +2607,23 @@ object EngineOps {
     * pass that reorders data at LOAD time so the runtime access
     * pattern is sequential (mlir_compiler/optimizer.py layout pass).
     *
-    * Both stages write the SAME deliberately scrambled input (a
+    * Stages 1/2 write the SAME deliberately scrambled input (a
     * round-robin repartition interleaves the value range across
     * every task), then run the same top-quarter value
     * query: `1_scrambled` keeps every file (bounds all overlap);
     * `2_clustered` prunes the majority at planning time
     * (`pruned_majority`; the exact kept count follows the range
     * sampler, so the golden pins the bound and the spec asserts the
-    * strict census). `bounds_disjoint` censuses adjacent-file bound
+    * strict census). Stage `3_compacted` then COMPACTS the scrambled
+    * sink in place (GraftLogSource.compact — an executor-parallel
+    * rewrite through the clustered write path; the driver only swaps
+    * the listing, duplicates-over-loss on crash) and re-runs the
+    * query: same content, disjoint bounds, pruning restored — the
+    * maintenance op the in-place DELETE documents as its tightness
+    * counterpart, and the small-files cure after long append
+    * streams. `bounds_disjoint` censuses adjacent-file bound
     * overlap from the committed names; `ok` pins rows+cents to the
-    * parquet spelling both ways. */
+    * parquet spelling each time. */
   private def dsv2ClusteredWrite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sfName = java.nio.file.Paths.get(dir).getFileName.toString
@@ -2633,10 +2640,7 @@ object EngineOps {
       s"graft_glog_cl_$sfName")
     if (base.exists()) deleteRecursively(base.toPath)
 
-    def stage(name: String, clustered: Boolean): (String, Long, Long, Long, Boolean, Boolean, Boolean) = {
-      val sink = new java.io.File(base, name)
-      scrambled.write.format("glog").option("path", sink.getAbsolutePath)
-        .option("clustered", clustered.toString).mode("overwrite").save()
+    def measure(label: String, sink: java.io.File): (String, Long, Long, Long, Boolean, Boolean, Boolean) = {
       val bounds = Option(sink.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".glog"))
         .flatMap(f => sources.GraftLogSource.minMaxFromName(f.getName))
@@ -2652,13 +2656,27 @@ object EngineOps {
       val row = q.collect()(0)
       val (total, kept, _) =
         sources.GraftLogSource.planCensus.get(sink.getAbsolutePath)
-      (name, bounds.length.toLong, row.getLong(0), row.getLong(1),
+      (label, bounds.length.toLong, row.getLong(0), row.getLong(1),
         disjoint, kept.toLong * 2 <= total.toLong,
         row.getLong(0) == oracleRow.getLong(0) &&
           row.getLong(1) == oracleRow.getLong(1) && total == 8)
     }
-    Seq(stage("1_scrambled", clustered = false),
-        stage("2_clustered", clustered = true))
+    def stage(name: String, clustered: Boolean): (String, Long, Long, Long, Boolean, Boolean, Boolean) = {
+      val sink = new java.io.File(base, name)
+      scrambled.write.format("glog").option("path", sink.getAbsolutePath)
+        .option("clustered", clustered.toString).mode("overwrite").save()
+      measure(name, sink)
+    }
+    val s1 = stage("1_scrambled", clustered = false)
+    val s2 = stage("2_clustered", clustered = true)
+    // stage 3: COMPACT the scrambled sink in place — the maintenance
+    // op that retro-fits the clustered layout (and is the documented
+    // cure for post-DELETE superset bounds): same content, bounds
+    // now disjoint, the same query prunes like the clustered write
+    sources.GraftLogSource.compact(spark,
+      new java.io.File(base, "1_scrambled").getAbsolutePath)
+    val s3 = measure("3_compacted", new java.io.File(base, "1_scrambled"))
+    Seq(s1, s2, s3)
       .toDF("stage", "n_files", "n_rows", "cents",
         "bounds_disjoint", "pruned_majority", "ok")
       .orderBy(col("stage"))

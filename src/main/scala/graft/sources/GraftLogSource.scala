@@ -490,6 +490,51 @@ object GraftLogSource {
   private[graft] def deleteMatching(dir: Path, filters: Array[Filter]): Unit =
     deleteMatching(dir, driverHadoopConf(), filters)
 
+  /** Compact the table: rewrite every committed file through the
+    * CLUSTERED write path (value-ordered range exchange), so the
+    * layout comes out with tight, disjoint zone-map bounds and a
+    * bounded file count — the maintenance op the in-place DELETE
+    * documents as its counterpart (rewritten files keep superset
+    * bounds for crash-atomicity; compaction is where tightness is
+    * restored), and the cure for many-small-files after long append
+    * streams. Executor-parallel: the rewrite is a normal Spark job
+    * (read → range exchange → clustered write into a staging dir);
+    * the driver only swaps the file listing. The swap renames the
+    * staged files IN under fresh indices first and unlinks the old
+    * files after — a crash mid-swap can surface transient DUPLICATES
+    * (old + new visible), never loss, the same trade as the
+    * copy-on-write commit. Re-running compact converges. NOT safe
+    * concurrent with writers (single-writer contract) or with a
+    * STREAMING read of the same directory (offsets index the
+    * listing; the stream fails loud on the shrink). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val conf = driverHadoopConf()
+    val dir = resolveDir(path)
+    val fs = fsFor(dir, conf)
+    val (old, _) = listCommitted(dir, conf, Seq.empty)
+    if (old.isEmpty) return
+    val staging = new Path(dir.getParent, dir.getName + ".compact")
+    fs.delete(staging, true): Unit
+    spark.read.format("glog").option("path", path).load()
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.format("glog").option("path", staging.toString)
+      .option("clustered", "true").mode("overwrite").save()
+    val (staged, _) = listCommitted(staging, conf, Seq.empty)
+    var next = old.map(s => partIndex(s.getPath.getName))
+      .filter(_ != Int.MaxValue).maxOption.getOrElse(-1) + 1
+    staged.foreach { s =>
+      val (mn, mx) = minMaxFromName(s.getPath.getName).getOrElse(
+        throw new IllegalStateException(
+          s"compact: staged file ${s.getPath} lacks zone-map bounds"))
+      require(fs.rename(s.getPath, new Path(dir, fileName(next, mn, mx))),
+        s"compact: rename ${s.getPath} failed")
+      next += 1
+    }
+    old.foreach(s =>
+      require(fs.delete(s.getPath, false), s"compact: delete ${s.getPath} failed"))
+    fs.delete(staging, true): Unit
+  }
+
   /** Translate a connector V2 `Predicate` (the shape runtime filters
     * arrive in through SupportsRuntimeV2Filtering) into the v1
     * `Filter` vocabulary the zone map and readers already speak.

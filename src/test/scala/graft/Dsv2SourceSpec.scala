@@ -550,29 +550,75 @@ class Dsv2SourceSpec extends AnyFunSuite {
   test("clustered writes commit disjoint bounds that prune the majority (eng_dsv2_clustered_write)") {
     Tables.register(spark, sf)
     val rows = EngineOps.queries("eng_dsv2_clustered_write")(spark, sf).collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("1_scrambled", "2_clustered"))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_scrambled", "2_clustered", "3_compacted"))
     assert(rows.forall(_.getBoolean(6)), rows.mkString("; "))
     val byStage = rows.map(r => r.getString(0) -> r).toMap
-    val (scr, cl) = (byStage("1_scrambled"), byStage("2_clustered"))
-    // identical content both ways
+    val (scr, cl, cp) =
+      (byStage("1_scrambled"), byStage("2_clustered"), byStage("3_compacted"))
+    // identical content all three ways
     assert(scr.getLong(2) == cl.getLong(2) && scr.getLong(3) == cl.getLong(3))
+    assert(cp.getLong(2) == scr.getLong(2) && cp.getLong(3) == scr.getLong(3),
+      "compaction changed content")
     // a round-robin-scrambled write spans the full range per file;
-    // the clustered write's range exchange makes bounds disjoint
-    assert(!scr.getBoolean(4) && cl.getBoolean(4), s"bounds: $scr vs $cl")
-    assert(!scr.getBoolean(5) && cl.getBoolean(5), s"pruning: $scr vs $cl")
-    // strict census: the same top-quarter query keeps strictly fewer
-    // files against the clustered layout
+    // the clustered write's range exchange makes bounds disjoint,
+    // and compacting the scrambled sink restores the same property
+    assert(!scr.getBoolean(4) && cl.getBoolean(4) && cp.getBoolean(4),
+      s"bounds: $scr / $cl / $cp")
+    assert(!scr.getBoolean(5) && cl.getBoolean(5) && cp.getBoolean(5),
+      s"pruning: $scr / $cl / $cp")
+    // strict census: the same top-quarter query keeps at most half
+    // the files against the clustered and compacted layouts
     val sfName = java.nio.file.Paths.get(sf).getFileName.toString
     val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_glog_cl_$sfName")
     def kept(name: String) = GraftLogSource.planCensus
       .get(new java.io.File(base, name).getAbsolutePath)._2
-    // scrambled keeps a majority (at tiny SF a file can genuinely
-    // hold no top-quarter row, so == 8 would be flaky); clustered
-    // keeps strictly fewer and at most half
-    assert(kept("1_scrambled") * 2 > 8, s"scrambled foil pruned: ${kept("1_scrambled")}")
-    assert(kept("2_clustered") < kept("1_scrambled") && kept("2_clustered") >= 1 &&
-      kept("2_clustered") * 2 <= 8,
-      s"clustered layout not pruned: ${kept("2_clustered")} vs ${kept("1_scrambled")}")
+    assert(kept("2_clustered") >= 1 && kept("2_clustered") * 2 <= 8,
+      s"clustered layout not pruned: ${kept("2_clustered")}")
+    // "1_scrambled"'s census now reflects its COMPACTED state
+    assert(kept("1_scrambled") >= 1 && kept("1_scrambled") * 2 <= 8,
+      s"compacted layout not pruned: ${kept("1_scrambled")}")
+  }
+
+  test("compact restores tight disjoint bounds after an in-place DELETE") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cp").toFile
+    // two straddling files whose upper halves the DELETE removes
+    java.nio.file.Files.write(
+      new java.io.File(dir, GraftLogSource.fileName(0, 10.0, 120.0)).toPath,
+      "1\t1000\t1\ta\t10.0\t{}\n2\t2000\t2\ta\t120.0\t{}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, GraftLogSource.fileName(1, 30.0, 150.0)).toPath,
+      "3\t3000\t3\ta\t30.0\t{}\n4\t4000\t4\ta\t150.0\t{}\n".getBytes("UTF-8"))
+    val p = new Path(dir.getAbsolutePath)
+    val conf = GraftLogSource.driverHadoopConf()
+    GraftLogSource.deleteMatching(p,
+      Array[Filter](GreaterThanOrEqual("value", 100.0)))
+    // in-place rewrite keeps names: the zone map still CLAIMS the
+    // deleted range (sound superset), so the pruned query reads both
+    val stale = GraftLogSource.listCommitted(p, conf,
+      Seq(GreaterThanOrEqual("value", 100.0)))._1
+    assert(stale.length == 2, s"expected stale superset bounds: ${stale.length}")
+    GraftLogSource.compact(spark, dir.getAbsolutePath)
+    // content preserved exactly
+    val vals = spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load().select(col("value")).collect().map(_.getDouble(0)).sorted.toSeq
+    assert(vals == Seq(10.0, 30.0), s"compaction changed content: $vals")
+    // bounds now tight: the deleted range prunes to ZERO files, and
+    // every surviving row sits inside its file's claimed range
+    val tight = GraftLogSource.listCommitted(p, conf,
+      Seq(GreaterThanOrEqual("value", 100.0)))._1
+    assert(tight.isEmpty, s"bounds still stale after compact: ${tight.length}")
+    dir.listFiles().filter(_.getName.endsWith(".glog")).foreach { f =>
+      val (mn, mx) = GraftLogSource.minMaxFromName(f.getName).get
+      val rows = java.nio.file.Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]).map(_.split("\t", 6)(4).toDouble)
+      assert(rows.forall(v => v >= mn && v <= mx), s"loose bounds: ${f.getName}")
+    }
+    // no staging residue
+    assert(!new java.io.File(dir.getParentFile,
+      dir.getName + ".compact").exists())
   }
 
   test("MERGE group scans decline runtime filtering; UPDATE/DELETE accept it") {
