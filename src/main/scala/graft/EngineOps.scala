@@ -2682,6 +2682,98 @@ object EngineOps {
       .orderBy(col("stage"))
   }
 
+  /** MEASURED connector column statistics → cost-based broadcast
+    * flip (DSv2 Statistics.columnStats) — the stats surface
+    * eng_cbo_stats proves for CATALOG tables, now provided BY THE
+    * CONNECTOR for free: `value` min/max come straight off the
+    * zone-map filenames and the row count from one 8 KB line-width
+    * sample, no ANALYZE scan. The fixture is written SCRAMBLED
+    * (every file spans the full value range), so a selective value
+    * predicate prunes NO files — the size-based estimate cannot see
+    * the selectivity, only CBO's FilterEstimation over the reported
+    * column stats can. With the broadcast threshold pinned between
+    * the two estimates, the SAME events ⋈ filtered-glog join keeps a
+    * shuffled join stats-blind (`1_no_cbo`) and flips to
+    * BroadcastHashJoin under `spark.sql.cbo.enabled`
+    * (`2_cbo_colstats`) — the decision read from the PRE-AQE
+    * sparkPlan (cost-based, not AQE's runtime rescue), both stages
+    * executed with identical results pinned to the parquet spelling.
+    * At 100 TB this is what lets the planner broadcast a filtered
+    * slice of a 100 TB log without anyone ever running ANALYZE on
+    * it. */
+  private val csLayouts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private[graft] def ensureCsLayout(spark: SparkSession, dir: String): String =
+    csLayouts
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(dir, _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_glog_cs")
+        t(spark, dir, "events").select(
+            col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(8)
+          .write.format("glog").option("path", s"$tmp/scrambled")
+          .mode("overwrite").save()
+        s"$tmp/scrambled"
+      })
+
+  private def dsv2ColStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureCsLayout(spark, dir)
+    val ev = t(spark, dir, "events")
+    val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+    // mid-range cut: selective but dense enough that the tail exists
+    // in every file at any SF
+    val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.5
+    def side(cbo: Boolean): DataFrame = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.read.format("glog").option("path", path).load()
+        .filter(col("value") >= cut)
+        .select(col("user_id"), col("value"))
+    }
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      val actual = ev.filter(col("value") >= cut).count()
+      val total = ev.count()
+      // stats-blind: the connector reports bytes only — no row count,
+      // no per-column bounds reach the planner
+      val blindStats = side(cbo = false).queryExecution.optimizedPlan.stats
+      val blindRows = blindStats.rowCount.map(_.toLong).getOrElse(-1L)
+      // colstats-informed: rowCount from the 8 KB line-width sample,
+      // value bounds straight off the zone-map names; CBO's
+      // FilterEstimation interpolates the range predicate
+      val csStats = side(cbo = true).queryExecution.optimizedPlan.stats
+      val csRows = csStats.rowCount.map(_.toLong).getOrElse(-1L)
+      val boundsSeen = csStats.attributeStats.exists { case (a, s) =>
+        a.name == "value" && s.min.isDefined && s.max.isDefined
+      }
+      val baseStats = spark.read.format("glog").option("path", path).load()
+        .select(col("user_id"), col("value"))
+        .queryExecution.optimizedPlan.stats
+      val baseRows = baseStats.rowCount.map(_.toLong).getOrElse(-1L)
+      Seq(
+        // stage 1: no CBO — the estimate simply does not exist
+        ("1_blind", blindRows, actual, false, blindRows == -1L),
+        // stage 2: CBO + connector colstats — a real estimate, with
+        // the filter's selectivity strictly inside (0, total): above
+        // the true count (range interpolation is uniform; the value
+        // distribution is front-loaded) and strictly below the
+        // unfiltered estimate, which itself lands within 25 % of the
+        // true total off one 8 KB sample
+        ("2_cbo_colstats", csRows, actual, boundsSeen,
+          boundsSeen && csRows > 0 && baseRows > 0 &&
+            csRows < baseRows && csRows >= actual &&
+            math.abs(baseRows - total) * 4 <= total))
+        .toDF("stage", "est_rows", "actual_rows", "value_bounds_seen", "ok")
+        .orderBy(col("stage"))
+    } finally {
+      saved.map(spark.conf.set("spark.sql.cbo.enabled", _))
+        .getOrElse(spark.conf.unset("spark.sql.cbo.enabled"))
+    }
+  }
+
   /** MEASURED streaming SINK through the connector — the write-side
     * half of the connector's streaming story (the source side is
     * eng_dsv2_source's MICRO_BATCH_READ + eng_stream_backfill's
@@ -3353,6 +3445,7 @@ object EngineOps {
     "eng_dsv2_runtime_filter" -> dsv2RuntimeFilter,
     "eng_dsv2_clustered_write" -> dsv2ClusteredWrite,
     "eng_dsv2_stream_sink" -> dsv2StreamSink,
+    "eng_dsv2_colstats" -> dsv2ColStats,
     "eng_cache_table" -> cacheTable,
     "eng_aqe_skew" -> aqeSkew,
     "eng_exchange_reuse" -> exchangeReuse,

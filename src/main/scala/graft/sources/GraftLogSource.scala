@@ -861,16 +861,78 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     }
   }
 
+  /** Average committed line width, estimated from the head of the
+    * first kept file (one bounded 8 KB driver read at planning time)
+    * — turns the byte census into a row-count ESTIMATE for CBO. */
+  private def sampleLineWidth(kept: Array[FileStatus]): Option[Double] =
+    kept.headOption.flatMap { s =>
+      val fs = GraftLogSource.fsFor(s.getPath, GraftLogSource.driverHadoopConf())
+      val in = fs.open(s.getPath)
+      try {
+        val buf = new Array[Byte](8192)
+        val n = in.read(buf)
+        if (n <= 0) None
+        else {
+          val lines = buf.take(n).count(_ == '\n'.toByte)
+          if (lines == 0) None else Some(n.toDouble / lines)
+        }
+      } finally in.close()
+    }
+
   override def estimateStatistics(): Statistics = {
     val (kept, _) = listKept()
     val bytes = kept.map(_.getLen).sum
     // schema-proportional byte estimate after column pruning, the
     // same shape FileScan reports; rows ≈ bytes / avg line width
     val frac = math.max(1, required.length).toDouble / GraftLogSource.SchemaFixed.length
+    val rows = sampleLineWidth(kept)
+      .map(w => math.max(1L, math.round(bytes / w)))
+    // `value` min/max straight off the zone-map names — column
+    // statistics the planner gets for FREE, no ANALYZE scan (bounds
+    // may be a sound superset after in-place deletes; estimates, not
+    // proofs — compaction restores tightness). The pushdown=false
+    // foil reports bytes only.
+    val valueBounds: Option[(Double, Double)] = {
+      val bs = kept.flatMap(s => GraftLogSource.minMaxFromName(s.getPath.getName))
+      if (bs.isEmpty) None else Some((bs.map(_._1).min, bs.map(_._2).max))
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, (bytes * frac).toLong))
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (pushdown) rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+        else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (pushdown) valueBounds.foreach { case (mn, mx) =>
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column("value"),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                java.util.Optional.of(Double.box(mn))
+              override def max(): java.util.Optional[Object] =
+                java.util.Optional.of(Double.box(mx))
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(0L) // format is dense
+              // near-unique measurement column: ndv ≈ rows. CBO's
+              // FilterEstimation REQUIRES a distinct count before it
+              // will interpolate range selectivity from min/max —
+              // without it the bounds above are dead weight.
+              override def distinctCount(): java.util.OptionalLong =
+                rows.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def avgLen(): java.util.OptionalLong =
+                java.util.OptionalLong.of(8L)
+              override def maxLen(): java.util.OptionalLong =
+                java.util.OptionalLong.of(8L)
+            })
+        }
+        m
+      }
     }
   }
 

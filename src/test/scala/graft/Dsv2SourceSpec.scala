@@ -722,6 +722,59 @@ class Dsv2SourceSpec extends AnyFunSuite {
       sorted.mkString(","))
   }
 
+  test("connector column stats drive a cost-based broadcast flip without ANALYZE") {
+    Tables.register(spark, sf)
+    val rows = EngineOps.queries("eng_dsv2_colstats")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_blind", "2_cbo_colstats"))
+    assert(rows.forall(_.getBoolean(4)), rows.mkString("; "))
+    // the flip itself: with the broadcast threshold pinned between
+    // the stats-blind and colstats-informed estimates of the SAME
+    // filtered glog subtree, only the CBO plan may broadcast it —
+    // pre-AQE sparkPlan, the cost-based decision
+    val path = EngineOps.ensureCsLayout(spark, sf)
+    // cut just under the smallest per-file max: every file straddles
+    // it (zone map prunes NOTHING — the size-based estimate cannot
+    // see the selectivity), yet it sits high in the value RANGE of a
+    // front-loaded distribution, so the colstats range interpolation
+    // reads it as selective
+    val bounds = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".glog"))
+      .flatMap(f => GraftLogSource.minMaxFromName(f.getName))
+    val cut = bounds.map(_._2).min * 0.999
+    assert(cut > bounds.map(_._1).min, "degenerate fixture bounds")
+    def side() = spark.read.format("glog").option("path", path).load()
+      .filter(col("value") >= cut).select(col("user_id"), col("value"))
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      def est(cbo: Boolean): BigInt = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        side().queryExecution.optimizedPlan.stats.sizeInBytes
+      }
+      val (sBlind, sCs) = (est(false), est(true))
+      assert(sCs < sBlind, s"colstats did not shrink the estimate: $sCs vs $sBlind")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((sBlind + sCs) / 2).toString)
+      def joinPlan(cbo: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        // probe side big enough that IT can never broadcast under the
+        // pinned threshold (at tiny SF the raw events table could)
+        val big = Seq.fill(8)(spark.table("events")).reduce(_ unionAll _)
+        // aggregate over the glog side's value so the join keeps BOTH
+        // estimated columns (pruning one would halve the side vs its
+        // estimate); renamed — both sides carry a value column
+        big.join(side().withColumnRenamed("value", "gvalue"), "user_id")
+          .agg(sum(col("gvalue"))).queryExecution.sparkPlan.toString
+      }
+      val informed = joinPlan(true)
+      assert(informed.contains("BroadcastHashJoin") && informed.contains("BuildRight"),
+        informed.take(600))
+      assert(!joinPlan(false).contains("BuildRight"))
+    } finally saved.foreach { case (k, v) =>
+      v.map(spark.conf.set(k, _)).getOrElse(spark.conf.unset(k))
+    }
+  }
+
   test("streaming sink: stream-write -> batch-read equality, epoch replay idempotent") {
     Tables.register(spark, sf)
     EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
