@@ -88,6 +88,82 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(topn.getLong(4) < full.getLong(4), s"TopN emitted everything: $topn")
   }
 
+  test("robustness: conf serialization, index rollover, empty compact, Complete-mode rejection") {
+    // SerializableConf: a session-conf key survives the
+    // driver->executor hop (Writable round-trip through Java
+    // serialization)
+    val conf = GraftLogSource.driverHadoopConf()
+    conf.set("graft.test.marker", "xyzzy")
+    val sc = new graft.sources.SerializableConf(conf)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(sc); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+      .readObject().asInstanceOf[graft.sources.SerializableConf]
+    assert(back.value.get("graft.test.marker") == "xyzzy")
+
+    // job commit assigns fresh indices NUMERICALLY past part-9999 —
+    // no lexicographic collision with part-2000
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_roll").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, GraftLogSource.fileName(10000, 1.0, 2.0)).toPath,
+      "1\t1\t1\ta\t1.5\t{}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, GraftLogSource.fileName(2000, 3.0, 4.0)).toPath,
+      "2\t2\t2\ta\t3.5\t{}\n".getBytes("UTF-8"))
+    val factory = new graft.sources.GlogWriterFactory(dir.getAbsolutePath)
+    val w = factory.createWriter(0, 42L)
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](3L, 3L, 3L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("a"), 9.0,
+        org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+    GraftLogSource.renameStagedIn(
+      new org.apache.hadoop.fs.Path(dir.getAbsolutePath), conf,
+      Array(w.commit()))
+    val names = dir.listFiles().map(_.getName).filter(_.endsWith(".glog"))
+    assert(names.exists(_.startsWith("part-10001_")), names.mkString(","))
+    // streaming offsets see the numeric order: 2000, 10000, 10001
+    val order = names.sorted(Ordering.by(GraftLogSource.listingOrder))
+    assert(order.map(GraftLogSource.partIndex(_)).toSeq == Seq(2000, 10000, 10001))
+
+    // compacting an empty (and a missing) directory is a no-op
+    val empty = java.nio.file.Files.createTempDirectory("graft_glog_empty").toFile
+    GraftLogSource.compact(spark, empty.getAbsolutePath)
+    assert(Option(empty.listFiles()).getOrElse(Array.empty).isEmpty)
+    GraftLogSource.compact(spark, new java.io.File(empty, "missing").getAbsolutePath)
+
+    // Complete output mode (truncate-per-epoch) is rejected at
+    // analysis time: the streaming read's offsets index the listing,
+    // so the directory must stay append-only
+    Tables.register(spark, sf)
+    EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_glog_${java.nio.file.Paths.get(sf).getFileName}")
+    val sink = java.nio.file.Files.createTempDirectory("graft_glog_cm").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_glog_cmck").toString
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("glog")
+        .option("path", stage.getAbsolutePath).load()
+        .groupBy(col("event_type")).count()
+        .selectExpr("CAST(abs(hash(event_type)) AS BIGINT) AS event_id",
+          "timestamp_micros(0) AS ts", "count AS user_id",
+          "event_type", "CAST(count AS DOUBLE) AS value", "'{}' AS props")
+        .writeStream.format("glog")
+        .option("path", sink.getAbsolutePath)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(err).exists(m => m != null && m.contains("Append output mode")),
+      chain(err).mkString(" | "))
+  }
+
   test("pushed TopN keeps exact results; unsupported orders decline safely") {
     Tables.register(spark, sf)
     EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
