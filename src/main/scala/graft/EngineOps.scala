@@ -2398,15 +2398,25 @@ object EngineOps {
     * 8 value-bucketed `.glog` files with zone-map names — the shared
     * fixture behind eng_dsv2_source and eng_dsv2_runtime_filter.
     * Returns (stage dir, value min, value max). */
+  private val glogFixtureBounds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]]())
   private def ensureGlogFixture(spark: SparkSession, dir: String)
       : (java.io.File, Double, Double) = {
     val sfName = java.nio.file.Paths.get(dir).getFileName.toString
     val stage = new java.io.File(sys.props("java.io.tmpdir"), s"graft_glog_$sfName")
     val ev = t(spark, dir, "events")
-    // bounded 1-row collect: the value range that defines the bucket
-    // zone maps (and the stage-2 cut below, pinned to a boundary)
-    val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
-    val (vMin, vMax) = (mm.getDouble(0), mm.getDouble(1))
+    // bounded 1-row collect, ONCE per (session, dir): the value range
+    // that defines the bucket zone maps (and the stage-2 cut, pinned
+    // to a boundary) — three entries share this fixture and must not
+    // each re-aggregate it
+    val (vMin, vMax) = glogFixtureBounds
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]())
+      .computeIfAbsent(dir, _ => {
+        val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+        (mm.getDouble(0), mm.getDouble(1))
+      })
     sources.FixtureCache.ensure(stage,
       sources.FixtureCache.fingerprint(s"$dir/events.parquet", "glog_v1")) {
       val tmp = new java.io.File(stage, "_tsv")
@@ -2659,7 +2669,10 @@ object EngineOps {
       (label, bounds.length.toLong, row.getLong(0), row.getLong(1),
         disjoint, kept.toLong * 2 <= total.toLong,
         row.getLong(0) == oracleRow.getLong(0) &&
-          row.getLong(1) == oracleRow.getLong(1) && total == 8)
+          row.getLong(1) == oracleRow.getLong(1) &&
+          // a range partition may legally come up empty under skew —
+          // bound the census rather than hard-pinning 8
+          total > 0 && total <= 8)
     }
     def stage(name: String, clustered: Boolean): (String, Long, Long, Long, Boolean, Boolean, Boolean) = {
       val sink = new java.io.File(base, name)

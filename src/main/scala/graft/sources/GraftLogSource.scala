@@ -236,6 +236,8 @@ object GraftLogSource {
     case x =>
       val d = x.doubleValue()
       if (java.lang.Double.isNaN(d)) -1 // NaN is largest: every long below
+      else if (d == Double.PositiveInfinity) -1 // every long below +Inf
+      else if (d == Double.NegativeInfinity) 1 // every long above -Inf
       else java.math.BigDecimal.valueOf(l).compareTo(new java.math.BigDecimal(d))
   }
 
@@ -379,8 +381,11 @@ object GraftLogSource {
     * coordinator, concurrent writers need a table-level lock or a
     * manifest-based committer (the documented object-store
     * swap-in). */
-  private[graft] def renameStagedIn(dir: Path, conf: Configuration,
-      messages: Array[WriterCommitMessage]): Unit = {
+  /** Plan the final zone-map names for a batch of staged commits:
+    * fresh indices past the current maximum (a slot freed by a
+    * delete can never collide). Pure planning — no renames. */
+  private[graft] def stagedTargets(dir: Path, conf: Configuration,
+      messages: Array[WriterCommitMessage]): Seq[(GlogCommit, String)] = {
     val fs = fsFor(dir, conf)
     val names =
       (try fs.listStatus(dir)
@@ -389,15 +394,29 @@ object GraftLogSource {
     val nextIdx = names.map(partIndex).filter(_ != Int.MaxValue)
       .maxOption.getOrElse(-1) + 1
     messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows > 0)
-      .sortBy(_.tempPath).zipWithIndex.foreach { case (m, i) =>
-        val target = new Path(dir, fileName(nextIdx + i, m.min, m.max))
-        require(fs.rename(new Path(m.tempPath), target),
-          s"commit rename ${m.tempPath} -> $target failed")
-      }
+      .sortBy(_.tempPath).zipWithIndex.map { case (m, i) =>
+        m -> fileName(nextIdx + i, m.min, m.max)
+      }.toSeq
+  }
+
+  /** Execute a planned rename set and discard empty-task temps. */
+  private[graft] def renamePlanned(dir: Path, conf: Configuration,
+      targets: Seq[(GlogCommit, String)],
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = fsFor(dir, conf)
+    targets.foreach { case (m, name) =>
+      val target = new Path(dir, name)
+      require(fs.rename(new Path(m.tempPath), target),
+        s"commit rename ${m.tempPath} -> $target failed")
+    }
     // empty tasks leave no file behind
     messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows == 0)
       .foreach(m => fs.delete(new Path(m.tempPath), false))
   }
+
+  private[graft] def renameStagedIn(dir: Path, conf: Configuration,
+      messages: Array[WriterCommitMessage]): Unit =
+    renamePlanned(dir, conf, stagedTargets(dir, conf, messages), messages)
 
   private[graft] def discardStaged(conf: Configuration,
       messages: Array[WriterCommitMessage]): Unit =
@@ -840,7 +859,7 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     val dir = GraftLogSource.resolveDir(path)
     GraftLogSource.runtimeFilterCensus.put(
       GraftLogSource.censusKey(dir,
-        GraftLogSource.fsFor(dir, GraftLogSource.driverHadoopConf())), v1)
+        GraftLogSource.fsFor(dir, scanConf)), v1)
   }
 
   override def readSchema(): StructType = required
@@ -849,24 +868,33 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
       s"ReadSchema=${required.fieldNames.mkString(",")}" +
       (if (limit >= 0) s", PushedLimit=$limit" else "")
 
+  // one Hadoop-conf clone per scan, not per planning touch: the scan
+  // lives on the driver and the conf is immutable for its lifetime
+  // (newHadoopConf() copies thousands of entries)
+  @transient private lazy val scanConf: Configuration =
+    GraftLogSource.driverHadoopConf()
+
   private def allFilters: Array[Filter] = pushed ++ runtimeFilters
 
   private def listKept(): (Array[FileStatus], Int) = {
     val (kept, total) = GraftLogSource.listCommitted(
       GraftLogSource.resolveDir(path),
-      GraftLogSource.driverHadoopConf(), allFilters.toSeq)
+      scanConf, allFilters.toSeq)
     runtimeFileNames match {
       case Some(names) => (kept.filter(s => names.contains(s.getPath.getName)), total)
       case None => (kept, total)
     }
   }
 
-  /** Average committed line width, estimated from the head of the
-    * first kept file (one bounded 8 KB driver read at planning time)
-    * — turns the byte census into a row-count ESTIMATE for CBO. */
-  private def sampleLineWidth(kept: Array[FileStatus]): Option[Double] =
-    kept.headOption.flatMap { s =>
-      val fs = GraftLogSource.fsFor(s.getPath, GraftLogSource.driverHadoopConf())
+  /** Average committed line width, estimated ONCE per scan from the
+    * head of the first committed file (one bounded 8 KB driver read)
+    * — turns the byte census into a row-count ESTIMATE for CBO
+    * without paying a remote open on every stats consultation. */
+  @transient private lazy val sampledLineWidth: Option[Double] = {
+    val (all, _) = GraftLogSource.listCommitted(
+      GraftLogSource.resolveDir(path), scanConf, Seq.empty)
+    all.headOption.flatMap { s =>
+      val fs = GraftLogSource.fsFor(s.getPath, scanConf)
       val in = fs.open(s.getPath)
       try {
         val buf = new Array[Byte](8192)
@@ -878,6 +906,7 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
         }
       } finally in.close()
     }
+  }
 
   override def estimateStatistics(): Statistics = {
     val (kept, _) = listKept()
@@ -885,7 +914,7 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     // schema-proportional byte estimate after column pruning, the
     // same shape FileScan reports; rows ≈ bytes / avg line width
     val frac = math.max(1, required.length).toDouble / GraftLogSource.SchemaFixed.length
-    val rows = sampleLineWidth(kept)
+    val rows = sampledLineWidth
       .map(w => math.max(1L, math.round(bytes / w)))
     // `value` min/max straight off the zone-map names — column
     // statistics the planner gets for FREE, no ANALYZE scan (bounds
@@ -937,7 +966,7 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
   }
 
   override def toBatch: Batch = {
-    val conf = GraftLogSource.driverHadoopConf()
+    val conf = scanConf
     val dir = GraftLogSource.resolveDir(path)
     val (kept, total) = listKept()
     // key by the NORMALIZED path: catalog reads hand the scan a
@@ -1365,16 +1394,25 @@ private[sources] class GlogWriteBuilder(path: String, schema: StructType,
 }
 
 /** Streaming sink: the same task-commit protocol as the batch write,
-  * per EPOCH. Tasks stage invisible `.inprogress` temps; epoch
-  * commit renames them to zone-map-named `.glog` files and drops an
-  * `_epoch-N.committed` marker. The marker makes epoch commit
-  * IDEMPOTENT: after a failure Spark can replay a committed epoch,
-  * and the replayed commit sees the marker and discards its staged
-  * output instead of appending duplicates — exactly-once into the
-  * directory, the same ledger discipline as eng_stream_enrich's
-  * idempotent partitioned sink. Readers (batch and streaming) list
-  * only `*.glog`, so markers and uncommitted temps are never
-  * scanned. */
+  * per EPOCH, made replay-safe by a MANIFEST marker written BEFORE
+  * the renames. Commit order: (1) atomically create
+  * `_epoch-N.committed` listing the planned final file names,
+  * (2) rename the staged temps to those names. A replayed commit
+  * (Spark re-runs an epoch its checkpoint never recorded) reads the
+  * marker: all listed names present → the epoch already landed,
+  * discard the staged copy (never duplicate); some names missing →
+  * the previous attempt crashed mid-rename, so ROLL BACK the partial
+  * epoch (unlink the present names — the replay carries the same
+  * rows, a deterministic offset range of committed source files) and
+  * land the staged copy fresh under a rewritten marker. Every path
+  * converges to exactly one copy of the epoch; a crash between
+  * marker creation and the first rename leaves only the marker, and
+  * a crash before the marker leaves only invisible `.inprogress`
+  * temps. The one transient anomaly is a PARTIALLY visible epoch
+  * between a mid-rename crash and its replay — bounded by restart
+  * time, and strictly better than the duplicate-forever the
+  * marker-last ordering would allow. Readers (batch and streaming)
+  * list only `*.glog`, so markers and temps are never scanned. */
 private[graft] class GlogStreamingWrite(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   require(schema.fieldNames.sameElements(GraftLogSource.SchemaFixed.fieldNames),
@@ -1391,20 +1429,46 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
     new GlogStreamingWriterFactory(path,
       new SerializableConf(GraftLogSource.driverHadoopConf()))
 
+  private def writeMarker(fs: FileSystem, m: Path, names: Seq[String]): Unit = {
+    val out = fs.create(m, true)
+    try out.write(names.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMarker(fs: FileSystem, m: Path): Seq[String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(m), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftLogSource.driverHadoopConf()
     val dir = GraftLogSource.resolveDir(path)
     val fs = GraftLogSource.fsFor(dir, conf)
     fs.mkdirs(dir)
-    if (fs.exists(marker(dir, epochId))) {
-      // replayed epoch: already committed — discard, never duplicate
-      GraftLogSource.discardStaged(conf, messages)
-    } else {
-      GraftLogSource.renameStagedIn(dir, conf, messages)
-      val out = fs.create(marker(dir, epochId), true)
-      out.close()
+    val m = marker(dir, epochId)
+    if (fs.exists(m)) {
+      val listed = readMarker(fs, m)
+      val missing = listed.filterNot(n => fs.exists(new Path(dir, n)))
+      if (missing.isEmpty) {
+        // replayed epoch, fully landed — discard, never duplicate
+        GraftLogSource.discardStaged(conf, messages)
+        return
+      }
+      // previous attempt crashed mid-rename: roll back the partial
+      // epoch, then land the replayed copy fresh below
+      listed.filterNot(missing.contains).foreach { n =>
+        require(fs.delete(new Path(dir, n), false),
+          s"epoch $epochId replay: rollback of partial file $n failed")
+      }
     }
+    val targets = GraftLogSource.stagedTargets(dir, conf, messages)
+    writeMarker(fs, m, targets.map(_._2))
+    GraftLogSource.renamePlanned(dir, conf, targets, messages)
   }
 
   override def abort(epochId: Long,
@@ -1436,6 +1500,12 @@ private[sources] class GlogClusteredWrite(path: String, schema: StructType,
   override def requiredNumPartitions(): Int = GraftLogSource.ClusteredWriteFiles
   override def toBatch: BatchWrite =
     new GlogBatchWrite(path, schema, truncateFirst, replaceWhere)
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    throw new UnsupportedOperationException(
+      "glog streaming sink does not support clustered writes: a range " +
+        "exchange per micro-batch would re-sample boundaries every epoch " +
+        "— stream append-only, then run GraftLogSource.compact")
 }
 
 private[sources] case class GlogCommit(tempPath: String, rows: Long,

@@ -164,6 +164,59 @@ class Dsv2SourceSpec extends AnyFunSuite {
       chain(err).mkString(" | "))
   }
 
+  test("epoch replay converges after a simulated mid-rename crash") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_crash").toFile
+    val sw = new graft.sources.GlogStreamingWrite(dir.getAbsolutePath,
+      GraftLogSource.SchemaFixed)
+    val fac = sw.createStreamingWriterFactory(null)
+    def row(id: Long, et: String, v: Double) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString(et), v,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}")))
+    // epoch 0 lands normally
+    val w0 = fac.createWriter(0, 1L, 0L)
+    w0.write(row(1L, "e0", 1.0))
+    sw.commit(0L, Array(w0.commit()))
+    def glogNames() = dir.listFiles().map(_.getName).filter(_.endsWith(".glog"))
+    assert(glogNames().length == 1)
+    // simulate epoch 1's FIRST attempt crashing mid-rename: its
+    // marker lists two planned names, one landed (with that attempt's
+    // rows), one never made it
+    val landed = GraftLogSource.fileName(7, 2.0, 2.0)
+    val neverLanded = GraftLogSource.fileName(8, 3.0, 3.0)
+    java.nio.file.Files.write(new java.io.File(dir, landed).toPath,
+      "2\t2000\t2\te1\t2.0\t{}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_epoch-1.committed").toPath,
+      s"$landed\n$neverLanded\n".getBytes("UTF-8"))
+    // the replayed epoch 1 carries the SAME two rows, staged fresh
+    val wa = fac.createWriter(0, 10L, 1L)
+    wa.write(row(2L, "e1", 2.0))
+    val wb = fac.createWriter(1, 11L, 1L)
+    wb.write(row(3L, "e1", 3.0))
+    sw.commit(1L, Array(wa.commit(), wb.commit()))
+    // converged: the partial attempt rolled back, exactly one copy of
+    // the epoch's rows visible, no temps
+    val back = spark.read.format("glog")
+      .option("path", dir.getAbsolutePath).load()
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(back == Seq((1L, "e0"), (2L, "e1"), (3L, "e1")),
+      s"replay did not converge: $back")
+    assert(!dir.listFiles().exists(_.getName.endsWith(".inprogress")))
+    assert(!dir.listFiles().map(_.getName).contains(landed),
+      "partial-attempt file survived the rollback")
+    // a SECOND replay of the now-complete epoch is a pure no-op
+    val wc = fac.createWriter(0, 12L, 1L)
+    wc.write(row(2L, "e1", 2.0))
+    sw.commit(1L, Array(wc.commit()))
+    val n = spark.read.format("glog")
+      .option("path", dir.getAbsolutePath).load().count()
+    assert(n == 3, s"second replay duplicated rows: $n")
+  }
+
   test("pushed TopN keeps exact results; unsupported orders decline safely") {
     Tables.register(spark, sf)
     EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
@@ -787,6 +840,11 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // and Long.MaxValue compares exactly against a huge double
     assert(ev(LessThanOrEqual("user_id", java.lang.Double.valueOf(9.3e18)), Long.MaxValue))
     assert(!ev(GreaterThan("user_id", java.lang.Double.valueOf(9.3e18)), Long.MaxValue))
+    // infinities: every long sits below +Inf and above -Inf (must not
+    // crash the BigDecimal fallback)
+    assert(ev(LessThanOrEqual("user_id", java.lang.Double.valueOf(Double.PositiveInfinity)), Long.MaxValue))
+    assert(!ev(GreaterThan("user_id", java.lang.Double.valueOf(Double.PositiveInfinity)), Long.MaxValue))
+    assert(ev(GreaterThan("user_id", java.lang.Double.valueOf(Double.NegativeInfinity)), Long.MinValue))
   }
 
   test("listing order is numeric in the part index, stable past part-9999") {
