@@ -2787,6 +2787,83 @@ object EngineOps {
     }
   }
 
+  /** MEASURED DSv2 CATALOG plugin (sources/GlogCatalog) — glog
+    * tables managed by NAME through a warehouse root instead of raw
+    * path options: the deployment story's last piece (the catalog
+    * twin of eng_hive_partitioned_ddl, but v2-native — no Hive
+    * metastore, the filesystem IS the metastore, so any engine that
+    * lists the warehouse sees the same tables). Stages census the
+    * full lifecycle through SQL: CREATE NAMESPACE + CREATE TABLE
+    * (directory census), INSERT (rows + every committed file
+    * zone-map-named), row-level DML through the named table (UPDATE
+    * + DELETE counts exact vs the parquet spelling), RENAME (content
+    * preserved under the new name, old gone), DROP (namespace
+    * empties). Each stage metadata-only at scale except the INSERT
+    * and DML data movement themselves. */
+  private def dsv2Catalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val wh = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_glog_wh_$sfName")
+    if (wh.exists()) deleteRecursively(wh.toPath)
+    wh.mkdirs()
+    val ev = t(spark, dir, "events")
+    val nPurchase = ev.filter(col("event_type") === "purchase").count()
+    val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+    val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.5
+    val nHigh = ev.filter(col("event_type") === "purchase" &&
+      col("value") >= cut).count()
+    spark.conf.set("spark.sql.catalog.glogbench", "graft.sources.GlogCatalog")
+    spark.conf.set("spark.sql.catalog.glogbench.warehouse", wh.getAbsolutePath)
+    try {
+      spark.sql("CREATE NAMESPACE glogbench.lab")
+      spark.sql("""CREATE TABLE glogbench.lab.ev (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING) USING glog""")
+      val listed = spark.sql("SHOW TABLES IN glogbench.lab").count()
+      val s1 = ("1_create", listed, 0L, listed == 1L &&
+        new java.io.File(new java.io.File(wh, "lab"), "ev").isDirectory)
+
+      spark.sql("""INSERT INTO glogbench.lab.ev
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events WHERE event_type = 'purchase'""")
+      def n() = spark.sql("SELECT count(*) FROM glogbench.lab.ev")
+        .collect()(0).getLong(0)
+      val files = Option(new java.io.File(new java.io.File(wh, "lab"), "ev")
+        .listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.endsWith(".glog"))
+      val s2 = ("2_insert", n(), files.length.toLong, n() == nPurchase &&
+        files.nonEmpty &&
+        files.forall(sources.GraftLogSource.minMaxFromName(_).isDefined))
+
+      spark.sql(s"""UPDATE glogbench.lab.ev SET event_type = 'upd'
+        WHERE value >= $cut""")
+      val updated = spark.sql(
+        "SELECT count(*) FROM glogbench.lab.ev WHERE event_type = 'upd'")
+        .collect()(0).getLong(0)
+      spark.sql(s"DELETE FROM glogbench.lab.ev WHERE value >= $cut")
+      val s3 = ("3_dml", updated, n(),
+        updated == nHigh && n() == nPurchase - nHigh)
+
+      spark.sql("ALTER TABLE glogbench.lab.ev RENAME TO lab.ev2")
+      val n2 = spark.sql("SELECT count(*) FROM glogbench.lab.ev2")
+        .collect()(0).getLong(0)
+      val s4 = ("4_rename", n2, 1L, n2 == nPurchase - nHigh &&
+        !new java.io.File(new java.io.File(wh, "lab"), "ev").exists())
+
+      spark.sql("DROP TABLE glogbench.lab.ev2")
+      spark.sql("DROP NAMESPACE glogbench.lab")
+      val s5 = ("5_drop", 0L, 0L, !new java.io.File(wh, "lab").exists())
+
+      Seq(s1, s2, s3, s4, s5)
+        .toDF("stage", "n_a", "n_b", "ok")
+        .orderBy(col("stage"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.glogbench")
+      spark.conf.unset("spark.sql.catalog.glogbench.warehouse")
+    }
+  }
+
   /** MEASURED streaming SINK through the connector — the write-side
     * half of the connector's streaming story (the source side is
     * eng_dsv2_source's MICRO_BATCH_READ + eng_stream_backfill's
@@ -3459,6 +3536,7 @@ object EngineOps {
     "eng_dsv2_clustered_write" -> dsv2ClusteredWrite,
     "eng_dsv2_stream_sink" -> dsv2StreamSink,
     "eng_dsv2_colstats" -> dsv2ColStats,
+    "eng_dsv2_catalog" -> dsv2Catalog,
     "eng_cache_table" -> cacheTable,
     "eng_aqe_skew" -> aqeSkew,
     "eng_exchange_reuse" -> exchangeReuse,
