@@ -2813,21 +2813,26 @@ object EngineOps {
     val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.5
     val nHigh = ev.filter(col("event_type") === "purchase" &&
       col("value") >= cut).count()
-    spark.conf.set("spark.sql.catalog.glogbench", "graft.sources.GlogCatalog")
-    spark.conf.set("spark.sql.catalog.glogbench.warehouse", wh.getAbsolutePath)
+    // catalog name carries the SF: Spark caches catalog plugin
+    // instances by name per session, so a shared name would pin the
+    // FIRST warehouse across a multi-sf session (ScaleBench runs two
+    // dirs in one JVM)
+    val cat = s"glogbench_${sfName.replace('.', '_')}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GlogCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
     try {
-      spark.sql("CREATE NAMESPACE glogbench.lab")
-      spark.sql("""CREATE TABLE glogbench.lab.ev (
+      spark.sql(s"CREATE NAMESPACE $cat.lab")
+      spark.sql(s"""CREATE TABLE $cat.lab.ev (
         event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
         event_type STRING, value DOUBLE, props STRING) USING glog""")
-      val listed = spark.sql("SHOW TABLES IN glogbench.lab").count()
+      val listed = spark.sql(s"SHOW TABLES IN $cat.lab").count()
       val s1 = ("1_create", listed, 0L, listed == 1L &&
         new java.io.File(new java.io.File(wh, "lab"), "ev").isDirectory)
 
-      spark.sql("""INSERT INTO glogbench.lab.ev
+      spark.sql(s"""INSERT INTO $cat.lab.ev
         SELECT event_id, ts, user_id, event_type, value, props
         FROM events WHERE event_type = 'purchase'""")
-      def n() = spark.sql("SELECT count(*) FROM glogbench.lab.ev")
+      def n() = spark.sql(s"SELECT count(*) FROM $cat.lab.ev")
         .collect()(0).getLong(0)
       val files = Option(new java.io.File(new java.io.File(wh, "lab"), "ev")
         .listFiles()).getOrElse(Array.empty)
@@ -2836,31 +2841,31 @@ object EngineOps {
         files.nonEmpty &&
         files.forall(sources.GraftLogSource.minMaxFromName(_).isDefined))
 
-      spark.sql(s"""UPDATE glogbench.lab.ev SET event_type = 'upd'
+      spark.sql(s"""UPDATE $cat.lab.ev SET event_type = 'upd'
         WHERE value >= $cut""")
       val updated = spark.sql(
-        "SELECT count(*) FROM glogbench.lab.ev WHERE event_type = 'upd'")
+        s"SELECT count(*) FROM $cat.lab.ev WHERE event_type = 'upd'")
         .collect()(0).getLong(0)
-      spark.sql(s"DELETE FROM glogbench.lab.ev WHERE value >= $cut")
+      spark.sql(s"DELETE FROM $cat.lab.ev WHERE value >= $cut")
       val s3 = ("3_dml", updated, n(),
         updated == nHigh && n() == nPurchase - nHigh)
 
-      spark.sql("ALTER TABLE glogbench.lab.ev RENAME TO lab.ev2")
-      val n2 = spark.sql("SELECT count(*) FROM glogbench.lab.ev2")
+      spark.sql(s"ALTER TABLE $cat.lab.ev RENAME TO lab.ev2")
+      val n2 = spark.sql(s"SELECT count(*) FROM $cat.lab.ev2")
         .collect()(0).getLong(0)
       val s4 = ("4_rename", n2, 1L, n2 == nPurchase - nHigh &&
         !new java.io.File(new java.io.File(wh, "lab"), "ev").exists())
 
-      spark.sql("DROP TABLE glogbench.lab.ev2")
-      spark.sql("DROP NAMESPACE glogbench.lab")
+      spark.sql(s"DROP TABLE $cat.lab.ev2")
+      spark.sql(s"DROP NAMESPACE $cat.lab")
       val s5 = ("5_drop", 0L, 0L, !new java.io.File(wh, "lab").exists())
 
       Seq(s1, s2, s3, s4, s5)
         .toDF("stage", "n_a", "n_b", "ok")
         .orderBy(col("stage"))
     } finally {
-      spark.conf.unset("spark.sql.catalog.glogbench")
-      spark.conf.unset("spark.sql.catalog.glogbench.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
 
