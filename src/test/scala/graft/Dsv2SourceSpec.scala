@@ -164,6 +164,20 @@ class Dsv2SourceSpec extends AnyFunSuite {
       chain(err).mkString(" | "))
   }
 
+  test("eng_dsv2_catalog: the measured lifecycle census is exact") {
+    Tables.register(spark, sf)
+    val rows = EngineOps.queries("eng_dsv2_catalog")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_create", "2_insert", "3_dml", "4_rename", "5_drop"))
+    assert(rows.forall(_.getBoolean(3)), rows.mkString("; "))
+    val byStage = rows.map(r => r.getString(0) -> r).toMap
+    // insert landed data and the DML stage moved exact counts
+    assert(byStage("2_insert").getLong(1) > 0)
+    assert(byStage("3_dml").getLong(1) > 0, "UPDATE matched nothing")
+    assert(byStage("4_rename").getLong(1) ==
+      byStage("2_insert").getLong(1) - byStage("3_dml").getLong(1))
+  }
+
   test("glog catalog: tables by name, full lifecycle through SQL") {
     val wh = java.nio.file.Files.createTempDirectory("graft_glog_wh").toFile
     spark.conf.set("spark.sql.catalog.glogcat", "graft.sources.GlogCatalog")
