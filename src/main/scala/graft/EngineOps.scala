@@ -2565,10 +2565,15 @@ object EngineOps {
       spark.sql(s"""CREATE TABLE graft_glog_dml_bench USING glog
         OPTIONS (path '${dml.getAbsolutePath}')""")
       spark.sql(s"DELETE FROM graft_glog_dml_bench WHERE value >= $cut5")
-      val after = Option(dml.listFiles()).getOrElse(Array.empty)
-      val glogs = after.count(_.getName.endsWith(".glog"))
-      val residue = after.exists(f => f.getName.endsWith(".rewrite") ||
-        f.getName.endsWith(".inprogress"))
+      // LIVE census through the manifest: copy-on-write leaves the
+      // replaced originals on disk as orphans (snapshot isolation;
+      // vacuum reclaims), so the raw listing over-counts
+      val glogs = sources.GraftLogSource.listCommitted(
+        new org.apache.hadoop.fs.Path(dml.getAbsolutePath),
+        sources.GraftLogSource.driverHadoopConf(), Seq.empty)._2
+      val residue = Option(dml.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.getName.endsWith(".rewrite") ||
+          f.getName.endsWith(".inprogress"))
       val n = spark.sql("SELECT count(*) FROM graft_glog_dml_bench")
         .collect()(0).getLong(0)
       val (_, _, colsDml) =
@@ -2651,9 +2656,14 @@ object EngineOps {
     if (base.exists()) deleteRecursively(base.toPath)
 
     def measure(label: String, sink: java.io.File): (String, Long, Long, Long, Boolean, Boolean, Boolean) = {
-      val bounds = Option(sink.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".glog"))
-        .flatMap(f => sources.GraftLogSource.minMaxFromName(f.getName))
+      // LIVE names via the manifest: after stage 3's compact the old
+      // generation stays on disk as snapshot orphans whose overlapping
+      // bounds would falsely fail the disjointness census
+      val bounds = sources.GraftLogSource.listCommitted(
+          new org.apache.hadoop.fs.Path(sink.getAbsolutePath),
+          sources.GraftLogSource.driverHadoopConf(), Seq.empty)
+        ._1.map(_.getPath.getName)
+        .flatMap(sources.GraftLogSource.minMaxFromName)
         .sortBy(_._1)
       val disjoint = bounds.sliding(2).forall {
         case Array(a, b) => sources.GraftLogSource.cmp(b._1, a._2) >= 0
@@ -2906,7 +2916,13 @@ object EngineOps {
     val batches = q.recentProgress.count(_.numInputRows > 0).toLong
     val names = Option(sink.listFiles()).getOrElse(Array.empty).map(_.getName)
     val nFiles = names.count(_.endsWith(".glog")).toLong
-    val markersOk = names.count(_.startsWith("_epoch-")) >= batches &&
+    // epoch markers live in _glog_metadata/ and are GC'd to the latest
+    // epoch at each commit (the replay ledger stays O(1), not O(epochs))
+    val metaNames = Option(new java.io.File(sink,
+        sources.GraftLogSource.MetaDirName).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    val markersOk = metaNames.count(_.startsWith("_epoch-")) == 1 &&
+      metaNames.exists(_.startsWith(s"_epoch-${batches - 1}.")) &&
       !names.exists(_.endsWith(".inprogress"))
     val back = spark.read.format("glog")
       .option("path", sink.getAbsolutePath).load()
@@ -3037,12 +3053,18 @@ object EngineOps {
         OPTIONS (path '${dml.getAbsolutePath}')""")
       val n0 = spark.sql("SELECT count(*) FROM graft_glog_rtf_bench")
         .collect()(0).getLong(0)
-      val before = Option(dml.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".glog")).map(_.getName).toSet
+      def liveNames() = sources.GraftLogSource.listCommitted(
+        new org.apache.hadoop.fs.Path(dml.getAbsolutePath),
+        sources.GraftLogSource.driverHadoopConf(), Seq.empty)
+        ._1.map(_.getPath.getName).toSet
+      val before = liveNames()
       spark.sql(s"""UPDATE graft_glog_rtf_bench
         SET event_type = 'rtf_updated' WHERE event_id = $targetId""")
-      val after = Option(dml.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".glog")).map(_.getName).toSet
+      // LIVE names via the manifest: the rewritten group's original
+      // stays on disk as a snapshot orphan, so a raw listing would
+      // read 8 "untouched" files; the live intersection is the real
+      // byte-untouched census (7 of 8)
+      val after = liveNames()
       val untouched = (before intersect after).size
       val (_, kept, _) =
         sources.GraftLogSource.planCensus.get(dml.getAbsolutePath)

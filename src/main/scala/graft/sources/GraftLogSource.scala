@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, LocalFileSystem, Options, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -145,9 +145,8 @@ object GraftLogSource {
 
   /** FileSystem for a path under a conf. For the `file` scheme the
     * RAW local filesystem (no checksum sidecars) — the glog format
-    * has no checksum contract, and the DELETE rewrite's atomic
-    * same-name replace would otherwise strand stale `.crc` files
-    * that fail later reads. */
+    * has no checksum contract, and stray `.crc` files would go stale
+    * under the claim-rename commit and fail later reads. */
   private[graft] def fsFor(p: Path, conf: Configuration): FileSystem =
     p.getFileSystem(conf) match {
       case l: LocalFileSystem => l.getRawFileSystem
@@ -280,21 +279,36 @@ object GraftLogSource {
       case _ => false
     }
 
-  /** Committed files under `dir` surviving the zone map for `pushed`
-    * → (kept, total). The ONE listing+pruning kernel shared by batch
-    * planning, streaming planning, the DELETE cost gate, and the
-    * DELETE executor — they must agree on the affected set. Files
-    * with unparsable names are conservatively kept. Listing goes
-    * through the FileSystem API; a missing directory is an empty
-    * table, not an error (the first write creates it). */
+  /** LIVE files under `dir` surviving the zone map for `pushed`
+    * → (kept, live total). The ONE listing+pruning kernel shared by
+    * batch planning, streaming planning, the DELETE cost gate, and
+    * the DELETE executor — they must agree on the affected set.
+    * Liveness resolves through the newest manifest (or the one at
+    * `versionAsOf` — time travel); data files on disk that no
+    * manifest references (DML/compact orphans awaiting [[vacuum]],
+    * a crashed commit's renamed-but-never-committed output) are
+    * INVISIBLE. A directory with no manifest history falls back to
+    * the raw listing. Files with unparsable names are conservatively
+    * kept by the zone map. A missing directory is an empty table,
+    * not an error (the first write creates it). */
   def listCommitted(dir: Path, conf: Configuration,
-      pushed: Seq[Filter]): (Array[FileStatus], Int) = {
+      pushed: Seq[Filter],
+      versionAsOf: Option[Long] = None): (Array[FileStatus], Int) = {
     val fs = fsFor(dir, conf)
-    val all =
+    val listed =
       (try fs.listStatus(dir)
        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
         .filter(s => s.isFile && s.getPath.getName.endsWith(".glog"))
-        .sortBy(s => listingOrder(s.getPath.getName))
+    val all = liveSnapshot(dir, conf, versionAsOf) match {
+      case Some((v, names)) =>
+        val byName = listed.map(s => s.getPath.getName -> s).toMap
+        val missing = names.filterNot(byName.contains)
+        require(missing.isEmpty,
+          s"glog: manifest version $v of $dir lists files missing on disk " +
+            s"(vacuumed while still referenced?): ${missing.take(3).mkString(", ")}")
+        names.sortBy(listingOrder).map(byName).toArray
+      case None => listed.sortBy(s => listingOrder(s.getPath.getName))
+    }
     val kept = all.filter { s =>
       minMaxFromName(s.getPath.getName) match {
         case Some((mn, mx)) => zoneMapKeeps(mn, mx, pushed)
@@ -370,53 +384,225 @@ object GraftLogSource {
     }
   }
 
-  /** Job-commit tail shared by every write shape: rename the staged
-    * `.inprogress` temps to final zone-map names (fresh indices past
-    * the current maximum, so a slot freed by a delete can never
-    * collide), discard empty-task temps. Renames run through the
-    * FileSystem API — atomic on HDFS, File.renameTo on raw local.
-    * SINGLE-WRITER contract: two jobs committing into the same
-    * directory concurrently can race this listing and collide on
-    * indices — like any file sink without an external commit
-    * coordinator, concurrent writers need a table-level lock or a
-    * manifest-based committer (the documented object-store
-    * swap-in). */
-  /** Plan the final zone-map names for a batch of staged commits:
-    * fresh indices past the current maximum (a slot freed by a
-    * delete can never collide). Pure planning — no renames. */
-  private[graft] def stagedTargets(dir: Path, conf: Configuration,
-      messages: Array[WriterCommitMessage]): Seq[(GlogCommit, String)] = {
+  // ==================== versioned-manifest commit ====================
+  // The table's source of truth is a MANIFEST, not the directory
+  // listing: `_glog_metadata/_v<N>.manifest` lists the live data-file
+  // names at version N, and readers resolve through the NEWEST
+  // manifest (a directory with no manifest history — a hand-built
+  // fixture, a pre-manifest table — falls back to the raw listing).
+  // A commit is ONE compare-and-swap: write the new live list to a
+  // temp, publish it as version N+1 iff N+1 does not exist yet, retry
+  // against the re-read snapshot on a lost race. This single
+  // mechanism buys (a) concurrent-writer safety — losers retry, never
+  // collide or clobber; (b) snapshot isolation — DML and compaction
+  // REPLACE names in the manifest and leave the old files on disk as
+  // unreferenced orphans (reclaimed by [[vacuum]]), so a reader
+  // planned at version N keeps reading version N's files; (c) an
+  // object-store story — visibility is one conditional manifest PUT,
+  // no rename atomicity required. Reference analog: the flash image
+  // commits through ONE header + layer table that readers resolve
+  // (tools/hive_compile.py:143-194), never a directory scan.
+
+  val MetaDirName = "_glog_metadata"
+  def metaDir(dir: Path): Path = new Path(dir, MetaDirName)
+
+  private val ManifestPrefix = "_v"
+  private val ManifestSuffix = ".manifest"
+  private[graft] def manifestPath(dir: Path, version: Long): Path =
+    new Path(metaDir(dir), f"$ManifestPrefix$version%012d$ManifestSuffix")
+  private[graft] def manifestVersionOf(name: String): Option[Long] =
+    if (name.startsWith(ManifestPrefix) && name.endsWith(ManifestSuffix))
+      name.stripPrefix(ManifestPrefix).stripSuffix(ManifestSuffix).toLongOption
+    else None
+
+  /** All manifest versions present under `dir`, ascending. */
+  def manifestVersions(dir: Path, conf: Configuration): Seq[Long] = {
     val fs = fsFor(dir, conf)
-    val names =
-      (try fs.listStatus(dir)
-       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
-        .map(_.getPath.getName).filter(_.endsWith(".glog"))
-    val nextIdx = names.map(partIndex).filter(_ != Int.MaxValue)
-      .maxOption.getOrElse(-1) + 1
-    messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows > 0)
-      .sortBy(_.tempPath).zipWithIndex.map { case (m, i) =>
-        m -> fileName(nextIdx + i, m.min, m.max)
-      }.toSeq
+    (try fs.listStatus(metaDir(dir))
+     catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+      .flatMap(s => manifestVersionOf(s.getPath.getName)).sorted.toSeq
   }
 
-  /** Execute a planned rename set and discard empty-task temps. */
-  private[graft] def renamePlanned(dir: Path, conf: Configuration,
-      targets: Seq[(GlogCommit, String)],
-      messages: Array[WriterCommitMessage]): Unit = {
+  /** The live-file snapshot at `versionAsOf` (or the newest version).
+    * None = the directory has no manifest history yet: the raw
+    * `*.glog` listing IS the live set (fixture/back-compat mode). */
+  def liveSnapshot(dir: Path, conf: Configuration,
+      versionAsOf: Option[Long] = None): Option[(Long, Seq[String])] = {
+    val versions = manifestVersions(dir, conf)
+    val v = versionAsOf match {
+      case Some(want) =>
+        require(versions.contains(want),
+          s"glog: no manifest version $want under $dir " +
+            s"(available: ${versions.mkString(", ")}; older versions may " +
+            "have been vacuumed)")
+        want
+      case None => if (versions.isEmpty) return None else versions.max
+    }
     val fs = fsFor(dir, conf)
-    targets.foreach { case (m, name) =>
-      val target = new Path(dir, name)
-      require(fs.rename(new Path(m.tempPath), target),
-        s"commit rename ${m.tempPath} -> $target failed")
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(manifestPath(dir, v)), java.nio.charset.StandardCharsets.UTF_8))
+    val names =
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toSeq
+      finally in.close()
+    Some((v, names))
+  }
+
+  /** Atomically publish `tmp` as `dst` iff `dst` does not exist —
+    * the CAS primitive of the manifest commit (and of data-file
+    * claims). Raw local: a hard LINK, which is atomic and fails with
+    * EEXIST on a lost race while the target appears fully written or
+    * not at all (a plain rename(2) would silently REPLACE an existing
+    * target). Other schemes: FileSystem.rename, which refuses an
+    * existing destination server-side on HDFS. An object-store
+    * deployment swaps this seam for a conditional PUT
+    * (If-None-Match) — the one primitive the protocol needs. On
+    * success the temp is consumed; on a lost race it is kept so the
+    * caller can retry under a new target. */
+  private[graft] def publishIfAbsent(fs: FileSystem, tmp: Path,
+      dst: Path): Boolean = fs match {
+    case _: RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        fs.delete(tmp, false): Unit
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    case _ =>
+      !fs.exists(dst) &&
+        (try fs.rename(tmp, dst)
+         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false })
+  }
+
+  /** Thrown when a manifest transform finds another writer already
+    * swapped out files this commit was about to replace (two DELETEs
+    * rewriting the same file, a compact racing a DELETE): the loser
+    * fails LOUDLY instead of resurrecting deleted rows. Appends never
+    * conflict. */
+  class GlogConcurrentModificationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Commit a new manifest version via CAS-with-retry: read the
+    * current snapshot, apply `transform` to its live list, publish as
+    * version+1; on a lost race re-read and re-apply (the transform
+    * must be a pure function of the live list so a retry is safe).
+    * Returns (committed version, its live list). */
+  private[graft] def commitManifest(dir: Path, conf: Configuration)(
+      transform: Seq[String] => Seq[String]): (Long, Seq[String]) = {
+    val fs = fsFor(dir, conf)
+    fs.mkdirs(metaDir(dir)): Unit
+    var attempt = 0
+    while (attempt < 10000) {
+      attempt += 1
+      val (cur, live) = liveSnapshot(dir, conf) match {
+        case Some((v, names)) => (v, names)
+        case None =>
+          // first manifest: baseline is the raw listing (version 0 is
+          // implicit — the pre-manifest directory itself)
+          (0L,
+            (try fs.listStatus(dir)
+             catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".glog"))
+              .map(_.getPath.getName).sortBy(listingOrder).toSeq)
+      }
+      val next = transform(live).distinct.sortBy(listingOrder)
+      val tmp = new Path(metaDir(dir),
+        s".manifest-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(next.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (publishIfAbsent(fs, tmp, manifestPath(dir, cur + 1)))
+        return (cur + 1, next)
+      fs.delete(tmp, false): Unit // lost the race: retry from the new snapshot
+    }
+    throw new IllegalStateException(
+      s"glog: manifest CAS under $dir did not converge after $attempt attempts")
+  }
+
+  /** Reclaim files no retained snapshot references: data files outside
+    * the union of the newest `retainVersions` manifests (DML/compact
+    * orphans), manifests older than those, and abandoned `.inprogress`
+    * temps. Keeping `retainVersions > 1` preserves time-travel reads
+    * (`option("versionAsOf", n)`) and in-flight readers of recent
+    * versions; a vacuumed version fails LOUDLY on read. A maintenance
+    * op like [[compact]]: not safe concurrent with an in-flight commit
+    * (a just-renamed, not-yet-committed file looks orphaned). Returns
+    * the number of files removed. */
+  def vacuum(path: String, retainVersions: Int = 1): Int = {
+    val conf = driverHadoopConf()
+    val dir = resolveDir(path)
+    val fs = fsFor(dir, conf)
+    val versions = manifestVersions(dir, conf)
+    if (versions.isEmpty) return 0
+    val retained = versions.takeRight(math.max(1, retainVersions))
+    val keep: Set[String] = retained
+      .flatMap(v => liveSnapshot(dir, conf, Some(v)).map(_._2).getOrElse(Seq.empty))
+      .toSet
+    val listing =
+      (try fs.listStatus(dir)
+       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+        .filter(_.isFile).map(_.getPath.getName)
+    var removed = 0
+    listing.filter(n => (n.endsWith(".glog") && !keep(n)) ||
+        n.endsWith(".inprogress"))
+      .foreach { n =>
+        if (fs.delete(new Path(dir, n), false)) removed += 1
+      }
+    versions.dropRight(math.max(1, retainVersions)).foreach { v =>
+      fs.delete(manifestPath(dir, v), false): Unit
+    }
+    removed
+  }
+
+  /** Claim-based job-commit tail shared by every write shape: rename
+    * the staged `.inprogress` temps to final zone-map names (fresh
+    * indices past the directory's current maximum — orphans included,
+    * so a reused slot can never collide) and discard empty-task
+    * temps. Each rename is a [[publishIfAbsent]] CLAIM: when a
+    * concurrent committer wins a name, the loser re-lists and
+    * re-plans the remainder at higher indices — no clobbering, no
+    * collision failures. Returns the committed final names; the
+    * files stay INVISIBLE to readers until the caller's manifest CAS
+    * references them. */
+  private[graft] def renameStagedIn(dir: Path, conf: Configuration,
+      messages: Array[WriterCommitMessage]): Seq[String] = {
+    val fs = fsFor(dir, conf)
+    var remaining = messages.map(_.asInstanceOf[GlogCommit])
+      .filter(_.rows > 0).sortBy(_.tempPath).toSeq
+    val done = Seq.newBuilder[String]
+    var attempt = 0
+    while (remaining.nonEmpty) {
+      attempt += 1
+      require(attempt <= 10000,
+        s"glog: commit rename into $dir did not converge after $attempt attempts")
+      val names =
+        (try fs.listStatus(dir)
+         catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+          .map(_.getPath.getName).filter(_.endsWith(".glog"))
+      var nextIdx = names.map(partIndex).filter(_ != Int.MaxValue)
+        .maxOption.getOrElse(-1) + 1
+      val pending = remaining
+      remaining = Seq.empty
+      var collided = false
+      pending.foreach { m =>
+        if (collided) remaining :+= m
+        else {
+          val name = fileName(nextIdx, m.min, m.max)
+          nextIdx += 1
+          if (publishIfAbsent(fs, new Path(m.tempPath), new Path(dir, name)))
+            done += name
+          else { collided = true; remaining :+= m }
+        }
+      }
     }
     // empty tasks leave no file behind
     messages.map(_.asInstanceOf[GlogCommit]).filter(_.rows == 0)
-      .foreach(m => fs.delete(new Path(m.tempPath), false))
+      .foreach(m => fsFor(new Path(m.tempPath), conf)
+        .delete(new Path(m.tempPath), false): Unit)
+    done.result()
   }
-
-  private[graft] def renameStagedIn(dir: Path, conf: Configuration,
-      messages: Array[WriterCommitMessage]): Unit =
-    renamePlanned(dir, conf, stagedTargets(dir, conf, messages), messages)
 
   private[graft] def discardStaged(conf: Configuration,
       messages: Array[WriterCommitMessage]): Unit =
@@ -425,59 +611,48 @@ object GraftLogSource {
       fsFor(p, conf).delete(p, false): Unit
     }
 
-  /** Replace `dst` with `tmp` in one step. Raw local: NIO ATOMIC_MOVE
-    * (true rename(2) atomicity). Other schemes: FileContext rename
-    * with Options.Rename.OVERWRITE — atomic server-side on HDFS; an
-    * object-store deployment swaps this for a manifest commit (the
-    * documented protocol note below). */
-  private def atomicReplace(fs: FileSystem, conf: Configuration,
-      tmp: Path, dst: Path): Unit = fs match {
-    case _: RawLocalFileSystem =>
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
-        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    case _ =>
-      FileContext.getFileContext(fs.getUri, conf)
-        .rename(tmp, dst, Options.Rename.OVERWRITE)
-  }
-
-  /** Remove every row satisfying ALL `filters` from the committed
-    * files under `dir` — the shared kernel behind DELETE FROM
-    * (SupportsDelete) and overwrite-by-filter (SupportsOverwrite).
-    * Files the zone map proves unaffected are left byte-untouched;
-    * files it proves FULLY covered unlink without ever being opened
-    * (the metadata-only retention-window path, spec-proven on a file
-    * whose content would not even parse);
-    * others rewrite via an ATOMIC same-name replace (survivors are
-    * staged to a `.rewrite` temp and swapped in via [[atomicReplace]]
-    * — a crash leaves each file either fully old or fully new, never
-    * missing). The file KEEPS its name, so its zone-map bounds stay
-    * a sound SUPERSET of the surviving values (conservative: never
-    * prunes wrongly, may scan a fully-emptied range until
-    * compaction) — crash-atomicity is worth more than bound
-    * tightness. Files with no survivors are simply unlinked.
-    * Per-file idempotent: re-running converges. */
-  private[graft] def deleteMatching(dir: Path, conf: Configuration,
-      filters: Array[Filter]): Unit = {
+  /** Stage (but do NOT commit) the file-level work of removing every
+    * row satisfying ALL `filters` from the live files under `dir` —
+    * the shared kernel behind DELETE FROM (SupportsDelete) and
+    * overwrite-by-filter (SupportsOverwrite). Returns
+    * (liveNamesToDrop, replacementNames) for the caller's manifest
+    * CAS, so a DELETE (one CAS) and a REPLACE WHERE (delete + append
+    * in the SAME CAS) are each atomic for readers.
+    *
+    * Per file: the zone map proves it unaffected → byte-untouched;
+    * proves it FULLY covered → dropped from the live set without ever
+    * being opened (the metadata-only retention-window path,
+    * spec-proven on a file whose content would not even parse);
+    * otherwise survivors are rewritten COPY-ON-WRITE to a fresh part
+    * file with TIGHT recomputed bounds (claimed via
+    * [[renameStagedIn]]). The old file is never touched — it stays on
+    * disk as an orphan for snapshot-pinned readers until [[vacuum]].
+    * A crash before the caller's CAS leaves the table untouched (only
+    * invisible orphans); re-running converges. */
+  private[graft] def deleteMatchingStaged(dir: Path, conf: Configuration,
+      filters: Array[Filter]): (Set[String], Seq[String]) = {
     val fs = fsFor(dir, conf)
     val (affected, _) = listCommitted(dir, conf, filters.toSeq)
+    val drops = Set.newBuilder[String]
+    val staged = Seq.newBuilder[GlogCommit]
     affected.foreach { st =>
       val f = st.getPath
       // retention-window fast path: the zone map PROVES every row
-      // matches → unlink without opening the file (metadata-only)
+      // matches → drop from the live set without opening the file
       val fullyCovered = minMaxFromName(f.getName)
         .exists { case (mn, mx) => zoneMapFullyCovers(mn, mx, filters.toSeq) }
       if (fullyCovered) {
-        require(fs.delete(f, false), s"delete of fully-covered $f failed")
+        drops += f.getName
       } else {
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
           fs.open(f), java.nio.charset.StandardCharsets.UTF_8))
-        val tmp = new Path(dir, f.getName + ".rewrite")
+        val tmp = new Path(dir,
+          s".rewrite-${java.util.UUID.randomUUID()}.glog.inprogress")
         val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
           fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
         var rows = 0L
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
         try {
           var line = in.readLine()
           while (line != null) {
@@ -490,18 +665,47 @@ object GraftLogSource {
             if (!deleted) {
               out.write(line); out.write('\n')
               rows += 1
+              // tight replacement bounds, NaN-aware like the writer
+              if (cmp(value, mn) < 0) mn = value
+              if (cmp(value, mx) > 0) mx = value
             }
             line = in.readLine()
           }
         } finally { in.close(); out.close() }
-        if (rows == 0L) {
-          require(fs.delete(tmp, false) && fs.delete(f, false),
-            s"delete of emptied $f failed")
-        } else {
-          atomicReplace(fs, conf, tmp, f)
-        }
+        drops += f.getName
+        if (rows == 0L) fs.delete(tmp, false): Unit
+        else staged += GlogCommit(tmp.toString, rows, mn, mx)
       }
     }
+    val replacements = renameStagedIn(dir, conf,
+      staged.result().toArray[WriterCommitMessage])
+    (drops.result(), replacements)
+  }
+
+  /** Conflict guard for manifest transforms that REPLACE files: every
+    * name this commit drops must still be live, else another writer
+    * already swapped it (concurrent DELETE/compact over the same
+    * files) and blindly committing would resurrect deleted rows or
+    * drop the other writer's replacements — fail loudly instead.
+    * Concurrent APPENDS never trip this (they only add names). */
+  private[graft] def requireStillLive(live: Seq[String],
+      dropping: Iterable[String], op: String): Unit = {
+    val gone = dropping.filterNot(live.toSet)
+    if (gone.nonEmpty) throw new GlogConcurrentModificationException(
+      s"glog $op: files were replaced by a concurrent commit: " +
+        s"${gone.take(3).mkString(", ")} — re-run the statement")
+  }
+
+  /** DELETE FROM, committed: stage the copy-on-write work, then ONE
+    * manifest CAS swapping dropped names for replacements. */
+  private[graft] def deleteMatching(dir: Path, conf: Configuration,
+      filters: Array[Filter]): Unit = {
+    val (drop, repl) = deleteMatchingStaged(dir, conf, filters)
+    if (drop.nonEmpty || repl.nonEmpty)
+      commitManifest(dir, conf) { live =>
+        requireStillLive(live, drop, "DELETE")
+        live.filterNot(drop) ++ repl
+      }: Unit
   }
 
   /** Driver-conf convenience overload (DELETE/overwrite entry points
@@ -509,48 +713,63 @@ object GraftLogSource {
   private[graft] def deleteMatching(dir: Path, filters: Array[Filter]): Unit =
     deleteMatching(dir, driverHadoopConf(), filters)
 
-  /** Compact the table: rewrite every committed file through the
-    * CLUSTERED write path (value-ordered range exchange), so the
-    * layout comes out with tight, disjoint zone-map bounds and a
-    * bounded file count — the maintenance op the in-place DELETE
-    * documents as its counterpart (rewritten files keep superset
-    * bounds for crash-atomicity; compaction is where tightness is
-    * restored), and the cure for many-small-files after long append
-    * streams. Executor-parallel: the rewrite is a normal Spark job
-    * (read → range exchange → clustered write into a staging dir);
-    * the driver only swaps the file listing. The swap renames the
-    * staged files IN under fresh indices first and unlinks the old
-    * files after — a crash mid-swap can surface transient DUPLICATES
-    * (old + new visible), never loss, the same trade as the
-    * copy-on-write commit. Re-running compact converges. NOT safe
-    * concurrent with writers (single-writer contract) or with a
-    * STREAMING read of the same directory (offsets index the
+  /** Compact the table: rewrite the live files through the CLUSTERED
+    * write path (value-ordered range exchange), so the layout comes
+    * out with tight, disjoint zone-map bounds and a bounded file
+    * count — the cure for many-small-files after long append streams
+    * (copy-on-write DML already leaves tight bounds, so compaction's
+    * job here is file-count consolidation). Executor-parallel: the
+    * rewrite is a normal Spark job (read → range exchange → clustered
+    * write into a staging dir); the driver claims the staged files
+    * under fresh indices and commits ONE manifest CAS swapping the
+    * old generation for the new — readers see either generation in
+    * full, never both, and a crash at ANY point leaves only invisible
+    * orphans, so re-running compact converges without ever folding a
+    * duplicate generation in. The old generation stays on disk for
+    * snapshot-pinned readers until [[vacuum]]. Safe under concurrent
+    * APPENDS (their files carry over through the CAS); a concurrent
+    * DELETE/compact over the same files loses loudly
+    * ([[GlogConcurrentModificationException]]). NOT meaningful under
+    * a STREAMING read of the same directory (offsets index the live
     * listing; the stream fails loud on the shrink). */
   def compact(spark: SparkSession, path: String): Unit = {
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
     val fs = fsFor(dir, conf)
-    val (old, _) = listCommitted(dir, conf, Seq.empty)
-    if (old.isEmpty) return
+    // pin the generation being compacted to ONE manifest version (a
+    // pre-manifest directory gets its baseline committed first), so
+    // an append landing DURING the staging read can neither be folded
+    // into the new generation nor dropped by the swap below
+    val snap = liveSnapshot(dir, conf)
+    if (snap.isEmpty && listCommitted(dir, conf, Seq.empty)._2 == 0)
+      return // empty/missing directory: a no-op, leave no metadata behind
+    val (gen, oldNamesSeq) =
+      snap.getOrElse(commitManifest(dir, conf)(identity))
+    if (oldNamesSeq.isEmpty) return
+    val oldNames = oldNamesSeq.toSet
     val staging = new Path(dir.getParent, dir.getName + ".compact")
     fs.delete(staging, true): Unit
-    spark.read.format("glog").option("path", path).load()
+    spark.read.format("glog").option("path", path)
+      .option("versionAsOf", gen.toString).load()
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.format("glog").option("path", staging.toString)
       .option("clustered", "true").mode("overwrite").save()
     val (staged, _) = listCommitted(staging, conf, Seq.empty)
-    var next = old.map(s => partIndex(s.getPath.getName))
-      .filter(_ != Int.MaxValue).maxOption.getOrElse(-1) + 1
-    staged.foreach { s =>
+    // claim the staged files into the table dir under fresh indices
+    // (invisible until the CAS below references them)
+    val claims = staged.map { s =>
       val (mn, mx) = minMaxFromName(s.getPath.getName).getOrElse(
         throw new IllegalStateException(
           s"compact: staged file ${s.getPath} lacks zone-map bounds"))
-      require(fs.rename(s.getPath, new Path(dir, fileName(next, mn, mx))),
-        s"compact: rename ${s.getPath} failed")
-      next += 1
+      GlogCommit(s.getPath.toString, 1L, mn, mx): WriterCommitMessage
     }
-    old.foreach(s =>
-      require(fs.delete(s.getPath, false), s"compact: delete ${s.getPath} failed"))
+    val newNames = renameStagedIn(dir, conf, claims)
+    commitManifest(dir, conf) { live =>
+      requireStillLive(live, oldNames, "compact")
+      // concurrent appends landed between the read and this CAS ride
+      // along untouched; only the compacted generation is swapped
+      live.filterNot(oldNames) ++ newNames
+    }: Unit
     fs.delete(staging, true): Unit
   }
 
@@ -622,20 +841,21 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
       TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlogScanBuilder(path, pushdown,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      versionAsOf = Option(options.get("versionAsOf")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GlogWriteBuilder(path, info.schema(),
       "true".equalsIgnoreCase(info.options().getOrDefault("clustered", "false")))
 
   /** SQL `DELETE FROM ... WHERE ...` (SupportsDelete) — metadata-only
     * where the zone map proves a file can hold no match (the common
-    * retention-window case deletes whole low-value/old files without
-    * opening them); otherwise the file is rewritten IN PLACE via an
-    * atomic same-name replace (bounds stay a sound superset — see
-    * [[GraftLogSource.deleteMatching]]), dropped entirely if nothing
-    * survives. Per-file idempotent: a crash mid-delete leaves each
-    * file either fully old or fully new, and re-running the DELETE
-    * converges.
+    * retention-window case drops whole low-value/old files from the
+    * manifest without opening them); otherwise survivors rewrite
+    * COPY-ON-WRITE to fresh part files with TIGHT recomputed bounds
+    * (see [[GraftLogSource.deleteMatchingStaged]]). The statement
+    * commits as ONE manifest CAS — readers see it entirely or not at
+    * all; a crash beforehand leaves the table untouched and the
+    * DELETE re-runs idempotently.
     *
     * `canDeleteWhere` is a MEASURED-COST dispatch, not just a shape
     * check: this path opens affected files on the DRIVER, which is
@@ -660,17 +880,23 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
   override def deleteWhere(filters: Array[Filter]): Unit =
     GraftLogSource.deleteMatching(GraftLogSource.resolveDir(path), filters)
 
-  /** SQL `TRUNCATE TABLE`: metadata-only — unlink every committed
-    * file, never open one (the SupportsDelete default would route
-    * through deleteWhere(AlwaysTrue) and pointlessly rewrite 100 TB
-    * on the driver). */
+  /** SQL `TRUNCATE TABLE`: metadata-first — commit an EMPTY manifest
+    * (readers atomically see an empty table), then unlink every data
+    * file on disk, never opening one (the SupportsDelete default
+    * would route through deleteWhere(AlwaysTrue) and pointlessly
+    * rewrite 100 TB on the driver). DESTRUCTIVE by contract: unlike
+    * DML's copy-on-write, truncate reclaims all history — earlier
+    * versions are no longer time-travel readable. */
   override def truncateTable(): Boolean = {
     val dir = GraftLogSource.resolveDir(path)
     val conf = GraftLogSource.driverHadoopConf()
     val fs = GraftLogSource.fsFor(dir, conf)
-    val (all, _) = GraftLogSource.listCommitted(dir, conf, Seq.empty)
-    all.foreach(s =>
-      require(fs.delete(s.getPath, false), s"truncate: delete ${s.getPath} failed"))
+    GraftLogSource.commitManifest(dir, conf)(_ => Seq.empty): Unit
+    (try fs.listStatus(dir)
+     catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] })
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".glog"))
+      .foreach(s =>
+        require(fs.delete(s.getPath, false), s"truncate: delete ${s.getPath} failed"))
     true
   }
 
@@ -705,7 +931,8 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
 private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
     groupScan: Option[java.util.Set[String]] = None,
-    runtimeFilterable: Boolean = true)
+    runtimeFilterable: Boolean = true,
+    versionAsOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
@@ -774,10 +1001,10 @@ private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
   override def build(): Scan =
     if (runtimeFilterable)
       new GlogRuntimeFilterableScan(path, pushdown, required, pushed, limit,
-        topN, maxFilesPerTrigger, groupScan)
+        topN, maxFilesPerTrigger, groupScan, versionAsOf)
     else
       new GlogScan(path, pushdown, required, pushed, limit,
-        topN, maxFilesPerTrigger, groupScan)
+        topN, maxFilesPerTrigger, groupScan, versionAsOf)
 }
 
 /** The default scan shape: [[GlogScan]] plus the
@@ -793,9 +1020,10 @@ private[sources] class GlogRuntimeFilterableScan(path: String,
     pushed: Array[Filter], limit: Int,
     topN: Option[(String, Boolean, Int)],
     maxFilesPerTrigger: Option[Int],
-    groupScan: Option[java.util.Set[String]])
+    groupScan: Option[java.util.Set[String]],
+    versionAsOf: Option[Long] = None)
     extends GlogScan(path, pushdown, required, pushed, limit,
-      topN, maxFilesPerTrigger, groupScan)
+      topN, maxFilesPerTrigger, groupScan, versionAsOf)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
 
 private[sources] class GlogScan(path: String, pushdown: Boolean,
@@ -803,7 +1031,8 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     pushed: Array[Filter], limit: Int,
     topN: Option[(String, Boolean, Int)] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    groupScan: Option[java.util.Set[String]] = None)
+    groupScan: Option[java.util.Set[String]] = None,
+    versionAsOf: Option[Long] = None)
     extends Scan with SupportsReportStatistics {
 
   /** Filters delivered AFTER planning by SupportsRuntimeV2Filtering
@@ -879,7 +1108,7 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
   private def listKept(): (Array[FileStatus], Int) = {
     val (kept, total) = GraftLogSource.listCommitted(
       GraftLogSource.resolveDir(path),
-      scanConf, allFilters.toSeq)
+      scanConf, allFilters.toSeq, versionAsOf)
     runtimeFileNames match {
       case Some(names) => (kept.filter(s => names.contains(s.getPath.getName)), total)
       case None => (kept, total)
@@ -917,10 +1146,9 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     val rows = sampledLineWidth
       .map(w => math.max(1L, math.round(bytes / w)))
     // `value` min/max straight off the zone-map names — column
-    // statistics the planner gets for FREE, no ANALYZE scan (bounds
-    // may be a sound superset after in-place deletes; estimates, not
-    // proofs — compaction restores tightness). The pushdown=false
-    // foil reports bytes only.
+    // statistics the planner gets for FREE, no ANALYZE scan
+    // (copy-on-write DML recomputes bounds tight; estimates, not
+    // proofs). The pushdown=false foil reports bytes only.
     val valueBounds: Option[(Double, Double)] = {
       val bs = kept.flatMap(s => GraftLogSource.minMaxFromName(s.getPath.getName))
       if (bs.isEmpty) None else Some((bs.map(_._1).min, bs.map(_._2).max))
@@ -1009,8 +1237,12 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     Array(new GlogRowsMetric)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(versionAsOf.isEmpty,
+      "glog: versionAsOf is a batch-read option; a stream follows the " +
+        "live manifest")
     new GlogMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
+  }
 }
 
 /** Streaming read: the directory is an append-only log of committed
@@ -1329,14 +1561,14 @@ private[sources] class GlogReader(file: String, fields: Array[String],
   * commit renames every temp to its final zone-map name in one pass
   * — so a job that dies mid-write leaves no partial data visible,
   * task retries / speculative duplicates are discarded by `abort`,
-  * and every committed file carries pruning bounds. `truncate()`
-  * (SaveMode.Overwrite) removes prior committed files at job commit,
-  * not before — the table stays readable until the new data is
-  * fully staged, the same swap discipline as eng_compaction.
-  * NOTE: rename-based commit rides the FileSystem API — atomic on
-  * HDFS and raw-local; an object-store deployment would swap the
-  * rename for a manifest write, which this protocol's shape already
-  * supports. */
+  * and every committed file carries pruning bounds. Visibility is
+  * the MANIFEST CAS (see the versioned-manifest section of
+  * [[GraftLogSource]]): claimed files stay invisible until one
+  * atomic manifest commit references them, so concurrent committers
+  * retry instead of colliding, `truncate()` (SaveMode.Overwrite)
+  * swaps the whole live set in one version, and REPLACE WHERE
+  * deletes + restates its slice in ONE version — no reader ever
+  * sees a half-applied statement. */
 private[sources] class GlogWriteBuilder(path: String, schema: StructType,
     clustered: Boolean = false)
     extends WriteBuilder with SupportsTruncate
@@ -1393,26 +1625,28 @@ private[sources] class GlogWriteBuilder(path: String, schema: StructType,
     }
 }
 
-/** Streaming sink: the same task-commit protocol as the batch write,
-  * per EPOCH, made replay-safe by a MANIFEST marker written BEFORE
-  * the renames. Commit order: (1) atomically create
-  * `_epoch-N.committed` listing the planned final file names,
-  * (2) rename the staged temps to those names. A replayed commit
-  * (Spark re-runs an epoch its checkpoint never recorded) reads the
-  * marker: all listed names present → the epoch already landed,
-  * discard the staged copy (never duplicate); some names missing →
-  * the previous attempt crashed mid-rename, so ROLL BACK the partial
-  * epoch (unlink the present names — the replay carries the same
-  * rows, a deterministic offset range of committed source files) and
-  * land the staged copy fresh under a rewritten marker. Every path
-  * converges to exactly one copy of the epoch; a crash between
-  * marker creation and the first rename leaves only the marker, and
-  * a crash before the marker leaves only invisible `.inprogress`
-  * temps. The one transient anomaly is a PARTIALLY visible epoch
-  * between a mid-rename crash and its replay — bounded by restart
-  * time, and strictly better than the duplicate-forever the
-  * marker-last ordering would allow. Readers (batch and streaming)
-  * list only `*.glog`, so markers and temps are never scanned. */
+/** Streaming sink: the same claim-rename + manifest-CAS protocol as
+  * the batch write, per EPOCH, with an `_epoch-N.committed` marker
+  * (in `_glog_metadata/`) recording which epoch the last manifest
+  * commit belongs to. Commit order: (1) claim-rename the staged
+  * temps to final names — still INVISIBLE, the manifest does not
+  * reference them; (2) write the marker listing those names;
+  * (3) ONE manifest CAS appending them — the epoch becomes visible
+  * atomically, never partially. A replayed commit (Spark re-runs an
+  * epoch its checkpoint never recorded) reads the marker and checks
+  * its names against the LIVE manifest: all live → the epoch already
+  * landed, discard the staged copy (never duplicate); none live (the
+  * CAS is all-or-nothing) → the previous attempt crashed before its
+  * CAS, so unlink its orphaned claims and land the replayed copy
+  * fresh. Every path converges to exactly one visible copy of the
+  * epoch; a crash anywhere leaves only invisible orphans/temps.
+  * Markers below the committing epoch are GC'd at each commit (an
+  * epoch can only replay until the NEXT epoch's commit is invoked,
+  * which proves the checkpoint recorded it) — the data directory's
+  * listing stays O(data files) over an unbounded stream. One
+  * checkpoint per sink directory, the same contract as Spark's own
+  * file sink: a FRESH checkpoint restarting epoch numbering against
+  * a used sink directory would collide with the retained marker. */
 private[graft] class GlogStreamingWrite(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   require(schema.fieldNames.sameElements(GraftLogSource.SchemaFixed.fieldNames),
@@ -1421,7 +1655,12 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
       s", got ${schema.fieldNames.mkString(",")}")
 
   private def marker(dir: Path, epochId: Long): Path =
-    new Path(dir, s"_epoch-$epochId.committed")
+    new Path(GraftLogSource.metaDir(dir), s"_epoch-$epochId.committed")
+
+  private def markerEpoch(name: String): Option[Long] =
+    if (name.startsWith("_epoch-") && name.endsWith(".committed"))
+      name.stripPrefix("_epoch-").stripSuffix(".committed").toLongOption
+    else None
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo)
@@ -1449,26 +1688,40 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
     val conf = GraftLogSource.driverHadoopConf()
     val dir = GraftLogSource.resolveDir(path)
     val fs = GraftLogSource.fsFor(dir, conf)
-    fs.mkdirs(dir)
+    fs.mkdirs(GraftLogSource.metaDir(dir)): Unit
     val m = marker(dir, epochId)
     if (fs.exists(m)) {
       val listed = readMarker(fs, m)
-      val missing = listed.filterNot(n => fs.exists(new Path(dir, n)))
-      if (missing.isEmpty) {
-        // replayed epoch, fully landed — discard, never duplicate
+      val live = GraftLogSource.liveSnapshot(dir, conf)
+        .map(_._2.toSet).getOrElse(Set.empty)
+      if (listed.forall(live)) {
+        // replayed epoch, fully landed (its CAS committed) — discard
+        // the staged copy, never duplicate
         GraftLogSource.discardStaged(conf, messages)
         return
       }
-      // previous attempt crashed mid-rename: roll back the partial
-      // epoch, then land the replayed copy fresh below
-      listed.filterNot(missing.contains).foreach { n =>
-        require(fs.delete(new Path(dir, n), false),
-          s"epoch $epochId replay: rollback of partial file $n failed")
+      // previous attempt crashed before its manifest CAS: its claimed
+      // files are invisible orphans — unlink them for tidiness, then
+      // land the replayed copy fresh below
+      listed.filterNot(live).foreach { n =>
+        val p = new Path(dir, n)
+        if (fs.exists(p)) require(fs.delete(p, false),
+          s"epoch $epochId replay: cleanup of orphaned claim $n failed")
       }
     }
-    val targets = GraftLogSource.stagedTargets(dir, conf, messages)
-    writeMarker(fs, m, targets.map(_._2))
-    GraftLogSource.renamePlanned(dir, conf, targets, messages)
+    val names = GraftLogSource.renameStagedIn(dir, conf, messages)
+    writeMarker(fs, m, names)
+    GraftLogSource.commitManifest(dir, conf)(live => live ++ names): Unit
+    // GC dead markers: epochs below this one can never replay once
+    // this commit was invoked (the engine checkpoints batch N-1
+    // before asking the sink to commit batch N)
+    (try fs.listStatus(GraftLogSource.metaDir(dir))
+     catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+      .foreach { s =>
+        markerEpoch(s.getPath.getName).foreach { e =>
+          if (e < epochId) fs.delete(s.getPath, false): Unit
+        }
+      }
   }
 
   override def abort(epochId: Long,
@@ -1522,19 +1775,42 @@ private[graft] class GlogBatchWrite(path: String, schema: StructType,
     new GlogWriterFactory(path,
       new SerializableConf(GraftLogSource.driverHadoopConf()))
 
+  /** Job commit = claim the staged files in (still invisible), then
+    * ONE manifest CAS making the whole statement atomic for readers:
+    * append adds names; SaveMode.Overwrite replaces the live set
+    * (and then unlinks what it replaced — overwrite is destructive
+    * like TRUNCATE, not snapshot-preserving like DML); REPLACE WHERE
+    * drops/ rewrites the matching slice and adds the new data in the
+    * SAME version — no reader ever sees the slice deleted but not
+    * yet restated. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftLogSource.driverHadoopConf()
     val dir = GraftLogSource.resolveDir(path)
     val fs = GraftLogSource.fsFor(dir, conf)
-    fs.mkdirs(dir)
+    fs.mkdirs(dir): Unit
+    val newNames = GraftLogSource.renameStagedIn(dir, conf, messages)
+    val (dropNames, replNames) =
+      if (replaceWhere.nonEmpty)
+        GraftLogSource.deleteMatchingStaged(dir, conf, replaceWhere)
+      else (Set.empty[String], Seq.empty[String])
     if (truncateFirst) {
-      val (all, _) = GraftLogSource.listCommitted(dir, conf, Seq.empty)
-      all.foreach(s =>
-        require(fs.delete(s.getPath, false), s"overwrite: delete ${s.getPath} failed"))
+      GraftLogSource.commitManifest(dir, conf)(_ => newNames): Unit
+      // unlink everything the overwrite displaced: all data files on
+      // disk except the new generation (orphans of prior DML too —
+      // overwrite resets the table's whole history)
+      val keep = newNames.toSet
+      (try fs.listStatus(dir)
+       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".glog") &&
+          !keep(s.getPath.getName))
+        .foreach(s => require(fs.delete(s.getPath, false),
+          s"overwrite: delete ${s.getPath} failed"))
+    } else if (newNames.nonEmpty || dropNames.nonEmpty || replNames.nonEmpty) {
+      GraftLogSource.commitManifest(dir, conf) { live =>
+        GraftLogSource.requireStillLive(live, dropNames, "REPLACE WHERE")
+        live.filterNot(dropNames) ++ replNames ++ newNames
+      }: Unit
     }
-    if (replaceWhere.nonEmpty)
-      GraftLogSource.deleteMatching(dir, conf, replaceWhere)
-    GraftLogSource.renameStagedIn(dir, conf, messages)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1577,14 +1853,16 @@ private[sources] class GlogRowLevelOperation(path: String,
     }
 }
 
-/** Job commit for copy-on-write: swap the scan-recorded group files
-  * for the staged replacements in one driver-side pass. The staged
-  * files rename IN first, the replaced groups unlink after — a crash
-  * mid-commit can surface transient DUPLICATES (old + new rows both
-  * visible), never silent loss; a multi-file swap cannot be atomic
-  * on a plain filesystem, and duplicates are recoverable where loss
-  * is not (a manifest-based committer — the documented object-store
-  * swap-in — removes the window entirely). */
+/** Job commit for copy-on-write row-level DML: swap the
+  * scan-recorded group files for the staged replacements in ONE
+  * manifest CAS — readers see the statement entirely or not at all
+  * (the pre-manifest protocol's transient old+new window is gone).
+  * The replaced group files stay on disk as orphans for
+  * snapshot-pinned readers until [[GraftLogSource.vacuum]]; a crash
+  * before the CAS leaves the table untouched and the statement
+  * re-runs idempotently. A concurrent commit that already swapped
+  * one of the group files loses loudly
+  * ([[GraftLogSource.GlogConcurrentModificationException]]). */
 private[graft] class GlogReplaceGroups(path: String,
     affected: java.util.Set[String], schema: StructType) extends BatchWrite {
   require(schema.fieldNames.sameElements(GraftLogSource.SchemaFixed.fieldNames),
@@ -1596,14 +1874,13 @@ private[graft] class GlogReplaceGroups(path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftLogSource.driverHadoopConf()
     val dir = GraftLogSource.resolveDir(path)
-    val fs = GraftLogSource.fsFor(dir, conf)
-    GraftLogSource.renameStagedIn(dir, conf, messages)
+    val newNames = GraftLogSource.renameStagedIn(dir, conf, messages)
     import scala.jdk.CollectionConverters._
-    affected.asScala.toSeq.sorted.foreach { p =>
-      val f = new Path(p)
-      require(!fs.exists(f) || fs.delete(f, false),
-        s"group replace: delete $p failed")
-    }
+    val dropNames = affected.asScala.map(p => new Path(p).getName).toSet
+    GraftLogSource.commitManifest(dir, conf) { live =>
+      GraftLogSource.requireStillLive(live, dropNames, "row-level rewrite")
+      live.filterNot(dropNames) ++ newNames
+    }: Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftLogSource.discardStaged(GraftLogSource.driverHadoopConf(), messages)

@@ -234,9 +234,9 @@ class Dsv2SourceSpec extends AnyFunSuite {
     }
   }
 
-  test("epoch replay converges after a simulated mid-rename crash") {
-    import org.apache.hadoop.fs.Path
+  test("epoch replay converges after a simulated pre-CAS crash") {
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_crash").toFile
+    val meta = new java.io.File(dir, GraftLogSource.MetaDirName)
     val sw = new graft.sources.GlogStreamingWrite(dir.getAbsolutePath,
       GraftLogSource.SchemaFixed)
     val fac = sw.createStreamingWriterFactory(null)
@@ -251,24 +251,30 @@ class Dsv2SourceSpec extends AnyFunSuite {
     sw.commit(0L, Array(w0.commit()))
     def glogNames() = dir.listFiles().map(_.getName).filter(_.endsWith(".glog"))
     assert(glogNames().length == 1)
-    // simulate epoch 1's FIRST attempt crashing mid-rename: its
-    // marker lists two planned names, one landed (with that attempt's
-    // rows), one never made it
+    // simulate epoch 1's FIRST attempt crashing BETWEEN its claim
+    // renames and its manifest CAS: two files claimed on disk, the
+    // marker written, the manifest never bumped — the claims are
+    // invisible orphans
     val landed = GraftLogSource.fileName(7, 2.0, 2.0)
-    val neverLanded = GraftLogSource.fileName(8, 3.0, 3.0)
+    val alsoLanded = GraftLogSource.fileName(8, 3.0, 3.0)
     java.nio.file.Files.write(new java.io.File(dir, landed).toPath,
       "2\t2000\t2\te1\t2.0\t{}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, alsoLanded).toPath,
+      "3\t3000\t3\te1\t3.0\t{}\n".getBytes("UTF-8"))
     java.nio.file.Files.write(
-      new java.io.File(dir, "_epoch-1.committed").toPath,
-      s"$landed\n$neverLanded\n".getBytes("UTF-8"))
+      new java.io.File(meta, "_epoch-1.committed").toPath,
+      s"$landed\n$alsoLanded\n".getBytes("UTF-8"))
+    // the crashed attempt's rows are NOT visible (manifest never moved)
+    assert(spark.read.format("glog")
+      .option("path", dir.getAbsolutePath).load().count() == 1)
     // the replayed epoch 1 carries the SAME two rows, staged fresh
     val wa = fac.createWriter(0, 10L, 1L)
     wa.write(row(2L, "e1", 2.0))
     val wb = fac.createWriter(1, 11L, 1L)
     wb.write(row(3L, "e1", 3.0))
     sw.commit(1L, Array(wa.commit(), wb.commit()))
-    // converged: the partial attempt rolled back, exactly one copy of
-    // the epoch's rows visible, no temps
+    // converged: exactly one visible copy of the epoch's rows, no
+    // temps, the crashed attempt's orphaned claims cleaned up
     val back = spark.read.format("glog")
       .option("path", dir.getAbsolutePath).load()
       .select(col("event_id"), col("event_type")).collect()
@@ -277,7 +283,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"replay did not converge: $back")
     assert(!dir.listFiles().exists(_.getName.endsWith(".inprogress")))
     assert(!dir.listFiles().map(_.getName).contains(landed),
-      "partial-attempt file survived the rollback")
+      "orphaned claim survived the replay cleanup")
     // a SECOND replay of the now-complete epoch is a pure no-op
     val wc = fac.createWriter(0, 12L, 1L)
     wc.write(row(2L, "e1", 2.0))
@@ -285,6 +291,10 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val n = spark.read.format("glog")
       .option("path", dir.getAbsolutePath).load().count()
     assert(n == 3, s"second replay duplicated rows: $n")
+    // markers GC to the committing epoch: epoch 0's is gone
+    val markers = Option(meta.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("_epoch-"))
+    assert(markers.toSeq == Seq("_epoch-1.committed"), markers.mkString(","))
   }
 
   test("pushed TopN keeps exact results; unsupported orders decline safely") {
@@ -434,21 +444,39 @@ class Dsv2SourceSpec extends AnyFunSuite {
       untouchable.foreach { n =>
         assert(after.get(n).contains(before(n)), s"zone-skipped file $n was rewritten")
       }
-      // rewritten files keep their name (atomic same-name swap), so
-      // bounds stay a sound SUPERSET of the surviving values — every
-      // remaining row must sit inside its file's claimed range
-      after.keySet.foreach { n =>
+      // copy-on-write: survivors land in FRESH part files with TIGHT
+      // recomputed bounds; the replaced originals stay on disk as
+      // snapshot orphans invisible to readers. Check the LIVE set:
+      // every live row inside its file's claimed range and below the
+      // cut — a pruned re-scan of the deleted range reads NOTHING
+      val dirPath = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+      val conf = GraftLogSource.driverHadoopConf()
+      val live = GraftLogSource.listCommitted(dirPath, conf, Seq.empty)
+        ._1.map(_.getPath.getName).toSet
+      live.foreach { n =>
         GraftLogSource.minMaxFromName(n).foreach { case (mn, mx) =>
           val vals = java.nio.file.Files
             .readAllLines(new java.io.File(dir, n).toPath)
             .toArray(Array.empty[String])
             .map(_.split("\t", 6)(4).toDouble)
           assert(vals.forall(v => v >= mn && v <= mx),
-            s"surviving file $n has rows outside its zone map")
+            s"live file $n has rows outside its zone map")
           assert(vals.forall(_ < cut), s"deleted rows survived in $n")
         }
       }
-      assert(!dir.listFiles().exists(_.getName.endsWith(".rewrite")))
+      import org.apache.spark.sql.sources.GreaterThanOrEqual
+      assert(GraftLogSource.listCommitted(dirPath, conf,
+        Seq(GreaterThanOrEqual("value", cut)))._1.isEmpty,
+        "bounds not tight: the deleted range still keeps live files")
+      assert(!dir.listFiles().exists(_.getName.endsWith(".inprogress")))
+      // vacuum reclaims the orphaned originals; live files survive
+      val orphans = dir.listFiles().count(f =>
+        f.getName.endsWith(".glog") && !live(f.getName))
+      assert(orphans > 0, "expected copy-on-write orphans before vacuum")
+      assert(GraftLogSource.vacuum(dir.getAbsolutePath) == orphans)
+      assert(dir.listFiles().filter(_.getName.endsWith(".glog"))
+        .map(_.getName).toSet == live, "vacuum touched live files")
+      assert(count() == expectSurvivors, "vacuum changed query results")
       // predicate shapes SupportsDelete can't evaluate row-wise fall
       // back to the copy-on-write row-level rewrite — the statement
       // still works, with exact semantics
@@ -582,27 +610,37 @@ class Dsv2SourceSpec extends AnyFunSuite {
     }
   }
 
-  test("fully-covered DELETE unlinks files without opening them") {
+  test("fully-covered DELETE drops files from the manifest without opening them") {
     import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, EqualTo}
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_cov").toFile
     // a file whose CONTENT would not parse: if deleteMatching opened
     // it, parseDouble would throw — the metadata-only path must not
-    java.nio.file.Files.write(
-      new java.io.File(dir, GraftLogSource.fileName(0, 50.0, 60.0)).toPath,
+    val covered = GraftLogSource.fileName(0, 50.0, 60.0)
+    java.nio.file.Files.write(new java.io.File(dir, covered).toPath,
       "THIS IS NOT A VALID GLOG LINE".getBytes("UTF-8"))
     // a straddling file that must survive partially
     java.nio.file.Files.write(
       new java.io.File(dir, GraftLogSource.fileName(1, 10.0, 55.0)).toPath,
       "1\t1000\t1\tclick\t10.0\t{}\n2\t2000\t2\tclick\t55.0\t{}\n".getBytes("UTF-8"))
-    GraftLogSource.deleteMatching(
-      new org.apache.hadoop.fs.Path(dir.getAbsolutePath),
+    val dirPath = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+    val conf = GraftLogSource.driverHadoopConf()
+    GraftLogSource.deleteMatching(dirPath,
       Array[Filter](GreaterThanOrEqual("value", 50.0)))
-    val names = dir.listFiles().map(_.getName).filter(_.endsWith(".glog"))
+    // LIVE set: only the straddler's copy-on-write replacement; the
+    // fully-covered file was dropped metadata-only (its unparsable
+    // content proves nothing opened it) and stays on disk as an
+    // orphan until vacuum
+    val names = GraftLogSource.listCommitted(dirPath, conf, Seq.empty)
+      ._1.map(_.getPath.getName)
     assert(names.length == 1, names.mkString(","))
     val lines = java.nio.file.Files.readAllLines(
       new java.io.File(dir, names.head).toPath)
     assert(lines.size == 1 && lines.get(0).startsWith("1\t"),
       s"straddler not rewritten correctly: $lines")
+    assert(new java.io.File(dir, covered).exists(),
+      "fully-covered orphan should persist until vacuum")
+    assert(GraftLogSource.vacuum(dir.getAbsolutePath) == 2)
+    assert(dir.listFiles().map(_.getName).count(_.endsWith(".glog")) == 1)
     // coverage proof is conservative: non-value predicates never take
     // the metadata-only path
     assert(!GraftLogSource.zoneMapFullyCovers(50.0, 60.0,
@@ -779,7 +817,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"compacted layout not pruned: ${kept("1_scrambled")}")
   }
 
-  test("compact restores tight disjoint bounds after an in-place DELETE") {
+  test("copy-on-write DELETE leaves tight bounds; compact consolidates via one manifest swap") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_cp").toFile
@@ -794,30 +832,50 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val conf = GraftLogSource.driverHadoopConf()
     GraftLogSource.deleteMatching(p,
       Array[Filter](GreaterThanOrEqual("value", 100.0)))
-    // in-place rewrite keeps names: the zone map still CLAIMS the
-    // deleted range (sound superset), so the pruned query reads both
-    val stale = GraftLogSource.listCommitted(p, conf,
+    // copy-on-write recomputes bounds TIGHT immediately: the deleted
+    // range prunes to zero live files, no compaction needed for that
+    val afterDelete = GraftLogSource.listCommitted(p, conf,
       Seq(GreaterThanOrEqual("value", 100.0)))._1
-    assert(stale.length == 2, s"expected stale superset bounds: ${stale.length}")
+    assert(afterDelete.isEmpty,
+      s"bounds not tight after copy-on-write DELETE: ${afterDelete.length}")
+    // the delete split the table into 2 single-row live files; compact
+    // consolidates them (file-count maintenance) via ONE manifest swap
+    assert(GraftLogSource.listCommitted(p, conf, Seq.empty)._2 == 2)
     GraftLogSource.compact(spark, dir.getAbsolutePath)
     // content preserved exactly
     val vals = spark.read.format("glog").option("path", dir.getAbsolutePath)
       .load().select(col("value")).collect().map(_.getDouble(0)).sorted.toSeq
     assert(vals == Seq(10.0, 30.0), s"compaction changed content: $vals")
-    // bounds now tight: the deleted range prunes to ZERO files, and
-    // every surviving row sits inside its file's claimed range
-    val tight = GraftLogSource.listCommitted(p, conf,
-      Seq(GreaterThanOrEqual("value", 100.0)))._1
-    assert(tight.isEmpty, s"bounds still stale after compact: ${tight.length}")
-    dir.listFiles().filter(_.getName.endsWith(".glog")).foreach { f =>
-      val (mn, mx) = GraftLogSource.minMaxFromName(f.getName).get
-      val rows = java.nio.file.Files.readAllLines(f.toPath)
+    // every live row sits inside its file's claimed range
+    val live = GraftLogSource.listCommitted(p, conf, Seq.empty)._1
+    live.foreach { s =>
+      val (mn, mx) = GraftLogSource.minMaxFromName(s.getPath.getName).get
+      val rows = java.nio.file.Files.readAllLines(
+          new java.io.File(dir, s.getPath.getName).toPath)
         .toArray(Array.empty[String]).map(_.split("\t", 6)(4).toDouble)
-      assert(rows.forall(v => v >= mn && v <= mx), s"loose bounds: ${f.getName}")
+      assert(rows.forall(v => v >= mn && v <= mx),
+        s"loose bounds: ${s.getPath.getName}")
     }
     // no staging residue
     assert(!new java.io.File(dir.getParentFile,
       dir.getName + ".compact").exists())
+    // RE-RUNNING compact converges: the manifest (not the listing) is
+    // the source of truth, so the orphaned prior generations can never
+    // be folded back in as duplicates
+    GraftLogSource.compact(spark, dir.getAbsolutePath)
+    val again = spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load().select(col("value")).collect().map(_.getDouble(0)).sorted.toSeq
+    assert(again == Seq(10.0, 30.0), s"compact replay duplicated rows: $again")
+    // a hand-planted orphan claim (a crashed commit's rename that
+    // never reached its CAS) is invisible to readers and reclaimed by
+    // vacuum — the pre-manifest protocol's duplicate window is gone
+    val orphan = GraftLogSource.fileName(9000, 10.0, 10.0)
+    java.nio.file.Files.write(new java.io.File(dir, orphan).toPath,
+      "1\t1000\t1\ta\t10.0\t{}\n".getBytes("UTF-8"))
+    assert(spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load().count() == 2, "orphaned claim leaked into reads")
+    GraftLogSource.vacuum(dir.getAbsolutePath): Unit
+    assert(!new java.io.File(dir, orphan).exists(), "vacuum missed the orphan")
   }
 
   test("MERGE group scans decline runtime filtering; UPDATE/DELETE accept it") {
@@ -998,9 +1056,15 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // each committed epoch leaves a marker; no temp residue
+    // the replay ledger lives in _glog_metadata/, GC'd to the LATEST
+    // epoch (older epochs can never replay once a newer commit was
+    // invoked) — the data listing stays O(data files); no temp residue
     val names = sink.listFiles().map(_.getName)
-    assert(names.count(_.startsWith("_epoch-")) >= 3, names.mkString(","))
+    val meta = new java.io.File(sink, GraftLogSource.MetaDirName)
+    val metaNames = Option(meta.listFiles()).getOrElse(Array.empty).map(_.getName)
+    assert(names.count(_.startsWith("_epoch-")) == 0, names.mkString(","))
+    assert(metaNames.count(_.startsWith("_epoch-")) == 1, metaNames.mkString(","))
+    assert(metaNames.contains("_epoch-2.committed"), metaNames.mkString(","))
     assert(!names.exists(_.endsWith(".inprogress")))
     assert(names.filter(_.endsWith(".glog"))
       .forall(n => GraftLogSource.minMaxFromName(n).isDefined))
@@ -1015,16 +1079,18 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     // epoch replay: committing the SAME epoch again must discard, not
     // duplicate (the marker contract) — simulate a post-failure replay
+    // of the LAST epoch (the only epoch the engine can ever replay,
+    // and the one whose marker the GC retains)
     val sw = new graft.sources.GlogStreamingWrite(sink.getAbsolutePath,
       GraftLogSource.SchemaFixed)
     val fac = sw.createStreamingWriterFactory(null)
-    val w = fac.createWriter(0, 999L, 0L)
+    val w = fac.createWriter(0, 999L, 2L)
     w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](123456789L, 1000000L, 1L,
         org.apache.spark.unsafe.types.UTF8String.fromString("replayed"), 1.0,
         org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
     val msg = w.commit()
-    sw.commit(0L, Array(msg)) // epoch 0 already committed by the query
+    sw.commit(2L, Array(msg)) // epoch 2 already committed by the query
     val after = canon(spark.read.format("glog")
       .option("path", sink.getAbsolutePath).load())
     assert(after == streamed, "replayed epoch appended duplicates")
@@ -1058,5 +1124,144 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // so the pruned schema is the 3 referenced columns, not all 6
     assert(census._3 == 3, s"read-schema not pruned: $census")
     assert(census._2 < census._1, s"zone map pruned nothing: $census")
+  }
+
+  test("manifest CAS: concurrent committers all land, versions are a total order") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cas").toFile
+    val p = new Path(dir.getAbsolutePath)
+    val conf = GraftLogSource.driverHadoopConf()
+    // publishIfAbsent is a true CAS on the raw local FS: the second
+    // publisher of the same version LOSES (no silent replace)
+    val fs = graft.sources.GraftLogSource.fsFor(p, conf)
+    fs.mkdirs(GraftLogSource.metaDir(p))
+    def tmpWith(s: String) = {
+      val t = new Path(GraftLogSource.metaDir(p), s".t-$s.tmp")
+      val out = fs.create(t, true); out.write(s.getBytes("UTF-8")); out.close(); t
+    }
+    val dst = GraftLogSource.manifestPath(p, 1L)
+    assert(GraftLogSource.publishIfAbsent(fs, tmpWith("a\n"), dst))
+    val loserTmp = tmpWith("b\n")
+    assert(!GraftLogSource.publishIfAbsent(fs, loserTmp, dst))
+    assert(GraftLogSource.liveSnapshot(p, conf).contains((1L, Seq("a"))))
+    fs.delete(loserTmp, false)
+    // 8 threads race commitManifest, each appending one name: every
+    // append lands exactly once, versions 2..9 form a total order
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = GraftLogSource.commitManifest(p, conf)(
+            live => live :+ f"part-$i%04d_0_0.glog")._1
+        })
+      }
+      val versions = futures.map(_.get()).sorted
+      assert(versions == (2L to 9L), versions.mkString(","))
+    } finally pool.shutdown()
+    val (v, live) = GraftLogSource.liveSnapshot(p, conf).get
+    assert(v == 9L)
+    assert(live.toSet == Set("a") ++
+      (0 until 8).map(i => f"part-$i%04d_0_0.glog"), live.mkString(","))
+  }
+
+  test("two interleaved batch committers both land: no collision, no loss") {
+    Tables.register(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cc").toFile
+    val schema = GraftLogSource.SchemaFixed
+    def stagedWrite(id: Long, v: Double): (graft.sources.GlogBatchWrite,
+        Array[org.apache.spark.sql.connector.write.WriterCommitMessage]) = {
+      val fac = new graft.sources.GlogWriterFactory(dir.getAbsolutePath)
+      val w = fac.createWriter(0, id)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("cc"), v,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+      (new graft.sources.GlogBatchWrite(dir.getAbsolutePath, schema,
+        truncateFirst = false), Array(w.commit()))
+    }
+    // both jobs STAGE before either commits — the exact interleaving
+    // the old listing-based index allocation raced on
+    val (bwA, msgA) = stagedWrite(1L, 10.0)
+    val (bwB, msgB) = stagedWrite(2L, 20.0)
+    bwA.commit(msgA)
+    bwB.commit(msgB)
+    val back = spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load().select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(back == Seq(1L, 2L), s"concurrent commits lost rows: $back")
+    val names = dir.listFiles().map(_.getName).filter(_.endsWith(".glog"))
+    assert(names.length == 2 && names.distinct.length == 2,
+      names.mkString(","))
+    // a concurrent commit that tries to replace a file another commit
+    // already swapped loses LOUDLY (never resurrects deleted rows)
+    val p = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+    val conf = GraftLogSource.driverHadoopConf()
+    val victim = GraftLogSource.listCommitted(p, conf, Seq.empty)
+      ._1.head.getPath.getName
+    GraftLogSource.commitManifest(p, conf)(
+      live => live.filterNot(_ == victim)) // "writer 1" swaps it out
+    intercept[GraftLogSource.GlogConcurrentModificationException] {
+      GraftLogSource.commitManifest(p, conf) { live =>
+        GraftLogSource.requireStillLive(live, Seq(victim), "spec")
+        live.filterNot(_ == victim)
+      }
+    }
+  }
+
+  test("snapshot isolation: versionAsOf time travel survives a DELETE; vacuum bounds it") {
+    Tables.register(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_tt").toFile
+    val ev = spark.table("events").select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    ev.write.format("glog").option("path", dir.getAbsolutePath)
+      .mode("overwrite").save()
+    val p = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+    val conf = GraftLogSource.driverHadoopConf()
+    val (v0, _) = GraftLogSource.liveSnapshot(p, conf).get
+    val n0 = ev.count()
+    val cut = ev.agg(expr("percentile(value, 0.5)")).collect()(0).getDouble(0)
+    spark.sql(s"DROP TABLE IF EXISTS graft_glog_tt")
+    try {
+      spark.sql(s"""CREATE TABLE graft_glog_tt USING glog
+        OPTIONS (path '${dir.getAbsolutePath}')""")
+      spark.sql(s"DELETE FROM graft_glog_tt WHERE value >= $cut")
+      val nNow = spark.table("graft_glog_tt").count()
+      assert(nNow < n0)
+      // a reader pinned to the pre-DELETE version sees the FULL table:
+      // the rewrite orphaned, never unlinked, the old generation
+      val pinned = spark.read.format("glog")
+        .option("path", dir.getAbsolutePath)
+        .option("versionAsOf", v0.toString).load()
+      assert(pinned.count() == n0, "pinned snapshot was disturbed by DELETE")
+      // retaining 2 versions keeps the time-travel read alive through
+      // a vacuum; retaining 1 reclaims it and the read fails LOUDLY
+      GraftLogSource.vacuum(dir.getAbsolutePath, retainVersions = 2): Unit
+      assert(spark.read.format("glog").option("path", dir.getAbsolutePath)
+        .option("versionAsOf", v0.toString).load().count() == n0)
+      GraftLogSource.vacuum(dir.getAbsolutePath): Unit
+      val err = intercept[Exception] {
+        spark.read.format("glog").option("path", dir.getAbsolutePath)
+          .option("versionAsOf", v0.toString).load().count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(err).exists(m => m.contains("no manifest version") ||
+        m.contains("missing on disk")), chain(err).mkString(" | "))
+      assert(spark.table("graft_glog_tt").count() == nNow,
+        "vacuum disturbed the live version")
+      // streams refuse the batch-only option
+      val serr = intercept[Exception] {
+        spark.readStream.format("glog").option("path", dir.getAbsolutePath)
+          .option("versionAsOf", v0.toString).load()
+          .writeStream.format("noop")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_tt_ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      assert(chain(serr).exists(_.contains("batch-read option")),
+        chain(serr).mkString(" | "))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_glog_tt")
   }
 }
