@@ -19,13 +19,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * maps, runtime filters, DML, streaming both ways).
   *
   * The metastore IS the filesystem: a namespace exists iff its
-  * directory does, a table iff its directory under the namespace
-  * does. That makes the catalog trivially multi-engine (anything
-  * that can list the warehouse sees the same tables) and crash-safe
-  * (no second source of truth to drift). The trade is documented
-  * honestly: no table-level ACLs or comments survive beyond the
-  * directory, and `alterTable` is rejected — the glog schema is
-  * fixed by the format.
+  * directory does, a table iff its directory carries the
+  * `_glog.table` MARKER file. The marker does three jobs: (1) it
+  * keeps namespace directories from ever resolving as tables (so
+  * `DROP TABLE cat.ns` can never recursively delete a namespace);
+  * (2) its EXCLUSIVE creation is the concurrent-CREATE arbiter — two
+  * racing creators get one winner, the loser a loud
+  * TableAlreadyExistsException, never a shared directory (`mkdirs`
+  * succeeds for both, so it cannot arbitrate); (3) it DURABLY stores
+  * table properties (java.util.Properties text), so
+  * `TBLPROPERTIES` survive restarts and are visible to any engine
+  * that lists the warehouse. Column ALTERs are rejected — the glog
+  * schema is fixed by the format.
   *
   * Reference analog: the flash partition TABLE of the SDK — a fixed
   * on-device directory of named record regions resolved by name at
@@ -33,6 +38,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (imc22_sdk/flash_loader.c:61-62's loader resolves regions the
   * same one-seam way). */
 class GlogCatalog extends TableCatalog with SupportsNamespaces {
+  import GlogCatalog.MarkerName
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -58,47 +64,108 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- tables ----
 
+  private def markerPath(ident: Identifier): Path =
+    new Path(tablePath(ident), MarkerName)
+
+  private def readProps(ident: Identifier): Map[String, String] = {
+    val p = new java.util.Properties()
+    val in = fs.open(markerPath(ident))
+    try p.load(new java.io.InputStreamReader(in,
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+    import scala.jdk.CollectionConverters._
+    p.asScala.toMap
+  }
+
+  private def propsBytes(props: Map[String, String]): Array[Byte] = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v): Unit }
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(bos,
+      java.nio.charset.StandardCharsets.UTF_8))
+    p.store(w, null)
+    w.close()
+    // strip Properties.store's wall-clock comment line: the marker
+    // must be deterministic for a given property set
+    new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filterNot(_.startsWith("#"))
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def writeProps(ident: Identifier, props: Map[String, String]): Unit = {
+    val out = fs.create(markerPath(ident), true)
+    try out.write(propsBytes(props)) finally out.close()
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = nsPath(namespace)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(p).filter(_.isDirectory)
       .map(s => Identifier.of(namespace, s.getPath.getName))
+      .filter(tableExists)
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val p = tablePath(ident)
-    if (!fs.exists(p)) throw new NoSuchTableException(ident)
-    new GlogTable(p.toString, pushdown = true)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GlogTable(tablePath(ident).toString, pushdown = true,
+      tableProps = readProps(ident))
   }
 
+  /** A table is a directory CARRYING the marker — a bare namespace
+    * (or foreign) directory never resolves as a table, so DML/DROP
+    * against `cat.ns` fails loudly instead of treating the namespace
+    * as an empty table. */
   override def tableExists(ident: Identifier): Boolean =
-    fs.exists(tablePath(ident))
+    fs.exists(markerPath(ident))
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     // the glog schema is fixed by the format: accept an empty schema
-    // (CREATE TABLE t USING glog) or exactly the canonical one;
-    // anything else is a loud analysis-time error, not a silent remap
+    // (CREATE TABLE t USING glog) or exactly the canonical one —
+    // names AND types (nullability-insensitive); anything else is a
+    // loud analysis-time error, not a silent remap served with the
+    // fixed types
     val s = info.schema()
-    require(s.isEmpty ||
-        s.fieldNames.sameElements(GraftLogSource.SchemaFixed.fieldNames),
+    val canonical = GraftLogSource.SchemaFixed
+    val matches = s.length == canonical.length &&
+      s.fields.zip(canonical.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType
+      }
+    require(s.isEmpty || matches,
       s"glog tables have the fixed schema " +
-        s"${GraftLogSource.SchemaFixed.fieldNames.mkString("(", ", ", ")")}; " +
-        s"got ${s.fieldNames.mkString("(", ", ", ")")}")
+        canonical.fields.map(f => s"${f.name} ${f.dataType.sql}")
+          .mkString("(", ", ", ")") +
+        s"; got " + s.fields.map(f => s"${f.name} ${f.dataType.sql}")
+          .mkString("(", ", ", ")"))
     require(info.partitions().isEmpty,
       "glog tables do not support partition transforms (the zone map " +
         "IS the layout; use option clustered=true on writes)")
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val ns = nsPath(ident.namespace())
     if (!fs.exists(ns)) throw new NoSuchNamespaceException(ident.namespace())
     require(fs.mkdirs(tablePath(ident)),
       s"glog catalog: cannot create ${tablePath(ident)}")
-    new GlogTable(tablePath(ident).toString, pushdown = true)
+    // the marker's EXCLUSIVE creation is the arbiter: mkdirs succeeds
+    // for every racing creator, the marker link for exactly one
+    import scala.jdk.CollectionConverters._
+    val userProps = Option(info.properties()).map(_.asScala.toMap)
+      .getOrElse(Map.empty)
+      .filterNot { case (k, _) => GlogCatalog.ReservedProps(k) }
+    val tmp = new Path(tablePath(ident),
+      s".marker-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(propsBytes(userProps)) finally out.close()
+    if (!GraftLogSource.publishIfAbsent(fs, tmp, markerPath(ident))) {
+      fs.delete(tmp, false): Unit
+      throw new TableAlreadyExistsException(ident)
+    }
+    new GlogTable(tablePath(ident).toString, pushdown = true,
+      tableProps = userProps)
   }
 
   /** The glog schema is fixed by the format — reject column changes
-    * at analysis time. Property-only changes are accepted as no-ops
-    * (there is nowhere durable to put them; the filesystem is the
-    * whole metastore). */
+    * at analysis time. SET/UNSET TBLPROPERTIES are DURABLE: they
+    * rewrite the marker file (still filesystem-is-the-metastore —
+    * one more file, multi-engine readable). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val structural = changes.exists {
@@ -108,11 +175,18 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
     require(!structural,
       "glog tables have a fixed schema; ALTER TABLE column changes are " +
         "not supported")
+    val updated = changes.foldLeft(readProps(ident)) {
+      case (props, c: TableChange.SetProperty) =>
+        props + (c.property() -> c.value())
+      case (props, c: TableChange.RemoveProperty) => props - c.property()
+      case (props, _) => props
+    }
+    writeProps(ident, updated)
     loadTable(ident)
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    fs.exists(tablePath(ident)) && fs.delete(tablePath(ident), true)
+    tableExists(ident) && fs.delete(tablePath(ident), true)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
@@ -120,8 +194,11 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
     val target = tablePath(newIdent)
     if (!fs.exists(target.getParent))
       throw new NoSuchNamespaceException(newIdent.namespace())
+    // the directory rename is the arbiter on a real FS: onto an
+    // existing directory it fails, and the loud require surfaces it
     require(fs.rename(tablePath(oldIdent), target),
-      s"glog catalog: rename ${tablePath(oldIdent)} -> $target failed")
+      s"glog catalog: rename ${tablePath(oldIdent)} -> $target failed " +
+        "(does the target already exist?)")
   }
 
   // ---- namespaces ----
@@ -168,4 +245,16 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
     fs.delete(nsPath(namespace), true)
   }
+}
+
+object GlogCatalog {
+  /** Marker file every glog catalog table carries: its presence is
+    * table-ness (a namespace dir can never resolve as a table), its
+    * exclusive creation the concurrent-CREATE arbiter, its content
+    * the durable TBLPROPERTIES. */
+  val MarkerName = "_glog.table"
+
+  /** Engine-managed property keys never persisted to the marker. */
+  private val ReservedProps: Set[String] =
+    Set("provider", "location", "owner", "external", "comment")
 }

@@ -825,7 +825,8 @@ class GraftLogSource extends TableProvider
   override def supportsExternalMetadata(): Boolean = false
 }
 
-private[sources] class GlogTable(path: String, pushdown: Boolean)
+private[sources] class GlogTable(path: String, pushdown: Boolean,
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -833,6 +834,14 @@ private[sources] class GlogTable(path: String, pushdown: Boolean)
   require(path != null, "graft-log source requires option(\"path\", dir)")
   override def name(): String = s"glog($path)"
   override def schema(): StructType = GraftLogSource.SchemaFixed
+  /** Durable TBLPROPERTIES (catalog tables: loaded from the
+    * `_glog.table` marker) plus the provider tag. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "glog"): Unit
+    tableProps.foreach { case (k, v) => m.put(k, v): Unit }
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,

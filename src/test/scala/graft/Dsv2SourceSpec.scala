@@ -1126,6 +1126,86 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(census._2 < census._1, s"zone map pruned nothing: $census")
   }
 
+  test("glog catalog: marker arbitration, typed schema check, durable TBLPROPERTIES") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_glog_wh2").toFile
+    spark.conf.set("spark.sql.catalog.glogcat2", "graft.sources.GlogCatalog")
+    spark.conf.set("spark.sql.catalog.glogcat2.warehouse", wh.getAbsolutePath)
+    try {
+      spark.sql("CREATE NAMESPACE glogcat2.lab")
+      // a namespace directory is NOT a table: no marker, no resolution
+      // (DROP TABLE on the namespace identifier must not nuke it)
+      intercept[Exception] { spark.sql("DROP TABLE glogcat2.lab") }
+      assert(new java.io.File(wh, "lab").isDirectory,
+        "DROP TABLE on a namespace deleted the namespace")
+      intercept[Exception] { spark.sql("SELECT * FROM glogcat2.lab") }
+      // matching NAMES with wrong TYPES is rejected loudly, never
+      // silently served with the fixed types
+      val err = intercept[Exception] {
+        spark.sql("""CREATE TABLE glogcat2.lab.badtypes (
+          event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          event_type STRING, value STRING, props STRING) USING glog""")
+      }
+      assert(err.getMessage.contains("fixed schema"), err.getMessage)
+      // TBLPROPERTIES persist through the marker file: visible after a
+      // fresh loadTable, across SET/UNSET, and on disk for any engine
+      spark.sql("""CREATE TABLE glogcat2.lab.ev (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING) USING glog
+        TBLPROPERTIES ('retention.days'='30')""")
+      def props(): Map[String, String] = spark.sql(
+        "SHOW TBLPROPERTIES glogcat2.lab.ev").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props().get("retention.days").contains("30"), props().toString)
+      spark.sql("""ALTER TABLE glogcat2.lab.ev
+        SET TBLPROPERTIES ('retention.days'='7', 'tier'='hot')""")
+      assert(props().get("retention.days").contains("7"))
+      assert(props().get("tier").contains("hot"))
+      spark.sql("ALTER TABLE glogcat2.lab.ev UNSET TBLPROPERTIES ('tier')")
+      assert(!props().contains("tier"))
+      val marker = new java.io.File(
+        new java.io.File(new java.io.File(wh, "lab"), "ev"),
+        graft.sources.GlogCatalog.MarkerName)
+      assert(marker.isFile, "marker file missing")
+      assert(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").contains("retention.days=7"))
+      // concurrent CREATE: the marker's exclusive creation arbitrates —
+      // exactly one of 4 racing creators wins, losers get
+      // TableAlreadyExists, the winner's table is intact
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableInfo}
+      val cat = new graft.sources.GlogCatalog()
+      cat.initialize("glogcat2spec",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("warehouse", wh.getAbsolutePath)))
+      val ident = Identifier.of(Array("lab"), "raced")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val outcomes = (0 until 4).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean =
+              try {
+                cat.createTable(ident, new TableInfo.Builder()
+                  .withColumns(GraftLogSource.SchemaFixed.fields.map(f =>
+                    org.apache.spark.sql.connector.catalog.Column
+                      .create(f.name, f.dataType)))
+                  .withProperties(java.util.Map.of())
+                  .withPartitions(Array.empty).build())
+                true
+              } catch {
+                case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+                  false
+              }
+          })
+        }.map(_.get())
+        assert(outcomes.count(identity) == 1,
+          s"expected exactly one CREATE winner: $outcomes")
+      } finally pool.shutdown()
+      assert(cat.tableExists(ident))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.glogcat2")
+      spark.conf.unset("spark.sql.catalog.glogcat2.warehouse")
+    }
+  }
+
   test("manifest CAS: concurrent committers all land, versions are a total order") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_cas").toFile
