@@ -125,8 +125,25 @@ object Bench {
         worst(contract) ++ worst(eng)
       } else Seq.empty[String]
     val p5 = pass("pass5", worstDecile)
-    val results: Seq[(String, Double)] = ordered.map { n =>
+    val after5: Map[String, Double] = ordered.map { n =>
       n -> BenchUtil.refine(after4(n), p5.get(n))
+    }.toMap
+    // Dirty-run escalation, round 2 (r10 judge directive): when the
+    // sentinel still says the run was host-contended, re-run the
+    // WHOLE headline contract once more (not just its slowest decile)
+    // and min-splice — ten rounds of driver benches show the
+    // contention windows are minutes long, so a full extra pass
+    // separated from the earlier ones is the only sample layout a
+    // window cannot own end-to-end. Headline-only: the eng entries
+    // report in a separate field and the heavy ones would double the
+    // escalation cost for no headline repair.
+    val fullRetry =
+      if (BenchUtil.isDirty(sentinel.samples))
+        ordered.filter(headlineSet)
+      else Seq.empty[String]
+    val p6 = pass("pass6", fullRetry)
+    val results: Seq[(String, Double)] = ordered.map { n =>
+      n -> BenchUtil.refine(after5(n), p6.get(n))
     }
 
     // optional per-operator profile dump (M5): PROFILE_OUT=<path.csv>
@@ -149,8 +166,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"headline_total","value":$headline,"unit":"sec","queries":$fullJson,"engine_ops_sec":$engine,"failed":$failedJson,"dirty":${BenchUtil.isDirty(sentinel.samples)},${BenchUtil.sentinelJson(sentinel.samples)},"sf":"$sfDir"}"""
+    // bench_full.json is the ONLY carrier of the full per-entry map —
+    // echoing it to stderr just bloated the driver artifact's captured
+    // tail with an unparsed duplicate of the whole map
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
-    System.err.println(s"[bench] full result: $fullLine")
+    System.err.println(s"[bench] full per-entry map written to bench_full.json " +
+      s"(headline ${"%.2f".format(headline)}s, engine ${"%.2f".format(engine)}s)")
 
     println(Bench.printedLine(results, headlineNames, sfDir, sentinel.samples))
     spark.stop()

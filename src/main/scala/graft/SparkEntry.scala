@@ -30,7 +30,10 @@ object SparkEntry {
     QueryInventory.all.map(sqlQuery).toMap ++ EngineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops;
+    * deterministic eng_* entries that ARE SQL-expressible carry an
+    * oracle too (EngineOps.oracleSql) on top of their goldens. */
   def oracleSql: Map[String, String] =
-    QueryInventory.all.flatMap(q => q.oracleSql.map(q.name -> _)).toMap
+    QueryInventory.all.flatMap(q => q.oracleSql.map(q.name -> _)).toMap ++
+      EngineOps.oracleSql
 }

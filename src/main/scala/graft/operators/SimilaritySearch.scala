@@ -119,20 +119,120 @@ object SimilaritySearch {
     }
   }
 
+  /** Schema-metadata key carrying the codebook fingerprint on the
+    * vector column of a persisted IVF layout — how [[ivfTopK]] proves
+    * a pre-indexed corpus's `cell` column was assigned under the
+    * codebook the caller supplies (a cell column from a DIFFERENT
+    * codebook would silently return wrong neighbors). */
+  val CodebookFpKey = "graft.ivf.codebook_fp"
+
+  /** Deterministic codebook fingerprint: MD5 over the centroids' raw
+    * IEEE-754 bits in row order — any single-value drift moves it. */
+  def codebookFingerprint(centroids: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    centroids.foreach { row =>
+      row.foreach { d =>
+        bb.clear()
+        bb.putLong(java.lang.Double.doubleToLongBits(d)): Unit
+        md.update(bb.array())
+      }
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  private def fpMetadata(centroids: Array[Array[Double]])
+      : org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(CodebookFpKey, codebookFingerprint(centroids)).build()
+
+  /** The fit-time objective of an assignment: mean best-cell score,
+    * rounded (fp-determinism discipline — partition order must not
+    * move the stored value). One distributed aggregate. */
+  private def meanBestScore(df: DataFrame, vecCol: String,
+                            centroids: Array[Array[Double]]): Double = {
+    val scored = centroids.map(c => vecDot(col(vecCol), array(c.map(lit): _*)))
+    df.agg(avg(greatest(scored: _*))).collect()(0) match {
+      case r if r.isNullAt(0) => 0.0
+      case r => math.rint(r.getDouble(0) * 1e6) / 1e6
+    }
+  }
+
   /** Write `corpus` physically partitioned by IVF cell — the at-rest
     * layout the ivfTopK scaladoc promises at 100 TB: with the cell as
     * a partition column, the query's nProbe cell filter becomes
     * directory-level partition pruning (file skipping before any IO),
     * measured by eng_ivf_pruned_scan and asserted via scan metrics in
     * LayoutSpec. Repartitioning on the cell key pins one file per
-    * cell so the file census is deterministic. */
+    * cell so the file census is deterministic.
+    *
+    * The layout is SELF-DESCRIBING: a `_codebook` sidecar (parquet,
+    * ignored by data reads like any `_`-prefixed dir) persists the
+    * centroids, their fingerprint, and the fit-time objective (mean
+    * best-cell score) — so [[loadIvfIndex]] re-pairs data with the
+    * exact codebook it was assigned under, [[appendToIvfPartitioned]]
+    * can index a delta batch in O(delta), and codebook staleness is a
+    * measurable number instead of a guess. The fingerprint also rides
+    * the vector column's schema metadata for [[ivfTopK]]'s check. */
   def writeIvfPartitioned(corpus: DataFrame, idCol: String, vecCol: String,
-                          centroids: Array[Array[Double]], path: String): Unit =
-    corpus.select(col(idCol), col(vecCol),
+                          centroids: Array[Array[Double]], path: String): Unit = {
+    corpus.select(col(idCol), col(vecCol).as(vecCol, fpMetadata(centroids)),
         nearestCell(centroids)(col(vecCol)).as("cell"))
       .repartition(col("cell"))
       .write.partitionBy("cell").option("compression", "zstd")
       .mode("overwrite").parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val objective = meanBestScore(corpus, vecCol, centroids)
+    val fp = codebookFingerprint(centroids)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, fp, objective) }.toSeq
+      .toDF("cell", "centroid", "fp", "objective")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
+  /** Read a [[writeIvfPartitioned]] layout back as (data, codebook) —
+    * the pairing is structural, so cell assignments and codebook can
+    * never drift apart. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (DataFrame, Array[Array[Double]]) = {
+    val cb = spark.read.parquet(s"$path/_codebook")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    (spark.read.parquet(path), cb)
+  }
+
+  /** Incrementally index a DELTA batch into an existing
+    * [[writeIvfPartitioned]] layout: assign the delta under the
+    * layout's OWN persisted codebook (one narrow projection — O(delta)
+    * work, never a corpus re-scan) and append it to the partitioned
+    * directory. Returns (rows appended, delta mean best-cell score,
+    * fit-time objective): the score-vs-objective gap is the codebook
+    * STALENESS signal — when the delta's mean assignment score falls
+    * well below the fit-time objective, the incoming distribution has
+    * drifted and re-clustering (lloydStep + full rewrite) is a
+    * measured decision, not a guess. Top-k equality with a full
+    * re-index under the same codebook is exact by construction
+    * (assignment is deterministic) and spec-asserted. */
+  def appendToIvfPartitioned(spark: org.apache.spark.sql.SparkSession,
+                             delta: DataFrame, idCol: String, vecCol: String,
+                             path: String): (Long, Double, Double) = {
+    val cbRows = spark.read.parquet(s"$path/_codebook")
+      .orderBy(col("cell")).collect()
+    require(cbRows.nonEmpty, s"appendToIvfPartitioned: $path has no _codebook " +
+      "sidecar — not a writeIvfPartitioned layout")
+    val centroids = cbRows.map(_.getSeq[Double](1).toArray)
+    val objective = cbRows.head.getDouble(3)
+    val n = delta.count()
+    if (n == 0) return (0L, objective, objective)
+    delta.select(col(idCol), col(vecCol).as(vecCol, fpMetadata(centroids)),
+        nearestCell(centroids)(col(vecCol)).as("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").option("compression", "zstd")
+      .mode("append").parquet(path)
+    (n, meanBestScore(delta, vecCol, centroids), objective)
+  }
 
   /** The probe's `nProbe` best cells under a codebook (driver-side
     * O(nCentroids·dim) — the IVF routing step). */
@@ -169,6 +269,27 @@ object SimilaritySearch {
             "it was assigned under — pass codebook=Some(...)")
         sampledCodebook(corpus, idCol, vecCol, nCentroids)
       }
+    if (preIndexed) {
+      // the mere PRESENCE of a cell column proves nothing: a corpus
+      // assigned under a different codebook (or an unrelated column
+      // that happens to be named cell) would silently return wrong
+      // neighbors. writeIvfPartitioned stamps the codebook fingerprint
+      // on the vector column's schema metadata — demand it and match
+      // it; hand-built corpora must stamp the same metadata (the
+      // explicit opt-in) or go through writeIvfPartitioned/loadIvfIndex.
+      val meta = corpus.schema(vecCol).metadata
+      require(meta.contains(CodebookFpKey),
+        s"ivfTopK: pre-indexed corpus carries no $CodebookFpKey metadata " +
+          "on its vector column — index it via writeIvfPartitioned (or " +
+          "stamp fingerprint metadata explicitly); an unverified cell " +
+          "column silently returns wrong neighbors")
+      val got = meta.getString(CodebookFpKey)
+      val want = codebookFingerprint(centroids)
+      require(got == want,
+        s"ivfTopK: corpus cell column was assigned under codebook $got, " +
+          s"but the supplied codebook fingerprints to $want — wrong " +
+          "codebook for this index")
+    }
     val indexed =
       if (preIndexed)
         corpus.select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))

@@ -111,6 +111,77 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(partitionsRead == 4, s"expected 4 pruned cell partitions, read $partitionsRead")
   }
 
+  test("incremental IVF append: O(delta) indexing, exact top-k, fingerprint guard") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val emb = spark.table("embeddings").filter(col("vec_id") =!= 0)
+    val base = emb.filter(col("vec_id") % 10 =!= 1)
+    val delta = emb.filter(col("vec_id") % 10 === 1)
+    val p = spark.table("embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val cb = SimilaritySearch.sampledCodebook(base, "vec_id", "embedding", 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_app")
+    SimilaritySearch.writeIvfPartitioned(
+      base, "vec_id", "embedding", cb, s"$tmp/idx")
+    SimilaritySearch.writeIvfPartitioned(
+      emb, "vec_id", "embedding", cb, s"$tmp/fullidx")
+    // the sidecar round-trips the exact codebook
+    val (idxDf, cbBack) = SimilaritySearch.loadIvfIndex(spark, s"$tmp/idx")
+    assert(cbBack.length == cb.length &&
+      cbBack.zip(cb).forall { case (a, b) => a.sameElements(b) },
+      "sidecar codebook drifted")
+    assert(idxDf.count() == base.count())
+    // append the delta: O(delta) work under the persisted codebook
+    val (n, score, objective) = SimilaritySearch.appendToIvfPartitioned(
+      spark, delta, "vec_id", "embedding", s"$tmp/idx")
+    assert(n == delta.count() && n > 0)
+    assert(score > 0 && objective > 0)
+    // incremental layout == full re-index under the same codebook,
+    // exactly (assignment is deterministic)
+    def topk(path: String) = {
+      val (df, c) = SimilaritySearch.loadIvfIndex(spark, path)
+      SimilaritySearch.ivfTopK(df, "vec_id", "embedding", p,
+          k = 10, nProbe = 4, codebook = Some(c))
+        .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6))).toSeq
+    }
+    assert(topk(s"$tmp/idx") == topk(s"$tmp/fullidx"),
+      "incremental append diverged from a full re-index")
+    // fingerprint guard: querying the layout under a DIFFERENT
+    // codebook fails loudly instead of returning wrong neighbors
+    val wrongCb = SimilaritySearch.lloydStep(emb, "vec_id", "embedding", cb)
+    val (df2, _) = SimilaritySearch.loadIvfIndex(spark, s"$tmp/idx")
+    val err = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopK(df2, "vec_id", "embedding", p,
+        k = 10, nProbe = 4, codebook = Some(wrongCb))
+    }
+    assert(err.getMessage.contains("wrong"), err.getMessage)
+    // ...and a hand-built cell column with NO fingerprint metadata is
+    // rejected too (presence of a cell column proves nothing)
+    val unstamped = base.withColumn("cell", lit(0))
+    val err2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopK(unstamped, "vec_id", "embedding", p,
+        k = 10, nProbe = 4, codebook = Some(cb))
+    }
+    assert(err2.getMessage.contains("metadata"), err2.getMessage)
+    // appending to a non-layout fails loudly
+    intercept[Exception] {
+      SimilaritySearch.appendToIvfPartitioned(spark, delta,
+        "vec_id", "embedding", s"$tmp/nowhere")
+    }
+    // the measured entry agrees end-to-end
+    val row = EngineOps.queries("eng_ivf_incremental")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(row.getAs[Boolean]("topk_equal"), row.toString)
+    val ratio = row.getAs[Double]("score_ratio")
+    assert(ratio > 0.0 && ratio < 2.0, row.toString)
+    assert(row.getAs[Long]("n_delta") > 0)
+    // and it is idempotent across passes: a second run sees the same
+    // pristine base index (the appended files were removed)
+    val row2 = EngineOps.queries("eng_ivf_incremental")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(row.toSeq == row2.toSeq, s"entry not idempotent: $row vs $row2")
+  }
+
   test("lloyd refinement never decreases the spherical k-means objective") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.vecDot
