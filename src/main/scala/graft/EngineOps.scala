@@ -2976,6 +2976,96 @@ object EngineOps {
     }
   }
 
+  /** MEASURED versioned-manifest commit protocol (the connector's
+    * round-11 source of truth, sources/GraftLogSource manifest
+    * section): the full snapshot lifecycle censused through row
+    * counts, which are partition-layout-independent. Stages on a
+    * fresh scratch table each run:
+    *  - `1_commits`: overwrite (v1) + append (v2) + DELETE of the
+    *    appended slice (v3) — exactly three manifest versions, each
+    *    statement ONE atomic version.
+    *  - `2_timetravel`: `versionAsOf` reads of v1/v2/v3 return the
+    *    exact historical row counts (the DELETE's copy-on-write
+    *    orphans serve the pinned readers).
+    *  - `3_concurrent`: two batch committers BOTH staged before
+    *    either commits — the interleaving the old listing-based
+    *    index allocation raced on — land both rows under distinct
+    *    claimed names, two more versions.
+    *  - `4_vacuum`: vacuum(retainVersions=1) reclaims the DML
+    *    orphans (>=1 file), live results are untouched, and the
+    *    vacuumed v1 read now fails LOUDLY instead of returning
+    *    partial data.
+    * At 100 TB this protocol is what makes concurrent ingest + DML
+    * + maintenance safe without a lock service: every commit is one
+    * conditional manifest publish, losers retry, readers are
+    * snapshot-isolated, disk is reclaimed by policy. */
+  private def dsv2Manifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.GraftLogSource
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_glog_mf_$sfName")
+    if (root.exists()) deleteRecursively(root.toPath)
+    root.mkdirs()
+    val path = new java.io.File(root, "t").getAbsolutePath
+    val ev = t(spark, dir, "events").select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+    val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.5
+    val (nLow, nHigh) =
+      (ev.filter(col("value") < cut).count(),
+        ev.filter(col("value") >= cut).count())
+    def write(df: DataFrame, mode: String): Unit =
+      df.write.format("glog").option("path", path).mode(mode).save()
+    write(ev.filter(col("value") < cut), "overwrite") // v1
+    write(ev.filter(col("value") >= cut), "append")   // v2
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = GraftLogSource.driverHadoopConf()
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    GraftLogSource.deleteMatching(p, conf,
+      Array[org.apache.spark.sql.sources.Filter](
+        GreaterThanOrEqual("value", cut)))               // v3
+    val versions = GraftLogSource.manifestVersions(p, conf)
+    def countAt(v: Long): Long = spark.read.format("glog")
+      .option("path", path).option("versionAsOf", v.toString).load().count()
+    def countNow(): Long = spark.read.format("glog")
+      .option("path", path).load().count()
+    val s1 = ("1_commits", versions.length.toLong, countNow(),
+      versions == Seq(1L, 2L, 3L) && countNow() == nLow)
+    val s2 = ("2_timetravel", countAt(2L), countAt(3L),
+      countAt(1L) == nLow && countAt(2L) == nLow + nHigh &&
+        countAt(3L) == nLow)
+    // two committers, both staged before either commits
+    def staged(id: Long, v: Double): (graft.sources.GlogBatchWrite,
+        Array[org.apache.spark.sql.connector.write.WriterCommitMessage]) = {
+      val w = new graft.sources.GlogWriterFactory(path).createWriter(0, id)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("mf"), v,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+      (new graft.sources.GlogBatchWrite(path, GraftLogSource.SchemaFixed,
+        truncateFirst = false), Array(w.commit()))
+    }
+    val (bwA, msgA) = staged(900001L, 1.0)
+    val (bwB, msgB) = staged(900002L, 2.0)
+    bwA.commit(msgA); bwB.commit(msgB)                   // v4, v5
+    val afterCc = countNow()
+    val s3 = ("3_concurrent", afterCc,
+      GraftLogSource.manifestVersions(p, conf).length.toLong,
+      afterCc == nLow + 2 &&
+        GraftLogSource.manifestVersions(p, conf) == (1L to 5L))
+    val reclaimed = GraftLogSource.vacuum(path)
+    val v1Fails =
+      try { countAt(1L); false } catch { case _: Exception => true }
+    val s4 = ("4_vacuum", countNow(), reclaimed.toLong,
+      reclaimed >= 1 && countNow() == nLow + 2 && v1Fails)
+    Seq(s1, s2, s3, s4)
+      .map { case (st, a, b, ok) => (st, a, b, ok) }
+      .toDF("stage", "n_a", "n_b", "ok")
+      .orderBy(col("stage"))
+  }
+
   /** MEASURED streaming SINK through the connector — the write-side
     * half of the connector's streaming story (the source side is
     * eng_dsv2_source's MICRO_BATCH_READ + eng_stream_backfill's
@@ -3657,6 +3747,7 @@ object EngineOps {
     "eng_runtime_filter" -> runtimeFilter,
     "eng_sql_udf" -> sqlUdf,
     "eng_dsv2_source" -> dsv2Source,
+    "eng_dsv2_manifest" -> dsv2Manifest,
     "eng_dsv2_runtime_filter" -> dsv2RuntimeFilter,
     "eng_dsv2_clustered_write" -> dsv2ClusteredWrite,
     "eng_dsv2_stream_sink" -> dsv2StreamSink,

@@ -112,6 +112,38 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
       tableProps = readProps(ident))
   }
 
+  /** SQL time travel: `SELECT ... FROM cat.ns.t VERSION AS OF n`
+    * resolves the table pinned to manifest version n (read-only —
+    * writes/DML against a snapshot are rejected). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"glog: VERSION AS OF takes a numeric manifest version, got '$version'"))
+    new GlogTable(tablePath(ident).toString, pushdown = true,
+      tableProps = readProps(ident), pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t`: the newest manifest version whose commit
+    * mtime is <= t (Spark hands micros since epoch). Approximate the
+    * way all mtime-based time travel is — the filesystem clock is the
+    * ledger. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = GraftLogSource.resolveDir(tablePath(ident).toString)
+    val cutoffMillis = timestampMicros / 1000L
+    val versions = GraftLogSource.manifestVersions(dir, conf)
+    val eligible = versions.filter { v =>
+      fs.getFileStatus(GraftLogSource.manifestPath(dir, v))
+        .getModificationTime <= cutoffMillis
+    }
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"glog: no committed version of ${ident} at or before timestamp " +
+        s"$timestampMicros (oldest manifest is " +
+        s"${versions.headOption.getOrElse(-1L)})")
+    new GlogTable(tablePath(ident).toString, pushdown = true,
+      tableProps = readProps(ident), pinnedVersion = Some(eligible.max))
+  }
+
   /** A table is a directory CARRYING the marker — a bare namespace
     * (or foreign) directory never resolves as a table, so DML/DROP
     * against `cat.ns` fails loudly instead of treating the namespace

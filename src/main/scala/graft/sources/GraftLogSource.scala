@@ -556,6 +556,43 @@ object GraftLogSource {
     removed
   }
 
+  /** Row-level CHANGE FEED between two committed versions — the
+    * incremental-consumer primitive a training-data pipeline reads
+    * instead of re-scanning 100 TB per day: returns the data columns
+    * plus `_change_type` ('insert' | 'delete') for exactly the rows
+    * that changed between `fromVersion` and `toVersion`.
+    *
+    * File-level diff first (manifest set difference — files common to
+    * both versions are NEVER read), then a row-level multiset
+    * EXCEPT ALL between the added-file rows and the removed-file rows,
+    * so a copy-on-write rewrite's carried-over survivors cancel and
+    * only true row changes emit. Work scales with the CHANGED files,
+    * not the table. Requires both versions (and their files) to still
+    * be retained — a vacuumed range fails loudly; TRUNCATE/overwrite
+    * reset history and are not change-feed readable across. */
+  def changeFeed(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame = {
+    require(fromVersion <= toVersion,
+      s"glog changeFeed: fromVersion $fromVersion > toVersion $toVersion")
+    import org.apache.spark.sql.functions.{col, lit}
+    val conf = driverHadoopConf()
+    val dir = resolveDir(path)
+    val a = liveSnapshot(dir, conf, Some(fromVersion)).get._2.toSet
+    val b = liveSnapshot(dir, conf, Some(toVersion)).get._2.toSet
+    val dataCols = SchemaFixed.fieldNames.map(col).toSeq
+    def rowsOf(version: Long, names: Set[String]) = spark.read
+      .format("glog").option("path", path)
+      .option("versionAsOf", version.toString).load()
+      .select(dataCols :+ col("_file"): _*)
+      .filter(col("_file").isin(names.toSeq.sorted: _*))
+      .select(dataCols: _*)
+    val added = rowsOf(toVersion, b -- a)
+    val removed = rowsOf(fromVersion, a -- b)
+    added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+      .unionAll(
+        removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+  }
+
   /** Claim-based job-commit tail shared by every write shape: rename
     * the staged `.inprogress` temps to final zone-map names (fresh
     * indices past the directory's current maximum — orphans included,
@@ -826,13 +863,15 @@ class GraftLogSource extends TableProvider
 }
 
 private[sources] class GlogTable(path: String, pushdown: Boolean,
-    tableProps: Map[String, String] = Map.empty)
+    tableProps: Map[String, String] = Map.empty,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graft-log source requires option(\"path\", dir)")
-  override def name(): String = s"glog($path)"
+  override def name(): String =
+    s"glog($path)" + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = GraftLogSource.SchemaFixed
   /** Durable TBLPROPERTIES (catalog tables: loaded from the
     * `_glog.table` marker) plus the provider tag. */
@@ -851,10 +890,15 @@ private[sources] class GlogTable(path: String, pushdown: Boolean,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlogScanBuilder(path, pushdown,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      versionAsOf = Option(options.get("versionAsOf")).map(_.toLong))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      versionAsOf =
+        pinnedVersion.orElse(Option(options.get("versionAsOf")).map(_.toLong)))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"glog: cannot write to the time-travel snapshot ${name()} — " +
+        "writes go to the live table")
     new GlogWriteBuilder(path, info.schema(),
       "true".equalsIgnoreCase(info.options().getOrDefault("clustered", "false")))
+  }
 
   /** SQL `DELETE FROM ... WHERE ...` (SupportsDelete) — metadata-only
     * where the zone map proves a file can hold no match (the common
@@ -886,8 +930,11 @@ private[sources] class GlogTable(path: String, pushdown: Boolean,
       affected.length <= GraftLogSource.MaxDriverDeleteFiles
     }
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"glog: DML against the time-travel snapshot ${name()} is not allowed")
     GraftLogSource.deleteMatching(GraftLogSource.resolveDir(path), filters)
+  }
 
   /** SQL `TRUNCATE TABLE`: metadata-first — commit an EMPTY manifest
     * (readers atomically see an empty table), then unlink every data
@@ -897,6 +944,8 @@ private[sources] class GlogTable(path: String, pushdown: Boolean,
     * DML's copy-on-write, truncate reclaims all history — earlier
     * versions are no longer time-travel readable. */
   override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      s"glog: TRUNCATE against the time-travel snapshot ${name()} is not allowed")
     val dir = GraftLogSource.resolveDir(path)
     val conf = GraftLogSource.driverHadoopConf()
     val fs = GraftLogSource.fsFor(dir, conf)
@@ -921,8 +970,11 @@ private[sources] class GlogTable(path: String, pushdown: Boolean,
     * statement re-runs idempotently. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"glog: DML against the time-travel snapshot ${name()} is not allowed")
     () => new GlogRowLevelOperation(path, info.command())
+  }
 
   /** `_file` metadata column (SupportsMetadataColumns): the committed
     * file name serving each row — the lineage/debugging handle every

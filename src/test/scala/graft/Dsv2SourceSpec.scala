@@ -1206,6 +1206,105 @@ class Dsv2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("change feed emits exactly the row-level delta between versions") {
+    Tables.register(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cf").toFile
+    val path = dir.getAbsolutePath
+    val ev = spark.table("events").select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+    val (vMin, vMax) = (mm.getDouble(0), mm.getDouble(1))
+    val cut = vMin + (vMax - vMin) * 0.5
+    val cut2 = vMin + (vMax - vMin) * 0.75
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id")).collect().map(_.getLong(0)).toSet
+    ev.filter(col("value") < cut).write.format("glog")
+      .option("path", path).mode("overwrite").save()          // v1
+    ev.filter(col("value") >= cut).write.format("glog")
+      .option("path", path).mode("append").save()             // v2
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    GraftLogSource.deleteMatching(
+      new org.apache.hadoop.fs.Path(path),
+      Array[Filter](GreaterThanOrEqual("value", cut2)))       // v3
+    def feed(a: Long, b: Long) = GraftLogSource.changeFeed(spark, path, a, b)
+    // v1→v2: the appended high slice, inserts only
+    val f12 = feed(1L, 2L)
+    assert(ids(f12.filter(col("_change_type") === "insert")) ==
+      ids(ev.filter(col("value") >= cut)))
+    assert(f12.filter(col("_change_type") === "delete").count() == 0)
+    // v2→v3: the deleted top slice, deletes only — the rewrite's
+    // carried-over survivors must cancel out of the feed
+    val f23 = feed(2L, 3L)
+    assert(ids(f23.filter(col("_change_type") === "delete")) ==
+      ids(ev.filter(col("value") >= cut2)))
+    assert(f23.filter(col("_change_type") === "insert").count() == 0)
+    // v1→v3 composes: net insert of the surviving middle slice
+    val f13 = feed(1L, 3L)
+    assert(ids(f13.filter(col("_change_type") === "insert")) ==
+      ids(ev.filter(col("value") >= cut && col("value") < cut2)))
+    assert(f13.filter(col("_change_type") === "delete").count() == 0)
+    // same-version feed is empty; a vacuumed range fails loudly
+    assert(feed(2L, 2L).count() == 0)
+    GraftLogSource.vacuum(path): Unit
+    intercept[Exception] { feed(1L, 3L).count() }
+  }
+
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF through the catalog") {
+    Tables.register(spark, sf)
+    val wh = java.nio.file.Files.createTempDirectory("graft_glog_wh3").toFile
+    spark.conf.set("spark.sql.catalog.glogcat3", "graft.sources.GlogCatalog")
+    spark.conf.set("spark.sql.catalog.glogcat3.warehouse", wh.getAbsolutePath)
+    try {
+      spark.sql("CREATE NAMESPACE glogcat3.lab")
+      spark.sql("""CREATE TABLE glogcat3.lab.tt (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING) USING glog""")
+      spark.sql("""INSERT INTO glogcat3.lab.tt
+        SELECT event_id, ts, user_id, event_type, value, props FROM events""")
+      val n0 = spark.table("glogcat3.lab.tt").count()
+      val cut = spark.sql("SELECT percentile(value, 0.5) FROM events")
+        .collect()(0).getDouble(0)
+      spark.sql(s"DELETE FROM glogcat3.lab.tt WHERE value >= $cut")
+      val nNow = spark.table("glogcat3.lab.tt").count()
+      assert(nNow < n0)
+      // VERSION AS OF: the pre-DELETE snapshot (the INSERT's version)
+      val atV1 = spark.sql(
+        "SELECT count(*) FROM glogcat3.lab.tt VERSION AS OF 1")
+        .collect()(0).getLong(0)
+      assert(atV1 == n0, s"VERSION AS OF 1 returned $atV1, want $n0")
+      // TIMESTAMP AS OF now → the live version
+      val atNow = spark.sql(
+        "SELECT count(*) FROM glogcat3.lab.tt TIMESTAMP AS OF now()")
+        .collect()(0).getLong(0)
+      assert(atNow == nNow, s"TIMESTAMP AS OF now() returned $atNow, want $nNow")
+      // a pre-history timestamp fails loudly
+      intercept[Exception] {
+        spark.sql("""SELECT count(*) FROM glogcat3.lab.tt
+          TIMESTAMP AS OF TIMESTAMP'1999-01-01 00:00:00'""").collect()
+      }
+      // snapshots are read-only: DML against one is rejected
+      intercept[Exception] {
+        spark.sql("DELETE FROM glogcat3.lab.tt VERSION AS OF 1 WHERE true")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.glogcat3")
+      spark.conf.unset("spark.sql.catalog.glogcat3.warehouse")
+    }
+  }
+
+  test("eng_dsv2_manifest: the measured protocol census is exact") {
+    Tables.register(spark, sf)
+    val rows = EngineOps.queries("eng_dsv2_manifest")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_commits", "2_timetravel", "3_concurrent", "4_vacuum"))
+    assert(rows.forall(_.getBoolean(3)), rows.mkString("; "))
+    val byStage = rows.map(r => r.getString(0) -> r).toMap
+    assert(byStage("1_commits").getLong(1) == 3L)      // exactly v1..v3
+    assert(byStage("3_concurrent").getLong(2) == 5L)   // +2 versions
+    assert(byStage("4_vacuum").getLong(2) >= 1L)       // orphans reclaimed
+  }
+
   test("manifest CAS: concurrent committers all land, versions are a total order") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_cas").toFile
