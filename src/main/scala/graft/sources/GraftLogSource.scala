@@ -1851,7 +1851,7 @@ private[graft] class GlogBatchWrite(path: String, schema: StructType,
     fs.mkdirs(dir): Unit
     val newNames = GraftLogSource.renameStagedIn(dir, conf, messages)
     val (dropNames, replNames) =
-      if (replaceWhere.nonEmpty)
+      if (replaceWhere.nonEmpty && !truncateFirst)
         GraftLogSource.deleteMatchingStaged(dir, conf, replaceWhere)
       else (Set.empty[String], Seq.empty[String])
     if (truncateFirst) {
