@@ -1324,6 +1324,25 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(!GraftLogSource.publishIfAbsent(fs, loserTmp, dst))
     assert(GraftLogSource.liveSnapshot(p, conf).contains((1L, Seq("a"))))
     fs.delete(loserTmp, false)
+    // the NON-raw branch (FileSystem.rename refusing an existing
+    // destination — the HDFS code path) behaves identically: exercise
+    // it through the checksummed LocalFileSystem, which is not a
+    // RawLocalFileSystem and so takes the rename arm
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    assert(!lfs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+    val dst2 = new org.apache.hadoop.fs.Path(GraftLogSource.metaDir(p), "dst2")
+    def lfsTmp(s: String) = {
+      val t = new org.apache.hadoop.fs.Path(GraftLogSource.metaDir(p), s".l-$s.tmp")
+      val o = lfs.create(t, true); o.write(s.getBytes("UTF-8")); o.close(); t
+    }
+    assert(GraftLogSource.publishIfAbsent(lfs, lfsTmp("x"), dst2))
+    val loser2 = lfsTmp("y")
+    assert(!GraftLogSource.publishIfAbsent(lfs, loser2, dst2),
+      "rename-branch CAS silently replaced an existing destination")
+    val back2 = new java.io.BufferedReader(new java.io.InputStreamReader(
+      lfs.open(dst2), "UTF-8")).readLine()
+    assert(back2 == "x", s"loser overwrote the winner: $back2")
+    lfs.delete(loser2, false)
     // 8 threads race commitManifest, each appending one name: every
     // append lands exactly once, versions 2..9 form a total order
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
