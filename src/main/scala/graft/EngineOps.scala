@@ -3066,6 +3066,94 @@ object EngineOps {
       .orderBy(col("stage"))
   }
 
+  /** MEASURED manifest-carried ts statistics — file-level stats on a
+    * SECOND column (the value zone map rides the file NAMES; ts
+    * min/max ride the MANIFEST, collected for free by the writers —
+    * the Iceberg/Delta stats-in-commit-metadata pattern). Fixture:
+    * four "daily" append batches (one file each via coalesce(1),
+    * disjoint synthetic ts ranges). Stages:
+    *  - `1_full`: the unfiltered scan reads all 4 files.
+    *  - `2_ts_pruned`: a ts >= day-3 predicate keeps ONE file at
+    *    PLANNING time (files_kept census) and the readers emit only
+    *    its rows — time-range queries over an append log never touch
+    *    aged files.
+    *  - `3_retention`: `DELETE WHERE ts < day-2` ages out two whole
+    *    files METADATA-ONLY (manifest ts stats prove full coverage;
+    *    the files are never opened, they just leave the live set and
+    *    wait for vacuum) — THE retention-window operation every
+    *    telemetry deployment runs nightly, as one manifest CAS.
+    * At 100 TB: time predicates and retention cost O(changed files)
+    * in metadata, zero data IO beyond true stragglers. */
+  private def dsv2TsStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_glog_ts_$sfName")
+    if (root.exists()) deleteRecursively(root.toPath)
+    root.mkdirs()
+    val path = new java.io.File(root, "t").getAbsolutePath
+    val ev = t(spark, dir, "events")
+    val day = 86400000000L // micros
+    (0 until 4).foreach { d =>
+      ev.filter(col("event_id") % 4 === d)
+        .select(col("event_id"),
+          timestamp_micros(lit(d * day) + col("event_id")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1) // one file per "day": deterministic file census
+        .write.format("glog").option("path", path).mode("append").save()
+    }
+    def glog = spark.read.format("glog").option("path", path).load()
+    def census() = sources.GraftLogSource.planCensus.get(path)
+    def rowsEmitted(df: DataFrame): Long =
+      flattenExecuted(df.queryExecution.executedPlan).collect {
+        case b: BatchScanExec =>
+          b.metrics.get("rowsEmitted").map(_.value).getOrElse(0L)
+      }.sum
+    val nAll = ev.count()
+    val q1 = glog.agg(count(lit(1)))
+    val n1 = q1.collect()(0).getLong(0)
+    val (tot1, kept1, _) = census()
+    val s1 = ("1_full", tot1.toLong, kept1.toLong, n1, n1 == nAll)
+
+    val expect3 = ev.filter(col("event_id") % 4 === 3).count()
+    val q2 = glog.filter(col("ts") >= timestamp_micros(lit(3 * day)))
+      .agg(count(lit(1)))
+    val n2 = q2.collect()(0).getLong(0)
+    val emitted2 = rowsEmitted(q2)
+    val (tot2, kept2, _) = census()
+    val s2 = ("2_ts_pruned", tot2.toLong, kept2.toLong, emitted2,
+      kept2 == 1 && n2 == expect3 && emitted2 == expect3)
+
+    val expectKeep = ev.filter(col("event_id") % 4 >= 2).count()
+    spark.sql("DROP TABLE IF EXISTS graft_glog_ts_bench")
+    val s3 = try {
+      spark.sql(s"""CREATE TABLE graft_glog_ts_bench USING glog
+        OPTIONS (path '$path')""")
+      val before = Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".glog"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      spark.sql(s"""DELETE FROM graft_glog_ts_bench
+        WHERE ts < timestamp_micros(${2 * day})""")
+      val nAfter = spark.sql("SELECT count(*) FROM graft_glog_ts_bench")
+        .collect()(0).getLong(0)
+      val liveTotal = sources.GraftLogSource.listCommitted(
+        new org.apache.hadoop.fs.Path(path),
+        sources.GraftLogSource.driverHadoopConf(), Seq.empty)._2
+      // metadata-only: every pre-delete file still on disk,
+      // byte-untouched (the aged-out two are orphans awaiting vacuum)
+      val untouched = before.forall { case (n, m) =>
+        val f = new java.io.File(path, n); f.exists() && f.lastModified() == m
+      }
+      ("3_retention", before.size.toLong, liveTotal.toLong, nAfter,
+        nAfter == expectKeep && liveTotal == 2 && untouched)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_glog_ts_bench")
+
+    Seq(s1, s2, s3)
+      .toDF("stage", "files_total", "files_kept", "n_rows", "ok")
+      .orderBy(col("stage"))
+  }
+
   /** MEASURED streaming SINK through the connector — the write-side
     * half of the connector's streaming story (the source side is
     * eng_dsv2_source's MICRO_BATCH_READ + eng_stream_backfill's
@@ -3748,6 +3836,7 @@ object EngineOps {
     "eng_sql_udf" -> sqlUdf,
     "eng_dsv2_source" -> dsv2Source,
     "eng_dsv2_manifest" -> dsv2Manifest,
+    "eng_dsv2_ts_stats" -> dsv2TsStats,
     "eng_dsv2_runtime_filter" -> dsv2RuntimeFilter,
     "eng_dsv2_clustered_write" -> dsv2ClusteredWrite,
     "eng_dsv2_stream_sink" -> dsv2StreamSink,

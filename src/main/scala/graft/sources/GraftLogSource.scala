@@ -299,32 +299,73 @@ object GraftLogSource {
       (try fs.listStatus(dir)
        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
         .filter(s => s.isFile && s.getPath.getName.endsWith(".glog"))
-    val all = liveSnapshot(dir, conf, versionAsOf) match {
-      case Some((v, names)) =>
+    // tsStats: manifest-carried per-file ts min/max (None = unknown)
+    val (all, tsStats) = liveEntries(dir, conf, versionAsOf) match {
+      case Some((v, entries)) =>
         val byName = listed.map(s => s.getPath.getName -> s).toMap
-        val missing = names.filterNot(byName.contains)
+        val missing = entries.map(_.name).filterNot(byName.contains)
         require(missing.isEmpty,
           s"glog: manifest version $v of $dir lists files missing on disk " +
             s"(vacuumed while still referenced?): ${missing.take(3).mkString(", ")}")
-        names.sortBy(listingOrder).map(byName).toArray
-      case None => listed.sortBy(s => listingOrder(s.getPath.getName))
+        val sorted = entries.sortBy(e => listingOrder(e.name))
+        (sorted.map(e => byName(e.name)).toArray,
+          sorted.map(e => e.name -> e.tsRange).toMap)
+      case None =>
+        (listed.sortBy(s => listingOrder(s.getPath.getName)),
+          Map.empty[String, Option[(Long, Long)]])
     }
     val kept = all.filter { s =>
-      minMaxFromName(s.getPath.getName) match {
+      val name = s.getPath.getName
+      val valueKeeps = minMaxFromName(name) match {
         case Some((mn, mx)) => zoneMapKeeps(mn, mx, pushed)
         case None => true
       }
+      valueKeeps && tsStatsKeep(tsStats.getOrElse(name, None), pushed)
     }
     (kept, all.length)
   }
 
+  /** Normalize ts literals (java.sql.Timestamp / java.time.Instant —
+    * the shapes Spark pushes for TimestampType) to micros LONGS, so
+    * every downstream consumer — reader eval, manifest ts-stats
+    * pruning, the DELETE kernel — compares exact longs. Filters whose
+    * literal cannot be converted stay as-is and fail [[pushable]]
+    * (never half-evaluated). Applied at every boundary filters enter
+    * through: pushFilters, canDeleteWhere/deleteWhere, overwrite. */
+  private[graft] def normalizeTsFilters(fs: Array[Filter]): Array[Filter] = {
+    def micros(v: Any): Option[Any] = v match {
+      case _: java.lang.Long => Some(v) // already normalized
+      case other => tsMicrosOf(other).map(java.lang.Long.valueOf)
+    }
+    fs.map {
+      case GreaterThan("ts", v) =>
+        micros(v).map(GreaterThan("ts", _)).getOrElse(GreaterThan("ts", v))
+      case GreaterThanOrEqual("ts", v) =>
+        micros(v).map(GreaterThanOrEqual("ts", _))
+          .getOrElse(GreaterThanOrEqual("ts", v))
+      case LessThan("ts", v) =>
+        micros(v).map(LessThan("ts", _)).getOrElse(LessThan("ts", v))
+      case LessThanOrEqual("ts", v) =>
+        micros(v).map(LessThanOrEqual("ts", _))
+          .getOrElse(LessThanOrEqual("ts", v))
+      case EqualTo("ts", v) =>
+        micros(v).map(EqualTo("ts", _)).getOrElse(EqualTo("ts", v))
+      case f => f
+    }
+  }
+
   private[sources] def pushable(f: Filter): Boolean = f match {
-    case GreaterThan(a, _: Number) => a == "value" || a == "user_id"
-    case GreaterThanOrEqual(a, _: Number) => a == "value" || a == "user_id"
-    case LessThan(a, _: Number) => a == "value" || a == "user_id"
-    case LessThanOrEqual(a, _: Number) => a == "value" || a == "user_id"
+    case GreaterThan(a, _: Number) =>
+      a == "value" || a == "user_id" || a == "ts"
+    case GreaterThanOrEqual(a, _: Number) =>
+      a == "value" || a == "user_id" || a == "ts"
+    case LessThan(a, _: Number) =>
+      a == "value" || a == "user_id" || a == "ts"
+    case LessThanOrEqual(a, _: Number) =>
+      a == "value" || a == "user_id" || a == "ts"
     case EqualTo(a, v) =>
-      v != null && (a == "value" || a == "user_id" || a == "event_type")
+      v != null && (a == "value" || a == "user_id" || a == "event_type" ||
+        (a == "ts" && v.isInstanceOf[Number]))
     // IN-lists may carry null literals (SQL `IN ('a', NULL)`): leave
     // those to the engine rather than mis-evaluating them here.
     // Numeric IN on value/user_id is the shape runtime (DPP) filters
@@ -406,6 +447,84 @@ object GraftLogSource {
   val MetaDirName = "_glog_metadata"
   def metaDir(dir: Path): Path = new Path(dir, MetaDirName)
 
+  /** One live file in a manifest: its name (the value zone map rides
+    * the NAME, unchanged) plus manifest-carried `ts` min/max in
+    * micros — file-level statistics on a SECOND column, collected for
+    * free by the writers, so time-range queries prune whole files at
+    * planning time and time-retention DELETEs drop whole files
+    * metadata-only (the Iceberg/Delta file-stats pattern: stats live
+    * in the commit metadata, not the file names). `tsRange` is None
+    * for files adopted from a pre-manifest directory (stats unknown →
+    * conservatively kept by every ts predicate). */
+  case class ManifestEntry(name: String, tsRange: Option[(Long, Long)]) {
+    def line: String = tsRange match {
+      case Some((a, b)) => s"$name\t$a\t$b"
+      case None => name
+    }
+  }
+  object ManifestEntry {
+    def parse(line: String): ManifestEntry = line.split('\t') match {
+      case Array(n, a, b) =>
+        val r = for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
+        ManifestEntry(n, r)
+      case _ => ManifestEntry(line, None)
+    }
+  }
+
+  /** Can a file whose ts range is `stats` contain rows passing all
+    * pushed `ts` range predicates? Conservative: unknown stats and
+    * unknown shapes keep the file. Timestamps compare as micros
+    * (exact long compares). */
+  private[graft] def tsStatsKeep(stats: Option[(Long, Long)],
+      pushed: Seq[Filter]): Boolean = stats match {
+    case None => true
+    case Some((mn, mx)) => pushed.forall {
+      case GreaterThan("ts", v) => tsMicrosOf(v).forall(mx > _)
+      case GreaterThanOrEqual("ts", v) => tsMicrosOf(v).forall(mx >= _)
+      case LessThan("ts", v) => tsMicrosOf(v).forall(mn < _)
+      case LessThanOrEqual("ts", v) => tsMicrosOf(v).forall(mn <= _)
+      case EqualTo("ts", v) =>
+        tsMicrosOf(v).forall(t => mn <= t && t <= mx)
+      case _ => true
+    }
+  }
+
+  /** Do the manifest ts stats PROVE every row of the file satisfies
+    * all `filters`? The time-retention fast path: `DELETE WHERE
+    * ts < cutoff` drops whole aged-out files without opening them.
+    * Only pure ts-range conjunctions covering the whole range qualify
+    * (IsNotNull is vacuous — the format is dense). */
+  private[graft] def tsStatsFullyCover(stats: Option[(Long, Long)],
+      filters: Seq[Filter]): Boolean = stats match {
+    case None => false
+    case Some((mn, mx)) => filters.nonEmpty && filters.forall {
+      case GreaterThan("ts", v) => tsMicrosOf(v).exists(mn > _)
+      case GreaterThanOrEqual("ts", v) => tsMicrosOf(v).exists(mn >= _)
+      case LessThan("ts", v) => tsMicrosOf(v).exists(mx < _)
+      case LessThanOrEqual("ts", v) => tsMicrosOf(v).exists(mx <= _)
+      case IsNotNull(_) => true
+      case _ => false
+    }
+  }
+
+  /** Micros-since-epoch of a pushed timestamp literal. Spark hands
+    * TimestampType literals to v1 filters as java.sql.Timestamp (or
+    * java.time.Instant under the Java-8 API flag); anything else is
+    * unknown (None → conservative). */
+  private[graft] def tsMicrosOf(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      // floorDiv: getTime truncates toward zero, which mis-rounds
+      // pre-1970 instants; nanos carries the full sub-second part
+      Some(Math.addExact(
+        Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
+        (t.getNanos / 1000).toLong))
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong))
+    case l: java.lang.Long => Some(l) // already micros (internal callers)
+    case _ => None
+  }
+
   private val ManifestPrefix = "_v"
   private val ManifestSuffix = ".manifest"
   private[graft] def manifestPath(dir: Path, version: Long): Path =
@@ -423,11 +542,12 @@ object GraftLogSource {
       .flatMap(s => manifestVersionOf(s.getPath.getName)).sorted.toSeq
   }
 
-  /** The live-file snapshot at `versionAsOf` (or the newest version).
-    * None = the directory has no manifest history yet: the raw
-    * `*.glog` listing IS the live set (fixture/back-compat mode). */
-  def liveSnapshot(dir: Path, conf: Configuration,
-      versionAsOf: Option[Long] = None): Option[(Long, Seq[String])] = {
+  /** The live-file entries at `versionAsOf` (or the newest version),
+    * stats included. None = the directory has no manifest history
+    * yet: the raw `*.glog` listing IS the live set (fixture/
+    * back-compat mode). */
+  def liveEntries(dir: Path, conf: Configuration,
+      versionAsOf: Option[Long] = None): Option[(Long, Seq[ManifestEntry])] = {
     val versions = manifestVersions(dir, conf)
     val v = versionAsOf match {
       case Some(want) =>
@@ -441,12 +561,18 @@ object GraftLogSource {
     val fs = fsFor(dir, conf)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(manifestPath(dir, v)), java.nio.charset.StandardCharsets.UTF_8))
-    val names =
+    val entries =
       try Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).toSeq
+        .filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
       finally in.close()
-    Some((v, names))
+    Some((v, entries))
   }
+
+  /** Name-level view of [[liveEntries]]. */
+  def liveSnapshot(dir: Path, conf: Configuration,
+      versionAsOf: Option[Long] = None): Option[(Long, Seq[String])] =
+    liveEntries(dir, conf, versionAsOf)
+      .map { case (v, es) => (v, es.map(_.name)) }
 
   /** Atomically publish `tmp` as `dst` iff `dst` does not exist —
     * the CAS primitive of the manifest commit (and of data-file
@@ -484,33 +610,42 @@ object GraftLogSource {
     extends RuntimeException(msg)
 
   /** Commit a new manifest version via CAS-with-retry: read the
-    * current snapshot, apply `transform` to its live list, publish as
-    * version+1; on a lost race re-read and re-apply (the transform
+    * current snapshot, apply `transform` to its live entries, publish
+    * as version+1; on a lost race re-read and re-apply (the transform
     * must be a pure function of the live list so a retry is safe).
-    * Returns (committed version, its live list). */
+    * Returns (committed version, its live entries). */
   private[graft] def commitManifest(dir: Path, conf: Configuration)(
-      transform: Seq[String] => Seq[String]): (Long, Seq[String]) = {
+      transform: Seq[ManifestEntry] => Seq[ManifestEntry])
+      : (Long, Seq[ManifestEntry]) = {
     val fs = fsFor(dir, conf)
     fs.mkdirs(metaDir(dir)): Unit
     var attempt = 0
     while (attempt < 10000) {
       attempt += 1
-      val (cur, live) = liveSnapshot(dir, conf) match {
-        case Some((v, names)) => (v, names)
+      val (cur, live) = liveEntries(dir, conf) match {
+        case Some((v, entries)) => (v, entries)
         case None =>
-          // first manifest: baseline is the raw listing (version 0 is
-          // implicit — the pre-manifest directory itself)
+          // first manifest: baseline is the raw listing with UNKNOWN
+          // ts stats (version 0 is implicit — the pre-manifest
+          // directory itself; its files never met a stats-tracking
+          // writer, so every ts predicate conservatively keeps them)
           (0L,
             (try fs.listStatus(dir)
              catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
               .filter(s => s.isFile && s.getPath.getName.endsWith(".glog"))
-              .map(_.getPath.getName).sortBy(listingOrder).toSeq)
+              .map(s => ManifestEntry(s.getPath.getName, None))
+              .sortBy(e => listingOrder(e.name)).toSeq)
       }
-      val next = transform(live).distinct.sortBy(listingOrder)
+      // name collisions keep the LAST occurrence: a pre-manifest
+      // baseline adopts already-claimed files with UNKNOWN stats, and
+      // the appending transform then re-adds them WITH stats — the
+      // later, richer entry must win
+      val next = transform(live).reverse.distinctBy(_.name)
+        .sortBy(e => listingOrder(e.name))
       val tmp = new Path(metaDir(dir),
         s".manifest-${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, true)
-      try out.write(next.mkString("", "\n", "\n")
+      try out.write(next.map(_.line).mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (publishIfAbsent(fs, tmp, manifestPath(dir, cur + 1)))
@@ -600,15 +735,15 @@ object GraftLogSource {
     * temps. Each rename is a [[publishIfAbsent]] CLAIM: when a
     * concurrent committer wins a name, the loser re-lists and
     * re-plans the remainder at higher indices — no clobbering, no
-    * collision failures. Returns the committed final names; the
-    * files stay INVISIBLE to readers until the caller's manifest CAS
-    * references them. */
+    * collision failures. Returns the committed final manifest
+    * entries (name + ts stats); the files stay INVISIBLE to readers
+    * until the caller's manifest CAS references them. */
   private[graft] def renameStagedIn(dir: Path, conf: Configuration,
-      messages: Array[WriterCommitMessage]): Seq[String] = {
+      messages: Array[WriterCommitMessage]): Seq[ManifestEntry] = {
     val fs = fsFor(dir, conf)
     var remaining = messages.map(_.asInstanceOf[GlogCommit])
       .filter(_.rows > 0).sortBy(_.tempPath).toSeq
-    val done = Seq.newBuilder[String]
+    val done = Seq.newBuilder[ManifestEntry]
     var attempt = 0
     while (remaining.nonEmpty) {
       attempt += 1
@@ -629,7 +764,7 @@ object GraftLogSource {
           val name = fileName(nextIdx, m.min, m.max)
           nextIdx += 1
           if (publishIfAbsent(fs, new Path(m.tempPath), new Path(dir, name)))
-            done += name
+            done += ManifestEntry(name, m.tsRange)
           else { collided = true; remaining :+= m }
         }
       }
@@ -667,17 +802,25 @@ object GraftLogSource {
     * A crash before the caller's CAS leaves the table untouched (only
     * invisible orphans); re-running converges. */
   private[graft] def deleteMatchingStaged(dir: Path, conf: Configuration,
-      filters: Array[Filter]): (Set[String], Seq[String]) = {
+      filters: Array[Filter]): (Set[String], Seq[ManifestEntry]) = {
     val fs = fsFor(dir, conf)
     val (affected, _) = listCommitted(dir, conf, filters.toSeq)
+    // manifest ts stats, for the time-retention full-coverage proof
+    val tsStats: Map[String, Option[(Long, Long)]] =
+      liveEntries(dir, conf).map(_._2.map(e => e.name -> e.tsRange).toMap)
+        .getOrElse(Map.empty)
     val drops = Set.newBuilder[String]
     val staged = Seq.newBuilder[GlogCommit]
     affected.foreach { st =>
       val f = st.getPath
-      // retention-window fast path: the zone map PROVES every row
-      // matches → drop from the live set without opening the file
+      // retention-window fast path: the value zone map (from the
+      // NAME) or the manifest ts stats PROVE every row matches →
+      // drop from the live set without opening the file — the
+      // `DELETE WHERE ts < cutoff` case ages out whole files
+      // metadata-only
       val fullyCovered = minMaxFromName(f.getName)
-        .exists { case (mn, mx) => zoneMapFullyCovers(mn, mx, filters.toSeq) }
+        .exists { case (mn, mx) => zoneMapFullyCovers(mn, mx, filters.toSeq) } ||
+        tsStatsFullyCover(tsStats.getOrElse(f.getName, None), filters.toSeq)
       if (fullyCovered) {
         drops += f.getName
       } else {
@@ -690,14 +833,17 @@ object GraftLogSource {
         var rows = 0L
         var mn = Double.PositiveInfinity
         var mx = Double.NegativeInfinity
+        var tsMn = Long.MaxValue
+        var tsMx = Long.MinValue
         try {
           var line = in.readLine()
           while (line != null) {
             val c = line.split("\t", 6)
             val value = java.lang.Double.parseDouble(c(4))
+            val tsMicros = c(1).toLong
             // a row is deleted iff it satisfies EVERY filter
             val deleted = filters.nonEmpty && filters.forall(
-              eval(_, c(0).toLong, c(1).toLong, c(2).toLong,
+              eval(_, c(0).toLong, tsMicros, c(2).toLong,
                 c(3), value, if (c.length > 5) c(5) else ""))
             if (!deleted) {
               out.write(line); out.write('\n')
@@ -705,13 +851,15 @@ object GraftLogSource {
               // tight replacement bounds, NaN-aware like the writer
               if (cmp(value, mn) < 0) mn = value
               if (cmp(value, mx) > 0) mx = value
+              if (tsMicros < tsMn) tsMn = tsMicros
+              if (tsMicros > tsMx) tsMx = tsMicros
             }
             line = in.readLine()
           }
         } finally { in.close(); out.close() }
         drops += f.getName
         if (rows == 0L) fs.delete(tmp, false): Unit
-        else staged += GlogCommit(tmp.toString, rows, mn, mx)
+        else staged += GlogCommit(tmp.toString, rows, mn, mx, tsMn, tsMx)
       }
     }
     val replacements = renameStagedIn(dir, conf,
@@ -740,8 +888,8 @@ object GraftLogSource {
     val (drop, repl) = deleteMatchingStaged(dir, conf, filters)
     if (drop.nonEmpty || repl.nonEmpty)
       commitManifest(dir, conf) { live =>
-        requireStillLive(live, drop, "DELETE")
-        live.filterNot(drop) ++ repl
+        requireStillLive(live.map(_.name), drop, "DELETE")
+        live.filterNot(e => drop(e.name)) ++ repl
       }: Unit
   }
 
@@ -777,13 +925,13 @@ object GraftLogSource {
     // pre-manifest directory gets its baseline committed first), so
     // an append landing DURING the staging read can neither be folded
     // into the new generation nor dropped by the swap below
-    val snap = liveSnapshot(dir, conf)
+    val snap = liveEntries(dir, conf)
     if (snap.isEmpty && listCommitted(dir, conf, Seq.empty)._2 == 0)
       return // empty/missing directory: a no-op, leave no metadata behind
-    val (gen, oldNamesSeq) =
+    val (gen, oldEntries) =
       snap.getOrElse(commitManifest(dir, conf)(identity))
-    if (oldNamesSeq.isEmpty) return
-    val oldNames = oldNamesSeq.toSet
+    if (oldEntries.isEmpty) return
+    val oldNames = oldEntries.map(_.name).toSet
     val staging = new Path(dir.getParent, dir.getName + ".compact")
     fs.delete(staging, true): Unit
     spark.read.format("glog").option("path", path)
@@ -791,21 +939,25 @@ object GraftLogSource {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.format("glog").option("path", staging.toString)
       .option("clustered", "true").mode("overwrite").save()
-    val (staged, _) = listCommitted(staging, conf, Seq.empty)
     // claim the staged files into the table dir under fresh indices
-    // (invisible until the CAS below references them)
-    val claims = staged.map { s =>
-      val (mn, mx) = minMaxFromName(s.getPath.getName).getOrElse(
+    // (invisible until the CAS below references them); the staging
+    // manifest carries each file's ts stats — they ride along
+    val stagedEntries = liveEntries(staging, conf)
+      .map(_._2).getOrElse(Seq.empty)
+    val claims = stagedEntries.map { e =>
+      val (mn, mx) = minMaxFromName(e.name).getOrElse(
         throw new IllegalStateException(
-          s"compact: staged file ${s.getPath} lacks zone-map bounds"))
-      GlogCommit(s.getPath.toString, 1L, mn, mx): WriterCommitMessage
+          s"compact: staged file ${e.name} lacks zone-map bounds"))
+      val (tsA, tsB) = e.tsRange.getOrElse((Long.MinValue, Long.MaxValue))
+      GlogCommit(new Path(staging, e.name).toString, 1L, mn, mx, tsA, tsB)
+        : WriterCommitMessage
     }
-    val newNames = renameStagedIn(dir, conf, claims)
+    val newEntries = renameStagedIn(dir, conf, claims.toArray)
     commitManifest(dir, conf) { live =>
-      requireStillLive(live, oldNames, "compact")
+      requireStillLive(live.map(_.name), oldNames, "compact")
       // concurrent appends landed between the read and this CAS ride
       // along untouched; only the compacted generation is swapped
-      live.filterNot(oldNames) ++ newNames
+      live.filterNot(e => oldNames(e.name)) ++ newEntries
     }: Unit
     fs.delete(staging, true): Unit
   }
@@ -922,18 +1074,21 @@ private[sources] class GlogTable(path: String, pushdown: Boolean,
     * the driver. Same discipline as the triangle-count broadcast
     * gates: choose the physical route by measured cost, never
     * unconditionally. */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(GraftLogSource.pushable) && {
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val norm = GraftLogSource.normalizeTsFilters(filters)
+    norm.forall(GraftLogSource.pushable) && {
       val (affected, _) = GraftLogSource.listCommitted(
         GraftLogSource.resolveDir(path), GraftLogSource.driverHadoopConf(),
-        filters.toSeq)
+        norm.toSeq)
       affected.length <= GraftLogSource.MaxDriverDeleteFiles
     }
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinnedVersion.isEmpty,
       s"glog: DML against the time-travel snapshot ${name()} is not allowed")
-    GraftLogSource.deleteMatching(GraftLogSource.resolveDir(path), filters)
+    GraftLogSource.deleteMatching(GraftLogSource.resolveDir(path),
+      GraftLogSource.normalizeTsFilters(filters))
   }
 
   /** SQL `TRUNCATE TABLE`: metadata-first — commit an EMPTY manifest
@@ -1039,7 +1194,8 @@ private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
   override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    if (pushdown) pushed = filters.filter(GraftLogSource.pushable)
+    if (pushdown) pushed = GraftLogSource.normalizeTsFilters(filters)
+      .filter(GraftLogSource.pushable)
     // everything stays residual: Spark re-evaluates all filters
     // post-scan, so reader-side pruning is an optimization with an
     // engine-enforced correctness net (parquet does the same)
@@ -1648,10 +1804,11 @@ private[sources] class GlogWriteBuilder(path: String, schema: StructType,
     if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
       truncateFirst = true
     else {
-      require(filters.forall(GraftLogSource.pushable),
-        s"glog overwrite supports value/user_id/event_type predicates, got: " +
-          filters.mkString(", "))
-      replaceWhere = filters
+      val norm = GraftLogSource.normalizeTsFilters(filters)
+      require(norm.forall(GraftLogSource.pushable),
+        s"glog overwrite supports value/user_id/ts/event_type predicates, " +
+          s"got: " + filters.mkString(", "))
+      replaceWhere = norm
     }
     this
   }
@@ -1770,9 +1927,9 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
           s"epoch $epochId replay: cleanup of orphaned claim $n failed")
       }
     }
-    val names = GraftLogSource.renameStagedIn(dir, conf, messages)
-    writeMarker(fs, m, names)
-    GraftLogSource.commitManifest(dir, conf)(live => live ++ names): Unit
+    val entries = GraftLogSource.renameStagedIn(dir, conf, messages)
+    writeMarker(fs, m, entries.map(_.name))
+    GraftLogSource.commitManifest(dir, conf)(live => live ++ entries): Unit
     // GC dead markers: epochs below this one can never replay once
     // this commit was invoked (the engine checkpoints batch N-1
     // before asking the sink to commit batch N)
@@ -1823,7 +1980,15 @@ private[sources] class GlogClusteredWrite(path: String, schema: StructType,
 }
 
 private[sources] case class GlogCommit(tempPath: String, rows: Long,
-    min: Double, max: Double) extends WriterCommitMessage
+    min: Double, max: Double,
+    tsMin: Long = Long.MinValue, tsMax: Long = Long.MaxValue)
+    extends WriterCommitMessage {
+  /** Manifest ts stats: None when the writer saw no rows worth
+    * bounding (sentinel values) — conservative on the read side. */
+  def tsRange: Option[(Long, Long)] =
+    if (tsMin == Long.MinValue || tsMax == Long.MaxValue) None
+    else Some((tsMin, tsMax))
+}
 
 private[graft] class GlogBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, replaceWhere: Array[Filter] = Array.empty)
@@ -1849,27 +2014,28 @@ private[graft] class GlogBatchWrite(path: String, schema: StructType,
     val dir = GraftLogSource.resolveDir(path)
     val fs = GraftLogSource.fsFor(dir, conf)
     fs.mkdirs(dir): Unit
-    val newNames = GraftLogSource.renameStagedIn(dir, conf, messages)
-    val (dropNames, replNames) =
+    val newEntries = GraftLogSource.renameStagedIn(dir, conf, messages)
+    val (dropNames, replEntries) =
       if (replaceWhere.nonEmpty && !truncateFirst)
         GraftLogSource.deleteMatchingStaged(dir, conf, replaceWhere)
-      else (Set.empty[String], Seq.empty[String])
+      else (Set.empty[String], Seq.empty[GraftLogSource.ManifestEntry])
     if (truncateFirst) {
-      GraftLogSource.commitManifest(dir, conf)(_ => newNames): Unit
+      GraftLogSource.commitManifest(dir, conf)(_ => newEntries): Unit
       // unlink everything the overwrite displaced: all data files on
       // disk except the new generation (orphans of prior DML too —
       // overwrite resets the table's whole history)
-      val keep = newNames.toSet
+      val keep = newEntries.map(_.name).toSet
       (try fs.listStatus(dir)
        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
         .filter(s => s.isFile && s.getPath.getName.endsWith(".glog") &&
           !keep(s.getPath.getName))
         .foreach(s => require(fs.delete(s.getPath, false),
           s"overwrite: delete ${s.getPath} failed"))
-    } else if (newNames.nonEmpty || dropNames.nonEmpty || replNames.nonEmpty) {
+    } else if (newEntries.nonEmpty || dropNames.nonEmpty || replEntries.nonEmpty) {
       GraftLogSource.commitManifest(dir, conf) { live =>
-        GraftLogSource.requireStillLive(live, dropNames, "REPLACE WHERE")
-        live.filterNot(dropNames) ++ replNames ++ newNames
+        GraftLogSource.requireStillLive(live.map(_.name), dropNames,
+          "REPLACE WHERE")
+        live.filterNot(e => dropNames(e.name)) ++ replEntries ++ newEntries
       }: Unit
     }
   }
@@ -1935,12 +2101,13 @@ private[graft] class GlogReplaceGroups(path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftLogSource.driverHadoopConf()
     val dir = GraftLogSource.resolveDir(path)
-    val newNames = GraftLogSource.renameStagedIn(dir, conf, messages)
+    val newEntries = GraftLogSource.renameStagedIn(dir, conf, messages)
     import scala.jdk.CollectionConverters._
     val dropNames = affected.asScala.map(p => new Path(p).getName).toSet
     GraftLogSource.commitManifest(dir, conf) { live =>
-      GraftLogSource.requireStillLive(live, dropNames, "row-level rewrite")
-      live.filterNot(dropNames) ++ newNames
+      GraftLogSource.requireStillLive(live.map(_.name), dropNames,
+        "row-level rewrite")
+      live.filterNot(e => dropNames(e.name)) ++ newEntries
     }: Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1968,6 +2135,8 @@ private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long,
   private var rows = 0L
   private var mn = Double.PositiveInfinity
   private var mx = Double.NegativeInfinity
+  private var tsMn = Long.MaxValue
+  private var tsMx = Long.MinValue
 
   override def write(row: InternalRow): Unit = {
     // guard the unsafe accessors: a surprise layout (missing column,
@@ -1994,6 +2163,10 @@ private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long,
     // prune the file for `value > x` predicates
     if (GraftLogSource.cmp(value, mn) < 0) mn = value
     if (GraftLogSource.cmp(value, mx) > 0) mx = value
+    // ts stats for the manifest (micros, exact long compares)
+    val tsMicros = row.getLong(base + 1)
+    if (tsMicros < tsMn) tsMn = tsMicros
+    if (tsMicros > tsMx) tsMx = tsMicros
     val eventType = row.getUTF8String(base + 3).toString
     val props = row.getUTF8String(base + 5).toString
     // the line format reserves TAB and newline: corrupting a file
@@ -2012,7 +2185,9 @@ private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long,
   override def commit(): WriterCommitMessage = {
     out.close()
     GlogCommit(temp.toString, rows,
-      if (rows == 0) 0.0 else mn, if (rows == 0) 0.0 else mx)
+      if (rows == 0) 0.0 else mn, if (rows == 0) 0.0 else mx,
+      if (rows == 0) Long.MinValue else tsMn,
+      if (rows == 0) Long.MaxValue else tsMx)
   }
 
   override def abort(): Unit = { out.close(); fs.delete(temp, false); () }

@@ -1206,6 +1206,93 @@ class Dsv2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest ts stats prune files at planning time; time retention drops files unopened") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.sources.{Filter, LessThan, GreaterThanOrEqual}
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_ts").toFile
+    val p = new Path(dir.getAbsolutePath)
+    val conf = GraftLogSource.driverHadoopConf()
+    val day = 86400000000L // one day in micros
+    // three "daily" files committed through the writer so the manifest
+    // carries their ts stats; day 0's CONTENT IS INVALID — if any ts
+    // path opened it, parseDouble/toLong would throw
+    def commitDay(d: Long, lines: String): Unit = {
+      val fac = new graft.sources.GlogWriterFactory(dir.getAbsolutePath)
+      val w = fac.createWriter(0, d)
+      // write through the real writer for days 1..2 (stats tracked);
+      // day 0 is hand-planted below
+      lines.split('\n').foreach { l =>
+        val c = l.split("\t", 6)
+        w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](c(0).toLong, c(1).toLong, c(2).toLong,
+            org.apache.spark.unsafe.types.UTF8String.fromString(c(3)),
+            c(4).toDouble,
+            org.apache.spark.unsafe.types.UTF8String.fromString(c(5)))))
+      }
+      new graft.sources.GlogBatchWrite(dir.getAbsolutePath,
+        GraftLogSource.SchemaFixed, truncateFirst = false)
+        .commit(Array(w.commit()))
+    }
+    commitDay(1, s"1\t${0 * day + 5}\t1\ta\t1.0\t{}\n2\t${0 * day + 9}\t2\ta\t2.0\t{}")
+    commitDay(2, s"3\t${1 * day + 5}\t3\ta\t3.0\t{}\n4\t${1 * day + 9}\t4\ta\t4.0\t{}")
+    commitDay(3, s"5\t${2 * day + 5}\t5\ta\t5.0\t{}\n6\t${2 * day + 9}\t6\ta\t6.0\t{}")
+    // corrupt day 0's file content AFTER commit (stats already in the
+    // manifest): any path that opens it will throw loudly
+    val day0Name = GraftLogSource.listCommitted(p, conf, Seq.empty)
+      ._1.head.getPath.getName
+    java.nio.file.Files.write(new java.io.File(dir, day0Name).toPath,
+      "NOT A VALID GLOG LINE".getBytes("UTF-8"))
+    // planning-time pruning on ts: only day 2's file survives the
+    // listing for a ts >= 2*day predicate (micros long literal)
+    val kept = GraftLogSource.listCommitted(p, conf,
+      Seq(GreaterThanOrEqual("ts", java.lang.Long.valueOf(2 * day))))._1
+    assert(kept.length == 1, s"ts stats pruned ${kept.length} files, want 1")
+    // ...and the same through a real scan with a TIMESTAMP literal
+    // (java.sql.Timestamp — the shape Spark pushes): day-0's corrupt
+    // file must never be opened
+    val rows = spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load().filter(col("ts") >= lit(new java.sql.Timestamp(2 * day / 1000)))
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(5L, 6L), rows.mkString(","))
+    val census = GraftLogSource.planCensus.get(dir.getAbsolutePath)
+    assert(census._2 == 1 && census._1 == 3, s"scan census: $census")
+    // time retention: DELETE ts < 1*day drops day 0 WHOLE from the
+    // manifest without opening its (unparsable) content
+    GraftLogSource.deleteMatching(p,
+      Array[Filter](LessThan("ts", java.lang.Long.valueOf(1 * day))))
+    val live = GraftLogSource.listCommitted(p, conf, Seq.empty)
+      ._1.map(_.getPath.getName)
+    assert(live.length == 2 && !live.contains(day0Name),
+      live.mkString(","))
+    assert(spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load().count() == 4)
+    // the aged-out orphan is still on disk until vacuum
+    assert(new java.io.File(dir, day0Name).exists())
+    GraftLogSource.vacuum(dir.getAbsolutePath): Unit
+    assert(!new java.io.File(dir, day0Name).exists())
+    // Instant literals (the java8 datetime API shape) normalize too
+    assert(GraftLogSource.tsMicrosOf(
+      java.time.Instant.ofEpochSecond(86400L, 5000)).contains(day + 5L))
+    assert(GraftLogSource.tsMicrosOf(
+      new java.sql.Timestamp(86400000L)).contains(day))
+    // pre-1970 Timestamps round toward negative infinity (floorDiv)
+    val pre = new java.sql.Timestamp(-1500L) // 1969-12-31T23:59:58.500
+    pre.setNanos(500000000)
+    assert(GraftLogSource.tsMicrosOf(pre).contains(-1500000L))
+  }
+
+  test("eng_dsv2_ts_stats: the measured ts-stats census is exact") {
+    Tables.register(spark, sf)
+    val rows = EngineOps.queries("eng_dsv2_ts_stats")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_full", "2_ts_pruned", "3_retention"))
+    assert(rows.forall(_.getBoolean(4)), rows.mkString("; "))
+    val byStage = rows.map(r => r.getString(0) -> r).toMap
+    assert(byStage("1_full").getLong(1) == 4L)       // 4 daily files
+    assert(byStage("2_ts_pruned").getLong(2) == 1L)  // 1 file kept
+    assert(byStage("3_retention").getLong(2) == 2L)  // 2 live after aging
+  }
+
   test("change feed emits exactly the row-level delta between versions") {
     Tables.register(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_cf").toFile
@@ -1350,7 +1437,8 @@ class Dsv2SourceSpec extends AnyFunSuite {
       val futures = (0 until 8).map { i =>
         pool.submit(new java.util.concurrent.Callable[Long] {
           def call(): Long = GraftLogSource.commitManifest(p, conf)(
-            live => live :+ f"part-$i%04d_0_0.glog")._1
+            live => live :+ GraftLogSource.ManifestEntry(
+              f"part-$i%04d_0_0.glog", Some((i * 10L, i * 10L + 9L))))._1
         })
       }
       val versions = futures.map(_.get()).sorted
@@ -1396,11 +1484,11 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val victim = GraftLogSource.listCommitted(p, conf, Seq.empty)
       ._1.head.getPath.getName
     GraftLogSource.commitManifest(p, conf)(
-      live => live.filterNot(_ == victim)) // "writer 1" swaps it out
+      live => live.filterNot(_.name == victim)) // "writer 1" swaps it out
     intercept[GraftLogSource.GlogConcurrentModificationException] {
       GraftLogSource.commitManifest(p, conf) { live =>
-        GraftLogSource.requireStillLive(live, Seq(victim), "spec")
-        live.filterNot(_ == victim)
+        GraftLogSource.requireStillLive(live.map(_.name), Seq(victim), "spec")
+        live.filterNot(_.name == victim)
       }
     }
   }
