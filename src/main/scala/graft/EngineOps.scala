@@ -3016,8 +3016,11 @@ object EngineOps {
     val (nLow, nHigh) =
       (ev.filter(col("value") < cut).count(),
         ev.filter(col("value") >= cut).count())
+    // coalesce(1): one file per statement, so every file-level census
+    // below (vacuum's reclaim count in particular) is independent of
+    // defaultParallelism — goldens must not follow the CPU count
     def write(df: DataFrame, mode: String): Unit =
-      df.write.format("glog").option("path", path).mode(mode).save()
+      df.coalesce(1).write.format("glog").option("path", path).mode(mode).save()
     write(ev.filter(col("value") < cut), "overwrite") // v1
     write(ev.filter(col("value") >= cut), "append")   // v2
     val p = new org.apache.hadoop.fs.Path(path)
