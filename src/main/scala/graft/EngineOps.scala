@@ -3069,6 +3069,62 @@ object EngineOps {
       .orderBy(col("stage"))
   }
 
+  /** MEASURED row-level change feed (GraftLogSource.changeFeed) —
+    * the incremental-consumer primitive over the manifest history: a
+    * daily training-data pipeline reads exactly what changed between
+    * two versions instead of re-scanning the table. Fixture per run:
+    * v1 = overwrite with the low-value half, v2 = append the high
+    * half, v3 = DELETE the top quarter (a copy-on-write rewrite whose
+    * carried-over survivors must CANCEL out of the feed — the multiset
+    * EXCEPT ALL at work). Stages census exact insert/delete row counts
+    * for the append range (inserts only), the delete range (deletes
+    * only, the rewrite's survivors cancelled), and the composed range
+    * (net middle-slice insert). File-level manifest diff first: files
+    * common to both versions are never read, so feed work scales with
+    * the CHANGED files, not the table. */
+  private def dsv2ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.GraftLogSource
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_glog_cf_$sfName")
+    if (root.exists()) deleteRecursively(root.toPath)
+    root.mkdirs()
+    val path = new java.io.File(root, "t").getAbsolutePath
+    val ev = t(spark, dir, "events").select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+    val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.5
+    val cut2 = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.75
+    val nHigh = ev.filter(col("value") >= cut).count()
+    val nTop = ev.filter(col("value") >= cut2).count()
+    ev.filter(col("value") < cut).coalesce(1).write.format("glog")
+      .option("path", path).mode("overwrite").save()        // v1
+    ev.filter(col("value") >= cut).coalesce(1).write.format("glog")
+      .option("path", path).mode("append").save()           // v2
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    GraftLogSource.deleteMatching(
+      new org.apache.hadoop.fs.Path(path),
+      Array[org.apache.spark.sql.sources.Filter](
+        GreaterThanOrEqual("value", cut2)))                 // v3
+    def stage(name: String, a: Long, b: Long,
+        wantIns: Long, wantDel: Long): (String, Long, Long, Boolean) = {
+      val feed = GraftLogSource.changeFeed(spark, path, a, b)
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (ins, del) =
+        (feed.getOrElse("insert", 0L), feed.getOrElse("delete", 0L))
+      (name, ins, del, ins == wantIns && del == wantDel)
+    }
+    Seq(
+      stage("1_append_range", 1L, 2L, nHigh, 0L),
+      stage("2_delete_range", 2L, 3L, 0L, nTop),
+      stage("3_composed", 1L, 3L, nHigh - nTop, 0L))
+      .toDF("stage", "n_insert", "n_delete", "ok")
+      .orderBy(col("stage"))
+  }
+
   /** MEASURED manifest-carried ts statistics — file-level stats on a
     * SECOND column (the value zone map rides the file NAMES; ts
     * min/max ride the MANIFEST, collected for free by the writers —
@@ -3840,6 +3896,7 @@ object EngineOps {
     "eng_dsv2_source" -> dsv2Source,
     "eng_dsv2_manifest" -> dsv2Manifest,
     "eng_dsv2_ts_stats" -> dsv2TsStats,
+    "eng_dsv2_changefeed" -> dsv2ChangeFeed,
     "eng_dsv2_runtime_filter" -> dsv2RuntimeFilter,
     "eng_dsv2_clustered_write" -> dsv2ClusteredWrite,
     "eng_dsv2_stream_sink" -> dsv2StreamSink,

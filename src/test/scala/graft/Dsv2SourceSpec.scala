@@ -1335,6 +1335,12 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(feed(2L, 2L).count() == 0)
     GraftLogSource.vacuum(path): Unit
     intercept[Exception] { feed(1L, 3L).count() }
+    // the measured entry agrees end-to-end
+    val rows = EngineOps.queries("eng_dsv2_changefeed")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_append_range", "2_delete_range", "3_composed"))
+    assert(rows.forall(_.getBoolean(3)), rows.mkString("; "))
+    assert(rows.map(_.getLong(1)).sum > 0)
   }
 
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF through the catalog") {
