@@ -495,15 +495,41 @@ object EngineOps {
     val (viaIncr, viaFull) = (topk(basePath), topk(fullPath))
     resetToBaseline(basePath, baseline) // idempotent across passes
     val nBase = emb.filter(col("vec_id") % 10 =!= 1).count()
+    // ---- small-file hygiene (file census): 3 "daily" sub-deltas,
+    // then per-cell compaction. Each append lands one parquet file
+    // per touched cell, so the copy accumulates ~3 files/cell;
+    // compactIvfPartitioned rewrites ONLY over-budget cells back to
+    // one file each — top-k, codebook, and fingerprint unchanged
+    // (also spec-proven in SimilaritySearchSpec). Runs on a scratch
+    // copy so the cached pristine base keeps serving bench passes.
+    val comp = basePath + "_compact"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(comp)))
+      deleteRecursively(java.nio.file.Paths.get(comp))
+    copyRecursively(java.nio.file.Paths.get(basePath),
+      java.nio.file.Paths.get(comp))
+    (0 until 3).foreach { i =>
+      SimilaritySearch.appendToIvfPartitioned(spark,
+        delta.filter(col("vec_id") % 30 === (1 + 10 * i)),
+        "vec_id", "embedding", comp): Unit
+    }
+    def dataFileCount(p: String): Long = listFilesUnder(p)
+      .count(n => n.endsWith(".parquet") && !n.startsWith("_codebook")).toLong
+    val filesBefore = dataFileCount(comp)
+    SimilaritySearch.compactIvfPartitioned(spark, comp): Unit
+    val filesAfter = dataFileCount(comp)
+    val compactOk = topk(comp) == viaFull && filesAfter < filesBefore
+    deleteRecursively(java.nio.file.Paths.get(comp))
     // score_ratio = delta mean assignment score / fit-time objective:
     // ~1.0 means the codebook still describes the incoming data; a
     // sagging ratio is the re-cluster trigger (reported as a measured
     // number, not a thresholded guess — the policy is the caller's)
     Seq((nBase, nDelta,
         math.rint(deltaScore * 1e4) / 1e4, math.rint(objective * 1e4) / 1e4,
-        math.rint(deltaScore / objective * 1e2) / 1e2, viaIncr == viaFull))
+        math.rint(deltaScore / objective * 1e2) / 1e2, viaIncr == viaFull,
+        filesBefore, filesAfter, compactOk))
       .toDF("n_base", "n_delta", "delta_score", "fit_objective",
-        "score_ratio", "topk_equal")
+        "score_ratio", "topk_equal", "delta_files", "compact_files",
+        "compact_ok")
   }
 
   /** PQ-ADC approximate top-k (operators/ProductQuantizer — Jégou '11
@@ -2619,11 +2645,17 @@ object EngineOps {
       .write.format("graft.sources.GraftLogSource")
       .option("path", sink.getAbsolutePath)
       .mode("overwrite").save()
-    val sinkFiles = Option(sink.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".glog"))
+    // census the LIVE generation via the manifest: overwrite is
+    // metadata-only, so earlier passes' displaced files legitimately
+    // linger on disk as snapshot orphans until vacuum — a raw listing
+    // would over-count (and drift run-to-run)
+    val sinkFiles = sources.GraftLogSource.listCommitted(
+      new org.apache.hadoop.fs.Path(sink.getAbsolutePath),
+      sources.GraftLogSource.driverHadoopConf(), Seq.empty)
+      ._1.map(_.getPath.getName)
     // every committed file is zone-map named; no temp residue visible
-    val allNamed = sinkFiles.nonEmpty && sinkFiles.forall(f =>
-      sources.GraftLogSource.minMaxFromName(f.getName).isDefined)
+    val allNamed = sinkFiles.nonEmpty && sinkFiles.forall(n =>
+      sources.GraftLogSource.minMaxFromName(n).isDefined)
     val backDf = spark.read.format("graft.sources.GraftLogSource")
       .option("path", sink.getAbsolutePath).load()
       .agg(count(lit(1)).as("n"),
@@ -3063,66 +3095,153 @@ object EngineOps {
       try { countAt(1L); false } catch { case _: Exception => true }
     val s4 = ("4_vacuum", countNow(), reclaimed.toLong,
       reclaimed >= 1 && countNow() == nLow + 2 && v1Fails)
-    Seq(s1, s2, s3, s4)
+    // stage 5: MANY-COMMIT metadata scaling — 20 more single-row
+    // appends (the per-epoch streaming-sink shape); each non-
+    // checkpoint commit writes a 2-line DELTA no matter how many
+    // files are live (O(delta) metadata bytes per commit), with a
+    // full checkpoint every CheckpointEvery-th version bounding the
+    // resolve chain — the Delta/Iceberg checkpoint+deltas shape.
+    (10L to 29L).foreach { i =>
+      val (bw, msg) = staged(900000L + i, i.toDouble)
+      bw.commit(msg)
+    }                                                    // v6..v25
+    val metaDirF = new java.io.File(path, GraftLogSource.MetaDirName)
+    val manifests = GraftLogSource.manifestVersions(p, conf)
+      .filter(_ > 5L)
+      .map { v =>
+        new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(metaDirF, f"_v$v%012d.manifest").toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.filter(_.nonEmpty).toSeq
+      }
+    val deltas = manifests.filter(_.headOption.contains("#delta"))
+    val maxDeltaLines = deltas.map(_.length).maxOption.getOrElse(0)
+    val s5 = ("5_delta_chain", deltas.length.toLong, maxDeltaLines.toLong,
+      deltas.length == 19 && maxDeltaLines == 2 &&
+        countNow() == nLow + 22 &&
+        // the one checkpoint commit in the window (v16) carries the
+        // FULL list: 3 pre-existing files + the 11 appends v6..v16
+        manifests.exists(m => !m.headOption.contains("#delta") && m.length == 14))
+    Seq(s1, s2, s3, s4, s5)
       .map { case (st, a, b, ok) => (st, a, b, ok) }
       .toDF("stage", "n_a", "n_b", "ok")
       .orderBy(col("stage"))
   }
 
+  /** Change-feed fixture, built ONCE per (session, dir) — an index-
+    * build step like the IVF layouts, so the measured entries time the
+    * FEED READS, not the fixture writes. Versions: v1 = overwrite with
+    * the low-value half, v2 = append the high half, v3 = DELETE the
+    * top quarter (a copy-on-write rewrite whose carried-over survivors
+    * must CANCEL out of the feed), v4 = ONE small appended file of a
+    * FIXED row count (the daily-ingest shape — its size does not grow
+    * with the table, so eng_changefeed_small_delta's scale ratio
+    * tracks the delta, not the table). Returns
+    * (path, nHigh, nTop, nTiny). */
+  private val cfFixtures = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long, Long)]]())
+  private def ensureChangeFeedFixture(spark: SparkSession, dir: String)
+      : (String, Long, Long, Long) =
+    cfFixtures
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long, Long)]())
+      .computeIfAbsent(dir, _ => {
+        import graft.sources.GraftLogSource
+        val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_glog_cf_$sfName")
+        if (root.exists()) deleteRecursively(root.toPath)
+        root.mkdirs()
+        val path = new java.io.File(root, "t").getAbsolutePath
+        val ev = t(spark, dir, "events").select(
+          col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+        val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.5
+        val cut2 = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.75
+        val nHigh = ev.filter(col("value") >= cut).count()
+        val nTop = ev.filter(col("value") >= cut2).count()
+        ev.filter(col("value") < cut).coalesce(1).write.format("glog")
+          .option("path", path).mode("overwrite").save()        // v1
+        ev.filter(col("value") >= cut).coalesce(1).write.format("glog")
+          .option("path", path).mode("append").save()           // v2
+        import org.apache.spark.sql.sources.GreaterThanOrEqual
+        GraftLogSource.deleteMatching(
+          new org.apache.hadoop.fs.Path(path),
+          Array[org.apache.spark.sql.sources.Filter](
+            GreaterThanOrEqual("value", cut2)))                 // v3
+        // v4: one small appended file — FIXED 1000 rows at any SF
+        val tiny = ev.orderBy(col("event_id")).limit(1000)
+        val nTiny = tiny.count()
+        tiny.coalesce(1).write.format("glog")
+          .option("path", path).mode("append").save()           // v4
+        (path, nHigh, nTop, nTiny)
+      })
+
   /** MEASURED row-level change feed (GraftLogSource.changeFeed) —
     * the incremental-consumer primitive over the manifest history: a
     * daily training-data pipeline reads exactly what changed between
-    * two versions instead of re-scanning the table. Fixture per run:
-    * v1 = overwrite with the low-value half, v2 = append the high
-    * half, v3 = DELETE the top quarter (a copy-on-write rewrite whose
-    * carried-over survivors must CANCEL out of the feed — the multiset
-    * EXCEPT ALL at work). Stages census exact insert/delete row counts
-    * for the append range (inserts only), the delete range (deletes
-    * only, the rewrite's survivors cancelled), and the composed range
-    * (net middle-slice insert). File-level manifest diff first: files
-    * common to both versions are never read, so feed work scales with
-    * the CHANGED files, not the table. */
+    * two versions instead of re-scanning the table. Stages census
+    * exact insert/delete row counts for the append range (inserts
+    * only), the delete range (deletes only, the rewrite's survivors
+    * cancelled), the composed range (net middle-slice insert), and
+    * the PUBLIC reader spelling (`option("changeFeedFrom"/"To")`,
+    * rewritten by GraftExtensions) over the small-delta range. The
+    * file-level manifest diff travels into scan PLANNING via the
+    * `filesOf` option: files common to both versions are never
+    * planned or opened, so feed IO scales with the CHANGED files, not
+    * the table (asserted via rowsEmitted in Dsv2SourceSpec and
+    * measured at a fixed delta size by eng_changefeed_small_delta). */
   private def dsv2ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.sources.GraftLogSource
-    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_glog_cf_$sfName")
-    if (root.exists()) deleteRecursively(root.toPath)
-    root.mkdirs()
-    val path = new java.io.File(root, "t").getAbsolutePath
-    val ev = t(spark, dir, "events").select(
-      col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), col("value"), col("props"))
-    val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
-    val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.5
-    val cut2 = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.75
-    val nHigh = ev.filter(col("value") >= cut).count()
-    val nTop = ev.filter(col("value") >= cut2).count()
-    ev.filter(col("value") < cut).coalesce(1).write.format("glog")
-      .option("path", path).mode("overwrite").save()        // v1
-    ev.filter(col("value") >= cut).coalesce(1).write.format("glog")
-      .option("path", path).mode("append").save()           // v2
-    import org.apache.spark.sql.sources.GreaterThanOrEqual
-    GraftLogSource.deleteMatching(
-      new org.apache.hadoop.fs.Path(path),
-      Array[org.apache.spark.sql.sources.Filter](
-        GreaterThanOrEqual("value", cut2)))                 // v3
-    def stage(name: String, a: Long, b: Long,
+    val (path, nHigh, nTop, nTiny) = ensureChangeFeedFixture(spark, dir)
+    def census(feed: DataFrame, name: String,
         wantIns: Long, wantDel: Long): (String, Long, Long, Boolean) = {
-      val feed = GraftLogSource.changeFeed(spark, path, a, b)
-        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+      val m = feed.groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val (ins, del) =
-        (feed.getOrElse("insert", 0L), feed.getOrElse("delete", 0L))
+      val (ins, del) = (m.getOrElse("insert", 0L), m.getOrElse("delete", 0L))
       (name, ins, del, ins == wantIns && del == wantDel)
     }
+    def stage(name: String, a: Long, b: Long,
+        wantIns: Long, wantDel: Long): (String, Long, Long, Boolean) =
+      census(GraftLogSource.changeFeed(spark, path, a, b), name, wantIns, wantDel)
+    // the public DataFrame spelling — same plan after the
+    // GraftExtensions rewrite, exercised end-to-end
+    val pub = spark.read.format("glog").option("path", path)
+      .option("changeFeedFrom", "3").option("changeFeedTo", "4").load()
     Seq(
       stage("1_append_range", 1L, 2L, nHigh, 0L),
       stage("2_delete_range", 2L, 3L, 0L, nTop),
-      stage("3_composed", 1L, 3L, nHigh - nTop, 0L))
+      stage("3_composed", 1L, 3L, nHigh - nTop, 0L),
+      census(pub, "4_public_option", nTiny, 0L))
       .toDF("stage", "n_insert", "n_delete", "ok")
       .orderBy(col("stage"))
+  }
+
+  /** MEASURED small-delta change feed — the scale claim isolated: the
+    * fixture's v3→v4 delta is ONE file of a FIXED row count while the
+    * table underneath grows with SF, so this entry's scale ratio
+    * tracks the DELTA (flat), not the table. `ok` additionally pins
+    * the IO bound: the feed's readers emit at most 2× the delta rows
+    * (each EXCEPT ALL side plans only the diffed files via `filesOf`;
+    * files common to both versions are never opened). */
+  private def changeFeedSmallDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (path, _, _, nTiny) = ensureChangeFeedFixture(spark, dir)
+    val feed = sources.GraftLogSource.changeFeed(spark, path, 3L, 4L)
+    val rows = feed.collect()
+    val emitted =
+      flattenExecuted(feed.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics.get("rowsEmitted").map(_.value).getOrElse(0L)
+      }.sum
+    val ins = rows.count(_.getString(6) == "insert").toLong
+    val del = rows.count(_.getString(6) == "delete").toLong
+    Seq((nTiny, ins, del,
+        ins == nTiny && del == 0L && emitted <= 2L * nTiny))
+      .toDF("n_delta", "n_insert", "n_delete", "ok")
   }
 
   /** MEASURED manifest-carried ts statistics — file-level stats on a
@@ -3501,6 +3620,17 @@ object EngineOps {
       .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
+  private def copyRecursively(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { f =>
+      val to = dst.resolve(src.relativize(f))
+      if (java.nio.file.Files.isDirectory(f))
+        java.nio.file.Files.createDirectories(to): Unit
+      else java.nio.file.Files.copy(f, to): Unit
+    }
+  }
+
   /** Count-min + Bloom sketches vs exact counts for probe users
     * (sketch family beside the HLL check; seeded, deterministic).
     * Probes 0..9 exist in every SF; 999999 probes the absent case. */
@@ -3631,13 +3761,20 @@ object EngineOps {
 
   /** Cascade early-exit over embeddings (ref cascade_model.c): two
     * deterministic linear scorer "layers", exit-layer distribution. */
+  /** Deterministic cascade scorer weights — layer l, class c, dim d →
+    * fixed small rationals, shared by the query AND its generated
+    * DuckDB oracle (weights can never drift between the two). */
+  private[graft] def cascadeW(l: Int): Array[Array[Double]] =
+    Array.tabulate(4, 64)((c, d) => ((d * 7 + c * 13 + l * 3) % 11 - 5) / 2.0)
+  private val cascadeThreshold = 0.6
+
   private def cascade(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    // deterministic scorers: layer l, class c, dim d -> fixed small weights
-    def w(l: Int) = Array.tabulate(4, 64)((c, d) => ((d * 7 + c * 13 + l * 3) % 11 - 5) / 2.0)
-    val layers = Seq((w(0), Array.fill(4)(0.0)), (w(1), Array.fill(4)(0.0)))
+    val layers = Seq((cascadeW(0), Array.fill(4)(0.0)),
+      (cascadeW(1), Array.fill(4)(0.0)))
     Cascade.exitStats(
-      Cascade.earlyExit(emb, "embedding", layers, threshold = 0.6), layers.size)
+      Cascade.earlyExit(emb, "embedding", layers, threshold = cascadeThreshold),
+      layers.size)
   }
 
   /** Full-model MLP inference as ONE distributed query — the
@@ -3897,6 +4034,7 @@ object EngineOps {
     "eng_dsv2_manifest" -> dsv2Manifest,
     "eng_dsv2_ts_stats" -> dsv2TsStats,
     "eng_dsv2_changefeed" -> dsv2ChangeFeed,
+    "eng_changefeed_small_delta" -> changeFeedSmallDelta,
     "eng_dsv2_runtime_filter" -> dsv2RuntimeFilter,
     "eng_dsv2_clustered_write" -> dsv2ClusteredWrite,
     "eng_dsv2_stream_sink" -> dsv2StreamSink,
@@ -3977,7 +4115,142 @@ object EngineOps {
         |           round(CAST(x AS DOUBLE) / sc)))),
         |         q -> abs(q) > 100)) AS INT) AS n_large
         |FROM s ORDER BY vec_id""".stripMargin,
-    "eng_mlp_forward" -> mlpOracleSql)
+    "eng_mlp_forward" -> mlpOracleSql,
+    // exact dedup summary: md5 text-hash cardinality (both engines
+    // emit lowercase-hex md5; only the distinct count crosses over)
+    "eng_exact_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |FROM documents""".stripMargin,
+    // unbounded skyline: the naive NOT-EXISTS spelling made tractable
+    // by a LOSSLESS bucketed prefilter (a local skyline of ANY
+    // partition retains every global skyline point — the same phase-1
+    // argument operators.Skyline runs distributed), so DuckDB does
+    // 32 small quadratic passes + one tiny global pass instead of one
+    // 60k^2 dominance join. Dominance ties (equal points) survive on
+    // both sides: strict < in at least one dim is required to kill.
+    "eng_skyline" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |                  l_tax, l_quantity
+        |           FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL
+        |             AND l_tax IS NOT NULL AND l_quantity IS NOT NULL),
+        |b AS (SELECT *, l_orderkey % 32 AS bk FROM s),
+        |loc AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |               l_tax, l_quantity
+        |        FROM b a
+        |        WHERE NOT EXISTS (SELECT 1 FROM b x WHERE x.bk = a.bk
+        |          AND x.l_extendedprice <= a.l_extendedprice
+        |          AND x.l_tax <= a.l_tax AND x.l_quantity <= a.l_quantity
+        |          AND (x.l_extendedprice < a.l_extendedprice
+        |               OR x.l_tax < a.l_tax OR x.l_quantity < a.l_quantity)))
+        |SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice, 4) AS price,
+        |       round(l_tax, 4) AS tax, round(l_quantity, 4) AS qty
+        |FROM loc a
+        |WHERE NOT EXISTS (SELECT 1 FROM loc x WHERE
+        |    x.l_extendedprice <= a.l_extendedprice AND x.l_tax <= a.l_tax
+        |    AND x.l_quantity <= a.l_quantity
+        |    AND (x.l_extendedprice < a.l_extendedprice OR x.l_tax < a.l_tax
+        |         OR x.l_quantity < a.l_quantity))
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |         price NULLS FIRST, tax NULLS FIRST, qty NULLS FIRST""".stripMargin,
+    "eng_cascade_early_exit" -> cascadeOracleSql,
+    "eng_mlp_forward_int8" -> mlpInt8OracleSql)
+
+  /** The eng_cascade_early_exit oracle, generated from the SAME
+    * [[cascadeW]] literals the Spark query ships (bias is zero): per
+    * layer, max-softmax confidence = 1 / Σ exp(logit − max logit);
+    * exit at the first layer clearing the threshold. Both engines
+    * compute the dot products and the exp-sum in the same sequential
+    * order over identical doubles, so the ≥-threshold compare sees
+    * the same bits (exp itself is the only libm call; a flip would
+    * need a confidence within 1 ulp of the threshold). */
+  private def cascadeOracleSql: String = {
+    def lst(v: Array[Double]): String = v.mkString("[", ",", "]")
+    def logits(l: Int): String = cascadeW(l).map(w =>
+      s"list_dot_product(x, ${lst(w)})").mkString("[", ",", "]")
+    s"""WITH xe AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+       |  FROM embeddings),
+       |lg AS (SELECT vec_id, ${logits(0)} AS lg0, ${logits(1)} AS lg1 FROM xe),
+       |cf AS (SELECT vec_id,
+       |  1.0 / list_sum(list_transform(lg0, v -> exp(v - list_max(lg0)))) AS c0,
+       |  1.0 / list_sum(list_transform(lg1, v -> exp(v - list_max(lg1)))) AS c1
+       |  FROM lg),
+       |g AS (SELECT
+       |  CASE WHEN c0 >= $cascadeThreshold THEN 1
+       |       WHEN c1 >= $cascadeThreshold THEN 2 ELSE 0 END AS exit_layer,
+       |  CASE WHEN c0 >= $cascadeThreshold THEN c0
+       |       WHEN c1 >= $cascadeThreshold THEN c1 ELSE 0.0 END AS conf0
+       |  FROM cf)
+       |SELECT CAST(exit_layer AS INT) AS exit_layer,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       round(avg(conf0), 4) AS avg_conf,
+       |       CAST(CASE WHEN exit_layer = 0 THEN 0
+       |            ELSE 2 - exit_layer END AS INT) AS layers_saved
+       |FROM g GROUP BY exit_layer ORDER BY exit_layer""".stripMargin
+  }
+
+  /** The eng_mlp_forward_int8 oracle: float path AND int8 path both
+    * generated from the same MlpWeights literals, the per-channel
+    * weight quantization replayed in Scala so the emitted wq/sw
+    * literals are bit-identical to the ones the Spark plan ships.
+    * The activation quantization (absmax/127 scale, round-half-away,
+    * clip) mirrors the query's kernel op-for-op: both engines round
+    * the SAME quotient bits, so the int8 codes — and hence the exact
+    * integer accumulations — agree exactly. */
+  private def mlpInt8OracleSql: String = {
+    def chanQuant(w: Array[Array[Double]]): (Array[Array[Double]], Array[Double]) = {
+      val scales = w.map(row => math.max(row.map(math.abs).max, 1e-12) / 127.0)
+      (w.zip(scales).map { case (row, s) => row.map(x => math.rint(x / s)) }, scales)
+    }
+    val (w1q, s1) = chanQuant(MlpWeights.w1)
+    val (w2q, s2) = chanQuant(MlpWeights.w2)
+    def lst(v: Array[Double]): String = v.mkString("[", ",", "]")
+    // float reference path (same kernels as the eng_mlp_forward oracle)
+    val hTerms = MlpWeights.w1.indices.map(o =>
+      s"greatest(list_dot_product(x, ${lst(MlpWeights.w1(o))}) + " +
+        s"${MlpWeights.b1(o)}, 0.0)").mkString(",")
+    val zTerms = MlpWeights.w2.indices.map(o =>
+      s"list_dot_product(h, ${lst(MlpWeights.w2(o))}) + ${MlpWeights.b2(o)}")
+      .mkString(",")
+    // int8 path: quantize activations per row, integer-accumulate,
+    // dequant by sx*sw + bias (+ReLU), twice
+    def xq(in: String, sx: String): String =
+      s"list_transform($in, v -> greatest(-127.0, least(127.0, round(v / $sx))))"
+    val hqTerms = w1q.indices.map(o =>
+      s"greatest(list_dot_product(xq1, ${lst(w1q(o))}) * sx1 * ${s1(o)} + " +
+        s"${MlpWeights.b1(o)}, 0.0)").mkString(",")
+    val zqTerms = w2q.indices.map(o =>
+      s"list_dot_product(xq2, ${lst(w2q(o))}) * sx2 * ${s2(o)} + " +
+        s"${MlpWeights.b2(o)}").mkString(",")
+    val dl = (1 to 4).map(i => s"abs(zf[$i] - zq[$i])").mkString("[", ",", "]")
+    s"""WITH xe AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings),
+       |ff AS (SELECT vec_id, x, [$hTerms] AS h FROM xe),
+       |zz AS (SELECT vec_id, x, [$zTerms] AS zf FROM ff),
+       |q1 AS (SELECT vec_id, x, zf,
+       |  greatest(list_max(list_transform(x, v -> abs(v))), 1e-12) / 127.0 AS sx1
+       |  FROM zz),
+       |h1 AS (SELECT vec_id, zf, sx1, ${xq("x", "sx1")} AS xq1 FROM q1),
+       |h2 AS (SELECT vec_id, zf, [$hqTerms] AS hq FROM h1),
+       |q2 AS (SELECT vec_id, zf, hq,
+       |  greatest(list_max(list_transform(hq, v -> abs(v))), 1e-12) / 127.0 AS sx2
+       |  FROM h2),
+       |z2 AS (SELECT vec_id, zf, sx2, ${xq("hq", "sx2")} AS xq2 FROM q2),
+       |zq AS (SELECT vec_id, zf, [$zqTerms] AS zq FROM z2),
+       |per AS (SELECT
+       |  list_position(zf, list_max(zf)) AS cls_f,
+       |  list_position(zq, list_max(zq)) AS cls_q,
+       |  list_max($dl) AS dlogit FROM zq)
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |       round(avg(CASE WHEN cls_f = cls_q THEN 1.0 ELSE 0.0 END), 4)
+       |         AS class_agree,
+       |       round(max(dlogit), 4) AS max_dlogit,
+       |       round(avg(dlogit), 4) AS mean_dlogit
+       |FROM per""".stripMargin
+  }
 
   /** The eng_mlp_forward oracle, generated from the SAME MlpWeights
     * literals the Spark query ships in its plan — weights can never

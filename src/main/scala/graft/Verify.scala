@@ -68,6 +68,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable oracle split: every query name -> true (DuckDB
+    // oracle-checked) | false (golden+spec only), so the driver reads
+    // the population directly instead of inferring it from err strings
+    val manifest = SparkEntry.queries.keys.toSeq.sorted.filter(keep)
+      .map(n => s"${q(n)}: ${SparkEntry.oracleSql.contains(n)}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_manifest.json"), manifest)
     spark.stop()
   }
 }

@@ -234,6 +234,60 @@ object SimilaritySearch {
     (n, meanBestScore(delta, vecCol, centroids), objective)
   }
 
+  /** Per-cell small-file compaction for a [[writeIvfPartitioned]]
+    * layout: [[appendToIvfPartitioned]] adds one parquet file per
+    * touched cell per delta batch, so after N daily deltas a cell
+    * holds ~N small files and scan cost degrades to open/seek
+    * overhead. Every cell directory holding more than
+    * `maxFilesPerCell` data files is rewritten into ONE coalesced
+    * file — rows, cell assignment, `_codebook` sidecar, and the
+    * fingerprint schema metadata all unchanged (top-k equality and
+    * fingerprint survival are spec-asserted), so queries need no
+    * re-index and the codebook needs no re-fit. Cells within budget
+    * are byte-untouched — work is O(appended cells), not O(layout).
+    * A maintenance op like the glog compact/vacuum: not safe under
+    * concurrent queries/appends of the same layout (swap window is
+    * add-new-then-drop-old per cell). Returns cells rewritten. */
+  def compactIvfPartitioned(spark: org.apache.spark.sql.SparkSession,
+                            path: String, maxFilesPerCell: Int = 1): Int = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+    val cells = fs.listStatus(dir).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("cell="))
+    var rewritten = 0
+    cells.foreach { c =>
+      val parts = dataFiles(c.getPath)
+      if (parts.length > maxFilesPerCell) {
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".compact-${c.getPath.getName}")
+        fs.delete(tmp, true): Unit
+        // read INSIDE the cell dir (no partition inference): the data
+        // schema — including the codebook-fingerprint metadata on the
+        // vector column — round-trips through the parquet footer
+        spark.read.parquet(c.getPath.toString)
+          .coalesce(1).write.option("compression", "zstd")
+          .parquet(tmp.toString)
+        // swap: land the coalesced file under a fresh name first,
+        // then drop the originals — a crash leaves a superset
+        // (duplicate rows visible only mid-maintenance), never a loss
+        dataFiles(tmp).foreach { nf =>
+          require(fs.rename(nf.getPath,
+            new org.apache.hadoop.fs.Path(c.getPath,
+              s"compacted-${nf.getPath.getName}")),
+            s"compactIvfPartitioned: rename into ${c.getPath} failed")
+        }
+        parts.foreach(p => require(fs.delete(p.getPath, false),
+          s"compactIvfPartitioned: delete ${p.getPath} failed"))
+        fs.delete(tmp, true): Unit
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
+
   /** The probe's `nProbe` best cells under a codebook (driver-side
     * O(nCentroids·dim) — the IVF routing step). */
   def probeCells(centroids: Array[Array[Double]], probe: Array[Float],

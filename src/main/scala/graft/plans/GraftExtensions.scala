@@ -15,8 +15,42 @@ import graft.expressions.{VecAggExpr, VecDotExpr}
   * GraftSession; a cluster deployment sets
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VecDotRewrite)
+    ext.injectResolutionRule(s => ChangeFeedRewrite(s))
+  }
+}
+
+/** Resolves the PUBLIC change-feed reader spelling
+  * (`spark.read.format("glog").option("changeFeedFrom", a)
+  * .option("changeFeedTo", b)`): the provider returns a marker
+  * [[graft.sources.GlogChangeFeedTable]] (the feed's EXCEPT ALL
+  * composition cannot live inside one DSv2 scan), and this rule swaps
+  * its relation for [[graft.sources.GraftLogSource.changeFeed]]'s
+  * analyzed plan during resolution — downstream operators keep their
+  * resolved attribute ids via an aliasing Project, and the whole
+  * optimizer (including the feed's `filesOf` planning-time file
+  * restriction) applies to the substituted subtree. */
+case class ChangeFeedRewrite(spark: org.apache.spark.sql.SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.GlogChangeFeedTable] =>
+        val t = r.table.asInstanceOf[graft.sources.GlogChangeFeedTable]
+        val feed = graft.sources.GraftLogSource
+          .changeFeed(spark, t.path, t.fromVersion, t.toVersion)
+          .queryExecution.analyzed
+        val byName = feed.output.map(a => a.name -> a).toMap
+        // re-home the feed's output under the relation's attribute ids
+        // so references already resolved against the relation stay valid
+        Project(r.output.map { ref =>
+          Alias(byName(ref.name), ref.name)(exprId = ref.exprId)
+        }, feed)
+    }
 }
 
 /** Rewrites the interpreted HOF dot-product fold

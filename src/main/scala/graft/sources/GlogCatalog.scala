@@ -27,10 +27,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * racing creators get one winner, the loser a loud
   * TableAlreadyExistsException, never a shared directory (`mkdirs`
   * succeeds for both, so it cannot arbitrate); (3) it DURABLY stores
-  * table properties (java.util.Properties text), so
-  * `TBLPROPERTIES` survive restarts and are visible to any engine
-  * that lists the warehouse. Column ALTERs are rejected — the glog
-  * schema is fixed by the format.
+  * the CREATE-time table properties (java.util.Properties text);
+  * later SET/UNSET TBLPROPERTIES publish VERSIONED property files
+  * under `_glog_metadata/` via the manifest commit's
+  * publish-if-absent CAS (newest wins, concurrent alters both
+  * survive, no in-place truncation), so `TBLPROPERTIES` survive
+  * restarts and are visible to any engine that lists the warehouse.
+  * Column ALTERs are rejected — the glog schema is fixed by the
+  * format.
   *
   * Reference analog: the flash partition TABLE of the SDK — a fixed
   * on-device directory of named record regions resolved by name at
@@ -67,14 +71,46 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
   private def markerPath(ident: Identifier): Path =
     new Path(tablePath(ident), MarkerName)
 
-  private def readProps(ident: Identifier): Map[String, String] = {
-    val p = new java.util.Properties()
-    val in = fs.open(markerPath(ident))
-    try p.load(new java.io.InputStreamReader(in,
+  // TBLPROPERTIES are VERSIONED: the marker carries the CREATE-time
+  // set; every ALTER publishes `_glog_metadata/_props-<N>.properties`
+  // via the same publish-if-absent CAS the manifest commit uses, and
+  // reads resolve the newest. Two jobs: (a) no in-place truncate —
+  // a crash or concurrent reader can never see a half-written set
+  // (each version appears atomically or not at all); (b) no lost
+  // updates — two concurrent SET TBLPROPERTIES race on the next
+  // version name, the loser re-reads and re-applies, both properties
+  // survive (spec: PropertiesSpec).
+  private val PropsPrefix = "_props-"
+  private val PropsSuffix = ".properties"
+  private def propsPath(ident: Identifier, v: Long): Path =
+    new Path(new Path(tablePath(ident), GraftLogSource.MetaDirName),
+      f"$PropsPrefix$v%012d$PropsSuffix")
+
+  private def propsVersion(ident: Identifier): Long = {
+    val meta = new Path(tablePath(ident), GraftLogSource.MetaDirName)
+    (try fs.listStatus(meta)
+     catch { case _: java.io.FileNotFoundException =>
+       Array.empty[org.apache.hadoop.fs.FileStatus] })
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(PropsPrefix) && n.endsWith(PropsSuffix))
+      .flatMap(_.stripPrefix(PropsPrefix).stripSuffix(PropsSuffix).toLongOption)
+      .maxOption.getOrElse(0L)
+  }
+
+  private def loadProps(p: Path): Map[String, String] = {
+    val props = new java.util.Properties()
+    val in = fs.open(p)
+    try props.load(new java.io.InputStreamReader(in,
       java.nio.charset.StandardCharsets.UTF_8))
     finally in.close()
     import scala.jdk.CollectionConverters._
-    p.asScala.toMap
+    props.asScala.toMap
+  }
+
+  private def readProps(ident: Identifier): Map[String, String] = {
+    val v = propsVersion(ident)
+    if (v == 0L) loadProps(markerPath(ident))
+    else loadProps(propsPath(ident, v))
   }
 
   private def propsBytes(props: Map[String, String]): Array[Byte] = {
@@ -93,10 +129,6 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private def writeProps(ident: Identifier, props: Map[String, String]): Unit = {
-    val out = fs.create(markerPath(ident), true)
-    try out.write(propsBytes(props)) finally out.close()
-  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = nsPath(namespace)
@@ -195,9 +227,12 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** The glog schema is fixed by the format — reject column changes
-    * at analysis time. SET/UNSET TBLPROPERTIES are DURABLE: they
-    * rewrite the marker file (still filesystem-is-the-metastore —
-    * one more file, multi-engine readable). */
+    * at analysis time. SET/UNSET TBLPROPERTIES are DURABLE and
+    * CAS-committed: read the newest props version, apply the changes,
+    * publish as version+1 iff that version does not exist yet, retry
+    * on a lost race — two concurrent property changes both survive
+    * (no read-modify-write lost update), and no file is ever
+    * truncated in place (still filesystem-is-the-metastore). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val structural = changes.exists {
@@ -207,14 +242,31 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
     require(!structural,
       "glog tables have a fixed schema; ALTER TABLE column changes are " +
         "not supported")
-    val updated = changes.foldLeft(readProps(ident)) {
-      case (props, c: TableChange.SetProperty) =>
-        props + (c.property() -> c.value())
-      case (props, c: TableChange.RemoveProperty) => props - c.property()
-      case (props, _) => props
+    val meta = new Path(tablePath(ident), GraftLogSource.MetaDirName)
+    fs.mkdirs(meta): Unit
+    var attempt = 0
+    while (attempt < 10000) {
+      attempt += 1
+      val base = propsVersion(ident)
+      val cur =
+        if (base == 0L) loadProps(markerPath(ident))
+        else loadProps(propsPath(ident, base))
+      val updated = changes.foldLeft(cur) {
+        case (props, c: TableChange.SetProperty) =>
+          props + (c.property() -> c.value())
+        case (props, c: TableChange.RemoveProperty) => props - c.property()
+        case (props, _) => props
+      }
+      val tmp = new Path(meta, s".props-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(propsBytes(updated)) finally out.close()
+      if (GraftLogSource.publishIfAbsent(fs, tmp, propsPath(ident, base + 1)))
+        return loadTable(ident)
+      fs.delete(tmp, false): Unit // lost the race: re-read, re-apply
     }
-    writeProps(ident, updated)
-    loadTable(ident)
+    throw new IllegalStateException(
+      s"glog catalog: TBLPROPERTIES CAS for $ident did not converge " +
+        s"after $attempt attempts")
   }
 
   override def dropTable(ident: Identifier): Boolean =

@@ -110,6 +110,12 @@ object GraftLogSource {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Schema of a change-feed read: the data columns plus
+    * `_change_type` ('insert' | 'delete'). */
+  val ChangeFeedSchema: StructType =
+    StructType(SchemaFixed.fields :+
+      StructField("_change_type", StringType, nullable = false))
+
   /** Partition count a clustered write requests (see
     * GlogClusteredWrite): pinned so the committed file count — and
     * every census over it — is independent of
@@ -527,12 +533,125 @@ object GraftLogSource {
 
   private val ManifestPrefix = "_v"
   private val ManifestSuffix = ".manifest"
+  private val CheckpointSuffix = ".checkpoint"
   private[graft] def manifestPath(dir: Path, version: Long): Path =
     new Path(metaDir(dir), f"$ManifestPrefix$version%012d$ManifestSuffix")
   private[graft] def manifestVersionOf(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix) && name.endsWith(ManifestSuffix))
       name.stripPrefix(ManifestPrefix).stripSuffix(ManifestSuffix).toLongOption
     else None
+
+  // ---- delta manifests ----
+  // A commit writes either a FULL manifest (the complete live list —
+  // the pre-round-12 format, still what a fresh table's version 1 and
+  // every CheckpointEvery-th version get) or a DELTA: a `#delta`
+  // header followed by `R\t<name>` / `A\t<entry-line>` records against
+  // the previous version. Per-commit metadata is O(changed files)
+  // instead of O(table files) — at 10^5-10^6 live files with frequent
+  // (e.g. per-epoch streaming) commits, full-list rewrites are
+  // O(files·versions) bytes between vacuums; deltas bound that at one
+  // full write per CheckpointEvery commits (the Delta-Lake
+  // checkpoint+deltas / Iceberg manifest-list shape, re-expressed).
+  // Resolution walks back from the requested version to the nearest
+  // full manifest (≤ CheckpointEvery-1 hops, each a file the apply
+  // needs anyway) or to a `.checkpoint` SIDECAR — the full list
+  // [[vacuum]] materializes for the oldest retained version so the
+  // chain below it can be GC'd without breaking retained reads.
+
+  /** Delta-chain length bound: every CheckpointEvery-th version is a
+    * full manifest. */
+  private[graft] val CheckpointEvery = 16L
+
+  private[graft] def checkpointPath(dir: Path, version: Long): Path =
+    new Path(metaDir(dir), f"$ManifestPrefix$version%012d$CheckpointSuffix")
+
+  private def readLinesOf(fs: FileSystem, p: Path): Seq[String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
+  private val DeltaHeader = "#delta"
+
+  /** Live entries at `version`: read the version's manifest; a full
+    * one answers directly, a delta walks back (checkpoint sidecars
+    * short-circuit the walk) and re-applies the records forward.
+    * Reconstruction is exact: commit wrote the delta as
+    * (removed names, added/changed entries) of a list that is always
+    * name-distinct and listing-ordered, so remove+upsert+sort
+    * reproduces the committed list byte-for-byte. */
+  private def resolveEntries(dir: Path, conf: Configuration,
+      version: Long): Seq[ManifestEntry] = {
+    val fs = fsFor(dir, conf)
+    var deltas = List.empty[Seq[String]] // oldest-first after the walk
+    var cur = version
+    var base: Seq[ManifestEntry] = null
+    while (base == null) {
+      val cp = checkpointPath(dir, cur)
+      if (fs.exists(cp)) base = readLinesOf(fs, cp).map(ManifestEntry.parse)
+      else {
+        val lines =
+          try readLinesOf(fs, manifestPath(dir, cur))
+          catch {
+            case e: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"glog: manifest version $cur of $dir is missing but version " +
+                  s"$version's delta chain needs it (vacuumed while a newer " +
+                  "delta still referenced it?)", e)
+          }
+        if (lines.headOption.contains(DeltaHeader)) {
+          deltas ::= lines.tail
+          cur -= 1
+          require(cur >= 1,
+            s"glog: delta chain under $dir reaches below version 1 " +
+              "without a full manifest — metadata corrupt")
+        } else base = lines.filterNot(_.startsWith("#")).map(ManifestEntry.parse)
+      }
+    }
+    if (deltas.isEmpty) base.sortBy(e => listingOrder(e.name))
+    else {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
+      base.foreach(e => m.update(e.name, e))
+      deltas.foreach(_.foreach { line =>
+        line.split("\t", 2) match {
+          case Array("R", name) => m.remove(name): Unit
+          case Array("A", rest) =>
+            val e = ManifestEntry.parse(rest)
+            m.update(e.name, e)
+          case _ => throw new IllegalStateException(
+            s"glog: unparseable delta-manifest record under $dir: '$line'")
+        }
+      })
+      m.values.toSeq.sortBy(e => listingOrder(e.name))
+    }
+  }
+
+  /** Does any manifest/checkpoint present under `dir` mention `name`
+    * (as a full/checkpoint entry or an A/R delta record)? The
+    * streaming sink's replay uses this as commit evidence when the
+    * epoch marker's post-CAS version record was lost to a crash. */
+  private[graft] def manifestsMention(dir: Path, conf: Configuration,
+      names: Set[String]): Boolean = {
+    val fs = fsFor(dir, conf)
+    val metas =
+      (try fs.listStatus(metaDir(dir))
+       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+        .filter(s => s.getPath.getName.endsWith(ManifestSuffix) ||
+          s.getPath.getName.endsWith(CheckpointSuffix))
+    metas.exists { s =>
+      readLinesOf(fs, s.getPath).exists { line =>
+        val entryLine = line.split("\t", 2) match {
+          case Array("R", name) => name
+          case Array("A", rest) => ManifestEntry.parse(rest).name
+          case _ if line.startsWith("#") => ""
+          case _ => ManifestEntry.parse(line).name
+        }
+        names.contains(entryLine)
+      }
+    }
+  }
 
   /** All manifest versions present under `dir`, ascending. */
   def manifestVersions(dir: Path, conf: Configuration): Seq[Long] = {
@@ -543,8 +662,9 @@ object GraftLogSource {
   }
 
   /** The live-file entries at `versionAsOf` (or the newest version),
-    * stats included. None = the directory has no manifest history
-    * yet: the raw `*.glog` listing IS the live set (fixture/
+    * stats included, resolved through the delta chain (see the
+    * delta-manifests section). None = the directory has no manifest
+    * history yet: the raw `*.glog` listing IS the live set (fixture/
     * back-compat mode). */
   def liveEntries(dir: Path, conf: Configuration,
       versionAsOf: Option[Long] = None): Option[(Long, Seq[ManifestEntry])] = {
@@ -558,14 +678,7 @@ object GraftLogSource {
         want
       case None => if (versions.isEmpty) return None else versions.max
     }
-    val fs = fsFor(dir, conf)
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(manifestPath(dir, v)), java.nio.charset.StandardCharsets.UTF_8))
-    val entries =
-      try Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
-      finally in.close()
-    Some((v, entries))
+    Some((v, resolveEntries(dir, conf, v)))
   }
 
   /** Name-level view of [[liveEntries]]. */
@@ -642,14 +755,31 @@ object GraftLogSource {
       // later, richer entry must win
       val next = transform(live).reverse.distinctBy(_.name)
         .sortBy(e => listingOrder(e.name))
+      // full manifest on the first commit (the pre-manifest baseline
+      // exists in no earlier version) and every CheckpointEvery-th
+      // version; otherwise a delta — O(changed files) bytes per
+      // commit. The fullness rule is a pure function of the target
+      // version, so racing committers produce the same shape and the
+      // name CAS below still arbitrates.
+      val target = cur + 1
+      val body: Seq[String] =
+        if (cur == 0 || target % CheckpointEvery == 0) next.map(_.line)
+        else {
+          val nextByName = next.map(e => e.name -> e).toMap
+          val liveByName = live.map(e => e.name -> e).toMap
+          val removed = live.map(_.name).filterNot(nextByName.contains)
+          val added = next.filter(e => !liveByName.get(e.name).contains(e))
+          DeltaHeader +: (removed.map(n => s"R\t$n") ++
+            added.map(e => s"A\t${e.line}"))
+        }
       val tmp = new Path(metaDir(dir),
         s".manifest-${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, true)
-      try out.write(next.map(_.line).mkString("", "\n", "\n")
+      try out.write(body.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (publishIfAbsent(fs, tmp, manifestPath(dir, cur + 1)))
-        return (cur + 1, next)
+      if (publishIfAbsent(fs, tmp, manifestPath(dir, target)))
+        return (target, next)
       fs.delete(tmp, false): Unit // lost the race: retry from the new snapshot
     }
     throw new IllegalStateException(
@@ -661,10 +791,15 @@ object GraftLogSource {
     * orphans), manifests older than those, and abandoned `.inprogress`
     * temps. Keeping `retainVersions > 1` preserves time-travel reads
     * (`option("versionAsOf", n)`) and in-flight readers of recent
-    * versions; a vacuumed version fails LOUDLY on read. A maintenance
-    * op like [[compact]]: not safe concurrent with an in-flight commit
-    * (a just-renamed, not-yet-committed file looks orphaned). Returns
-    * the number of files removed. */
+    * versions; a vacuumed version fails LOUDLY on read. Before GC'ing
+    * the chain below the oldest retained version, its FULL live list
+    * is materialized as a `.checkpoint` sidecar (idempotent
+    * publish-if-absent; content is a pure function of the version) so
+    * retained delta manifests stay resolvable without their
+    * pre-retention ancestors. A maintenance op like [[compact]]: not
+    * safe concurrent with an in-flight commit (a just-renamed,
+    * not-yet-committed file looks orphaned). Returns the number of
+    * data files removed. */
   def vacuum(path: String, retainVersions: Int = 1): Int = {
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
@@ -675,6 +810,22 @@ object GraftLogSource {
     val keep: Set[String] = retained
       .flatMap(v => liveSnapshot(dir, conf, Some(v)).map(_._2).getOrElse(Seq.empty))
       .toSet
+    // anchor the retained chain: a full checkpoint at the oldest
+    // retained version (no-op when one exists or the manifest there
+    // is already full — resolve would stop at it anyway, but the
+    // sidecar is cheap and makes the GC below unconditional)
+    val minRetained = retained.head
+    if (!fs.exists(checkpointPath(dir, minRetained))) {
+      val entries = resolveEntries(dir, conf, minRetained)
+      val tmp = new Path(metaDir(dir),
+        s".checkpoint-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(entries.map(_.line).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!publishIfAbsent(fs, tmp, checkpointPath(dir, minRetained)))
+        fs.delete(tmp, false): Unit // a racing vacuum wrote the same content
+    }
     val listing =
       (try fs.listStatus(dir)
        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
@@ -685,8 +836,9 @@ object GraftLogSource {
       .foreach { n =>
         if (fs.delete(new Path(dir, n), false)) removed += 1
       }
-    versions.dropRight(math.max(1, retainVersions)).foreach { v =>
+    versions.filter(_ < minRetained).foreach { v =>
       fs.delete(manifestPath(dir, v), false): Unit
+      fs.delete(checkpointPath(dir, v), false): Unit
     }
     removed
   }
@@ -697,14 +849,22 @@ object GraftLogSource {
     * plus `_change_type` ('insert' | 'delete') for exactly the rows
     * that changed between `fromVersion` and `toVersion`.
     *
-    * File-level diff first (manifest set difference — files common to
-    * both versions are NEVER read), then a row-level multiset
-    * EXCEPT ALL between the added-file rows and the removed-file rows,
-    * so a copy-on-write rewrite's carried-over survivors cancel and
-    * only true row changes emit. Work scales with the CHANGED files,
-    * not the table. Requires both versions (and their files) to still
-    * be retained — a vacuumed range fails loudly; TRUNCATE/overwrite
-    * reset history and are not change-feed readable across. */
+    * File-level diff first (manifest set difference), then a
+    * row-level multiset EXCEPT ALL between the added-file rows and
+    * the removed-file rows, so a copy-on-write rewrite's carried-over
+    * survivors cancel and only true row changes emit. The diffed file
+    * sets travel into scan PLANNING through the `filesOf` read option
+    * (the static twin of the runtime `_file` group filter), so files
+    * common to both versions are never planned, opened, or parsed —
+    * IO scales with the CHANGED files, not the table (planCensus- and
+    * rowsEmitted-asserted in Dsv2SourceSpec). Requires both versions
+    * (and their files) to still be retained — a vacuumed range fails
+    * loudly.
+    *
+    * Public reader spelling (no Scala call needed):
+    * `spark.read.format("glog").option("path", dir)
+    *   .option("changeFeedFrom", a).option("changeFeedTo", b).load()`
+    * — rewritten to this plan by graft.plans.GraftExtensions. */
   def changeFeed(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame = {
     require(fromVersion <= toVersion,
@@ -717,9 +877,12 @@ object GraftLogSource {
     val dataCols = SchemaFixed.fieldNames.map(col).toSeq
     def rowsOf(version: Long, names: Set[String]) = spark.read
       .format("glog").option("path", path)
-      .option("versionAsOf", version.toString).load()
-      .select(dataCols :+ col("_file"): _*)
-      .filter(col("_file").isin(names.toSeq.sorted: _*))
+      .option("versionAsOf", version.toString)
+      // the planning-time file restriction: only the diffed names are
+      // planned (an empty set plans zero partitions — a pure append's
+      // removed side costs nothing)
+      .option("filesOf", names.toSeq.sorted.mkString(","))
+      .load()
       .select(dataCols: _*)
     val added = rowsOf(toVersion, b -- a)
     val removed = rowsOf(fromVersion, a -- b)
@@ -1006,12 +1169,62 @@ class GraftLogSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "glog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftLogSource.SchemaFixed
+    if (options.containsKey("changeFeedFrom") ||
+        options.containsKey("changeFeedTo"))
+      GraftLogSource.ChangeFeedSchema
+    else GraftLogSource.SchemaFixed
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GlogTable(properties.get("path"),
-      !"false".equalsIgnoreCase(properties.getOrDefault("pushdown", "true")))
+      properties: java.util.Map[String, String]): Table = {
+    // properties carry the reader options verbatim (case preserved) —
+    // resolve the change-feed keys case-insensitively like the
+    // CaseInsensitiveStringMap inferSchema saw
+    def opt(key: String): Option[String] = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(key) => v
+      }
+    }
+    (opt("changeFeedFrom"), opt("changeFeedTo")) match {
+      case (None, None) =>
+        new GlogTable(properties.get("path"),
+          !"false".equalsIgnoreCase(properties.getOrDefault("pushdown", "true")))
+      case (from, to) =>
+        def v(name: String, s: Option[String]): Long = s
+          .getOrElse(throw new IllegalArgumentException(
+            s"glog change feed requires BOTH changeFeedFrom and " +
+              s"changeFeedTo (missing $name)"))
+          .toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"glog: $name must be a numeric manifest version"))
+        new GlogChangeFeedTable(properties.get("path"),
+          v("changeFeedFrom", from), v("changeFeedTo", to))
+    }
+  }
   override def supportsExternalMetadata(): Boolean = false
+}
+
+/** Marker table behind the PUBLIC change-feed reader spelling
+  * (`option("changeFeedFrom", a).option("changeFeedTo", b)`): it
+  * never executes — graft.plans.GraftExtensions' resolution rule
+  * replaces its relation with [[GraftLogSource.changeFeed]]'s plan
+  * (the EXCEPT ALL composition cannot be expressed inside one DSv2
+  * scan). Reading it WITHOUT the extension registered fails loudly at
+  * planning instead of silently mis-reading. */
+private[graft] class GlogChangeFeedTable(val path: String,
+    val fromVersion: Long, val toVersion: Long)
+    extends Table with SupportsRead {
+  require(path != null, "graft-log source requires option(\"path\", dir)")
+  require(fromVersion <= toVersion,
+    s"glog changeFeed: changeFeedFrom $fromVersion > changeFeedTo $toVersion")
+  override def name(): String =
+    s"glog_change_feed($path)@v$fromVersion..v$toVersion"
+  override def schema(): StructType = GraftLogSource.ChangeFeedSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      "glog change feed reads require the graft.plans.GraftExtensions " +
+        "session extension (GraftSession registers it; clusters set " +
+        "spark.sql.extensions=graft.plans.GraftExtensions)")
 }
 
 private[sources] class GlogTable(path: String, pushdown: Boolean,
@@ -1043,7 +1256,9 @@ private[sources] class GlogTable(path: String, pushdown: Boolean,
     new GlogScanBuilder(path, pushdown,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       versionAsOf =
-        pinnedVersion.orElse(Option(options.get("versionAsOf")).map(_.toLong)))
+        pinnedVersion.orElse(Option(options.get("versionAsOf")).map(_.toLong)),
+      filesOf = Option(options.get("filesOf")).map(s =>
+        s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"glog: cannot write to the time-travel snapshot ${name()} — " +
@@ -1091,25 +1306,20 @@ private[sources] class GlogTable(path: String, pushdown: Boolean,
       GraftLogSource.normalizeTsFilters(filters))
   }
 
-  /** SQL `TRUNCATE TABLE`: metadata-first — commit an EMPTY manifest
-    * (readers atomically see an empty table), then unlink every data
-    * file on disk, never opening one (the SupportsDelete default
+  /** SQL `TRUNCATE TABLE`: METADATA-ONLY — one manifest CAS commits
+    * an empty live set (readers atomically see an empty table) and no
+    * file is ever opened or unlinked (the SupportsDelete default
     * would route through deleteWhere(AlwaysTrue) and pointlessly
-    * rewrite 100 TB on the driver). DESTRUCTIVE by contract: unlike
-    * DML's copy-on-write, truncate reclaims all history — earlier
-    * versions are no longer time-travel readable. */
+    * rewrite 100 TB on the driver). Like DML, the displaced files
+    * stay on disk as snapshot orphans — time travel to pre-truncate
+    * versions keeps working and a concurrent appender's
+    * claimed-but-uncommitted files are never yanked out from under
+    * its manifest CAS; [[GraftLogSource.vacuum]] reclaims the bytes. */
   override def truncateTable(): Boolean = {
     require(pinnedVersion.isEmpty,
       s"glog: TRUNCATE against the time-travel snapshot ${name()} is not allowed")
-    val dir = GraftLogSource.resolveDir(path)
-    val conf = GraftLogSource.driverHadoopConf()
-    val fs = GraftLogSource.fsFor(dir, conf)
-    GraftLogSource.commitManifest(dir, conf)(_ => Seq.empty): Unit
-    (try fs.listStatus(dir)
-     catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] })
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".glog"))
-      .foreach(s =>
-        require(fs.delete(s.getPath, false), s"truncate: delete ${s.getPath} failed"))
+    GraftLogSource.commitManifest(GraftLogSource.resolveDir(path),
+      GraftLogSource.driverHadoopConf())(_ => Seq.empty): Unit
     true
   }
 
@@ -1148,7 +1358,8 @@ private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
     groupScan: Option[java.util.Set[String]] = None,
     runtimeFilterable: Boolean = true,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    filesOf: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
@@ -1218,10 +1429,10 @@ private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
   override def build(): Scan =
     if (runtimeFilterable)
       new GlogRuntimeFilterableScan(path, pushdown, required, pushed, limit,
-        topN, maxFilesPerTrigger, groupScan, versionAsOf)
+        topN, maxFilesPerTrigger, groupScan, versionAsOf, filesOf)
     else
       new GlogScan(path, pushdown, required, pushed, limit,
-        topN, maxFilesPerTrigger, groupScan, versionAsOf)
+        topN, maxFilesPerTrigger, groupScan, versionAsOf, filesOf)
 }
 
 /** The default scan shape: [[GlogScan]] plus the
@@ -1238,9 +1449,10 @@ private[sources] class GlogRuntimeFilterableScan(path: String,
     topN: Option[(String, Boolean, Int)],
     maxFilesPerTrigger: Option[Int],
     groupScan: Option[java.util.Set[String]],
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    filesOf: Option[Set[String]] = None)
     extends GlogScan(path, pushdown, required, pushed, limit,
-      topN, maxFilesPerTrigger, groupScan, versionAsOf)
+      topN, maxFilesPerTrigger, groupScan, versionAsOf, filesOf)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
 
 private[sources] class GlogScan(path: String, pushdown: Boolean,
@@ -1249,7 +1461,8 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     topN: Option[(String, Boolean, Int)] = None,
     maxFilesPerTrigger: Option[Int] = None,
     groupScan: Option[java.util.Set[String]] = None,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    filesOf: Option[Set[String]] = None)
     extends Scan with SupportsReportStatistics {
 
   /** Filters delivered AFTER planning by SupportsRuntimeV2Filtering
@@ -1326,9 +1539,18 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     val (kept, total) = GraftLogSource.listCommitted(
       GraftLogSource.resolveDir(path),
       scanConf, allFilters.toSeq, versionAsOf)
+    // `filesOf` (a STATIC planning-time file restriction, the explicit
+    // option twin of the runtime `_file` group filter): the scan plans
+    // only the named live files — how the change feed reads exactly
+    // the files a manifest diff proved changed, O(delta) not O(table).
+    // An empty set is a valid restriction (zero files planned).
+    val statik = filesOf match {
+      case Some(names) => kept.filter(s => names.contains(s.getPath.getName))
+      case None => kept
+    }
     runtimeFileNames match {
-      case Some(names) => (kept.filter(s => names.contains(s.getPath.getName)), total)
-      case None => (kept, total)
+      case Some(names) => (statik.filter(s => names.contains(s.getPath.getName)), total)
+      case None => (statik, total)
     }
   }
 
@@ -1455,9 +1677,9 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(versionAsOf.isEmpty,
-      "glog: versionAsOf is a batch-read option; a stream follows the " +
-        "live manifest")
+    require(versionAsOf.isEmpty && filesOf.isEmpty,
+      "glog: versionAsOf/filesOf are batch-read options; a stream " +
+        "follows the live manifest")
     new GlogMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
   }
 }
@@ -1850,14 +2072,24 @@ private[sources] class GlogWriteBuilder(path: String, schema: StructType,
   * temps to final names — still INVISIBLE, the manifest does not
   * reference them; (2) write the marker listing those names;
   * (3) ONE manifest CAS appending them — the epoch becomes visible
-  * atomically, never partially. A replayed commit (Spark re-runs an
-  * epoch its checkpoint never recorded) reads the marker and checks
-  * its names against the LIVE manifest: all live → the epoch already
-  * landed, discard the staged copy (never duplicate); none live (the
-  * CAS is all-or-nothing) → the previous attempt crashed before its
-  * CAS, so unlink its orphaned claims and land the replayed copy
-  * fresh. Every path converges to exactly one visible copy of the
-  * epoch; a crash anywhere leaves only invisible orphans/temps.
+  * atomically, never partially; (4) best-effort atomic marker rewrite
+  * stamping the committed manifest version (`#version:N`). A replayed
+  * commit (Spark re-runs an epoch its checkpoint never recorded)
+  * reads the marker and decides "already landed" from COMMIT
+  * evidence, not current liveness (liveness lies once later DML
+  * swaps the epoch's files out of the live set — re-landing would
+  * duplicate rows and break snapshot reads that still reference the
+  * unlinked claims): landed iff the stamped version exists at-or-
+  * below the newest version (versions are never reused), or — when
+  * the crash window between (3) and (4) ate the stamp — iff any
+  * present manifest/checkpoint mentions the marker's names (the CAS
+  * wrote them in one record). Only claims PROVEN never-committed are
+  * unlinked and re-landed. The one remaining blind spot (stamp lost
+  * AND every mentioning manifest vacuumed before restart) requires a
+  * vacuum racing a crashed stream's restart — vacuum is documented
+  * unsafe concurrent with in-flight commits. Every path converges to
+  * exactly one visible copy of the epoch; a crash anywhere leaves
+  * only invisible orphans/temps.
   * Markers below the committing epoch are GC'd at each commit (an
   * epoch can only replay until the NEXT epoch's commit is invoked,
   * which proves the checkpoint recorded it) — the data directory's
@@ -1886,11 +2118,31 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
     new GlogStreamingWriterFactory(path,
       new SerializableConf(GraftLogSource.driverHadoopConf()))
 
-  private def writeMarker(fs: FileSystem, m: Path, names: Seq[String]): Unit = {
-    val out = fs.create(m, true)
-    try out.write(names.mkString("", "\n", "\n")
+  private val VersionStamp = "#version:"
+
+  /** Write the marker ATOMICALLY (temp + rename-over): the post-CAS
+    * version stamp rewrites an existing marker, and a crash mid-write
+    * must never leave a truncated marker that would mislead replay. */
+  private def writeMarker(fs: FileSystem, m: Path, lines: Seq[String]): Unit = {
+    val tmp = new Path(m.getParent, s".${m.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs match {
+      case _: RawLocalFileSystem =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(m).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      case _ =>
+        // HDFS: rename refuses an existing destination — delete+rename
+        // (the non-atomic window is two metadata ops; an object-store
+        // deployment swaps this seam for an unconditional PUT)
+        fs.delete(m, false): Unit
+        require(fs.rename(tmp, m), s"glog: marker write $m failed")
+    }
   }
 
   private def readMarker(fs: FileSystem, m: Path): Seq[String] = {
@@ -1909,19 +2161,36 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
     fs.mkdirs(GraftLogSource.metaDir(dir)): Unit
     val m = marker(dir, epochId)
     if (fs.exists(m)) {
-      val listed = readMarker(fs, m)
-      val live = GraftLogSource.liveSnapshot(dir, conf)
-        .map(_._2.toSet).getOrElse(Set.empty)
-      if (listed.forall(live)) {
-        // replayed epoch, fully landed (its CAS committed) — discard
-        // the staged copy, never duplicate
+      val lines = readMarker(fs, m)
+      val stamped = lines.find(_.startsWith(VersionStamp))
+        .flatMap(_.stripPrefix(VersionStamp).toLongOption)
+      val listed = lines.filterNot(_.startsWith("#"))
+      // COMMIT evidence, never current liveness: a later DELETE/compact
+      // legitimately swaps epoch files out of the live set — re-landing
+      // then would duplicate rows and resurrect deleted ones
+      val landed = stamped match {
+        case Some(v) =>
+          // versions are never reused: the stamp proves the CAS won
+          GraftLogSource.manifestVersions(dir, conf).lastOption.exists(_ >= v)
+        case None =>
+          // stamp lost to the (3)→(4) crash window: the CAS, if it
+          // happened, wrote the names into one manifest record — scan
+          // the present metadata for any mention
+          listed.isEmpty ||
+            GraftLogSource.liveSnapshot(dir, conf)
+              .map(_._2.toSet).exists(live => listed.forall(live)) ||
+            GraftLogSource.manifestsMention(dir, conf, listed.toSet)
+      }
+      if (landed) {
+        // replayed epoch, fully landed — discard the staged copy,
+        // never duplicate
         GraftLogSource.discardStaged(conf, messages)
         return
       }
-      // previous attempt crashed before its manifest CAS: its claimed
-      // files are invisible orphans — unlink them for tidiness, then
-      // land the replayed copy fresh below
-      listed.filterNot(live).foreach { n =>
+      // previous attempt PROVEN crashed before its manifest CAS: its
+      // claimed files are invisible orphans — unlink them, then land
+      // the replayed copy fresh below
+      listed.foreach { n =>
         val p = new Path(dir, n)
         if (fs.exists(p)) require(fs.delete(p, false),
           s"epoch $epochId replay: cleanup of orphaned claim $n failed")
@@ -1929,7 +2198,10 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
     }
     val entries = GraftLogSource.renameStagedIn(dir, conf, messages)
     writeMarker(fs, m, entries.map(_.name))
-    GraftLogSource.commitManifest(dir, conf)(live => live ++ entries): Unit
+    val (committedV, _) =
+      GraftLogSource.commitManifest(dir, conf)(live => live ++ entries)
+    // stamp the committed version — the replay's primary commit proof
+    writeMarker(fs, m, s"$VersionStamp$committedV" +: entries.map(_.name))
     // GC dead markers: epochs below this one can never replay once
     // this commit was invoked (the engine checkpoints batch N-1
     // before asking the sink to commit batch N)
@@ -2003,34 +2275,32 @@ private[graft] class GlogBatchWrite(path: String, schema: StructType,
 
   /** Job commit = claim the staged files in (still invisible), then
     * ONE manifest CAS making the whole statement atomic for readers:
-    * append adds names; SaveMode.Overwrite replaces the live set
-    * (and then unlinks what it replaced — overwrite is destructive
-    * like TRUNCATE, not snapshot-preserving like DML); REPLACE WHERE
-    * drops/ rewrites the matching slice and adds the new data in the
-    * SAME version — no reader ever sees the slice deleted but not
-    * yet restated. */
+    * append adds names; SaveMode.Overwrite replaces the live set in
+    * one version (METADATA-ONLY, like DML — the displaced generation
+    * stays on disk as snapshot orphans for time travel and in-flight
+    * readers until [[GraftLogSource.vacuum]]; physical unlinks here
+    * would race a concurrent appender's claimed-but-uncommitted
+    * files into dangling manifest references); REPLACE WHERE drops/
+    * rewrites the matching slice and adds the new data in the SAME
+    * version — no reader ever sees the slice deleted but not yet
+    * restated. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftLogSource.driverHadoopConf()
     val dir = GraftLogSource.resolveDir(path)
     val fs = GraftLogSource.fsFor(dir, conf)
     fs.mkdirs(dir): Unit
-    val newEntries = GraftLogSource.renameStagedIn(dir, conf, messages)
+    // REPLACE WHERE stages its delete work against the PRE-claim live
+    // set: claiming the new files first would, in a pre-manifest
+    // directory (raw-listing fallback), feed them through the
+    // copy-on-write rewrite AND re-add the originals below —
+    // duplicating the new batch's non-matching rows
     val (dropNames, replEntries) =
       if (replaceWhere.nonEmpty && !truncateFirst)
         GraftLogSource.deleteMatchingStaged(dir, conf, replaceWhere)
       else (Set.empty[String], Seq.empty[GraftLogSource.ManifestEntry])
+    val newEntries = GraftLogSource.renameStagedIn(dir, conf, messages)
     if (truncateFirst) {
       GraftLogSource.commitManifest(dir, conf)(_ => newEntries): Unit
-      // unlink everything the overwrite displaced: all data files on
-      // disk except the new generation (orphans of prior DML too —
-      // overwrite resets the table's whole history)
-      val keep = newEntries.map(_.name).toSet
-      (try fs.listStatus(dir)
-       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".glog") &&
-          !keep(s.getPath.getName))
-        .foreach(s => require(fs.delete(s.getPath, false),
-          s"overwrite: delete ${s.getPath} failed"))
     } else if (newEntries.nonEmpty || dropNames.nonEmpty || replEntries.nonEmpty) {
       GraftLogSource.commitManifest(dir, conf) { live =>
         GraftLogSource.requireStillLive(live.map(_.name), dropNames,

@@ -297,6 +297,104 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(markers.toSeq == Seq("_epoch-1.committed"), markers.mkString(","))
   }
 
+  test("epoch replay after DML uses commit evidence, never re-lands") {
+    // the marker's post-CAS version stamp (and the manifest-mention
+    // fallback) must keep a committed epoch a no-op on replay even
+    // after a DELETE swapped its files out of the LIVE set — the old
+    // liveness heuristic would unlink snapshot-referenced files and
+    // resurrect deleted rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_rpl").toFile
+    val meta = new java.io.File(dir, GraftLogSource.MetaDirName)
+    val sw = new graft.sources.GlogStreamingWrite(dir.getAbsolutePath,
+      GraftLogSource.SchemaFixed)
+    val fac = sw.createStreamingWriterFactory(null)
+    def row(id: Long, v: Double) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("e"), v,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}")))
+    val w0 = fac.createWriter(0, 1L, 0L)
+    w0.write(row(1L, 1.0)); w0.write(row(2L, 9.0))
+    sw.commit(0L, Array(w0.commit()))
+    // DML deletes the epoch's high row — a copy-on-write rewrite that
+    // swaps the epoch's file name out of the live manifest
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    GraftLogSource.deleteMatching(
+      new org.apache.hadoop.fs.Path(dir.getAbsolutePath),
+      Array[Filter](GreaterThanOrEqual("value", 5.0)))
+    def count() = spark.read.format("glog")
+      .option("path", dir.getAbsolutePath).load().count()
+    assert(count() == 1)
+    // replay of the checkpoint-unrecorded epoch 0: the stamp proves
+    // the CAS committed — discard, never duplicate/resurrect
+    val w1 = fac.createWriter(0, 2L, 0L)
+    w1.write(row(1L, 1.0)); w1.write(row(2L, 9.0))
+    sw.commit(0L, Array(w1.commit()))
+    assert(count() == 1, "stamped replay re-landed a committed epoch")
+    // stamp lost (crash between CAS and marker rewrite): the manifest
+    // delta records still mention the epoch's names — same verdict
+    val mk = new java.io.File(meta, "_epoch-0.committed")
+    val lines = new String(java.nio.file.Files.readAllBytes(mk.toPath), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#")).mkString("", "\n", "\n")
+    java.nio.file.Files.write(mk.toPath, lines.getBytes("UTF-8"))
+    val w2 = fac.createWriter(0, 3L, 0L)
+    w2.write(row(1L, 1.0)); w2.write(row(2L, 9.0))
+    sw.commit(0L, Array(w2.commit()))
+    assert(count() == 1, "stampless replay re-landed a committed epoch")
+  }
+
+  test("delta manifests: O(delta) commits, checkpointed resolve, anchored vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_dm").toFile
+    val path = dir.getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = GraftLogSource.driverHadoopConf()
+    def appendOne(id: Long): Unit = {
+      val w = new graft.sources.GlogWriterFactory(path).createWriter(0, id)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("e"), id.toDouble,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+      new graft.sources.GlogBatchWrite(path, GraftLogSource.SchemaFixed,
+        truncateFirst = false).commit(Array(w.commit()))
+    }
+    (1L to 40L).foreach(appendOne)
+    val versions = GraftLogSource.manifestVersions(p, conf)
+    assert(versions == (1L to 40L))
+    // per-commit metadata is O(delta): the non-checkpoint manifests
+    // are 2-line deltas (header + one add) no matter how many files
+    // are live; versions 1, 16, 32 are full
+    val meta = new java.io.File(dir, GraftLogSource.MetaDirName)
+    def linesOf(v: Long): Seq[String] = new String(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(meta, f"_v$v%012d.manifest").toPath), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq
+    assert(linesOf(1L).head != "#delta" && linesOf(16L).head != "#delta" &&
+      linesOf(32L).head != "#delta", "checkpoint versions must be full")
+    assert(linesOf(16L).length == 16 && linesOf(32L).length == 32)
+    (2L to 40L).filterNot(v => v % 16 == 0).foreach { v =>
+      assert(linesOf(v).head == "#delta" && linesOf(v).length == 2,
+        s"version $v is not a 2-line delta: ${linesOf(v)}")
+    }
+    // resolve through the chain is exact at every version
+    def countAt(v: Long) = spark.read.format("glog").option("path", path)
+      .option("versionAsOf", v.toString).load().count()
+    assert(countAt(1L) == 1 && countAt(15L) == 15 && countAt(16L) == 16 &&
+      countAt(17L) == 17 && countAt(40L) == 40)
+    // a DELETE writes an R+A delta and resolves correctly on top
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    GraftLogSource.deleteMatching(p,
+      Array[Filter](GreaterThanOrEqual("value", 40.0)))  // v41: drops file 40
+    assert(countAt(41L) == 39)
+    // vacuum(retain 3): the oldest retained version gets a full
+    // checkpoint sidecar so its delta stays resolvable after the
+    // chain below is GC'd; older versions fail loudly
+    GraftLogSource.vacuum(path, retainVersions = 3): Unit
+    assert(GraftLogSource.manifestVersions(p, conf) == Seq(39L, 40L, 41L))
+    assert(new java.io.File(meta, f"_v${39L}%012d.checkpoint").exists())
+    assert(countAt(39L) == 39 && countAt(40L) == 40 && countAt(41L) == 39)
+    intercept[Exception] { countAt(38L) }
+  }
+
   test("pushed TopN keeps exact results; unsupported orders decline safely") {
     Tables.register(spark, sf)
     EngineOps.queries("eng_dsv2_source")(spark, sf).collect() // fixture
@@ -651,7 +749,45 @@ class Dsv2SourceSpec extends AnyFunSuite {
       Seq(GreaterThanOrEqual("value", 50.0))))
   }
 
-  test("DELETE routes by measured cost; TRUNCATE unlinks without reads") {
+  test("REPLACE WHERE in a pre-manifest directory never duplicates the new batch") {
+    // regression: the delete kernel must stage against the PRE-claim
+    // live set — in raw-listing fallback mode a just-claimed new file
+    // partially matching the predicate used to be copy-on-write
+    // rewritten AND re-added whole, duplicating its non-matching rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_rw").toFile
+    (0 until 10).foreach { i =>
+      val v = i.toDouble
+      java.nio.file.Files.write(
+        new java.io.File(dir, GraftLogSource.fileName(i, v, v)).toPath,
+        s"$i\t${1000000L * i}\t$i\tclick\t$v\t{}\n".getBytes("UTF-8"))
+    }
+    // new batch: one file with values {5.0, 3.0} — zone range [3,5]
+    // PARTIALLY matches the REPLACE WHERE value >= 5 predicate
+    val w = new graft.sources.GlogWriterFactory(dir.getAbsolutePath)
+      .createWriter(0, 77L)
+    def row(id: Long, v: Double) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("new"), v,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}")))
+    w.write(row(100L, 5.0))
+    w.write(row(101L, 3.0))
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    val bw = new graft.sources.GlogBatchWrite(
+      dir.getAbsolutePath, GraftLogSource.SchemaFixed,
+      truncateFirst = false,
+      replaceWhere = Array[Filter](GreaterThanOrEqual("value", 5.0)))
+    bw.commit(Array(w.commit()))
+    val back = spark.read.format("glog")
+      .option("path", dir.getAbsolutePath).load()
+    // old rows >= 5 deleted (5 of 10), both new rows present ONCE
+    assert(back.count() == 7, "REPLACE WHERE lost or duplicated rows")
+    assert(back.filter(col("event_id") === 101L).count() == 1,
+      "non-matching row of the new batch was duplicated")
+    assert(back.filter(col("event_id") === 100L).count() == 1)
+  }
+
+  test("DELETE routes by measured cost; TRUNCATE is metadata-only") {
     // 20 single-row files with disjoint zone maps
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_gate").toFile
     (0 until 20).foreach { i =>
@@ -684,9 +820,16 @@ class Dsv2SourceSpec extends AnyFunSuite {
       // over-budget DELETE still works (row-level fallback), exactly
       spark.sql("DELETE FROM graft_glog_gate WHERE value >= 5.0")
       assert(count() == 5, "fallback DELETE removed the wrong rows")
-      // TRUNCATE TABLE: metadata-only unlink
+      // TRUNCATE TABLE: metadata-only — readers see an empty table,
+      // but no byte is unlinked (displaced files are snapshot orphans
+      // a concurrent appender or time-travel reader may still hold);
+      // vacuum reclaims them
+      val glogsBefore = dir.listFiles().count(_.getName.endsWith(".glog"))
       spark.sql("TRUNCATE TABLE graft_glog_gate")
       assert(count() == 0)
+      assert(dir.listFiles().count(_.getName.endsWith(".glog")) == glogsBefore,
+        "TRUNCATE must not unlink (vacuum's job)")
+      assert(GraftLogSource.vacuum(dir.getAbsolutePath) == glogsBefore)
       assert(!dir.listFiles().exists(_.getName.endsWith(".glog")))
     } finally spark.sql("DROP TABLE IF EXISTS graft_glog_gate")
   }
@@ -1162,12 +1305,36 @@ class Dsv2SourceSpec extends AnyFunSuite {
       assert(props().get("tier").contains("hot"))
       spark.sql("ALTER TABLE glogcat2.lab.ev UNSET TBLPROPERTIES ('tier')")
       assert(!props().contains("tier"))
-      val marker = new java.io.File(
-        new java.io.File(new java.io.File(wh, "lab"), "ev"),
+      val tableDir = new java.io.File(new java.io.File(wh, "lab"), "ev")
+      val marker = new java.io.File(tableDir,
         graft.sources.GlogCatalog.MarkerName)
       assert(marker.isFile, "marker file missing")
+      // the marker keeps the CREATE-time set; ALTERs publish versioned
+      // props files (CAS, no in-place truncation) and newest wins
       assert(new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        "UTF-8").contains("retention.days=7"))
+        "UTF-8").contains("retention.days=30"))
+      val propFiles = Option(new java.io.File(tableDir,
+          GraftLogSource.MetaDirName).listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(n => n.startsWith("_props-") && n.endsWith(".properties"))
+        .sorted
+      assert(propFiles.length == 2, propFiles.mkString(","))
+      assert(new String(java.nio.file.Files.readAllBytes(new java.io.File(
+        new java.io.File(tableDir, GraftLogSource.MetaDirName),
+        propFiles.last).toPath), "UTF-8").contains("retention.days=7"))
+      // CONCURRENT SET TBLPROPERTIES: the versioned CAS means no lost
+      // update — both properties survive the race
+      val pool0 = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool0.submit(new Runnable { def run(): Unit = spark.sql(
+          "ALTER TABLE glogcat2.lab.ev SET TBLPROPERTIES ('owner.a'='1')") }, true)
+        val fb = pool0.submit(new Runnable { def run(): Unit = spark.sql(
+          "ALTER TABLE glogcat2.lab.ev SET TBLPROPERTIES ('owner.b'='2')") }, true)
+        fa.get(); fb.get()
+      } finally pool0.shutdown()
+      assert(props().get("owner.a").contains("1") &&
+        props().get("owner.b").contains("2"),
+        s"concurrent SET lost an update: ${props()}")
       // concurrent CREATE: the marker's exclusive creation arbitrates —
       // exactly one of 4 racing creators wins, losers get
       // TableAlreadyExists, the winner's table is intact
@@ -1331,14 +1498,78 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(ids(f13.filter(col("_change_type") === "insert")) ==
       ids(ev.filter(col("value") >= cut && col("value") < cut2)))
     assert(f13.filter(col("_change_type") === "delete").count() == 0)
-    // same-version feed is empty; a vacuumed range fails loudly
+    // same-version feed is empty
     assert(feed(2L, 2L).count() == 0)
+
+    // ---- planning-time file restriction: feed IO is O(changed files) ----
+    def emitted(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def flat(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        p +: (p match {
+          case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+          case q: QueryStageExec => flat(q.plan)
+          case other => other.children.flatMap(flat)
+        })
+      }
+      flat(df.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics.get("rowsEmitted").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    val nHigh = ev.filter(col("value") >= cut).count()
+    val nSurv = ev.filter(col("value") >= cut && col("value") < cut2).count()
+    // delete-range feed reads ONLY the rewritten files (dropped high
+    // files + their survivor rewrites), each once per EXCEPT ALL side
+    // — never the untouched low half of the table
+    assert(emitted(feed(2L, 3L)) <= 2L * (nHigh + nSurv),
+      "delete-range feed read files common to both versions")
+    // v4: ONE appended small file — the daily-ingest shape
+    val tiny = ev.orderBy(col("event_id")).limit(5)
+    tiny.coalesce(1).write.format("glog")
+      .option("path", path).mode("append").save()             // v4
+    val f34 = feed(3L, 4L)
+    assert(ids(f34.filter(col("_change_type") === "insert")) == ids(tiny))
+    assert(f34.filter(col("_change_type") === "delete").count() == 0)
+    // the whole feed parses at most 2x the appended rows — the table
+    // itself is never opened (pre-fix this was O(table): every live
+    // file of both versions was planned and read)
+    assert(emitted(feed(3L, 4L)) <= 10L,
+      "small-delta feed re-read the table")
+    // mechanism: a filesOf scan PLANS exactly the named file
+    val conf = GraftLogSource.driverHadoopConf()
+    val p4 = new org.apache.hadoop.fs.Path(path)
+    val v3names = GraftLogSource.liveSnapshot(p4, conf, Some(3L)).get._2.toSet
+    val v4names = GraftLogSource.liveSnapshot(p4, conf, Some(4L)).get._2.toSet
+    val appendedName = (v4names -- v3names).head
+    spark.read.format("glog").option("path", path)
+      .option("versionAsOf", "4")
+      .option("filesOf", appendedName).load().count()
+    val (_, keptCf, _) = GraftLogSource.planCensus.get(path)
+    assert(keptCf == 1, s"filesOf planned $keptCf files, want 1")
+    // an empty filesOf restriction plans ZERO files
+    spark.read.format("glog").option("path", path)
+      .option("versionAsOf", "3").option("filesOf", "").load().count()
+    assert(GraftLogSource.planCensus.get(path)._2 == 0)
+
+    // ---- public reader spelling (rewritten by GraftExtensions) ----
+    val pub = spark.read.format("glog").option("path", path)
+      .option("changeFeedFrom", "1").option("changeFeedTo", "2").load()
+    assert(pub.columns.toSeq ==
+      GraftLogSource.SchemaFixed.fieldNames.toSeq :+ "_change_type")
+    assert(ids(pub.filter(col("_change_type") === "insert")) ==
+      ids(ev.filter(col("value") >= cut)))
+    // downstream operators resolve against the substituted plan
+    assert(pub.groupBy(col("_change_type")).count().collect().length == 1)
+
+    // a vacuumed range fails loudly
     GraftLogSource.vacuum(path): Unit
     intercept[Exception] { feed(1L, 3L).count() }
     // the measured entry agrees end-to-end
     val rows = EngineOps.queries("eng_dsv2_changefeed")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("1_append_range", "2_delete_range", "3_composed"))
+      Seq("1_append_range", "2_delete_range", "3_composed", "4_public_option"))
     assert(rows.forall(_.getBoolean(3)), rows.mkString("; "))
     assert(rows.map(_.getLong(1)).sum > 0)
   }
@@ -1390,12 +1621,15 @@ class Dsv2SourceSpec extends AnyFunSuite {
     Tables.register(spark, sf)
     val rows = EngineOps.queries("eng_dsv2_manifest")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("1_commits", "2_timetravel", "3_concurrent", "4_vacuum"))
+      Seq("1_commits", "2_timetravel", "3_concurrent", "4_vacuum",
+        "5_delta_chain"))
     assert(rows.forall(_.getBoolean(3)), rows.mkString("; "))
     val byStage = rows.map(r => r.getString(0) -> r).toMap
     assert(byStage("1_commits").getLong(1) == 3L)      // exactly v1..v3
     assert(byStage("3_concurrent").getLong(2) == 5L)   // +2 versions
     assert(byStage("4_vacuum").getLong(2) >= 1L)       // orphans reclaimed
+    assert(byStage("5_delta_chain").getLong(1) == 19L) // 19 of 20 are deltas
+    assert(byStage("5_delta_chain").getLong(2) == 2L)  // 2-line deltas
   }
 
   test("manifest CAS: concurrent committers all land, versions are a total order") {

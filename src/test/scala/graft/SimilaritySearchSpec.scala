@@ -168,10 +168,50 @@ class SimilaritySearchSpec extends AnyFunSuite {
       SimilaritySearch.appendToIvfPartitioned(spark, delta,
         "vec_id", "embedding", s"$tmp/nowhere")
     }
+    // ---- per-cell compaction: small files consolidate; top-k,
+    // codebook sidecar, and fingerprint metadata all survive ----
+    def dataFiles(path: String): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try it.iterator().asScala.filter(f =>
+          f.toString.endsWith(".parquet") &&
+            !f.toString.contains("_codebook") &&
+            java.nio.file.Files.isRegularFile(f)).toList
+      finally it.close()
+    }
+    val preCompactTopk = topk(s"$tmp/idx")
+    val before = dataFiles(s"$tmp/idx")
+    val rewritten = SimilaritySearch.compactIvfPartitioned(
+      spark, s"$tmp/idx", maxFilesPerCell = 1)
+    val after = dataFiles(s"$tmp/idx")
+    assert(rewritten > 0, "append left no multi-file cell to compact")
+    assert(after.size < before.size,
+      s"compaction did not shrink the layout: ${before.size} -> ${after.size}")
+    // every cell is back to one file
+    val perCell = after.groupBy(_.getParent.getFileName.toString)
+    assert(perCell.values.forall(_.size == 1),
+      s"over-budget cells survive: ${perCell.view.mapValues(_.size).toMap}")
+    assert(topk(s"$tmp/idx") == preCompactTopk,
+      "compaction changed top-k")
+    // fingerprint metadata survived the rewrite: the loaded layout
+    // still passes ivfTopK's codebook check (exercised by topk) AND
+    // still REJECTS a wrong codebook
+    val (df3, _) = SimilaritySearch.loadIvfIndex(spark, s"$tmp/idx")
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopK(df3, "vec_id", "embedding", p,
+        k = 10, nProbe = 4, codebook = Some(wrongCb))
+    }
+    // compaction is idempotent: a second pass rewrites nothing
+    assert(SimilaritySearch.compactIvfPartitioned(
+      spark, s"$tmp/idx", maxFilesPerCell = 1) == 0)
+
     // the measured entry agrees end-to-end
     val row = EngineOps.queries("eng_ivf_incremental")(
       spark, "/root/testdata/sf0.001").collect()(0)
     assert(row.getAs[Boolean]("topk_equal"), row.toString)
+    assert(row.getAs[Boolean]("compact_ok"), row.toString)
+    assert(row.getAs[Long]("compact_files") < row.getAs[Long]("delta_files"),
+      row.toString)
     val ratio = row.getAs[Double]("score_ratio")
     assert(ratio > 0.0 && ratio < 2.0, row.toString)
     assert(row.getAs[Long]("n_delta") > 0)
