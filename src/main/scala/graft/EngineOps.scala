@@ -3722,8 +3722,13 @@ object EngineOps {
     * keeps the entry's output bounded (one row per type). */
   private def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
+    // dimension weight from PORTABLE string functions (length/ascii —
+    // identical in DuckDB), so the entry is oracle-checkable; the
+    // weight itself is arbitrary, it only has to be deterministic
     val dim = ev.select(col("event_type")).distinct()
-      .withColumn("type_w", (pmod(xxhash64(col("event_type")), lit(97L)) + 1L))
+      .withColumn("type_w",
+        pmod(length(col("event_type")) * lit(31) +
+          ascii(substring(col("event_type"), 1, 1)), lit(97)) + lit(1))
     operators.Salting.saltedJoin(ev, dim, "event_type", "event_id", salts = 16)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -4156,7 +4161,42 @@ object EngineOps {
         |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
         |         price NULLS FIRST, tax NULLS FIRST, qty NULLS FIRST""".stripMargin,
     "eng_cascade_early_exit" -> cascadeOracleSql,
-    "eng_mlp_forward_int8" -> mlpInt8OracleSql)
+    "eng_mlp_forward_int8" -> mlpInt8OracleSql,
+    // salted two-phase aggregation: the salt is an execution detail —
+    // results equal the direct group-by, which IS the oracle (avg
+    // spelled sum/count to match the derived avg_v exactly)
+    "eng_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(value), 4) AS sum_v,
+        |       round(sum(value) / count(*), 4) AS avg_v,
+        |       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+    // salted equi-join: replication on (key, salt) is exactly the
+    // plain join — the unsalted spelling is the oracle
+    "eng_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type,
+        |    (length(event_type) * 31 + ascii(substr(event_type, 1, 1)))
+        |      % 97 + 1 AS type_w FROM events)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(e.value * d.type_w), 4) AS weighted_v
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type NULLS FIRST""".stripMargin,
+    // sliding event-time windows (10 min / 5 min hop): every event
+    // lands in exactly the two hop-aligned windows covering it —
+    // spelled as a 2-way union of floor-bucketed starts (micros)
+    "eng_sliding_window" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS tu FROM events),
+        |w AS (
+        |  SELECT (tu // 300000000) * 300000000 AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT (tu // 300000000) * 300000000 - 300000000 AS ws,
+        |         event_type, value FROM e)
+        |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(value), 4) AS sum_v
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY ws NULLS FIRST, event_type NULLS FIRST, cnt NULLS FIRST,
+        |         sum_v NULLS FIRST""".stripMargin)
 
   /** The eng_cascade_early_exit oracle, generated from the SAME
     * [[cascadeW]] literals the Spark query ships (bias is zero): per
