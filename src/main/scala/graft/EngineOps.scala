@@ -4196,7 +4196,37 @@ object EngineOps {
         |       round(sum(value), 4) AS sum_v
         |FROM w GROUP BY ws, event_type
         |ORDER BY ws NULLS FIRST, event_type NULLS FIRST, cnt NULLS FIRST,
-        |         sum_v NULLS FIRST""".stripMargin)
+        |         sum_v NULLS FIRST""".stripMargin,
+    // bucketed star join: bucketing is a physical layout (lineitem_b/
+    // orders_b hold the same rows as lineitem/orders) — the plain
+    // join+agg over the raw tables is the oracle
+    "eng_bucketed_star" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+    // incremental top-k session: the cached margin-100 prefix answers
+    // three refinements; the oracle replays them as plain ordered
+    // selects over the same prefix (ties broken by id — total order,
+    // so both engines pick identical rows; cut = the 10th score)
+    "eng_incremental_topk" ->
+      """WITH cand AS (SELECT p_partkey AS id, p_retailprice AS score
+        |              FROM part
+        |              ORDER BY score DESC NULLS LAST, id ASC LIMIT 100),
+        |k10 AS (SELECT 'k10' AS refinement, id, score FROM cand
+        |        ORDER BY score DESC NULLS LAST, id ASC LIMIT 10),
+        |k50 AS (SELECT 'k50' AS refinement, id, score FROM cand
+        |        ORDER BY score DESC NULLS LAST, id ASC LIMIT 50),
+        |cut AS (SELECT min(score) AS c FROM k10),
+        |k25 AS (SELECT 'k25cut' AS refinement, id, score FROM cand, cut
+        |        WHERE score >= c
+        |        ORDER BY score DESC NULLS LAST, id ASC LIMIT 25)
+        |SELECT refinement, id, round(score, 4) AS score
+        |FROM (SELECT * FROM k10 UNION ALL SELECT * FROM k50
+        |      UNION ALL SELECT * FROM k25)
+        |ORDER BY refinement NULLS FIRST, score DESC NULLS LAST,
+        |         id NULLS FIRST""".stripMargin)
 
   /** The eng_cascade_early_exit oracle, generated from the SAME
     * [[cascadeW]] literals the Spark query ships (bias is zero): per
