@@ -84,11 +84,12 @@ private[graft] class SerializableConf(@transient private var conf: Configuration
   *    reported through the standard DSv2 metric channel into the SQL
   *    UI / executedPlan metrics (how the entry measures row pruning
   *    on a real cluster, no driver-side shortcuts).
-  *  - MICRO_BATCH_READ — the directory doubles as an append-only
-  *    stream (GlogMicroBatchStream below): offsets index the
-  *    part-index-sorted committed-file list, admission control
-  *    bounds each batch, and Trigger.AvailableNow
-  *    drains-and-terminates.
+  *  - MICRO_BATCH_READ — the directory doubles as a stream
+  *    (GlogMicroBatchStream below): offsets follow the MANIFEST
+  *    VERSION history (so compaction/DML cannot silently shift a
+  *    checkpoint; replace commits fail loud or skip under
+  *    `ignoreChanges`), admission control bounds each batch, and
+  *    Trigger.AvailableNow drains-and-terminates.
   *  - DataSourceRegister — `format("glog")` and SQL
   *    `CREATE TABLE ... USING glog` resolve via the service loader.
   *
@@ -1077,9 +1078,13 @@ object GraftLogSource {
     * snapshot-pinned readers until [[vacuum]]. Safe under concurrent
     * APPENDS (their files carry over through the CAS); a concurrent
     * DELETE/compact over the same files loses loudly
-    * ([[GlogConcurrentModificationException]]). NOT meaningful under
-    * a STREAMING read of the same directory (offsets index the live
-    * listing; the stream fails loud on the shrink). */
+    * ([[GlogConcurrentModificationException]]). A STREAMING read of
+    * the same directory keeps its place: stream offsets follow the
+    * manifest versions, the compacted generation stays on disk for
+    * lagging streams until [[vacuum]], and the replace commit itself
+    * fails the stream loudly by default or is skipped under
+    * `option("ignoreChanges", "true")` (its adds rewrite rows the
+    * stream already emitted) — see [[GlogMicroBatchStream]]. */
   def compact(spark: SparkSession, path: String): Unit = {
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
@@ -1258,7 +1263,8 @@ private[sources] class GlogTable(path: String, pushdown: Boolean,
       versionAsOf =
         pinnedVersion.orElse(Option(options.get("versionAsOf")).map(_.toLong)),
       filesOf = Option(options.get("filesOf")).map(s =>
-        s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet))
+        s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet),
+      ignoreChanges = options.getBoolean("ignoreChanges", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"glog: cannot write to the time-travel snapshot ${name()} — " +
@@ -1359,7 +1365,8 @@ private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
     groupScan: Option[java.util.Set[String]] = None,
     runtimeFilterable: Boolean = true,
     versionAsOf: Option[Long] = None,
-    filesOf: Option[Set[String]] = None)
+    filesOf: Option[Set[String]] = None,
+    ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
@@ -1429,10 +1436,12 @@ private[graft] class GlogScanBuilder(path: String, pushdown: Boolean,
   override def build(): Scan =
     if (runtimeFilterable)
       new GlogRuntimeFilterableScan(path, pushdown, required, pushed, limit,
-        topN, maxFilesPerTrigger, groupScan, versionAsOf, filesOf)
+        topN, maxFilesPerTrigger, groupScan, versionAsOf, filesOf,
+        ignoreChanges)
     else
       new GlogScan(path, pushdown, required, pushed, limit,
-        topN, maxFilesPerTrigger, groupScan, versionAsOf, filesOf)
+        topN, maxFilesPerTrigger, groupScan, versionAsOf, filesOf,
+        ignoreChanges)
 }
 
 /** The default scan shape: [[GlogScan]] plus the
@@ -1450,9 +1459,11 @@ private[sources] class GlogRuntimeFilterableScan(path: String,
     maxFilesPerTrigger: Option[Int],
     groupScan: Option[java.util.Set[String]],
     versionAsOf: Option[Long] = None,
-    filesOf: Option[Set[String]] = None)
+    filesOf: Option[Set[String]] = None,
+    ignoreChanges: Boolean = false)
     extends GlogScan(path, pushdown, required, pushed, limit,
-      topN, maxFilesPerTrigger, groupScan, versionAsOf, filesOf)
+      topN, maxFilesPerTrigger, groupScan, versionAsOf, filesOf,
+      ignoreChanges)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
 
 private[sources] class GlogScan(path: String, pushdown: Boolean,
@@ -1462,7 +1473,8 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
     groupScan: Option[java.util.Set[String]] = None,
     versionAsOf: Option[Long] = None,
-    filesOf: Option[Set[String]] = None)
+    filesOf: Option[Set[String]] = None,
+    ignoreChanges: Boolean = false)
     extends Scan with SupportsReportStatistics {
 
   /** Filters delivered AFTER planning by SupportsRuntimeV2Filtering
@@ -1680,97 +1692,231 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
     require(versionAsOf.isEmpty && filesOf.isEmpty,
       "glog: versionAsOf/filesOf are batch-read options; a stream " +
         "follows the live manifest")
-    new GlogMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
+    new GlogMicroBatchStream(path, required, pushed, maxFilesPerTrigger,
+      ignoreChanges)
   }
 }
 
-/** Streaming read: the directory is an append-only log of committed
-  * `.glog` files; an offset is a position in the part-index-sorted
-  * file list (the writer's job-commit rename makes file appearance
-  * atomic and indices monotone, so the numerically-sorted listing is
-  * a stable, replayable sequence at any file count — a pure name
-  * sort would reorder past part-9999). Admission control
-  * (SupportsAdmissionControl + ReadLimit.maxFiles) bounds each
-  * micro-batch to `maxFilesPerTrigger`; SupportsTriggerAvailableNow
-  * snapshots the backlog so Trigger.AvailableNow drains everything
-  * in bounded batches and terminates — the same paced-backfill
-  * contract eng_stream_backfill proves for the file source. Pushed
-  * filters and the zone map apply per batch: a batch whose files all
-  * miss the predicate plans zero partitions but still advances the
-  * offset. */
-private[sources] class GlogOffset(val n: Int)
+/** Streaming read: offsets follow the MANIFEST VERSION HISTORY — the
+  * same ledger every batch reader resolves through — as
+  * (anchor, version, files consumed within that version's add-list):
+  *  - `anchor` is the version whose FULL snapshot was this stream's
+  *    initial backlog (recorded in the offset so the add-list is a
+  *    pure function of the offset across restarts);
+  *  - an APPEND commit's adds are new rows, emitted in part-index
+  *    order and admission-bounded (`maxFilesPerTrigger` splits a
+  *    large commit across micro-batches via the intra-version index);
+  *  - a REPLACE commit (DELETE/UPDATE/MERGE/compact — any version
+  *    that drops live names) is snapshot-neutral for an append feed:
+  *    its adds are rewrites of already-streamed rows. Default is to
+  *    FAIL LOUDLY on one (the same contract as Spark's Delta-style
+  *    file sources); `option("ignoreChanges", "true")` skips such
+  *    versions instead — with the documented caveat that UPDATEd
+  *    rows are NOT re-emitted (a row-level consumer reads
+  *    [[GraftLogSource.changeFeed]]).
+  * Because replaced files stay on disk as snapshot orphans until
+  * [[GraftLogSource.vacuum]], a stream that is BEHIND keeps reading
+  * the exact files its offsets pinned — compaction no longer
+  * invalidates streaming checkpoints (spec: compact mid-stream, the
+  * drain continues and totals match). Vacuuming history out from
+  * under a lagging stream fails loudly, never drops rows silently.
+  * A directory with no manifest history streams the raw
+  * part-index-sorted listing as version 0 (fixture/back-compat mode
+  * — the numeric index keeps the sequence stable past part-9999);
+  * when a first manifest appears, the consumed prefix carries over
+  * (adopted baseline files keep the lowest part indices, so they are
+  * a prefix of the snapshot's listing order). Trigger.AvailableNow
+  * freezes the backlog end (version, add-count) at start so the
+  * query drains in bounded batches and terminates. Pushed filters
+  * and the zone map apply per batch: a batch whose files all miss
+  * the predicate plans zero partitions but still advances the
+  * offset. Resolution cost: one manifest-chain resolve per version
+  * per poll (bounded by the checkpoint interval), driver-side. */
+private[sources] class GlogOffset(val anchor: Long, val v: Long, val i: Int)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = n.toString
+  /** Baseline-mode convenience (fixture dirs, legacy checkpoints). */
+  def this(n: Int) = this(0L, 0L, n)
+  override def json(): String = s"""{"a":$anchor,"v":$v,"i":$i}"""
   override def equals(o: Any): Boolean = o match {
-    case g: GlogOffset => g.n == n
+    case g: GlogOffset => g.anchor == anchor && g.v == v && g.i == i
     case _ => false
   }
-  override def hashCode(): Int = n
+  override def hashCode(): Int = (anchor * 961 + v * 31 + i).toInt
+}
+
+private[sources] object GlogOffset {
+  private val Json = """\{"a":(\d+),"v":(\d+),"i":(\d+)\}""".r
+  def parse(json: String): GlogOffset = json.trim match {
+    case Json(a, v, i) => new GlogOffset(a.toLong, v.toLong, i.toInt)
+    // pre-version-offset checkpoint: a plain baseline index
+    case n if n.toIntOption.isDefined => new GlogOffset(n.toInt)
+    case other => throw new IllegalArgumentException(
+      s"glog: unparseable stream offset '$other'")
+  }
 }
 
 private[sources] class GlogMicroBatchStream(path: String,
     required: StructType, pushed: Array[Filter],
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int], ignoreChanges: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private def listAll(): Array[FileStatus] =
-    GraftLogSource.listCommitted(GraftLogSource.resolveDir(path),
-      GraftLogSource.driverHadoopConf(), Seq.empty)._1
+  private def dir = GraftLogSource.resolveDir(path)
+  private def conf = GraftLogSource.driverHadoopConf()
 
-  // Trigger.AvailableNow: freeze the backlog at start so the query
-  // terminates even if files keep landing
-  @volatile private var frozenTotal: Option[Int] = None
+  private def sortedNamesAt(v: Long): Seq[String] =
+    GraftLogSource.liveSnapshot(dir, conf, Some(v)).get._2
+      .sortBy(GraftLogSource.listingOrder)
+
+  private def baselineNames(): Seq[String] =
+    GraftLogSource.listCommitted(dir, conf, Seq.empty)._1
+      .map(_.getPath.getName).toSeq
+
+  /** The add-list of offset position (anchor, v): the full snapshot
+    * at the anchor (this stream's initial backlog), the name diff vs
+    * v-1 after it. Versions that also REMOVE names are replace
+    * commits — loud by default, empty under ignoreChanges. */
+  private def addsOf(anchor: Long, v: Long): Seq[String] =
+    if (v == 0L) baselineNames()
+    else if (v == anchor) sortedNamesAt(v)
+    else {
+      val prev = sortedNamesAt(v - 1)
+      val cur = sortedNamesAt(v)
+      val curSet = cur.toSet
+      val removed = prev.filterNot(curSet)
+      if (removed.nonEmpty) {
+        if (!ignoreChanges) throw new IllegalStateException(
+          s"glog stream: manifest version $v of $path replaced/removed " +
+            s"files (DML or compaction; e.g. ${removed.take(2).mkString(", ")}). " +
+            "A glog stream is an append feed: restart from a fresh " +
+            "checkpoint for a new snapshot, or set " +
+            "option(\"ignoreChanges\", \"true\") to skip replace commits " +
+            "(their adds rewrite already-streamed rows; UPDATEs are then " +
+            "NOT re-emitted — read GraftLogSource.changeFeed for row-level " +
+            "deltas)")
+        Seq.empty // replace commit skipped: snapshot-neutral for the feed
+      } else {
+        val prevSet = prev.toSet
+        cur.filterNot(prevSet)
+      }
+    }
+
+  /** Normalize a pre-manifest offset once manifests exist: the
+    * adopted baseline is a PREFIX of the oldest version's listing
+    * order (baseline files keep the lowest part indices), so the
+    * consumed count carries over. */
+  private def normalize(o: GlogOffset): GlogOffset =
+    if (o.anchor != 0L) o
+    else {
+      val vs = GraftLogSource.manifestVersions(dir, conf)
+      if (vs.isEmpty) o else new GlogOffset(vs.head, vs.head, o.i)
+    }
+
+  // Trigger.AvailableNow: freeze the backlog END at start so the
+  // query terminates even if commits keep landing. Committed versions
+  // are IMMUTABLE, so freezing the end version freezes the backlog;
+  // only the pre-manifest baseline (a mutable raw listing) also needs
+  // its file count frozen.
+  @volatile private var frozenEnd: Option[(Long, Int)] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    frozenTotal = Some(listAll().length)
+    frozenEnd = Some(
+      GraftLogSource.manifestVersions(dir, conf).lastOption match {
+        case Some(last) => (last, -1)
+        case None => (0L, baselineNames().length)
+      })
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset = new GlogOffset(0)
-  override def deserializeOffset(json: String): Offset = new GlogOffset(json.toInt)
+  override def initialOffset(): Offset = {
+    val vs = GraftLogSource.manifestVersions(dir, conf)
+    vs.lastOption match {
+      case Some(latest) => new GlogOffset(latest, latest, 0)
+      case None => new GlogOffset(0)
+    }
+  }
+  override def deserializeOffset(json: String): Offset = GlogOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  override def latestOffset(): Offset =
-    new GlogOffset(frozenTotal.getOrElse(listAll().length))
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = frozenTotal.getOrElse(listAll().length)
-    val from = start.asInstanceOf[GlogOffset].n
-    val capped = limit match {
-      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        math.min(total, from + mf.maxFiles())
-      case _ => total
+  /** Advance `from` by up to `budget` files toward the backlog end. */
+  private def advance(from: GlogOffset, budget: Long): GlogOffset = {
+    val s = normalize(from)
+    val memo = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    def adds(v: Long): Seq[String] =
+      memo.getOrElseUpdate(v, addsOf(s.anchor, v))
+    val (endV, baseCap) = frozenEnd match {
+      case Some((v0, n)) => (v0, if (v0 == 0L) Some(n) else None)
+      case None =>
+        val vs = GraftLogSource.manifestVersions(dir, conf)
+        if (vs.isEmpty || s.anchor == 0L) (0L, None) else (vs.last, None)
     }
-    new GlogOffset(math.max(from, capped))
+    if (s.v > endV) return s
+    var v = s.v
+    var i = s.i
+    var left = budget
+    var continue = true
+    while (continue) {
+      val total =
+        if (v == 0L) baseCap.getOrElse(baselineNames().length)
+        else adds(v).length
+      val take = math.min(left, math.max(0, total - i).toLong).toInt
+      i += take
+      left -= take
+      if (i >= total && v < endV && left > 0) { v += 1; i = 0 }
+      else continue = false
+    }
+    new GlogOffset(s.anchor, v, i)
   }
 
-  override def reportLatestOffset(): Offset =
-    new GlogOffset(listAll().length)
+  override def latestOffset(): Offset = reportLatestOffset()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val budget = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        mf.maxFiles().toLong
+      case _ => Long.MaxValue
+    }
+    advance(start.asInstanceOf[GlogOffset], budget)
+  }
+
+  /** Informational (progress/lag reporting): the newest version, or
+    * the baseline file count — deliberately cheap and non-throwing
+    * (no chain resolve, no replace-commit guard). */
+  override def reportLatestOffset(): Offset = {
+    val vs = GraftLogSource.manifestVersions(dir, conf)
+    vs.lastOption match {
+      case Some(last) => new GlogOffset(vs.head, last, 0)
+      case None => new GlogOffset(0L, 0L, baselineNames().length)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (a, b) = (start.asInstanceOf[GlogOffset].n, end.asInstanceOf[GlogOffset].n)
-    val all = listAll()
-    // streaming offsets index the part-index-sorted listing, which is
-    // only stable while the directory is APPEND-ONLY. DML (DELETE/
-    // TRUNCATE/UPDATE) on a streamed table shrinks or reorders the
-    // listing and silently invalidates checkpoints — fail loud (the
-    // same contract as Spark's file source with source-side cleanup)
-    require(b <= all.length,
-      s"glog streaming offset $b exceeds the ${all.length}-file listing: " +
-        "the directory shrank mid-stream (DML on a streamed glog table " +
-        "invalidates its checkpoints; streams require append-only dirs)")
-    all.slice(a, b)
-      .filter { s =>
-        GraftLogSource.minMaxFromName(s.getPath.getName) match {
+    val a = normalize(start.asInstanceOf[GlogOffset])
+    val b = normalize(end.asInstanceOf[GlogOffset])
+    val names = Seq.newBuilder[String]
+    var v = a.v
+    while (v <= b.v) {
+      val adds = addsOf(b.anchor, v)
+      val lo = if (v == a.v) a.i else 0
+      val hi = if (v == b.v) b.i else adds.length
+      require(hi <= adds.length,
+        s"glog streaming offset (v=$v, i=$hi) exceeds the ${adds.length}-file " +
+          s"add-list: the directory shrank mid-stream under $path")
+      names ++= adds.slice(lo, hi)
+      v += 1
+    }
+    names.result()
+      .filter { n =>
+        GraftLogSource.minMaxFromName(n) match {
           case Some((mn, mx)) => GraftLogSource.zoneMapKeeps(mn, mx, pushed.toSeq)
           case None => true
         }
       }
-      .map(s => GlogPartition(s.getPath.toString, pushed): InputPartition)
+      .map(n => GlogPartition(new Path(dir, n).toString, pushed): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -904,6 +904,75 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"streamed totals diverged: $partials vs $batch")
   }
 
+  test("streaming offsets follow the manifest: compaction is transparent, replaces fail loud") {
+    Tables.register(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_vstream").toFile
+    val path = dir.getAbsolutePath
+    val ev = spark.table("events").select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    def slice(k: Int) = ev.filter(col("event_id") % 3 === k)
+    val (n0, n1, n2) = (slice(0).count(), slice(1).count(), slice(2).count())
+    slice(0).repartition(4).write.format("glog")
+      .option("path", path).mode("append").save()              // v1: 4 files
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vs_ck").toString
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    def drain(ignoreChanges: Boolean): (Long, Long) = {
+      val before = total.get()
+      val q = spark.readStream.format("glog").option("path", path)
+        .option("maxFilesPerTrigger", "2")
+        .option("ignoreChanges", ignoreChanges.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          total.addAndGet(b.count()): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (total.get() - before, q.recentProgress.count(_.numInputRows > 0).toLong)
+    }
+    // initial snapshot drains paced: 4 files / maxFilesPerTrigger=2
+    val (got0, batches0) = drain(ignoreChanges = false)
+    assert(got0 == n0 && batches0 == 2, s"snapshot drain: $got0 rows, $batches0 batches")
+    // append v2, COMPACT (a replace commit: every live name swaps),
+    // append v4 — all between restarts of the same checkpoint
+    slice(1).coalesce(1).write.format("glog")
+      .option("path", path).mode("append").save()              // v2
+    GraftLogSource.compact(spark, path)                        // v3: replace
+    slice(2).coalesce(1).write.format("glog")
+      .option("path", path).mode("append").save()              // v4
+    // default contract: a replace commit mid-history fails LOUDLY
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(ignoreChanges = false)
+    }
+    assert(err.getMessage.contains("replaced") ||
+      Option(err.getCause).exists(_.getMessage.contains("replaced")),
+      s"wrong failure: ${err.getMessage}")
+    // ignoreChanges: the stream keeps its place THROUGH the compact —
+    // v2's add (now a snapshot orphan on disk) and v4's add are
+    // emitted exactly once; the compacted rewrite of already-streamed
+    // rows is not re-emitted
+    val (got1, _) = drain(ignoreChanges = true)
+    assert(got1 == n1 + n2,
+      s"resume through compact emitted $got1 rows, want ${n1 + n2}")
+    assert(total.get() == n0 + n1 + n2)
+    // a FRESH stream anchors at the latest snapshot and sees all rows
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_vs_ck2").toString
+    val fresh = new java.util.concurrent.atomic.AtomicLong()
+    val q2 = spark.readStream.format("glog").option("path", path).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        fresh.addAndGet(b.count()): Unit
+      }
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(fresh.get() == n0 + n1 + n2, s"fresh snapshot saw ${fresh.get()}")
+  }
+
   test("runtime filters prune reader rows and DML rewrite groups (eng_dsv2_runtime_filter)") {
     Tables.register(spark, sf)
     val rows = EngineOps.queries("eng_dsv2_runtime_filter")(spark, sf).collect()
