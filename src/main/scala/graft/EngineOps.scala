@@ -4226,7 +4226,32 @@ object EngineOps {
         |FROM (SELECT * FROM k10 UNION ALL SELECT * FROM k50
         |      UNION ALL SELECT * FROM k25)
         |ORDER BY refinement NULLS FIRST, score DESC NULLS LAST,
-        |         id NULLS FIRST""".stripMargin)
+        |         id NULLS FIRST""".stripMargin,
+    // heuristic document quality score: plain string/array functions
+    // on both engines (whitespace-regex tokenization agrees; the
+    // per-doc score is rounded to 4 before the per-source aggregate
+    // exactly as TextFunctions.qualityScore does)
+    "eng_quality_score" ->
+      """WITH base AS (
+        |  SELECT source, text,
+        |         CAST(length(text) AS DOUBLE) AS n,
+        |         CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS ntok,
+        |         CAST(len(list_distinct(string_split_regex(text, '\s+')))
+        |           AS DOUBLE) AS ndis
+        |  FROM documents),
+        |per AS (
+        |  SELECT source,
+        |    round(least(greatest(
+        |      0.3 * least(n / 200.0, 1.0) +
+        |      0.3 * ((n - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))
+        |             / greatest(n, 1.0)) +
+        |      0.2 * (1.0 - least(abs(n / greatest(ntok, 1.0) - 5.5) / 10.0, 1.0)) +
+        |      0.2 * (ndis / greatest(ntok, 1.0)), 0.0), 1.0), 4) AS q
+        |  FROM base)
+        |SELECT source, round(avg(q), 4) AS avg_quality,
+        |       round(min(q), 4) AS min_quality,
+        |       round(max(q), 4) AS max_quality
+        |FROM per GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)
 
   /** The eng_cascade_early_exit oracle, generated from the SAME
     * [[cascadeW]] literals the Spark query ships (bias is zero): per
