@@ -493,15 +493,50 @@ object EngineOps {
         .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
     }
     val (viaIncr, viaFull) = (topk(basePath), topk(fullPath))
+    // file census BEFORE the reset: the small-file evidence — one
+    // delta batch lands one parquet file per touched cell (the
+    // hygiene debt eng_ivf_compaction measures the cure for)
+    def dataFileCount(p: String): Long = listFilesUnder(p)
+      .count(n => n.endsWith(".parquet") && !n.startsWith("_codebook")).toLong
+    val baseFiles = baseline
+      .count(n => n.endsWith(".parquet") && !n.startsWith("_codebook")).toLong
+    val deltaFiles = dataFileCount(basePath) - baseFiles
     resetToBaseline(basePath, baseline) // idempotent across passes
     val nBase = emb.filter(col("vec_id") % 10 =!= 1).count()
-    // ---- small-file hygiene (file census): 3 "daily" sub-deltas,
-    // then per-cell compaction. Each append lands one parquet file
-    // per touched cell, so the copy accumulates ~3 files/cell;
-    // compactIvfPartitioned rewrites ONLY over-budget cells back to
-    // one file each — top-k, codebook, and fingerprint unchanged
-    // (also spec-proven in SimilaritySearchSpec). Runs on a scratch
-    // copy so the cached pristine base keeps serving bench passes.
+    // score_ratio = delta mean assignment score / fit-time objective:
+    // ~1.0 means the codebook still describes the incoming data; a
+    // sagging ratio is the re-cluster trigger (reported as a measured
+    // number, not a thresholded guess — the policy is the caller's)
+    Seq((nBase, nDelta,
+        math.rint(deltaScore * 1e4) / 1e4, math.rint(objective * 1e4) / 1e4,
+        math.rint(deltaScore / objective * 1e2) / 1e2, viaIncr == viaFull,
+        deltaFiles, deltaFiles > 0))
+      .toDF("n_base", "n_delta", "delta_score", "fit_objective",
+        "score_ratio", "topk_equal", "delta_files", "files_censused")
+  }
+
+  /** MEASURED per-cell small-file compaction — the hygiene op for an
+    * incrementally-maintained IVF layout: three "daily" sub-delta
+    * appends land ~one parquet file per touched cell each, then
+    * compactIvfPartitioned rewrites ONLY the over-budget cells back
+    * to one file apiece — top-k, codebook sidecar, and fingerprint
+    * metadata unchanged (spec-proven in SimilaritySearchSpec). Runs
+    * on a scratch copy so the cached pristine base keeps serving the
+    * other entries' bench passes; the copy + appends + compaction ARE
+    * the measured maintenance cost a nightly pipeline pays. */
+  private def ivfCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (basePath, fullPath, _) = ensureIvfIncr(spark, dir)
+    val emb = t(spark, dir, "embeddings").filter(col("vec_id") =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 1)
+    val probe = probeVec(spark, dir)
+    def topk(path: String): Seq[(Long, Double)] = {
+      val (df, cb) = SimilaritySearch.loadIvfIndex(spark, path)
+      SimilaritySearch.ivfTopK(df, "vec_id", "embedding", probe,
+          k = 10, nProbe = 4, codebook = Some(cb))
+        .collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4)).toSeq
+    }
     val comp = basePath + "_compact"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(comp)))
       deleteRecursively(java.nio.file.Paths.get(comp))
@@ -515,21 +550,13 @@ object EngineOps {
     def dataFileCount(p: String): Long = listFilesUnder(p)
       .count(n => n.endsWith(".parquet") && !n.startsWith("_codebook")).toLong
     val filesBefore = dataFileCount(comp)
-    SimilaritySearch.compactIvfPartitioned(spark, comp): Unit
+    val cellsRewritten =
+      SimilaritySearch.compactIvfPartitioned(spark, comp).toLong
     val filesAfter = dataFileCount(comp)
-    val compactOk = topk(comp) == viaFull && filesAfter < filesBefore
+    val compactOk = topk(comp) == topk(fullPath) && filesAfter < filesBefore
     deleteRecursively(java.nio.file.Paths.get(comp))
-    // score_ratio = delta mean assignment score / fit-time objective:
-    // ~1.0 means the codebook still describes the incoming data; a
-    // sagging ratio is the re-cluster trigger (reported as a measured
-    // number, not a thresholded guess — the policy is the caller's)
-    Seq((nBase, nDelta,
-        math.rint(deltaScore * 1e4) / 1e4, math.rint(objective * 1e4) / 1e4,
-        math.rint(deltaScore / objective * 1e2) / 1e2, viaIncr == viaFull,
-        filesBefore, filesAfter, compactOk))
-      .toDF("n_base", "n_delta", "delta_score", "fit_objective",
-        "score_ratio", "topk_equal", "delta_files", "compact_files",
-        "compact_ok")
+    Seq((filesBefore, filesAfter, cellsRewritten, compactOk))
+      .toDF("delta_files", "compact_files", "cells_rewritten", "ok")
   }
 
   /** PQ-ADC approximate top-k (operators/ProductQuantizer — Jégou '11
@@ -4016,6 +4043,7 @@ object EngineOps {
     "eng_ann_lsh_topk" -> annLsh,
     "eng_ann_ivf_topk" -> annIvf,
     "eng_ivf_incremental" -> ivfIncremental,
+    "eng_ivf_compaction" -> ivfCompaction,
     "eng_ann_lsh_pairs" -> annPairJoin,
     "eng_ann_pq_topk" -> annPq,
     "eng_ann_sq8_topk" -> annSq8,
@@ -4251,7 +4279,44 @@ object EngineOps {
         |SELECT source, round(avg(q), 4) AS avg_quality,
         |       round(min(q), 4) AS min_quality,
         |       round(max(q), 4) AS max_quality
-        |FROM per GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)
+        |FROM per GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    // Holt linear smoothing replayed as a RECURSIVE CTE: the fold is
+    // pure double arithmetic in (key, t, v) order on both engines, so
+    // the recursion is bit-stable (constants rendered as the same
+    // doubles; the base-branch CASTs pin DuckDB's recursive column
+    // types to DOUBLE, never DECIMAL). Forecasts derive from the RAW
+    // level/trend like the operator; outputs r9-then-r4 rounded.
+    "eng_forecast_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id AS key,
+        |         CAST(trunc(epoch_us(ts) / 86400000000.0) AS BIGINT) AS t,
+        |         sum(value) / count(*) AS v
+        |  FROM events WHERE user_id < 100
+        |  GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT key, v,
+        |         row_number() OVER (PARTITION BY key ORDER BY t, v) AS i,
+        |         count(*) OVER (PARTITION BY key) AS n
+        |  FROM daily),
+        |fit AS (
+        |  SELECT key, i, n, CAST(v AS DOUBLE) AS level,
+        |         CAST(0.0 AS DOUBLE) AS trend
+        |  FROM pts WHERE i = 1
+        |  UNION ALL
+        |  SELECT p.key, p.i, p.n,
+        |         0.3 * p.v + 0.7 * (f.level + f.trend) AS level,
+        |         0.1 * ((0.3 * p.v + 0.7 * (f.level + f.trend)) - f.level)
+        |           + 0.9 * f.trend AS trend
+        |  FROM fit f JOIN pts p ON p.key = f.key AND p.i = f.i + 1),
+        |fin AS (SELECT key, n, level, trend FROM fit WHERE i = n)
+        |SELECT key, CAST(n AS BIGINT) AS n,
+        |       round(round(level, 9), 4) AS level,
+        |       round(round(trend, 9), 4) AS trend, CAST(h AS INT) AS h,
+        |       round(round(level + h * trend, 9), 4) AS forecast
+        |FROM fin, (SELECT unnest([1, 2, 3]) AS h)
+        |ORDER BY key NULLS FIRST, h NULLS FIRST, n NULLS FIRST,
+        |         level NULLS FIRST, trend NULLS FIRST,
+        |         forecast NULLS FIRST""".stripMargin)
 
   /** The eng_cascade_early_exit oracle, generated from the SAME
     * [[cascadeW]] literals the Spark query ships (bias is zero): per

@@ -205,16 +205,20 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(SimilaritySearch.compactIvfPartitioned(
       spark, s"$tmp/idx", maxFilesPerCell = 1) == 0)
 
-    // the measured entry agrees end-to-end
+    // the measured entries agree end-to-end
     val row = EngineOps.queries("eng_ivf_incremental")(
       spark, "/root/testdata/sf0.001").collect()(0)
     assert(row.getAs[Boolean]("topk_equal"), row.toString)
-    assert(row.getAs[Boolean]("compact_ok"), row.toString)
-    assert(row.getAs[Long]("compact_files") < row.getAs[Long]("delta_files"),
-      row.toString)
+    assert(row.getAs[Long]("delta_files") > 0, row.toString)
     val ratio = row.getAs[Double]("score_ratio")
     assert(ratio > 0.0 && ratio < 2.0, row.toString)
     assert(row.getAs[Long]("n_delta") > 0)
+    val crow = EngineOps.queries("eng_ivf_compaction")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(crow.getAs[Boolean]("ok"), crow.toString)
+    assert(crow.getAs[Long]("compact_files") < crow.getAs[Long]("delta_files"),
+      crow.toString)
+    assert(crow.getAs[Long]("cells_rewritten") > 0, crow.toString)
     // and it is idempotent across passes: a second run sees the same
     // pristine base index (the appended files were removed)
     val row2 = EngineOps.queries("eng_ivf_incremental")(
