@@ -1805,8 +1805,18 @@ private[sources] class GlogMicroBatchStream(path: String,
 
   /** Normalize a pre-manifest offset once manifests exist: the
     * adopted baseline is a PREFIX of the oldest version's listing
-    * order (baseline files keep the lowest part indices), so the
-    * consumed count carries over. */
+    * order (baseline files keep the lowest part indices under every
+    * append/DML path — commitManifest adopts the raw listing as its
+    * version-1 base and claim-renames allocate only higher indices),
+    * so the consumed count carries over. Contract: the one commit
+    * shape that DISCARDS the baseline instead of adopting it —
+    * SaveMode.Overwrite as a pre-manifest directory's FIRST manifest
+    * commit — replaces already-streamed rows, and because no prior
+    * manifest exists to diff against, the stream cannot detect it
+    * (the carried-over count would mis-apply to the new generation).
+    * Do not overwrite a pre-manifest directory under an active
+    * stream; manifest-era overwrites are detected and fail loudly
+    * like every replace commit. */
   private def normalize(o: GlogOffset): GlogOffset =
     if (o.anchor != 0L) o
     else {
