@@ -1774,13 +1774,36 @@ private[sources] class GlogMicroBatchStream(path: String,
     GraftLogSource.listCommitted(dir, conf, Seq.empty)._1
       .map(_.getPath.getName).toSeq
 
+  /** Per-stream memo of [[addsOf]]: committed versions are IMMUTABLE,
+    * so an add-list never changes once computed — without this a
+    * frequent-trigger stream would re-resolve the manifest chain
+    * (O(live files) text) on every poll. Driver-side, bounded. */
+  private val addsMemo =
+    new java.util.LinkedHashMap[(Long, Long), Seq[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Long), Seq[String]]): Boolean =
+        size() > 256
+    }
+
   /** The add-list of offset position (anchor, v): the full snapshot
     * at the anchor (this stream's initial backlog), the name diff vs
     * v-1 after it. Versions that also REMOVE names are replace
-    * commits — loud by default, empty under ignoreChanges. */
+    * commits — loud by default, empty under ignoreChanges. Memoized
+    * (immutable versions) except the mutable version-0 baseline. */
   private def addsOf(anchor: Long, v: Long): Seq[String] =
     if (v == 0L) baselineNames()
-    else if (v == anchor) sortedNamesAt(v)
+    else addsMemo.synchronized {
+      val got = addsMemo.get((anchor, v))
+      if (got != null) got
+      else {
+        val computed = computeAddsOf(anchor, v)
+        addsMemo.put((anchor, v), computed): Unit
+        computed
+      }
+    }
+
+  private def computeAddsOf(anchor: Long, v: Long): Seq[String] =
+    if (v == anchor) sortedNamesAt(v)
     else {
       val prev = sortedNamesAt(v - 1)
       val cur = sortedNamesAt(v)
