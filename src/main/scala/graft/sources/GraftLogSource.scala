@@ -1732,7 +1732,7 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
   * the predicate plans zero partitions but still advances the
   * offset. Resolution cost: one manifest-chain resolve per version
   * per poll (bounded by the checkpoint interval), driver-side. */
-private[sources] class GlogOffset(val anchor: Long, val v: Long, val i: Int)
+private[graft] class GlogOffset(val anchor: Long, val v: Long, val i: Int)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   /** Baseline-mode convenience (fixture dirs, legacy checkpoints). */
   def this(n: Int) = this(0L, 0L, n)
@@ -1744,7 +1744,7 @@ private[sources] class GlogOffset(val anchor: Long, val v: Long, val i: Int)
   override def hashCode(): Int = (anchor * 961 + v * 31 + i).toInt
 }
 
-private[sources] object GlogOffset {
+private[graft] object GlogOffset {
   private val Json = """\{"a":(\d+),"v":(\d+),"i":(\d+)\}""".r
   def parse(json: String): GlogOffset = json.trim match {
     case Json(a, v, i) => new GlogOffset(a.toLong, v.toLong, i.toInt)

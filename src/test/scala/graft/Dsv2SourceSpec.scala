@@ -904,6 +904,40 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"streamed totals diverged: $partials vs $batch")
   }
 
+  test("stream offsets: json round-trip, legacy integer checkpoints, bad input loud") {
+    val o = new graft.sources.GlogOffset(5L, 9L, 3)
+    val back = graft.sources.GlogOffset.parse(o.json())
+    assert(back.anchor == 5L && back.v == 9L && back.i == 3 && back == o)
+    // a pre-version-offset checkpoint (plain baseline index) restores
+    // into version-0 baseline mode
+    val legacy = graft.sources.GlogOffset.parse("7")
+    assert(legacy.anchor == 0L && legacy.v == 0L && legacy.i == 7)
+    intercept[IllegalArgumentException] {
+      graft.sources.GlogOffset.parse("not-an-offset")
+    }
+  }
+
+  test("public change-feed options validate loudly") {
+    Tables.register(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cfo").toFile
+    // half-specified range is an analysis-time error, not a mis-read
+    val e1 = intercept[Exception] {
+      spark.read.format("glog").option("path", dir.getAbsolutePath)
+        .option("changeFeedFrom", "1").load()
+    }
+    assert(e1.getMessage.contains("changeFeedTo"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.read.format("glog").option("path", dir.getAbsolutePath)
+        .option("changeFeedFrom", "x").option("changeFeedTo", "2").load()
+    }
+    assert(e2.getMessage.contains("numeric"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.read.format("glog").option("path", dir.getAbsolutePath)
+        .option("changeFeedFrom", "3").option("changeFeedTo", "2").load()
+    }
+    assert(e3.getMessage.contains("changeFeedFrom"), e3.getMessage)
+  }
+
   test("streaming offsets follow the manifest: compaction is transparent, replaces fail loud") {
     Tables.register(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_vstream").toFile
