@@ -518,15 +518,22 @@ object EngineOps {
   /** MEASURED per-cell small-file compaction — the hygiene op for an
     * incrementally-maintained IVF layout: three "daily" sub-delta
     * appends land ~one parquet file per touched cell each, then
-    * compactIvfPartitioned rewrites ONLY the over-budget cells back
-    * to one file apiece — top-k, codebook sidecar, and fingerprint
-    * metadata unchanged (spec-proven in SimilaritySearchSpec). Runs
-    * on a scratch copy so the cached pristine base keeps serving the
-    * other entries' bench passes; the copy + appends + compaction ARE
-    * the measured maintenance cost a nightly pipeline pays. */
+    * compactIvfPartitioned rewrites ONLY the over-budget cells into
+    * SIZE-CAPPED bin-packed files in ONE job — top-k, codebook
+    * sidecar, and fingerprint metadata unchanged, and no output file
+    * exceeds the byte target (`size_capped` censuses the cap; the
+    * oversized-cell >1-file case is spec-proven in
+    * SimilaritySearchSpec). Runs on a scratch copy so the cached
+    * pristine base keeps serving the other entries' bench passes;
+    * the copy + appends + compaction ARE the measured maintenance
+    * cost a nightly pipeline pays. */
   private def ivfCompaction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (basePath, fullPath, _) = ensureIvfIncr(spark, dir)
+    val (basePath, fullPath, baseline) = ensureIvfIncr(spark, dir)
+    // self-heal: a prior eng_ivf_incremental pass that crashed between
+    // its append and its reset would leave the full delta in the base
+    // — copying that would double the sub-delta appends below
+    resetToBaseline(basePath, baseline)
     val emb = t(spark, dir, "embeddings").filter(col("vec_id") =!= 0)
     val delta = emb.filter(col("vec_id") % 10 === 1)
     val probe = probeVec(spark, dir)
@@ -550,13 +557,31 @@ object EngineOps {
     def dataFileCount(p: String): Long = listFilesUnder(p)
       .count(n => n.endsWith(".parquet") && !n.startsWith("_codebook")).toLong
     val filesBefore = dataFileCount(comp)
-    val cellsRewritten =
-      SimilaritySearch.compactIvfPartitioned(spark, comp).toLong
+    val target = 128L << 20
+    val cellsRewritten = SimilaritySearch
+      .compactIvfPartitioned(spark, comp, targetFileBytes = target).toLong
     val filesAfter = dataFileCount(comp)
+    // size-cap census: no compacted file may exceed the byte target —
+    // the 100 TB guarantee that a cell never funnels into one
+    // unbounded blob (the >1-file split of a genuinely oversized cell
+    // is spec-proven; at bench scale every cell fits one bin)
+    val maxFileBytes = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(comp)
+      val it = java.nio.file.Files.walk(root)
+      try it.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet") &&
+          !root.relativize(p).toString.startsWith("_codebook"))
+        .map(java.nio.file.Files.size(_)).maxOption.getOrElse(0L)
+      finally it.close()
+    }
     val compactOk = topk(comp) == topk(fullPath) && filesAfter < filesBefore
     deleteRecursively(java.nio.file.Paths.get(comp))
-    Seq((filesBefore, filesAfter, cellsRewritten, compactOk))
-      .toDF("delta_files", "compact_files", "cells_rewritten", "ok")
+    Seq((filesBefore, filesAfter, cellsRewritten, compactOk,
+        maxFileBytes <= target))
+      .toDF("delta_files", "compact_files", "cells_rewritten", "ok",
+        "size_capped")
   }
 
   /** PQ-ADC approximate top-k (operators/ProductQuantizer — Jégou '11

@@ -234,22 +234,57 @@ object SimilaritySearch {
     (n, meanBestScore(delta, vecCol, centroids), objective)
   }
 
+  /** Deterministic first-fit-decreasing bin packing of (name, bytes)
+    * files under a byte budget: files sorted by (size desc, name),
+    * each placed in the first bin with room; a file ≥ the budget gets
+    * a bin of its own. The plan [[compactIvfPartitioned]] sizes its
+    * output files by — pure driver arithmetic over the listing. */
+  private[graft] def packBins(files: Seq[(String, Long)],
+                              targetBytes: Long): Seq[Seq[String]] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, scala.collection.mutable.ArrayBuffer[String])]
+    files.sortBy { case (n, len) => (-len, n) }.foreach { case (n, len) =>
+      bins.indexWhere { case (used, _) => used + len <= targetBytes } match {
+        case -1 => bins += ((len, scala.collection.mutable.ArrayBuffer(n)))
+        case i =>
+          val (used, names) = bins(i)
+          names += n
+          bins(i) = (used + len, names)
+      }
+    }
+    bins.map(_._2.toSeq).toSeq
+  }
+
   /** Per-cell small-file compaction for a [[writeIvfPartitioned]]
     * layout: [[appendToIvfPartitioned]] adds one parquet file per
     * touched cell per delta batch, so after N daily deltas a cell
     * holds ~N small files and scan cost degrades to open/seek
-    * overhead. Every cell directory holding more than
-    * `maxFilesPerCell` data files is rewritten into ONE coalesced
-    * file — rows, cell assignment, `_codebook` sidecar, and the
-    * fingerprint schema metadata all unchanged (top-k equality and
-    * fingerprint survival are spec-asserted), so queries need no
+    * overhead. A cell is over budget when it holds more data files
+    * than max(`maxFilesPerCell`, the bin count a `targetFileBytes`
+    * packing needs); every over-budget cell is rewritten into
+    * SIZE-CAPPED files — `ceil(cellBytes / targetFileBytes)`-ish via
+    * deterministic first-fit-decreasing packing ([[packBins]]) —
+    * never one unbounded blob: the cell count is fixed by the
+    * codebook, so at 100 TB a cell holds ~corpus/nCells bytes and a
+    * single-file rewrite would funnel hundreds of GB through one
+    * task AND strip the cell's scans of intra-cell parallelism.
+    * All over-budget cells compact in ONE Spark job (a union of
+    * per-bin coalesced reads — one task per output file, no shuffle,
+    * parallel across cells and across bins within a cell; the same
+    * merge-not-shuffle shape as TableLayout.compact, here per cell).
+    * Rows, cell assignment, `_codebook` sidecar, and the fingerprint
+    * schema metadata are all unchanged (top-k equality, fingerprint
+    * and size-cap survival are spec-asserted), so queries need no
     * re-index and the codebook needs no re-fit. Cells within budget
     * are byte-untouched — work is O(appended cells), not O(layout).
     * A maintenance op like the glog compact/vacuum: not safe under
     * concurrent queries/appends of the same layout (swap window is
-    * add-new-then-drop-old per cell). Returns cells rewritten. */
+    * add-new-then-drop-old per cell). Returns cells rewritten.
+    * Reference analog: tools/model_to_flash.py:160-250 slices layers
+    * over 256 KB — never one unbounded blob. */
   def compactIvfPartitioned(spark: org.apache.spark.sql.SparkSession,
-                            path: String, maxFilesPerCell: Int = 1): Int = {
+                            path: String, maxFilesPerCell: Int = 1,
+                            targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.spark.sql.functions.lit
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     def dataFiles(p: org.apache.hadoop.fs.Path) =
@@ -257,35 +292,54 @@ object SimilaritySearch {
         s.getPath.getName.endsWith(".parquet"))
     val cells = fs.listStatus(dir).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("cell="))
-    var rewritten = 0
-    cells.foreach { c =>
+      .sortBy(_.getPath.getName)
+    // plan (driver-side, O(listing)): per over-budget cell, the FFD
+    // bins its files pack into under the byte budget
+    val plans = cells.flatMap { c =>
       val parts = dataFiles(c.getPath)
-      if (parts.length > maxFilesPerCell) {
-        val tmp = new org.apache.hadoop.fs.Path(dir,
-          s".compact-${c.getPath.getName}")
-        fs.delete(tmp, true): Unit
-        // read INSIDE the cell dir (no partition inference): the data
-        // schema — including the codebook-fingerprint metadata on the
-        // vector column — round-trips through the parquet footer
-        spark.read.parquet(c.getPath.toString)
-          .coalesce(1).write.option("compression", "zstd")
-          .parquet(tmp.toString)
-        // swap: land the coalesced file under a fresh name first,
-        // then drop the originals — a crash leaves a superset
-        // (duplicate rows visible only mid-maintenance), never a loss
-        dataFiles(tmp).foreach { nf =>
-          require(fs.rename(nf.getPath,
-            new org.apache.hadoop.fs.Path(c.getPath,
-              s"compacted-${nf.getPath.getName}")),
-            s"compactIvfPartitioned: rename into ${c.getPath} failed")
-        }
-        parts.foreach(p => require(fs.delete(p.getPath, false),
-          s"compactIvfPartitioned: delete ${p.getPath} failed"))
-        fs.delete(tmp, true): Unit
-        rewritten += 1
-      }
+      val bins = packBins(
+        parts.map(p => p.getPath.getName -> p.getLen).toSeq, targetFileBytes)
+      if (parts.length > math.max(maxFilesPerCell, bins.length))
+        Some((c.getPath, parts, bins))
+      else None
     }
-    rewritten
+    if (plans.isEmpty) return 0
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".compact-tmp")
+    fs.delete(tmp, true): Unit
+    // ONE job over every (cell, bin): each union branch reads one
+    // bin's files (explicit leaf files — no partition inference; the
+    // codebook-fingerprint metadata round-trips through the parquet
+    // footers) coalesced to a single task, so the write lands exactly
+    // one ≤target-byte file per bin under tmp/cell=N/bin=M/
+    val branches = plans.iterator.zipWithIndex.flatMap { case ((cellPath, _, bins), ci) =>
+      val cellId = cellPath.getName.stripPrefix("cell=")
+      bins.zipWithIndex.map { case (names, bi) =>
+        spark.read.parquet(names.sorted.map(n => new org.apache.hadoop.fs.Path(cellPath, n).toString): _*)
+          .coalesce(1)
+          .withColumn("cell", lit(cellId))
+          .withColumn("bin", lit(ci * 100000 + bi))
+      }
+    }.toSeq
+    branches.reduce(_ unionByName _)
+      .write.partitionBy("cell", "bin")
+      .option("compression", "zstd").parquet(tmp.toString)
+    // swap per cell: land the packed files under fresh names first,
+    // then drop the originals — a crash leaves a superset (duplicate
+    // rows visible only mid-maintenance), never a loss
+    plans.foreach { case (cellPath, parts, _) =>
+      val cellTmp = new org.apache.hadoop.fs.Path(tmp, cellPath.getName)
+      fs.listStatus(cellTmp).filter(_.isDirectory).foreach { binDir =>
+        dataFiles(binDir.getPath).foreach { nf =>
+          require(fs.rename(nf.getPath, new org.apache.hadoop.fs.Path(cellPath,
+            s"compacted-${binDir.getPath.getName.stripPrefix("bin=")}-${nf.getPath.getName}")),
+            s"compactIvfPartitioned: rename into $cellPath failed")
+        }
+      }
+      parts.foreach(p => require(fs.delete(p.getPath, false),
+        s"compactIvfPartitioned: delete ${p.getPath} failed"))
+    }
+    fs.delete(tmp, true): Unit
+    plans.length
   }
 
   /** The probe's `nProbe` best cells under a codebook (driver-side

@@ -216,6 +216,7 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val crow = EngineOps.queries("eng_ivf_compaction")(
       spark, "/root/testdata/sf0.001").collect()(0)
     assert(crow.getAs[Boolean]("ok"), crow.toString)
+    assert(crow.getAs[Boolean]("size_capped"), crow.toString)
     assert(crow.getAs[Long]("compact_files") < crow.getAs[Long]("delta_files"),
       crow.toString)
     assert(crow.getAs[Long]("cells_rewritten") > 0, crow.toString)
@@ -224,6 +225,77 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val row2 = EngineOps.queries("eng_ivf_incremental")(
       spark, "/root/testdata/sf0.001").collect()(0)
     assert(row.toSeq == row2.toSeq, s"entry not idempotent: $row vs $row2")
+  }
+
+  test("oversized cell compacts to multiple size-capped files in one job") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val emb = spark.table("embeddings").filter(col("vec_id") =!= 0)
+    val p = spark.table("embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // 2 cells so the layout is genuinely partitioned; tiny byte target
+    // so one cell's bytes demand several bins
+    val cb = SimilaritySearch.sampledCodebook(emb, "vec_id", "embedding", 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_cap")
+    val base = emb.filter(col("vec_id") % 8 === 1)
+    SimilaritySearch.writeIvfPartitioned(base, "vec_id", "embedding", cb, s"$tmp/idx")
+    (2 to 8).foreach { m => // 7 small delta appends → ~8 files/cell
+      SimilaritySearch.appendToIvfPartitioned(spark,
+        emb.filter(col("vec_id") % 8 === (m % 8)), "vec_id", "embedding",
+        s"$tmp/idx"): Unit
+    }
+    def topk() = {
+      val (df, c) = SimilaritySearch.loadIvfIndex(spark, s"$tmp/idx")
+      SimilaritySearch.ivfTopK(df, "vec_id", "embedding", p,
+          k = 10, nProbe = 2, codebook = Some(c))
+        .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6))).toSeq
+    }
+    def files(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val it = java.nio.file.Files.walk(tmp.resolve("idx"))
+      try it.iterator().asScala.filter(f =>
+          f.toString.endsWith(".parquet") && !f.toString.contains("_codebook") &&
+            java.nio.file.Files.isRegularFile(f)).toList
+      finally it.close()
+    }
+    val before = topk()
+    val preFiles = files()
+    val cellBytes = preFiles.groupBy(_.getParent.getFileName.toString)
+      .view.mapValues(_.map(java.nio.file.Files.size(_)).sum).toMap
+    val target = cellBytes.values.max / 3 // force ≥3 bins somewhere
+    val rewritten = SimilaritySearch.compactIvfPartitioned(
+      spark, s"$tmp/idx", maxFilesPerCell = 1, targetFileBytes = target)
+    assert(rewritten > 0)
+    val after = files()
+    assert(after.size < preFiles.size,
+      s"no consolidation: ${preFiles.size} -> ${after.size}")
+    val perCell = after.groupBy(_.getParent.getFileName.toString)
+    // the oversized cell split into MULTIPLE files (never one blob)…
+    assert(perCell.values.exists(_.size > 1),
+      s"expected a >1-file cell under target=$target: " +
+        perCell.view.mapValues(_.size).toMap)
+    // …and every file respects the byte cap (1.5× slack for parquet
+    // footer overhead / re-encoding drift on merged row groups)
+    val oversize = after.filter(java.nio.file.Files.size(_) > target * 3 / 2)
+    assert(oversize.isEmpty,
+      s"size cap violated: ${oversize.map(f => f -> java.nio.file.Files.size(f))}")
+    assert(topk() == before, "compaction changed top-k")
+    // fingerprint metadata still guards the layout
+    val (df, c) = SimilaritySearch.loadIvfIndex(spark, s"$tmp/idx")
+    assert(df.schema("embedding").metadata
+      .contains(SimilaritySearch.CodebookFpKey))
+    assert(c.length == 2)
+    // idempotent: the packed layout is within budget
+    assert(SimilaritySearch.compactIvfPartitioned(
+      spark, s"$tmp/idx", maxFilesPerCell = 1, targetFileBytes = target) == 0)
+    // packBins unit invariants: deterministic, byte-capped, lone bin
+    // for an over-target file
+    val bins = SimilaritySearch.packBins(
+      Seq(("a", 10L), ("b", 60L), ("c", 50L), ("d", 200L)), 100L)
+    assert(bins == SimilaritySearch.packBins(
+      Seq(("d", 200L), ("c", 50L), ("a", 10L), ("b", 60L)), 100L))
+    assert(bins.exists(_ == Seq("d")), s"over-target file must bin alone: $bins")
+    assert(bins.flatten.sorted == Seq("a", "b", "c", "d"))
   }
 
   test("lloyd refinement never decreases the spherical k-means objective") {
