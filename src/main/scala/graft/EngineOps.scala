@@ -3426,8 +3426,11 @@ object EngineOps {
     val metaNames = Option(new java.io.File(sink,
         sources.GraftLogSource.MetaDirName).listFiles())
       .getOrElse(Array.empty).map(_.getName)
-    val markersOk = metaNames.count(_.startsWith("_epoch-")) == 1 &&
-      metaNames.exists(_.startsWith(s"_epoch-${batches - 1}.")) &&
+    // two ledger files per retained epoch: the claim marker plus the
+    // immutable post-CAS version sidecar (the replay's commit proof)
+    val markersOk = metaNames.count(_.startsWith("_epoch-")) == 2 &&
+      metaNames.contains(s"_epoch-${batches - 1}.committed") &&
+      metaNames.contains(s"_epoch-${batches - 1}.version") &&
       !names.exists(_.endsWith(".inprogress"))
     val back = spark.read.format("glog")
       .option("path", sink.getAbsolutePath).load()

@@ -1082,9 +1082,10 @@ object GraftLogSource {
     * the same directory keeps its place: stream offsets follow the
     * manifest versions, the compacted generation stays on disk for
     * lagging streams until [[vacuum]], and the replace commit itself
-    * fails the stream loudly by default or is skipped under
-    * `option("ignoreChanges", "true")` (its adds rewrite rows the
-    * stream already emitted) — see [[GlogMicroBatchStream]]. */
+    * fails the stream loudly by default, or under
+    * `option("ignoreChanges", "true")` re-emits the compacted
+    * generation's files (at-least-once duplicates, never loss) — see
+    * [[GlogMicroBatchStream]]. */
   def compact(spark: SparkSession, path: String): Unit = {
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
@@ -1707,13 +1708,16 @@ private[sources] class GlogScan(path: String, pushdown: Boolean,
   *    order and admission-bounded (`maxFilesPerTrigger` splits a
   *    large commit across micro-batches via the intra-version index);
   *  - a REPLACE commit (DELETE/UPDATE/MERGE/compact — any version
-  *    that drops live names) is snapshot-neutral for an append feed:
-  *    its adds are rewrites of already-streamed rows. Default is to
-  *    FAIL LOUDLY on one (the same contract as Spark's Delta-style
-  *    file sources); `option("ignoreChanges", "true")` skips such
-  *    versions instead — with the documented caveat that UPDATEd
-  *    rows are NOT re-emitted (a row-level consumer reads
-  *    [[GraftLogSource.changeFeed]]).
+  *    that drops live names) breaks the append contract. Default is
+  *    to FAIL LOUDLY on one (the same contract as Spark's Delta-style
+  *    file sources); `option("ignoreChanges", "true")` RE-EMITS the
+  *    commit's added files instead (Delta's ignoreChanges semantics:
+  *    rewritten rows arrive again — at-least-once duplicates — but
+  *    rows a REPLACE WHERE genuinely inserted are never lost; removed
+  *    rows are never emitted). A row-level consumer that needs exact
+  *    inserts AND deletes streams with `option("readChangeFeed",
+  *    "true")` (see [[GlogChangeFeedSource]]) or reads batch
+  *    [[GraftLogSource.changeFeed]].
   * Because replaced files stay on disk as snapshot orphans until
   * [[GraftLogSource.vacuum]], a stream that is BEHIND keeps reading
   * the exact files its offsets pinned — compaction no longer
@@ -1809,21 +1813,26 @@ private[sources] class GlogMicroBatchStream(path: String,
       val cur = sortedNamesAt(v)
       val curSet = cur.toSet
       val removed = prev.filterNot(curSet)
-      if (removed.nonEmpty) {
-        if (!ignoreChanges) throw new IllegalStateException(
+      if (removed.nonEmpty && !ignoreChanges)
+        throw new IllegalStateException(
           s"glog stream: manifest version $v of $path replaced/removed " +
             s"files (DML or compaction; e.g. ${removed.take(2).mkString(", ")}). " +
             "A glog stream is an append feed: restart from a fresh " +
-            "checkpoint for a new snapshot, or set " +
-            "option(\"ignoreChanges\", \"true\") to skip replace commits " +
-            "(their adds rewrite already-streamed rows; UPDATEs are then " +
-            "NOT re-emitted — read GraftLogSource.changeFeed for row-level " +
-            "deltas)")
-        Seq.empty // replace commit skipped: snapshot-neutral for the feed
-      } else {
-        val prevSet = prev.toSet
-        cur.filterNot(prevSet)
-      }
+            "checkpoint for a new snapshot, set " +
+            "option(\"ignoreChanges\", \"true\") to RE-EMIT replace " +
+            "commits' added files (rewritten rows then arrive again — " +
+            "at-least-once, the Delta ignoreChanges contract — but rows a " +
+            "REPLACE WHERE genuinely inserted are never lost; deletes are " +
+            "never emitted), or read the row-level change feed " +
+            "(option(\"readChangeFeed\", \"true\") / " +
+            "GraftLogSource.changeFeed) for exact inserts AND deletes")
+      // under ignoreChanges a replace commit's ADDS are emitted like an
+      // append's: a pure rewrite (DELETE/UPDATE/compact) re-delivers
+      // carried rows (documented duplicates), while a REPLACE WHERE's
+      // genuinely-new rows are delivered instead of silently lost —
+      // trading duplicates for no loss, exactly Delta's ignoreChanges
+      val prevSet = prev.toSet
+      cur.filterNot(prevSet)
     }
 
   /** Normalize a pre-manifest offset once manifests exist: the
@@ -1840,12 +1849,16 @@ private[sources] class GlogMicroBatchStream(path: String,
     * Do not overwrite a pre-manifest directory under an active
     * stream; manifest-era overwrites are detected and fail loudly
     * like every replace commit. */
-  private def normalize(o: GlogOffset): GlogOffset =
-    if (o.anchor != 0L) o
-    else {
-      val vs = GraftLogSource.manifestVersions(dir, conf)
-      if (vs.isEmpty) o else new GlogOffset(vs.head, vs.head, o.i)
-    }
+  private def normalize(o: GlogOffset): GlogOffset = {
+    val n =
+      if (o.anchor != 0L) o
+      else {
+        val vs = GraftLogSource.manifestVersions(dir, conf)
+        if (vs.isEmpty) o else new GlogOffset(vs.head, vs.head, o.i)
+      }
+    if (n.anchor != 0L) lastSeenAnchor = n.anchor
+    n
+  }
 
   // Trigger.AvailableNow: freeze the backlog END at start so the
   // query terminates even if commits keep landing. Committed versions
@@ -1915,16 +1928,36 @@ private[sources] class GlogMicroBatchStream(path: String,
     advance(start.asInstanceOf[GlogOffset], budget)
   }
 
-  /** Informational (progress/lag reporting): the newest version, or
-    * the baseline file count — deliberately cheap and non-throwing
-    * (no chain resolve, no replace-commit guard). */
+  /** Informational (progress/lag reporting): the TRUE end of the
+    * backlog — the newest version with its FULL add-list consumed —
+    * under this stream's own anchor, so the reported offset is
+    * comparable with the offsets the stream actually advances through
+    * (an i=0 report would place a fully-caught-up stream "ahead of"
+    * latest; a foreign anchor would make the comparison meaningless).
+    * The add-list resolve is memoized (immutable versions) and this
+    * path must stay non-throwing, so a replace commit under the
+    * default fail-loud contract degrades to i=0 here rather than
+    * failing a progress report. */
   override def reportLatestOffset(): Offset = {
     val vs = GraftLogSource.manifestVersions(dir, conf)
     vs.lastOption match {
-      case Some(last) => new GlogOffset(vs.head, last, 0)
+      case Some(last) =>
+        val anchor = lastSeenAnchor match {
+          case a if a > 0L && vs.contains(a) => a
+          case _ => vs.head
+        }
+        val n =
+          try addsOf(anchor, last).length
+          catch { case _: Exception => 0 } // informational, never throws
+        new GlogOffset(anchor, last, n)
       case None => new GlogOffset(0L, 0L, baselineNames().length)
     }
   }
+
+  /** The anchor of the offsets this stream actually runs on (set by
+    * [[normalize]]) — [[reportLatestOffset]] uses it so progress
+    * reports compare against real offsets. */
+  @volatile private var lastSeenAnchor: Long = 0L
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = normalize(start.asInstanceOf[GlogOffset])
@@ -2291,6 +2324,25 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
       name.stripPrefix("_epoch-").stripSuffix(".committed").toLongOption
     else None
 
+  /** Post-CAS commit evidence as an IMMUTABLE sidecar
+    * (`_epoch-N.version`, holding the committed manifest version),
+    * published via [[GraftLogSource.publishIfAbsent]]: the marker
+    * itself is then never rewritten after the manifest CAS — an
+    * in-place stamp rewrite would be delete+rename on non-local
+    * filesystems, and a crash between the two would erase the only
+    * commit proof while the CAS already landed, making replay re-land
+    * the epoch (duplicated rows). The sidecar either exists fully
+    * written or not at all; when it is missing, replay falls back to
+    * the marker's inline `#version:` stamp (pre-sidecar markers) and
+    * then to manifest mentions. */
+  private def versionSidecar(dir: Path, epochId: Long): Path =
+    new Path(GraftLogSource.metaDir(dir), s"_epoch-$epochId.version")
+
+  private def sidecarEpoch(name: String): Option[Long] =
+    if (name.startsWith("_epoch-") && name.endsWith(".version"))
+      name.stripPrefix("_epoch-").stripSuffix(".version").toLongOption
+    else None
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -2299,9 +2351,13 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
 
   private val VersionStamp = "#version:"
 
-  /** Write the marker ATOMICALLY (temp + rename-over): the post-CAS
-    * version stamp rewrites an existing marker, and a crash mid-write
-    * must never leave a truncated marker that would mislead replay. */
+  /** Write the marker ATOMICALLY (temp + rename-over): a replay that
+    * re-lands a proven-crashed epoch rewrites the old marker with the
+    * fresh claim names, and a crash mid-write must never leave a
+    * truncated marker that would mislead the next replay. (Post-CAS
+    * commit evidence never travels through this rewrite path — it is
+    * published once as the immutable [[versionSidecar]]; losing THIS
+    * rewrite merely strands never-committed orphans for vacuum.) */
   private def writeMarker(fs: FileSystem, m: Path, lines: Seq[String]): Unit = {
     val tmp = new Path(m.getParent, s".${m.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
@@ -2341,8 +2397,15 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
     val m = marker(dir, epochId)
     if (fs.exists(m)) {
       val lines = readMarker(fs, m)
-      val stamped = lines.find(_.startsWith(VersionStamp))
-        .flatMap(_.stripPrefix(VersionStamp).toLongOption)
+      // primary commit proof: the immutable post-CAS sidecar; inline
+      // #version: stamp only for markers written before the sidecar
+      // protocol (back-compat)
+      val sc = versionSidecar(dir, epochId)
+      val stamped =
+        (if (fs.exists(sc)) readMarker(fs, sc).headOption.flatMap(_.toLongOption)
+         else None)
+          .orElse(lines.find(_.startsWith(VersionStamp))
+            .flatMap(_.stripPrefix(VersionStamp).toLongOption))
       val listed = lines.filterNot(_.startsWith("#"))
       // COMMIT evidence, never current liveness: a later DELETE/compact
       // legitimately swaps epoch files out of the live set — re-landing
@@ -2379,17 +2442,27 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
     writeMarker(fs, m, entries.map(_.name))
     val (committedV, _) =
       GraftLogSource.commitManifest(dir, conf)(live => live ++ entries)
-    // stamp the committed version — the replay's primary commit proof
-    writeMarker(fs, m, s"$VersionStamp$committedV" +: entries.map(_.name))
-    // GC dead markers: epochs below this one can never replay once
-    // this commit was invoked (the engine checkpoints batch N-1
-    // before asking the sink to commit batch N)
+    // publish the committed version as the immutable sidecar — the
+    // replay's primary commit proof; the marker is never rewritten
+    // after the CAS (see [[versionSidecar]])
+    val scTmp = new Path(GraftLogSource.metaDir(dir),
+      s"._epoch-$epochId.version.${java.util.UUID.randomUUID()}.tmp")
+    val scOut = fs.create(scTmp, true)
+    try scOut.write(s"$committedV\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally scOut.close()
+    if (!GraftLogSource.publishIfAbsent(fs, scTmp, versionSidecar(dir, epochId)))
+      fs.delete(scTmp, false): Unit // already proven by an earlier attempt
+    // GC dead markers + sidecars: epochs below this one can never
+    // replay once this commit was invoked (the engine checkpoints
+    // batch N-1 before asking the sink to commit batch N)
     (try fs.listStatus(GraftLogSource.metaDir(dir))
      catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
       .foreach { s =>
-        markerEpoch(s.getPath.getName).foreach { e =>
-          if (e < epochId) fs.delete(s.getPath, false): Unit
-        }
+        markerEpoch(s.getPath.getName)
+          .orElse(sidecarEpoch(s.getPath.getName)).foreach { e =>
+            if (e < epochId) fs.delete(s.getPath, false): Unit
+          }
       }
   }
 

@@ -291,10 +291,19 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val n = spark.read.format("glog")
       .option("path", dir.getAbsolutePath).load().count()
     assert(n == 3, s"second replay duplicated rows: $n")
-    // markers GC to the committing epoch: epoch 0's is gone
+    // markers GC to the committing epoch: epoch 0's marker AND version
+    // sidecar are gone; epoch 1 keeps both (the immutable sidecar is
+    // the post-CAS commit proof — the marker is never rewritten)
     val markers = Option(meta.listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.startsWith("_epoch-"))
-    assert(markers.toSeq == Seq("_epoch-1.committed"), markers.mkString(","))
+    assert(markers.toSeq.sorted == Seq("_epoch-1.committed", "_epoch-1.version"),
+      markers.mkString(","))
+    val stampedV = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(meta, "_epoch-1.version").toPath), "UTF-8").trim.toLong
+    assert(stampedV == GraftLogSource.manifestVersions(
+      new org.apache.hadoop.fs.Path(dir.getAbsolutePath),
+      GraftLogSource.driverHadoopConf()).max,
+      s"sidecar stamped $stampedV")
   }
 
   test("epoch replay after DML uses commit evidence, never re-lands") {
@@ -331,8 +340,11 @@ class Dsv2SourceSpec extends AnyFunSuite {
     w1.write(row(1L, 1.0)); w1.write(row(2L, 9.0))
     sw.commit(0L, Array(w1.commit()))
     assert(count() == 1, "stamped replay re-landed a committed epoch")
-    // stamp lost (crash between CAS and marker rewrite): the manifest
-    // delta records still mention the epoch's names — same verdict
+    // stamp lost (crash between the CAS and the sidecar publish; also
+    // strip any legacy inline stamp): the manifest delta records still
+    // mention the epoch's names — same verdict
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(meta, "_epoch-0.version").toPath): Unit
     val mk = new java.io.File(meta, "_epoch-0.committed")
     val lines = new String(java.nio.file.Files.readAllBytes(mk.toPath), "UTF-8")
       .linesIterator.filterNot(_.startsWith("#")).mkString("", "\n", "\n")
@@ -984,14 +996,16 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("replaced") ||
       Option(err.getCause).exists(_.getMessage.contains("replaced")),
       s"wrong failure: ${err.getMessage}")
-    // ignoreChanges: the stream keeps its place THROUGH the compact —
-    // v2's add (now a snapshot orphan on disk) and v4's add are
-    // emitted exactly once; the compacted rewrite of already-streamed
-    // rows is not re-emitted
+    // ignoreChanges: the stream keeps its place THROUGH the compact
+    // and RE-EMITS the replace commit's added files (Delta's
+    // ignoreChanges contract — rewritten rows arrive again as
+    // documented at-least-once duplicates, but nothing is ever lost):
+    // v2's add (n1), v3's compacted generation (the n0+n1 rows it
+    // rewrote, again), then v4's add (n2)
     val (got1, _) = drain(ignoreChanges = true)
-    assert(got1 == n1 + n2,
-      s"resume through compact emitted $got1 rows, want ${n1 + n2}")
-    assert(total.get() == n0 + n1 + n2)
+    assert(got1 == n1 + (n0 + n1) + n2,
+      s"resume through compact emitted $got1 rows, want ${n1 + (n0 + n1) + n2}")
+    assert(total.get() == n0 + n1 + (n0 + n1) + n2)
     // a FRESH stream anchors at the latest snapshot and sees all rows
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_vs_ck2").toString
     val fresh = new java.util.concurrent.atomic.AtomicLong()
@@ -1005,6 +1019,60 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .start()
     q2.awaitTermination()
     assert(fresh.get() == n0 + n1 + n2, s"fresh snapshot saw ${fresh.get()}")
+  }
+
+  test("ignoreChanges never loses a REPLACE WHERE commit's inserted rows") {
+    // regression (round-13 ADVICE): skipping replace commits outright
+    // dropped rows a REPLACE WHERE genuinely INSERTED in the same
+    // version as its deletes — the re-emit contract delivers them
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_rwstream").toFile
+    val path = dir.getAbsolutePath
+    import spark.implicits._
+    (0L until 4L).foreach { i => // v1..v4: one single-row file each
+      Seq((i, new java.sql.Timestamp(1000L * i), i, "click", i.toDouble, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.format("glog").option("path", path)
+        .mode("append").save()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rw_ck").toString
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    def drain(): Long = {
+      val before = total.get()
+      val q = spark.readStream.format("glog").option("path", path)
+        .option("ignoreChanges", "true").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("event_id").collect().foreach(r => seen.add(r.getLong(0)): Unit)
+          total.addAndGet(b.count()): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      total.get() - before
+    }
+    assert(drain() == 4L)
+    // REPLACE WHERE value >= 2 with a batch holding genuinely NEW rows
+    // (single-row files → the drops are metadata-only, so the commit's
+    // adds are exactly the new batch — no rewrite duplicates here)
+    val w = new graft.sources.GlogWriterFactory(path).createWriter(0, 9L)
+    def row(id: Long, v: Double) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("new"), v,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}")))
+    w.write(row(100L, 5.0))
+    w.write(row(101L, 1.5))
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    new graft.sources.GlogBatchWrite(path, GraftLogSource.SchemaFixed,
+      truncateFirst = false,
+      replaceWhere = Array[Filter](GreaterThanOrEqual("value", 2.0)))
+      .commit(Array(w.commit()))                                  // v5: replace
+    val got = drain()
+    assert(seen.contains(100L) && seen.contains(101L),
+      s"REPLACE WHERE's inserted rows were lost under ignoreChanges: $seen")
+    assert(got == 2L, s"replace commit re-emitted $got rows, want its 2 adds")
   }
 
   test("runtime filters prune reader rows and DML rewrite groups (eng_dsv2_runtime_filter)") {
@@ -1309,8 +1377,9 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val meta = new java.io.File(sink, GraftLogSource.MetaDirName)
     val metaNames = Option(meta.listFiles()).getOrElse(Array.empty).map(_.getName)
     assert(names.count(_.startsWith("_epoch-")) == 0, names.mkString(","))
-    assert(metaNames.count(_.startsWith("_epoch-")) == 1, metaNames.mkString(","))
-    assert(metaNames.contains("_epoch-2.committed"), metaNames.mkString(","))
+    assert(metaNames.count(_.startsWith("_epoch-")) == 2, metaNames.mkString(","))
+    assert(metaNames.contains("_epoch-2.committed") &&
+      metaNames.contains("_epoch-2.version"), metaNames.mkString(","))
     assert(!names.exists(_.endsWith(".inprogress")))
     assert(names.filter(_.endsWith(".glog"))
       .forall(n => GraftLogSource.minMaxFromName(n).isDefined))
