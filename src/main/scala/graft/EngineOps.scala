@@ -3296,6 +3296,52 @@ object EngineOps {
       .toDF("n_delta", "n_insert", "n_delete", "ok")
   }
 
+  /** MEASURED streaming row-level CDC
+    * (option("readChangeFeed", "true") — GlogChangeFeedSource): the
+    * end-to-end incremental-training-data loop with no hand-managed
+    * version cursors. Over the shared change-feed fixture (v1 base,
+    * v2 append, v3 DELETE, v4 small append), a stream anchored at
+    * startingVersion=1 with maxVersionsPerTrigger=1 must deliver ONE
+    * micro-batch per commit, each equal to batch changeFeed(v, v+1):
+    * the append's inserts, then the DELETE's deletes (the
+    * copy-on-write rewrite's carried survivors cancelled by the
+    * feed's EXCEPT ALL), then the small append's inserts — insert AND
+    * delete rows, in commit order, IO bounded by the manifest diff
+    * (`filesOf`). Censuses: batch count (admission control), exact
+    * per-phase insert/delete totals. Reference analog: the 1 kHz loop
+    * consumes every sample, corrections included
+    * (codegen_cim.py:524-548). */
+  private def streamCdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (path, nHigh, nTop, nTiny) = ensureChangeFeedFixture(spark, dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_entry_ck")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    try {
+      val q = spark.readStream.format("glog").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val m = b.groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          batches.add((m.getOrElse("insert", 0L), m.getOrElse("delete", 0L))): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    val want = Seq((nHigh, 0L), (0L, nTop), (nTiny, 0L))
+    Seq((got.length.toLong,
+        got.map(_._1).sum, got.map(_._2).sum, got == want))
+      .toDF("n_batches", "n_insert", "n_delete", "per_version_ok")
+  }
+
   /** MEASURED manifest-carried ts statistics — file-level stats on a
     * SECOND column (the value zone map rides the file NAMES; ts
     * min/max ride the MANIFEST, collected for free by the writers —
@@ -4096,6 +4142,7 @@ object EngineOps {
     "eng_dsv2_ts_stats" -> dsv2TsStats,
     "eng_dsv2_changefeed" -> dsv2ChangeFeed,
     "eng_changefeed_small_delta" -> changeFeedSmallDelta,
+    "eng_stream_cdc" -> streamCdc,
     "eng_dsv2_runtime_filter" -> dsv2RuntimeFilter,
     "eng_dsv2_clustered_write" -> dsv2ClusteredWrite,
     "eng_dsv2_stream_sink" -> dsv2StreamSink,

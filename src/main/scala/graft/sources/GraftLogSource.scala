@@ -1170,13 +1170,26 @@ object GraftLogSource {
   * short name registers through the DataSourceRegister service
   * loader, so SQL `CREATE TABLE ... USING glog` resolves too; the
   * fully-qualified class name also works). `option("pushdown",
-  * "false")` disables every optimization (the measured A/B foil). */
+  * "false")` disables every optimization (the measured A/B foil).
+  *
+  * Also a [[org.apache.spark.sql.sources.StreamSourceProvider]]: the
+  * row-level CDC stream (`readStream ... option("readChangeFeed",
+  * "true")`) is an EXCEPT ALL composition per micro-batch — a plan no
+  * single DSv2 scan can express — so it rides Spark's V1 streaming
+  * Source API (whose `getBatch` returns an arbitrary DataFrame; the
+  * same seam Delta's streaming source uses). The resolver falls back
+  * to V1 exactly when the returned table does not claim
+  * MICRO_BATCH_READ, which [[GlogChangeFeedStreamTable]] deliberately
+  * doesn't; the plain append stream keeps the DSv2
+  * [[GlogMicroBatchStream]] path. */
 class GraftLogSource extends TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "glog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.containsKey("changeFeedFrom") ||
-        options.containsKey("changeFeedTo"))
+        options.containsKey("changeFeedTo") ||
+        options.getBoolean("readChangeFeed", false))
       GraftLogSource.ChangeFeedSchema
     else GraftLogSource.SchemaFixed
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -1190,6 +1203,8 @@ class GraftLogSource extends TableProvider
         case (k, v) if k.equalsIgnoreCase(key) => v
       }
     }
+    if (opt("readChangeFeed").exists(_.equalsIgnoreCase("true")))
+      return new GlogChangeFeedStreamTable(properties.get("path"))
     (opt("changeFeedFrom"), opt("changeFeedTo")) match {
       case (None, None) =>
         new GlogTable(properties.get("path"),
@@ -1206,6 +1221,40 @@ class GraftLogSource extends TableProvider
     }
   }
   override def supportsExternalMetadata(): Boolean = false
+
+  // ---- V1 StreamSourceProvider (the readChangeFeed stream) ----
+  // sourceSchema is consulted eagerly for EVERY streaming load once a
+  // provider implements StreamSourceProvider (the resolver builds the
+  // V1 fallback relation up front), so it must stay a pure schema
+  // function; createSource only ever runs for the CDC mode — plain
+  // streams resolve to the DSv2 micro-batch path before V1 is tried.
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("glog",
+      if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
+        GraftLogSource.ChangeFeedSchema
+      else GraftLogSource.SchemaFixed)
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    require(parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")),
+      "glog: the V1 streaming path serves only option(\"readChangeFeed\", " +
+        "\"true\") — plain streams use the DSv2 micro-batch reader")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-log source requires option(\"path\", dir)"))
+    new GlogChangeFeedSource(sqlContext.sparkSession, path, metadataPath,
+      parameters.get("startingVersion").map(s => s.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"glog: startingVersion must be a numeric manifest version, got '$s'"))),
+      parameters.get("maxVersionsPerTrigger").map(s =>
+        s.toLongOption.filter(_ >= 1L).getOrElse(
+          throw new IllegalArgumentException(
+            s"glog: maxVersionsPerTrigger must be a positive integer, got '$s'"))))
+  }
 }
 
 /** Marker table behind the PUBLIC change-feed reader spelling
@@ -1231,6 +1280,186 @@ private[graft] class GlogChangeFeedTable(val path: String,
       "glog change feed reads require the graft.plans.GraftExtensions " +
         "session extension (GraftSession registers it; clusters set " +
         "spark.sql.extensions=graft.plans.GraftExtensions)")
+}
+
+/** Marker table behind the STREAMING change-feed spelling
+  * (`readStream ... option("readChangeFeed", "true")`): it claims no
+  * MICRO_BATCH_READ capability, which makes Spark's resolver fall
+  * back to the provider's V1 [[GlogChangeFeedSource]] — the only API
+  * whose per-batch plan can carry the feed's EXCEPT ALL composition.
+  * A BATCH read of this spelling fails loudly toward the batch
+  * options instead of mis-reading. */
+private[graft] class GlogChangeFeedStreamTable(val path: String)
+    extends Table with SupportsRead {
+  require(path != null, "graft-log source requires option(\"path\", dir)")
+  override def name(): String = s"glog_change_feed_stream($path)"
+  override def schema(): StructType = GraftLogSource.ChangeFeedSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      "glog: readChangeFeed is a STREAMING option (spark.readStream); a " +
+        "batch change feed reads option(\"changeFeedFrom\"/\"changeFeedTo\")")
+}
+
+/** The row-level CDC stream over a glog table — the streaming twin of
+  * batch [[GraftLogSource.changeFeed]], closing the
+  * incremental-training-data loop end to end (no more hand-managed
+  * version cursors + batch polling). Offsets ARE manifest versions: a
+  * position P means "every change up to and including version P has
+  * been delivered", and each micro-batch is exactly
+  * `changeFeed(P, P')` — data columns plus `_change_type`
+  * ('insert' | 'delete'), insert AND delete rows, carried-over
+  * rewrite survivors cancelled by the feed's EXCEPT ALL, IO bounded
+  * by the `filesOf` planning restriction to the manifest diff
+  * (O(changed files), never O(table)). Reference analog: the 1 kHz
+  * loop consumes every sample, corrections included
+  * (codegen_cim.py:524-548).
+  *
+  *  - `startingVersion` (default: the newest version at stream start
+  *    — "changes from now on") must be a retained manifest version;
+  *    a vacuumed start fails loudly, never silently skips.
+  *  - `maxVersionsPerTrigger` bounds admission: each getOffset
+  *    advances at most that many versions, so a backlogged feed
+  *    drains in bounded batches. A multi-version batch emits the NET
+  *    change between its two snapshot endpoints (same semantics as
+  *    batch changeFeed(a, b)); per-commit granularity =
+  *    maxVersionsPerTrigger 1.
+  *  - Restart safety: the stream's zero point persists under the
+  *    query's own checkpoint metadata (`<metadataPath>/graft-cdc-start`
+  *    — the Kafka/File-source pattern), so a restarted source never
+  *    recomputes "latest" as its start (which would silently mark
+  *    versions committed before the crash-window as already covered);
+  *    the offset json additionally carries that zero point, so the
+  *    first batch's lower endpoint replays from the checkpoint, and
+  *    the engine's recovery getBatch / commit callbacks re-home
+  *    `lastPlanned` before any new offset is handed out. A
+  *    `startingVersion` option on an EXISTING checkpoint is ignored
+  *    in favor of the persisted one (the Kafka startingOffsets
+  *    contract).
+  * V1 Source (not DSv2): `getBatch` must return the EXCEPT ALL
+  * composition as one DataFrame — the same reason the batch public
+  * spelling rewrites through ChangeFeedRewrite. */
+private[graft] class GlogChangeFeedSource(spark: SparkSession, path: String,
+    metadataPath: String,
+    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Long])
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
+
+  private def dir = GraftLogSource.resolveDir(path)
+  private def conf = GraftLogSource.driverHadoopConf()
+
+  /** The stream's zero point: changes BEFORE it are never emitted.
+    * Computed once per CHECKPOINT (not per source instance) and
+    * persisted via publish-if-absent; the read-back after a lost
+    * publish race keeps concurrent instances agreeing. */
+  private val initV: Long = {
+    val marker = new Path(metadataPath, "graft-cdc-start")
+    val fs = GraftLogSource.fsFor(marker, conf)
+    def readBack(): Long = {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(marker), java.nio.charset.StandardCharsets.UTF_8))
+      try in.readLine().trim.toLong finally in.close()
+    }
+    if (fs.exists(marker)) readBack()
+    else {
+      val vs = GraftLogSource.manifestVersions(dir, conf)
+      require(vs.nonEmpty,
+        s"glog readChangeFeed: $path has no manifest history — the change " +
+          "feed is defined over committed manifest versions (write through " +
+          "the connector once, or stream the plain append feed instead)")
+      val v = startingVersion match {
+        case Some(want) =>
+          require(vs.contains(want),
+            s"glog readChangeFeed: startingVersion $want is not a retained " +
+              s"manifest version of $path (available: ${vs.head}..${vs.last}; " +
+              "older versions may have been vacuumed)")
+          want
+        case None => vs.max
+      }
+      fs.mkdirs(marker.getParent): Unit
+      val tmp = new Path(marker.getParent,
+        s".graft-cdc-start.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!GraftLogSource.publishIfAbsent(fs, tmp, marker))
+        fs.delete(tmp, false): Unit
+      readBack()
+    }
+  }
+
+  /** Versions whose changes are already planned into offsets —
+    * re-homed by recovery getBatch/commit on restart. */
+  @volatile private var lastPlanned: Long = initV
+
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case g: GlogCdcOffset => g.v
+      case other => GlogCdcOffset.parse(other.json()).v
+    }
+
+  override def schema: StructType = GraftLogSource.ChangeFeedSchema
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = GraftLogSource.manifestVersions(dir, conf)
+      .lastOption.getOrElse(initV)
+    val budget = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
+    val target =
+      if (latest - lastPlanned <= budget) math.max(latest, lastPlanned)
+      else lastPlanned + budget // admission: at most `budget` versions/trigger
+    if (target > lastPlanned) lastPlanned = target
+    if (lastPlanned > initV) Some(new GlogCdcOffset(initV, lastPlanned)) else None
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1)
+      : org.apache.spark.sql.DataFrame = {
+    val to = versionOf(end)
+    // the lower endpoint: the previous batch's end; for the FIRST
+    // batch, the starting version RECORDED IN THE OFFSET (a restart
+    // must replay the checkpointed range, not a recomputed "latest")
+    val from = start.map(versionOf).getOrElse(end match {
+      case g: GlogCdcOffset => g.init
+      case other => GlogCdcOffset.parse(other.json()).init
+    })
+    // restart recovery: the engine replays the last batch (and commits
+    // the restored offset) before asking for new ones — never hand out
+    // an offset below what the checkpoint already covers
+    if (to > lastPlanned) lastPlanned = to
+    // the V1 contract: the returned plan must carry isStreaming=true
+    org.apache.spark.sql.graftshim.StreamBridge.asStreaming(spark,
+      GraftLogSource.changeFeed(spark, path, from, to))
+  }
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = {
+    val v = versionOf(end)
+    if (v > lastPlanned) lastPlanned = v
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"GlogChangeFeedSource($path from v$initV)"
+}
+
+/** Offset of [[GlogChangeFeedSource]]: the covered end version plus
+  * the stream's own starting version (so a restarted query replays
+  * its first range from the checkpoint — see getBatch). */
+private[graft] class GlogCdcOffset(val init: Long, val v: Long)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json(): String = s"""{"init":$init,"v":$v}"""
+  override def equals(o: Any): Boolean = o match {
+    case g: GlogCdcOffset => g.init == init && g.v == v
+    case _ => false
+  }
+  override def hashCode(): Int = (init * 31 + v).toInt
+}
+
+private[graft] object GlogCdcOffset {
+  private val Json = """\{"init":(\d+),"v":(\d+)\}""".r
+  def parse(json: String): GlogCdcOffset = json.trim match {
+    case Json(i, v) => new GlogCdcOffset(i.toLong, v.toLong)
+    case other => throw new IllegalArgumentException(
+      s"glog: unparseable change-feed stream offset '$other'")
+  }
 }
 
 private[sources] class GlogTable(path: String, pushdown: Boolean,

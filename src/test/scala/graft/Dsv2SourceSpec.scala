@@ -1075,6 +1075,120 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(got == 2L, s"replace commit re-emitted $got rows, want its 2 adds")
   }
 
+  test("readChangeFeed stream: stream==batch row-level CDC over append+DELETE+append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cdc").toFile
+    val path = dir.getAbsolutePath
+    import spark.implicits._
+    def appendRows(rows: Seq[(Long, Double)]): Unit =
+      rows.map { case (id, v) =>
+        (id, new java.sql.Timestamp(1000L * id), id, "click", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.format("glog").option("path", path)
+        .mode("append").save()
+    (0L until 4L).foreach(i => appendRows(Seq((i, i.toDouble)))) // v1..v4
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Seq[(Long, String)])]()
+    def startStream() = spark.readStream.format("glog").option("path", path)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.add((id, b.select(col("event_id"), col("_change_type"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    def feed(a: Long, b: Long): Seq[(Long, String)] =
+      GraftLogSource.changeFeed(spark, path, a, b)
+        .select(col("event_id"), col("_change_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val q = startStream()
+    q.processAllAvailable()
+    // admission control: maxVersionsPerTrigger=1 → one batch per
+    // version, in version order, each exactly the batch changeFeed
+    import scala.jdk.CollectionConverters._
+    val phase1 = batches.asScala.toSeq
+    assert(phase1.map(_._2) == Seq(feed(1, 2), feed(2, 3), feed(3, 4)),
+      s"per-version drain diverged: $phase1")
+    assert(phase1.flatMap(_._2).forall(_._2 == "insert"))
+    // DELETE (metadata-only: single-row files fully covered) + append,
+    // mid-stream: deletes arrive as rows, THEN the new insert — in
+    // commit order
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    GraftLogSource.deleteMatching(
+      new org.apache.hadoop.fs.Path(path),
+      Array[Filter](GreaterThanOrEqual("value", 2.0)))           // v5
+    appendRows(Seq((9L, 9.0)))                                   // v6
+    q.processAllAvailable()
+    val phase2 = batches.asScala.toSeq.drop(phase1.length)
+    assert(phase2.map(_._2) == Seq(feed(4, 5), feed(5, 6)),
+      s"delete/insert phase diverged: $phase2")
+    assert(phase2.head._2 == Seq((2L, "delete"), (3L, "delete")),
+      s"deletes not delivered: ${phase2.head}")
+    assert(phase2(1)._2 == Seq((9L, "insert")))
+    q.stop()
+    // copy-on-write DELETE while the stream is DOWN: survivors of the
+    // rewritten file must cancel (EXCEPT ALL) — only the true delete
+    // emits after restart; the restart replays from the checkpoint,
+    // never from a recomputed "latest"
+    appendRows(Seq((10L, 10.0), (11L, 11.0)))                    // v7: one file
+    GraftLogSource.deleteMatching(
+      new org.apache.hadoop.fs.Path(path),
+      Array[Filter](org.apache.spark.sql.sources.EqualTo("value", 10.0))) // v8
+    val q2 = startStream()
+    q2.processAllAvailable()
+    q2.stop()
+    val phase3 = batches.asScala.toSeq.drop(phase1.length + phase2.length)
+    assert(phase3.map(_._2) == Seq(feed(6, 7), feed(7, 8)),
+      s"restart phase diverged: $phase3")
+    assert(phase3(1)._2 == Seq((10L, "delete")),
+      s"carried survivor not cancelled: ${phase3(1)}")
+    // a fresh unbounded stream (no maxVersionsPerTrigger) emits the
+    // NET delta in one batch — exactly batch changeFeed(1, latest)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cdc_ck2").toString
+    val net = new java.util.concurrent.atomic.AtomicReference[Seq[(Long, String)]](Seq.empty)
+    val nNetBatches = new java.util.concurrent.atomic.AtomicLong()
+    val q3 = spark.readStream.format("glog").option("path", path)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        nNetBatches.incrementAndGet()
+        net.set(net.get() ++ b.select(col("event_id"), col("_change_type"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq): Unit
+      }
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    assert(nNetBatches.get() == 1L, s"net drain used ${nNetBatches.get()} batches")
+    assert(net.get().sorted == feed(1, 8), s"net delta diverged: ${net.get()}")
+    // validation is loud: unretained startingVersion; batch spelling
+    val e1 = intercept[Exception] {
+      val qq = spark.readStream.format("glog").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "999")
+        .load().writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_cdc_ck3").toString)
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(e1.getMessage.contains("startingVersion") ||
+      Option(e1.getCause).exists(_.getMessage.contains("startingVersion")),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.read.format("glog").option("path", path)
+        .option("readChangeFeed", "true").load().collect()
+    }
+    assert(e2.getMessage.contains("STREAMING") ||
+      Option(e2.getCause).exists(_.getMessage.contains("STREAMING")),
+      e2.getMessage)
+  }
+
   test("runtime filters prune reader rows and DML rewrite groups (eng_dsv2_runtime_filter)") {
     Tables.register(spark, sf)
     val rows = EngineOps.queries("eng_dsv2_runtime_filter")(spark, sf).collect()
