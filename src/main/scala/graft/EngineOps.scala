@@ -3358,8 +3358,16 @@ object EngineOps {
     *    the files are never opened, they just leave the live set and
     *    wait for vacuum) — THE retention-window operation every
     *    telemetry deployment runs nightly, as one manifest CAS.
-    * At 100 TB: time predicates and retention cost O(changed files)
-    * in metadata, zero data IO beyond true stragglers. */
+    *  - `4_uid_pruned` (round 13): over a user-range-clustered layout,
+    *    a user_id POINT predicate keeps one file at planning time —
+    *    the manifest now carries user_id min/max per file, so the
+    *    pruning story is uniform across the schema, not ts-only.
+    *  - `5_etype_dict` (round 13): over a per-type layout, an
+    *    event_type equality keeps one file via the manifest's EXACT
+    *    distinct-type dictionary (the tiny-domain dimension column).
+    * At 100 TB: predicates on ANY pushable column and retention cost
+    * O(changed files) in metadata, zero data IO beyond true
+    * stragglers. */
   private def dsv2TsStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
@@ -3425,7 +3433,47 @@ object EngineOps {
         nAfter == expectKeep && liveTotal == 2 && untouched)
     } finally spark.sql("DROP TABLE IF EXISTS graft_glog_ts_bench")
 
-    Seq(s1, s2, s3)
+    // sibling stats (round 13): user_id range + event_type dictionary
+    // prune at planning time exactly like ts — each over a layout
+    // clustered on that column (4 user-quartile files; one file per
+    // event type), the shape an ingest that partitions by the column
+    // produces naturally
+    val uPath = new java.io.File(root, "u").getAbsolutePath
+    val uidMax = ev.agg(max(col("user_id"))).collect()(0).getLong(0)
+    val q4 = uidMax / 4 + 1
+    (0 until 4).foreach { b =>
+      ev.filter(col("user_id") >= b * q4 && col("user_id") < (b + 1) * q4)
+        .coalesce(1).write.format("glog").option("path", uPath)
+        .mode("append").save()
+    }
+    val probeUid = uidMax / 2 // lands in exactly one quartile file
+    val expectUid = ev.filter(col("user_id") === probeUid).count()
+    def glogU = spark.read.format("glog").option("path", uPath).load()
+    val q4df = glogU.filter(col("user_id") === probeUid).agg(count(lit(1)))
+    val n4 = q4df.collect()(0).getLong(0)
+    val emitted4 = rowsEmitted(q4df)
+    val (tot4, kept4, _) = sources.GraftLogSource.planCensus.get(uPath)
+    val s4 = ("4_uid_pruned", tot4.toLong, kept4.toLong, n4,
+      kept4 == 1 && n4 == expectUid && emitted4 == expectUid)
+
+    val ePath = new java.io.File(root, "e").getAbsolutePath
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    types.foreach { et =>
+      ev.filter(col("event_type") === et)
+        .coalesce(1).write.format("glog").option("path", ePath)
+        .mode("append").save()
+    }
+    val probeType = types.head
+    val expectEt = ev.filter(col("event_type") === probeType).count()
+    val q5df = spark.read.format("glog").option("path", ePath).load()
+      .filter(col("event_type") === probeType).agg(count(lit(1)))
+    val n5 = q5df.collect()(0).getLong(0)
+    val (tot5, kept5, _) = sources.GraftLogSource.planCensus.get(ePath)
+    val s5 = ("5_etype_dict", tot5.toLong, kept5.toLong, n5,
+      kept5 == 1 && n5 == expectEt && rowsEmitted(q5df) == expectEt)
+
+    Seq(s1, s2, s3, s4, s5)
       .toDF("stage", "files_total", "files_kept", "n_rows", "ok")
       .orderBy(col("stage"))
   }

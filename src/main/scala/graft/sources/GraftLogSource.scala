@@ -306,8 +306,9 @@ object GraftLogSource {
       (try fs.listStatus(dir)
        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
         .filter(s => s.isFile && s.getPath.getName.endsWith(".glog"))
-    // tsStats: manifest-carried per-file ts min/max (None = unknown)
-    val (all, tsStats) = liveEntries(dir, conf, versionAsOf) match {
+    // stats: the manifest-carried per-file statistics entry (ts /
+    // user_id ranges + event_type dictionary; absent = unknown)
+    val (all, stats) = liveEntries(dir, conf, versionAsOf) match {
       case Some((v, entries)) =>
         val byName = listed.map(s => s.getPath.getName -> s).toMap
         val missing = entries.map(_.name).filterNot(byName.contains)
@@ -316,10 +317,10 @@ object GraftLogSource {
             s"(vacuumed while still referenced?): ${missing.take(3).mkString(", ")}")
         val sorted = entries.sortBy(e => listingOrder(e.name))
         (sorted.map(e => byName(e.name)).toArray,
-          sorted.map(e => e.name -> e.tsRange).toMap)
+          sorted.map(e => e.name -> e).toMap)
       case None =>
         (listed.sortBy(s => listingOrder(s.getPath.getName)),
-          Map.empty[String, Option[(Long, Long)]])
+          Map.empty[String, ManifestEntry])
     }
     val kept = all.filter { s =>
       val name = s.getPath.getName
@@ -327,7 +328,7 @@ object GraftLogSource {
         case Some((mn, mx)) => zoneMapKeeps(mn, mx, pushed)
         case None => true
       }
-      valueKeeps && tsStatsKeep(tsStats.getOrElse(name, None), pushed)
+      valueKeeps && stats.get(name).forall(entryStatsKeep(_, pushed))
     }
     (kept, all.length)
   }
@@ -454,26 +455,60 @@ object GraftLogSource {
   val MetaDirName = "_glog_metadata"
   def metaDir(dir: Path): Path = new Path(dir, MetaDirName)
 
+  /** Distinct-value dictionary cap for the manifest's event_type
+    * stats: a file with more distinct types than this records no
+    * dictionary (conservatively kept by every event_type predicate).
+    * The column's domain is tiny by design; the cap bounds manifest
+    * bytes per entry on adversarial data. */
+  private[graft] val EtypeDictCap = 8
+
   /** One live file in a manifest: its name (the value zone map rides
-    * the NAME, unchanged) plus manifest-carried `ts` min/max in
-    * micros — file-level statistics on a SECOND column, collected for
-    * free by the writers, so time-range queries prune whole files at
-    * planning time and time-retention DELETEs drop whole files
-    * metadata-only (the Iceberg/Delta file-stats pattern: stats live
-    * in the commit metadata, not the file names). `tsRange` is None
-    * for files adopted from a pre-manifest directory (stats unknown →
-    * conservatively kept by every ts predicate). */
-  case class ManifestEntry(name: String, tsRange: Option[(Long, Long)]) {
-    def line: String = tsRange match {
-      case Some((a, b)) => s"$name\t$a\t$b"
-      case None => name
-    }
+    * the NAME, unchanged) plus manifest-carried file statistics on
+    * the OTHER filterable columns, collected for free by the writers
+    * (the Iceberg/Delta file-stats pattern: stats live in the commit
+    * metadata, not the file names), so planning prunes whole files —
+    * never opening them — on predicates over ANY pushable column:
+    *  - `tsRange`: ts min/max in micros (time-range queries,
+    *    metadata-only time-retention DELETEs);
+    *  - `uidRange`: user_id min/max (point/range lookups over a
+    *    clustered-ish id column);
+    *  - `etypes`: the file's exact distinct event_type dictionary
+    *    (≤ [[EtypeDictCap]] values, sorted; the tiny-domain
+    *    dimension column) — equality/IN predicates on a type a file
+    *    does not contain skip it entirely.
+    * Every stat is None for files adopted from a pre-manifest
+    * directory or written by pre-round-13 code (unknown →
+    * conservatively kept by every predicate).
+    *
+    * Line format (TAB-separated, back-compatible): `name`,
+    * `name ts ts` (legacy), or `name ts ts uid uid etypes` with `-`
+    * for an unknown numeric pair and `*` for an unknown dictionary
+    * (etypes comma-joined — a type containing a comma, TAB or
+    * newline is never dictionarized; the writer already rejects
+    * TAB/newline in data). */
+  case class ManifestEntry(name: String, tsRange: Option[(Long, Long)],
+      uidRange: Option[(Long, Long)] = None,
+      etypes: Option[Seq[String]] = None) {
+    def line: String =
+      if (uidRange.isEmpty && etypes.isEmpty) tsRange match {
+        case Some((a, b)) => s"$name\t$a\t$b"
+        case None => name
+      }
+      else {
+        def num(r: Option[(Long, Long)]): String =
+          r.map { case (a, b) => s"$a\t$b" }.getOrElse("-\t-")
+        val et = etypes.map(_.mkString(",")).getOrElse("*")
+        s"$name\t${num(tsRange)}\t${num(uidRange)}\t$et"
+      }
   }
   object ManifestEntry {
+    private def pair(a: String, b: String): Option[(Long, Long)] =
+      for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
     def parse(line: String): ManifestEntry = line.split('\t') match {
-      case Array(n, a, b) =>
-        val r = for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
-        ManifestEntry(n, r)
+      case Array(n, a, b) => ManifestEntry(n, pair(a, b))
+      case Array(n, a, b, c, d, et) =>
+        ManifestEntry(n, pair(a, b), pair(c, d),
+          if (et == "*") None else Some(et.split(',').toSeq.filter(_.nonEmpty)))
       case _ => ManifestEntry(line, None)
     }
   }
@@ -513,6 +548,87 @@ object GraftLogSource {
       case _ => false
     }
   }
+
+  /** Can a file whose user_id range is `stats` contain rows passing
+    * all pushed user_id predicates? Exact long compares via
+    * [[cmpLongExact]] (a fractional literal can exclude both
+    * neighbors); unknown stats/shapes keep the file. */
+  private[graft] def uidStatsKeep(stats: Option[(Long, Long)],
+      pushed: Seq[Filter]): Boolean = stats match {
+    case None => true
+    case Some((mn, mx)) => pushed.forall {
+      case GreaterThan("user_id", v: Number) => cmpLongExact(mx, v) > 0
+      case GreaterThanOrEqual("user_id", v: Number) => cmpLongExact(mx, v) >= 0
+      case LessThan("user_id", v: Number) => cmpLongExact(mn, v) < 0
+      case LessThanOrEqual("user_id", v: Number) => cmpLongExact(mn, v) <= 0
+      case EqualTo("user_id", v: Number) =>
+        cmpLongExact(mn, v) <= 0 && cmpLongExact(mx, v) >= 0
+      case In("user_id", vs) if vs != null && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Number]) =>
+        vs.exists { v =>
+          val n = v.asInstanceOf[Number]
+          cmpLongExact(mn, n) <= 0 && cmpLongExact(mx, n) >= 0
+        }
+      case _ => true
+    }
+  }
+
+  /** Do the user_id stats PROVE every row satisfies all `filters`?
+    * The id-partitioned-retention twin of [[tsStatsFullyCover]]. */
+  private[graft] def uidStatsFullyCover(stats: Option[(Long, Long)],
+      filters: Seq[Filter]): Boolean = stats match {
+    case None => false
+    case Some((mn, mx)) => filters.nonEmpty && filters.forall {
+      case GreaterThan("user_id", v: Number) => cmpLongExact(mn, v) > 0
+      case GreaterThanOrEqual("user_id", v: Number) => cmpLongExact(mn, v) >= 0
+      case LessThan("user_id", v: Number) => cmpLongExact(mx, v) < 0
+      case LessThanOrEqual("user_id", v: Number) => cmpLongExact(mx, v) <= 0
+      case EqualTo("user_id", v: Number) =>
+        cmpLongExact(mn, v) == 0 && cmpLongExact(mx, v) == 0
+      case IsNotNull(_) => true // format is dense
+      case _ => false
+    }
+  }
+
+  /** Can a file whose exact distinct event_type set is `dict` contain
+    * rows passing all pushed event_type predicates? A type the
+    * dictionary does not hold cannot appear in the file — the
+    * tiny-domain dimension prune. Unknown dictionary keeps. */
+  private[graft] def etypeStatsKeep(dict: Option[Seq[String]],
+      pushed: Seq[Filter]): Boolean = dict match {
+    case None => true
+    case Some(ts) =>
+      val set = ts.toSet
+      pushed.forall {
+        case EqualTo("event_type", v) => v != null && set.contains(v.toString)
+        case In("event_type", vs) if vs != null && vs.nonEmpty =>
+          vs.exists(v => v != null && set.contains(v.toString))
+        case _ => true
+      }
+  }
+
+  /** Does the dictionary PROVE every row satisfies all `filters`?
+    * Only when the predicate's accepted set COVERS the whole
+    * dictionary (e.g. DELETE of a type a file holds exclusively). */
+  private[graft] def etypeStatsFullyCover(dict: Option[Seq[String]],
+      filters: Seq[Filter]): Boolean = dict match {
+    case None => false
+    case Some(ts) => filters.nonEmpty && ts.nonEmpty && filters.forall {
+      case EqualTo("event_type", v) =>
+        v != null && ts.forall(_ == v.toString)
+      case In("event_type", vs) if vs != null =>
+        ts.forall(t => vs.exists(v => v != null && v.toString == t))
+      case IsNotNull(_) => true // format is dense
+      case _ => false
+    }
+  }
+
+  /** All manifest-stats pruning for one entry (ts + user_id +
+    * event_type) — the single predicate [[listCommitted]] applies. */
+  private[graft] def entryStatsKeep(e: ManifestEntry,
+      pushed: Seq[Filter]): Boolean =
+    tsStatsKeep(e.tsRange, pushed) && uidStatsKeep(e.uidRange, pushed) &&
+      etypeStatsKeep(e.etypes, pushed)
 
   /** Micros-since-epoch of a pushed timestamp literal. Spark hands
     * TimestampType literals to v1 filters as java.sql.Timestamp (or
@@ -928,7 +1044,7 @@ object GraftLogSource {
           val name = fileName(nextIdx, m.min, m.max)
           nextIdx += 1
           if (publishIfAbsent(fs, new Path(m.tempPath), new Path(dir, name)))
-            done += ManifestEntry(name, m.tsRange)
+            done += ManifestEntry(name, m.tsRange, m.uidRange, m.etypesOpt)
           else { collided = true; remaining :+= m }
         }
       }
@@ -969,22 +1085,27 @@ object GraftLogSource {
       filters: Array[Filter]): (Set[String], Seq[ManifestEntry]) = {
     val fs = fsFor(dir, conf)
     val (affected, _) = listCommitted(dir, conf, filters.toSeq)
-    // manifest ts stats, for the time-retention full-coverage proof
-    val tsStats: Map[String, Option[(Long, Long)]] =
-      liveEntries(dir, conf).map(_._2.map(e => e.name -> e.tsRange).toMap)
+    // manifest file stats, for the retention full-coverage proofs
+    val stats: Map[String, ManifestEntry] =
+      liveEntries(dir, conf).map(_._2.map(e => e.name -> e).toMap)
         .getOrElse(Map.empty)
     val drops = Set.newBuilder[String]
     val staged = Seq.newBuilder[GlogCommit]
     affected.foreach { st =>
       val f = st.getPath
       // retention-window fast path: the value zone map (from the
-      // NAME) or the manifest ts stats PROVE every row matches →
-      // drop from the live set without opening the file — the
-      // `DELETE WHERE ts < cutoff` case ages out whole files
-      // metadata-only
+      // NAME) or the manifest file stats (ts/user_id range, exact
+      // event_type dictionary) PROVE every row matches → drop from
+      // the live set without opening the file — `DELETE WHERE
+      // ts < cutoff` (and its user_id/event_type siblings) ages out
+      // whole files metadata-only
       val fullyCovered = minMaxFromName(f.getName)
         .exists { case (mn, mx) => zoneMapFullyCovers(mn, mx, filters.toSeq) } ||
-        tsStatsFullyCover(tsStats.getOrElse(f.getName, None), filters.toSeq)
+        stats.get(f.getName).exists { e =>
+          tsStatsFullyCover(e.tsRange, filters.toSeq) ||
+            uidStatsFullyCover(e.uidRange, filters.toSeq) ||
+            etypeStatsFullyCover(e.etypes, filters.toSeq)
+        }
       if (fullyCovered) {
         drops += f.getName
       } else {
@@ -999,6 +1120,7 @@ object GraftLogSource {
         var mx = Double.NegativeInfinity
         var tsMn = Long.MaxValue
         var tsMx = Long.MinValue
+        val statsAcc = new GlogStatsAcc
         try {
           var line = in.readLine()
           while (line != null) {
@@ -1017,13 +1139,15 @@ object GraftLogSource {
               if (cmp(value, mx) > 0) mx = value
               if (tsMicros < tsMn) tsMn = tsMicros
               if (tsMicros > tsMx) tsMx = tsMicros
+              statsAcc.add(c(2).toLong, c(3))
             }
             line = in.readLine()
           }
         } finally { in.close(); out.close() }
         drops += f.getName
         if (rows == 0L) fs.delete(tmp, false): Unit
-        else staged += GlogCommit(tmp.toString, rows, mn, mx, tsMn, tsMx)
+        else staged += GlogCommit(tmp.toString, rows, mn, mx, tsMn, tsMx,
+          statsAcc.uidMin, statsAcc.uidMax, statsAcc.etypesEncoded)
       }
     }
     val replacements = renameStagedIn(dir, conf,
@@ -1118,7 +1242,9 @@ object GraftLogSource {
         throw new IllegalStateException(
           s"compact: staged file ${e.name} lacks zone-map bounds"))
       val (tsA, tsB) = e.tsRange.getOrElse((Long.MinValue, Long.MaxValue))
-      GlogCommit(new Path(staging, e.name).toString, 1L, mn, mx, tsA, tsB)
+      val (uA, uB) = e.uidRange.getOrElse((Long.MaxValue, Long.MinValue))
+      GlogCommit(new Path(staging, e.name).toString, 1L, mn, mx, tsA, tsB,
+        uA, uB, e.etypes.map(_.mkString(",")).getOrElse("*"))
         : WriterCommitMessage
     }
     val newEntries = renameStagedIn(dir, conf, claims.toArray)
@@ -2732,15 +2858,48 @@ private[sources] class GlogClusteredWrite(path: String, schema: StructType,
         "— stream append-only, then run GraftLogSource.compact")
 }
 
+/** Task-side accumulator for the manifest file stats every write
+  * path collects for free: user_id min/max plus the exact distinct
+  * event_type dictionary (bounded by
+  * [[GraftLogSource.EtypeDictCap]]; a type containing the
+  * dictionary's separator, or an over-cap domain, degrades to
+  * unknown — conservative on the read side). */
+private[sources] class GlogStatsAcc {
+  var uidMin: Long = Long.MaxValue
+  var uidMax: Long = Long.MinValue
+  private val set = scala.collection.mutable.TreeSet.empty[String]
+  private var overflow = false
+  def add(uid: Long, etype: String): Unit = {
+    if (uid < uidMin) uidMin = uid
+    if (uid > uidMax) uidMax = uid
+    if (!overflow) {
+      if (etype.indexOf(',') >= 0) overflow = true
+      else {
+        set += etype
+        if (set.size > GraftLogSource.EtypeDictCap) overflow = true
+      }
+    }
+  }
+  def etypesEncoded: String =
+    if (overflow || set.isEmpty) "*" else set.mkString(",")
+}
+
 private[sources] case class GlogCommit(tempPath: String, rows: Long,
     min: Double, max: Double,
-    tsMin: Long = Long.MinValue, tsMax: Long = Long.MaxValue)
+    tsMin: Long = Long.MinValue, tsMax: Long = Long.MaxValue,
+    uidMin: Long = Long.MaxValue, uidMax: Long = Long.MinValue,
+    etypes: String = "*")
     extends WriterCommitMessage {
   /** Manifest ts stats: None when the writer saw no rows worth
     * bounding (sentinel values) — conservative on the read side. */
   def tsRange: Option[(Long, Long)] =
     if (tsMin == Long.MinValue || tsMax == Long.MaxValue) None
     else Some((tsMin, tsMax))
+  def uidRange: Option[(Long, Long)] =
+    if (rows == 0 || uidMin > uidMax) None else Some((uidMin, uidMax))
+  def etypesOpt: Option[Seq[String]] =
+    if (rows == 0 || etypes == "*" || etypes.isEmpty) None
+    else Some(etypes.split(',').toSeq.filter(_.nonEmpty))
 }
 
 private[graft] class GlogBatchWrite(path: String, schema: StructType,
@@ -2888,6 +3047,7 @@ private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long,
   private var mx = Double.NegativeInfinity
   private var tsMn = Long.MaxValue
   private var tsMx = Long.MinValue
+  private val statsAcc = new GlogStatsAcc
 
   override def write(row: InternalRow): Unit = {
     // guard the unsafe accessors: a surprise layout (missing column,
@@ -2919,6 +3079,8 @@ private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long,
     if (tsMicros < tsMn) tsMn = tsMicros
     if (tsMicros > tsMx) tsMx = tsMicros
     val eventType = row.getUTF8String(base + 3).toString
+    // user_id range + event_type dictionary for the manifest
+    statsAcc.add(row.getLong(base + 2), eventType)
     val props = row.getUTF8String(base + 5).toString
     // the line format reserves TAB and newline: corrupting a file
     // silently is never acceptable, so reject such strings loudly
@@ -2938,7 +3100,8 @@ private[graft] class GlogWriter(path: String, partitionId: Int, taskId: Long,
     GlogCommit(temp.toString, rows,
       if (rows == 0) 0.0 else mn, if (rows == 0) 0.0 else mx,
       if (rows == 0) Long.MinValue else tsMn,
-      if (rows == 0) Long.MaxValue else tsMx)
+      if (rows == 0) Long.MaxValue else tsMx,
+      statsAcc.uidMin, statsAcc.uidMax, statsAcc.etypesEncoded)
   }
 
   override def abort(): Unit = { out.close(); fs.delete(temp, false); () }

@@ -1734,16 +1734,91 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(GraftLogSource.tsMicrosOf(pre).contains(-1500000L))
   }
 
+  test("manifest user_id/event_type stats prune at planning; full coverage deletes unopened") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.sources.{EqualTo, Filter, LessThanOrEqual}
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_uid").toFile
+    val p = new Path(dir.getAbsolutePath)
+    val conf = GraftLogSource.driverHadoopConf()
+    def commit(id: Long, lines: String): Unit = {
+      val w = new graft.sources.GlogWriterFactory(dir.getAbsolutePath)
+        .createWriter(0, id)
+      lines.split('\n').foreach { l =>
+        val c = l.split("\t", 6)
+        w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](c(0).toLong, c(1).toLong, c(2).toLong,
+            org.apache.spark.unsafe.types.UTF8String.fromString(c(3)),
+            c(4).toDouble,
+            org.apache.spark.unsafe.types.UTF8String.fromString(c(5)))))
+      }
+      new graft.sources.GlogBatchWrite(dir.getAbsolutePath,
+        GraftLogSource.SchemaFixed, truncateFirst = false)
+        .commit(Array(w.commit()))
+    }
+    // A: uids [1,2] type a — B: uids [10,20] types a,b — C: uids
+    // [100,200] type c. A and C get CORRUPTED after commit: any path
+    // that opens them throws, so surviving queries PROVE the pruning.
+    commit(1, "1\t5\t1\ta\t1.0\t{}\n2\t9\t2\ta\t2.0\t{}")
+    commit(2, "3\t5\t10\ta\t3.0\t{}\n4\t9\t20\tb\t4.0\t{}")
+    commit(3, "5\t5\t100\tc\t5.0\t{}\n6\t9\t200\tc\t6.0\t{}")
+    val names = GraftLogSource.listCommitted(p, conf, Seq.empty)
+      ._1.map(_.getPath.getName)
+    java.nio.file.Files.write(new java.io.File(dir, names(0)).toPath,
+      "CORRUPT".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, names(2)).toPath,
+      "CORRUPT".getBytes("UTF-8"))
+    // planning-time pruning: uid point → 1 file; etype equality → the
+    // exact dictionary decides (type b lives only in B)
+    assert(GraftLogSource.listCommitted(p, conf,
+      Seq(EqualTo("user_id", java.lang.Long.valueOf(15L))))._1.length == 1)
+    assert(GraftLogSource.listCommitted(p, conf,
+      Seq(EqualTo("event_type", "b")))._1.length == 1)
+    // real scans: only B is ever opened (A/C would throw)
+    val got = spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load().filter(col("user_id") === 10L)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L), got.mkString(","))
+    assert(GraftLogSource.planCensus.get(dir.getAbsolutePath)._2 == 1)
+    val gotB = spark.read.format("glog").option("path", dir.getAbsolutePath)
+      .load().filter(col("event_type") === "b")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    assert(gotB == Seq(4L), gotB.mkString(","))
+    // full-coverage DELETEs: the dictionary proves C is all-type-c and
+    // the uid range proves A is all-≤2 — both drop METADATA-ONLY (their
+    // corrupt content is never parsed)
+    GraftLogSource.deleteMatching(p, Array[Filter](EqualTo("event_type", "c")))
+    GraftLogSource.deleteMatching(p,
+      Array[Filter](LessThanOrEqual("user_id", java.lang.Long.valueOf(2L))))
+    val live = GraftLogSource.listCommitted(p, conf, Seq.empty)
+      ._1.map(_.getPath.getName).toSeq
+    assert(live == Seq(names(1)), live.mkString(","))
+    // entry line format: full stats round-trip; legacy forms parse
+    val full = GraftLogSource.ManifestEntry("f.glog", Some((1L, 2L)),
+      Some((10L, 20L)), Some(Seq("a", "b")))
+    assert(GraftLogSource.ManifestEntry.parse(full.line) == full)
+    val partial = GraftLogSource.ManifestEntry("f.glog", None,
+      Some((10L, 20L)), None)
+    assert(GraftLogSource.ManifestEntry.parse(partial.line) == partial)
+    assert(GraftLogSource.ManifestEntry.parse("f.glog\t1\t2") ==
+      GraftLogSource.ManifestEntry("f.glog", Some((1L, 2L))))
+    assert(GraftLogSource.ManifestEntry.parse("f.glog") ==
+      GraftLogSource.ManifestEntry("f.glog", None))
+  }
+
   test("eng_dsv2_ts_stats: the measured ts-stats census is exact") {
     Tables.register(spark, sf)
     val rows = EngineOps.queries("eng_dsv2_ts_stats")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("1_full", "2_ts_pruned", "3_retention"))
+      Seq("1_full", "2_ts_pruned", "3_retention", "4_uid_pruned",
+        "5_etype_dict"))
     assert(rows.forall(_.getBoolean(4)), rows.mkString("; "))
     val byStage = rows.map(r => r.getString(0) -> r).toMap
     assert(byStage("1_full").getLong(1) == 4L)       // 4 daily files
     assert(byStage("2_ts_pruned").getLong(2) == 1L)  // 1 file kept
     assert(byStage("3_retention").getLong(2) == 2L)  // 2 live after aging
+    assert(byStage("4_uid_pruned").getLong(2) == 1L) // uid stats prune
+    assert(byStage("5_etype_dict").getLong(2) == 1L) // dictionary prune
+    assert(byStage("5_etype_dict").getLong(1) > 1L)
   }
 
   test("change feed emits exactly the row-level delta between versions") {
