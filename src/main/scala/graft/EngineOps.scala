@@ -3142,7 +3142,7 @@ object EngineOps {
       GraftLogSource.manifestVersions(p, conf).length.toLong,
       afterCc == nLow + 2 &&
         GraftLogSource.manifestVersions(p, conf) == (1L to 5L))
-    val reclaimed = GraftLogSource.vacuum(path)
+    val reclaimed = GraftLogSource.vacuum(path, graceMs = 0L)
     val v1Fails =
       try { countAt(1L); false } catch { case _: Exception => true }
     val s4 = ("4_vacuum", countNow(), reclaimed.toLong,

@@ -903,6 +903,17 @@ object GraftLogSource {
       s"glog: manifest CAS under $dir did not converge after $attempt attempts")
   }
 
+  /** Grace window [[vacuum]] applies before unlinking an unreferenced
+    * file: only orphans OLDER than this (by modification time) are
+    * reclaimed, so a concurrent commit's just-renamed,
+    * not-yet-CAS'd files — which look orphaned for the instant
+    * between their claim and their manifest CAS — survive a racing
+    * vacuum (the Delta/Iceberg retention-interval pattern). 10
+    * minutes dwarfs any claim→CAS window by orders of magnitude;
+    * `graceMs = 0` is the explicit I-know-nothing-is-in-flight
+    * spelling for controlled maintenance. */
+  val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
   /** Reclaim files no retained snapshot references: data files outside
     * the union of the newest `retainVersions` manifests (DML/compact
     * orphans), manifests older than those, and abandoned `.inprogress`
@@ -913,11 +924,15 @@ object GraftLogSource {
     * is materialized as a `.checkpoint` sidecar (idempotent
     * publish-if-absent; content is a pure function of the version) so
     * retained delta manifests stay resolvable without their
-    * pre-retention ancestors. A maintenance op like [[compact]]: not
-    * safe concurrent with an in-flight commit (a just-renamed,
-    * not-yet-committed file looks orphaned). Returns the number of
-    * data files removed. */
-  def vacuum(path: String, retainVersions: Int = 1): Int = {
+    * pre-retention ancestors. SAFE-BY-DEFAULT against in-flight
+    * commits: only orphans older than `graceMs`
+    * ([[DefaultVacuumGraceMs]]) are unlinked, so a concurrent
+    * committer's claimed-but-not-yet-CAS'd files survive
+    * (spec-proven by racing a mid-commit table); pass `graceMs = 0`
+    * to reclaim everything when provably quiescent. Returns the
+    * number of data files removed. */
+  def vacuum(path: String, retainVersions: Int = 1,
+             graceMs: Long = DefaultVacuumGraceMs): Int = {
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
     val fs = fsFor(dir, conf)
@@ -946,13 +961,16 @@ object GraftLogSource {
     val listing =
       (try fs.listStatus(dir)
        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
-        .filter(_.isFile).map(_.getPath.getName)
+        .filter(_.isFile)
     var removed = 0
-    listing.filter(n => (n.endsWith(".glog") && !keep(n)) ||
-        n.endsWith(".inprogress"))
-      .foreach { n =>
-        if (fs.delete(new Path(dir, n), false)) removed += 1
-      }
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+    listing.filter { s =>
+      val n = s.getPath.getName
+      ((n.endsWith(".glog") && !keep(n)) || n.endsWith(".inprogress")) &&
+        s.getModificationTime <= cutoff // grace: in-flight claims survive
+    }.foreach { s =>
+      if (fs.delete(s.getPath, false)) removed += 1
+    }
     versions.filter(_ < minRetained).foreach { v =>
       fs.delete(manifestPath(dir, v), false): Unit
       fs.delete(checkpointPath(dir, v), false): Unit
@@ -982,6 +1000,30 @@ object GraftLogSource {
     * `spark.read.format("glog").option("path", dir)
     *   .option("changeFeedFrom", a).option("changeFeedTo", b).load()`
     * — rewritten to this plan by graft.plans.GraftExtensions. */
+  /** Memo of the change feed's manifest diff, keyed by
+    * (qualified dir, from, to) WITHIN a session: committed versions
+    * are IMMUTABLE, so the name diff never changes once resolved —
+    * without this, repeated re-analysis of plans referencing a feed
+    * (the ChangeFeedRewrite resolution rule fires per analysis pass)
+    * and every streaming CDC micro-batch would re-resolve two
+    * manifest chains (O(live files) text) per touch. Driver-side,
+    * bounded LRU per session (a deleted-and-recreated directory
+    * restarts version numbering, so the memo must not outlive the
+    * session that observed the old generation) — the analyzer-rule
+    * twin of the stream's add-list memo. */
+  private val feedDiffMemos = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[(String, Long, Long), (Set[String], Set[String])]]())
+  private def feedDiffMemo(spark: SparkSession)
+      : java.util.LinkedHashMap[(String, Long, Long), (Set[String], Set[String])] =
+    feedDiffMemos.computeIfAbsent(spark, _ =>
+      new java.util.LinkedHashMap[(String, Long, Long), (Set[String], Set[String])](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), (Set[String], Set[String])])
+            : Boolean = size() > 256
+      })
+
   def changeFeed(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame = {
     require(fromVersion <= toVersion,
@@ -989,8 +1031,19 @@ object GraftLogSource {
     import org.apache.spark.sql.functions.{col, lit}
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
-    val a = liveSnapshot(dir, conf, Some(fromVersion)).get._2.toSet
-    val b = liveSnapshot(dir, conf, Some(toVersion)).get._2.toSet
+    val key = (censusKey(dir, fsFor(dir, conf)), fromVersion, toVersion)
+    val memo = feedDiffMemo(spark)
+    val (a, b) = memo.synchronized {
+      val got = memo.get(key)
+      if (got != null) got
+      else {
+        val computed = (
+          liveSnapshot(dir, conf, Some(fromVersion)).get._2.toSet,
+          liveSnapshot(dir, conf, Some(toVersion)).get._2.toSet)
+        memo.put(key, computed): Unit
+        computed
+      }
+    }
     val dataCols = SchemaFixed.fieldNames.map(col).toSeq
     def rowsOf(version: Long, names: Set[String]) = spark.read
       .format("glog").option("path", path)

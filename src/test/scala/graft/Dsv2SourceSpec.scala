@@ -400,7 +400,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // vacuum(retain 3): the oldest retained version gets a full
     // checkpoint sidecar so its delta stays resolvable after the
     // chain below is GC'd; older versions fail loudly
-    GraftLogSource.vacuum(path, retainVersions = 3): Unit
+    GraftLogSource.vacuum(path, retainVersions = 3, graceMs = 0L): Unit
     assert(GraftLogSource.manifestVersions(p, conf) == Seq(39L, 40L, 41L))
     assert(new java.io.File(meta, f"_v${39L}%012d.checkpoint").exists())
     assert(countAt(39L) == 39 && countAt(40L) == 40 && countAt(41L) == 39)
@@ -583,7 +583,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
       val orphans = dir.listFiles().count(f =>
         f.getName.endsWith(".glog") && !live(f.getName))
       assert(orphans > 0, "expected copy-on-write orphans before vacuum")
-      assert(GraftLogSource.vacuum(dir.getAbsolutePath) == orphans)
+      assert(GraftLogSource.vacuum(dir.getAbsolutePath, graceMs = 0L) == orphans)
       assert(dir.listFiles().filter(_.getName.endsWith(".glog"))
         .map(_.getName).toSet == live, "vacuum touched live files")
       assert(count() == expectSurvivors, "vacuum changed query results")
@@ -749,7 +749,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"straddler not rewritten correctly: $lines")
     assert(new java.io.File(dir, covered).exists(),
       "fully-covered orphan should persist until vacuum")
-    assert(GraftLogSource.vacuum(dir.getAbsolutePath) == 2)
+    assert(GraftLogSource.vacuum(dir.getAbsolutePath, graceMs = 0L) == 2)
     assert(dir.listFiles().map(_.getName).count(_.endsWith(".glog")) == 1)
     // coverage proof is conservative: non-value predicates never take
     // the metadata-only path
@@ -841,7 +841,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
       assert(count() == 0)
       assert(dir.listFiles().count(_.getName.endsWith(".glog")) == glogsBefore,
         "TRUNCATE must not unlink (vacuum's job)")
-      assert(GraftLogSource.vacuum(dir.getAbsolutePath) == glogsBefore)
+      assert(GraftLogSource.vacuum(dir.getAbsolutePath, graceMs = 0L) == glogsBefore)
       assert(!dir.listFiles().exists(_.getName.endsWith(".glog")))
     } finally spark.sql("DROP TABLE IF EXISTS graft_glog_gate")
   }
@@ -1302,7 +1302,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
       "1\t1000\t1\ta\t10.0\t{}\n".getBytes("UTF-8"))
     assert(spark.read.format("glog").option("path", dir.getAbsolutePath)
       .load().count() == 2, "orphaned claim leaked into reads")
-    GraftLogSource.vacuum(dir.getAbsolutePath): Unit
+    GraftLogSource.vacuum(dir.getAbsolutePath, graceMs = 0L): Unit
     assert(!new java.io.File(dir, orphan).exists(), "vacuum missed the orphan")
   }
 
@@ -1721,7 +1721,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .load().count() == 4)
     // the aged-out orphan is still on disk until vacuum
     assert(new java.io.File(dir, day0Name).exists())
-    GraftLogSource.vacuum(dir.getAbsolutePath): Unit
+    GraftLogSource.vacuum(dir.getAbsolutePath, graceMs = 0L): Unit
     assert(!new java.io.File(dir, day0Name).exists())
     // Instant literals (the java8 datetime API shape) normalize too
     assert(GraftLogSource.tsMicrosOf(
@@ -1732,6 +1732,47 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val pre = new java.sql.Timestamp(-1500L) // 1969-12-31T23:59:58.500
     pre.setNanos(500000000)
     assert(GraftLogSource.tsMicrosOf(pre).contains(-1500000L))
+  }
+
+  test("vacuum grace window: a racing in-flight commit survives; aged orphans reclaim") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_vgrace").toFile
+    val path = dir.getAbsolutePath
+    val p = new Path(path)
+    val conf = GraftLogSource.driverHadoopConf()
+    def stage(id: Long)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.GlogWriterFactory(path).createWriter(0, id)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("e"), id.toDouble,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+      w.commit()
+    }
+    // a committed base (v1)
+    new graft.sources.GlogBatchWrite(path, GraftLogSource.SchemaFixed,
+      truncateFirst = false).commit(Array(stage(1L)))
+    // a SLOW commit: files claim-renamed in, manifest CAS not yet run —
+    // for that instant they are indistinguishable from orphans
+    val inFlight = GraftLogSource.renameStagedIn(p, conf, Array(stage(2L)))
+    assert(inFlight.nonEmpty)
+    // default-grace vacuum races the slow commit: the fresh claim
+    // survives (mtime inside the grace window)
+    assert(GraftLogSource.vacuum(path) == 0,
+      "vacuum reclaimed a mid-commit claim")
+    // the slow commit completes; its rows are intact
+    GraftLogSource.commitManifest(p, conf)(live => live ++ inFlight): Unit
+    assert(spark.read.format("glog").option("path", path).load().count() == 2)
+    // a genuinely AGED orphan (mtime pushed past the grace window) is
+    // reclaimed by the same default-grace vacuum
+    val w3 = stage(3L)
+    val orphan = GraftLogSource.renameStagedIn(p, conf, Array(w3)).head.name
+    val f = new java.io.File(dir, orphan)
+    assert(f.setLastModified(
+      System.currentTimeMillis() - GraftLogSource.DefaultVacuumGraceMs - 60000L))
+    assert(GraftLogSource.vacuum(path) == 1, "aged orphan not reclaimed")
+    assert(!f.exists())
+    assert(spark.read.format("glog").option("path", path).load().count() == 2)
   }
 
   test("manifest user_id/event_type stats prune at planning; full coverage deletes unopened") {
@@ -1925,7 +1966,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(pub.groupBy(col("_change_type")).count().collect().length == 1)
 
     // a vacuumed range fails loudly
-    GraftLogSource.vacuum(path): Unit
+    GraftLogSource.vacuum(path, graceMs = 0L): Unit
     intercept[Exception] { feed(1L, 3L).count() }
     // the measured entry agrees end-to-end
     val rows = EngineOps.queries("eng_dsv2_changefeed")(spark, sf).collect()
@@ -2122,10 +2163,10 @@ class Dsv2SourceSpec extends AnyFunSuite {
       assert(pinned.count() == n0, "pinned snapshot was disturbed by DELETE")
       // retaining 2 versions keeps the time-travel read alive through
       // a vacuum; retaining 1 reclaims it and the read fails LOUDLY
-      GraftLogSource.vacuum(dir.getAbsolutePath, retainVersions = 2): Unit
+      GraftLogSource.vacuum(dir.getAbsolutePath, retainVersions = 2, graceMs = 0L): Unit
       assert(spark.read.format("glog").option("path", dir.getAbsolutePath)
         .option("versionAsOf", v0.toString).load().count() == n0)
-      GraftLogSource.vacuum(dir.getAbsolutePath): Unit
+      GraftLogSource.vacuum(dir.getAbsolutePath, graceMs = 0L): Unit
       val err = intercept[Exception] {
         spark.read.format("glog").option("path", dir.getAbsolutePath)
           .option("versionAsOf", v0.toString).load().count()
