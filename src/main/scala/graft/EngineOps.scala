@@ -4272,6 +4272,62 @@ object EngineOps {
         |         q -> abs(q) > 100)) AS INT) AS n_large
         |FROM s ORDER BY vec_id""".stripMargin,
     "eng_mlp_forward" -> mlpOracleSql,
+    "eng_lang_id" -> langIdOracleSql,
+    "eng_ann_lsh_topk" -> annLshOracleSql,
+    // exact brute-force cosine top-k: both engines compute the same
+    // sequential float→double dot/norms; rank-boundary gaps in the
+    // fixed fixture are ≥1e-3 (empirically checked), far above any
+    // cross-engine ulp drift, and the id tie-break is total
+    "eng_ann_brute_topk" ->
+      """WITH pr AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS p
+        |  FROM embeddings WHERE vec_id = 0),
+        |xe AS (SELECT vec_id AS id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        |  FROM embeddings WHERE vec_id <> 0),
+        |sc AS (SELECT id,
+        |  list_dot_product(x, p) /
+        |    (sqrt(list_dot_product(x, x)) * sqrt(list_dot_product(p, p))) AS c
+        |  FROM xe, pr)
+        |SELECT id, round(c, 4) AS cosine FROM sc
+        |ORDER BY c DESC NULLS LAST, id ASC LIMIT 10""".stripMargin,
+    // exact φ-heavy-hitters: the Misra-Gries sketch is only the
+    // CANDIDATE generator (superset guarantee) — the operator's output
+    // is the exact counts over the true hitters, which is plain SQL
+    "eng_heavy_hitters" ->
+      """WITH it AS (SELECT CAST(user_id AS VARCHAR) AS actor FROM events
+        |            WHERE user_id IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM it)
+        |SELECT actor AS item, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(count(*) / (SELECT n FROM tot), 4) AS freq
+        |FROM it GROUP BY actor
+        |HAVING count(*) > 0.008 * (SELECT n FROM tot)
+        |ORDER BY cnt DESC NULLS LAST, item NULLS FIRST""".stripMargin,
+    // exact triangle census: supplier co-occurrence edges (s1 < s2,
+    // distinct) via self-join; wedge totals under BOTH orientations
+    // (key vs Schank degree-order) as integer aggregates; triangles
+    // via the canonical 3-way edge join — every scalar an exact count
+    "eng_triangles_deg" ->
+      """WITH e AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey
+        |            AND a.l_suppkey < b.l_suppkey),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |          SELECT s1 AS v FROM e UNION ALL SELECT s2 FROM e)
+        |        GROUP BY v),
+        |wkey AS (SELECT coalesce(sum(o * (o - 1) // 2), 0) AS w FROM (
+        |           SELECT s1, count(*) AS o FROM e GROUP BY s1)),
+        |od AS (SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
+        |                   THEN e.s1 ELSE e.s2 END AS src
+        |       FROM e JOIN deg d1 ON e.s1 = d1.v JOIN deg d2 ON e.s2 = d2.v),
+        |wdeg AS (SELECT coalesce(sum(o * (o - 1) // 2), 0) AS w FROM (
+        |           SELECT src, count(*) AS o FROM od GROUP BY src)),
+        |tri AS (SELECT count(*) AS t
+        |        FROM e x JOIN e y ON y.s1 = x.s1 AND y.s2 > x.s2
+        |               JOIN e z ON z.s1 = x.s2 AND z.s2 = y.s2)
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |       CAST((SELECT w FROM wkey) AS BIGINT) AS wedges_key,
+        |       CAST((SELECT w FROM wdeg) AS BIGINT) AS wedges_deg,
+        |       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
     // exact dedup summary: md5 text-hash cardinality (both engines
     // emit lowercase-hex md5; only the distinct count crosses over)
     "eng_exact_dedup" ->
@@ -4440,6 +4496,68 @@ object EngineOps {
         |ORDER BY key NULLS FIRST, h NULLS FIRST, n NULLS FIRST,
         |         level NULLS FIRST, trend NULLS FIRST,
         |         forecast NULLS FIRST""".stripMargin)
+
+  /** The eng_lang_id oracle, generated from the SAME marker lexicons
+    * the Spark plan ships (TextFunctions.markerLexicons — the
+    * cascadeOracleSql no-drift pattern). Tokenization is the same
+    * whitespace regex over lower(text) on both engines; per-language
+    * scores count marker hits WITH multiplicity; the winner replays
+    * LangIdExpr's exact tie-break (lexicographically max
+    * (score, lang) — the CASE tests languages in REVERSE sorted
+    * order so a score tie goes to the later code); zero hits →
+    * 'und'. All-integer scoring — no fp anywhere before the final
+    * 4-dp accuracy rounding. */
+  private def langIdOracleSql: String = {
+    val lex = functions.TextFunctions.markerLexicons
+    val langs = lex.keys.toSeq.sorted
+    def score(lang: String): String =
+      s"len(list_filter(tk, t -> t IN (" +
+        lex(lang).map(m => s"'$m'").mkString(",") + s"))) AS s_$lang"
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+    val picks = langs.reverse.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT lang, string_split_regex(lower(text), '\\s+') AS tk
+       |  FROM documents),
+       |sc AS (SELECT lang, ${langs.map(score).mkString(", ")} FROM toks),
+       |best AS (SELECT *, $m AS m FROM sc),
+       |pred AS (SELECT lang,
+       |  CASE WHEN m = 0 THEN 'und' $picks END AS pred FROM best)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |       round(avg(CASE WHEN pred = lang THEN 1.0 ELSE 0.0 END), 4)
+       |         AS accuracy
+       |FROM pred GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+  }
+
+  /** The eng_ann_lsh_topk oracle, generated from the SAME ±1
+    * hyperplane literals the Spark plan ships
+    * (SimilaritySearch.planes(10, 64, 42)): bucket = Σ 2^i over
+    * planes whose dot with the vector is > 0 (both engines compute
+    * the identical sequential float→double dot, so the SIGN — the
+    * only thing the bucket consumes — agrees exactly; the fixture's
+    * dots sit far from 0), candidates = buckets within hamming 3 of
+    * the probe's, ranking = exact cosine with id tie-break. */
+  private def annLshOracleSql: String = {
+    val ps = operators.SimilaritySearch.planes(10, 64, 42L)
+    def lst(v: Array[Double]): String = v.mkString("[", ",", "]")
+    def bucket(in: String): String = ps.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product($in, ${lst(p)}) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    s"""WITH pr AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS p
+       |  FROM embeddings WHERE vec_id = 0),
+       |pb AS (SELECT ${bucket("p")} AS pbucket, p FROM pr),
+       |xe AS (SELECT vec_id AS id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |bx AS (SELECT id, x, ${bucket("x")} AS bucket FROM xe),
+       |cand AS (SELECT id, x FROM bx, pb
+       |  WHERE bit_count(CAST(xor(bucket, pbucket) AS BIGINT)) <= 3),
+       |sc AS (SELECT id,
+       |  list_dot_product(x, p) /
+       |    (sqrt(list_dot_product(x, x)) * sqrt(list_dot_product(p, p))) AS c
+       |  FROM cand, pb)
+       |SELECT id, round(c, 4) AS cosine FROM sc
+       |ORDER BY c DESC NULLS LAST, id ASC LIMIT 10""".stripMargin
+  }
 
   /** The eng_cascade_early_exit oracle, generated from the SAME
     * [[cascadeW]] literals the Spark query ships (bias is zero): per

@@ -45,6 +45,11 @@ object TextFunctions {
     * lexicons (public, generic function words); the language with the
     * most marker hits wins, 'und' on zero hits. An n-gram-profile
     * heuristic in the same spirit as public langid tools. */
+  /** Exposed for the eng_lang_id DuckDB oracle generator — the oracle
+    * is GENERATED from the same lexicon literals the Spark plan
+    * ships, so they can never drift (the cascadeOracleSql pattern). */
+  private[graft] def markerLexicons: Map[String, Seq[String]] = markers
+
   private val markers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),

@@ -25,8 +25,10 @@ object SimilaritySearch {
 
   /** Deterministic pseudo-random hyperplanes: nBits × dim in {-1,+1}.
     * (±1 planes preserve cosine-LSH guarantees and keep the
-    * expression integer-friendly.) */
-  private def planes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    * expression integer-friendly.) `private[graft]`: the eng_ann_lsh
+    * DuckDB oracle is GENERATED from the same plane literals the
+    * Spark plan ships (the cascadeOracleSql pattern). */
+  private[graft] def planes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
