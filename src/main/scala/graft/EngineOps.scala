@@ -3342,6 +3342,43 @@ object EngineOps {
       .toDF("n_batches", "n_insert", "n_delete", "per_version_ok")
   }
 
+  /** MEASURED steady-state CDC stream cost — the scale claim
+    * isolated, the streaming twin of eng_changefeed_small_delta: a
+    * stream anchored at version 3 drains exactly the fixture's FIXED
+    * 1000-row v4 commit (one micro-batch, inserts only) while the
+    * table underneath grows with SF — per-trigger cost tracks the
+    * DELTA the trigger admits, not the table (eng_stream_cdc drains
+    * the full history once and scales with it by definition; THIS
+    * entry is what a caught-up consumer pays per commit). */
+  private def streamCdcSmallDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (path, _, _, nTiny) = ensureChangeFeedFixture(spark, dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcsd_ck")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    try {
+      val q = spark.readStream.format("glog").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "3")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val m = b.groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          batches.add((m.getOrElse("insert", 0L), m.getOrElse("delete", 0L))): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    Seq((got.length.toLong, got.map(_._1).sum,
+        got == Seq((nTiny, 0L))))
+      .toDF("n_batches", "n_insert", "ok")
+  }
+
   /** MEASURED manifest-carried ts statistics — file-level stats on a
     * SECOND column (the value zone map rides the file NAMES; ts
     * min/max ride the MANIFEST, collected for free by the writers —
@@ -4191,6 +4228,7 @@ object EngineOps {
     "eng_dsv2_changefeed" -> dsv2ChangeFeed,
     "eng_changefeed_small_delta" -> changeFeedSmallDelta,
     "eng_stream_cdc" -> streamCdc,
+    "eng_stream_cdc_small_delta" -> streamCdcSmallDelta,
     "eng_dsv2_runtime_filter" -> dsv2RuntimeFilter,
     "eng_dsv2_clustered_write" -> dsv2ClusteredWrite,
     "eng_dsv2_stream_sink" -> dsv2StreamSink,

@@ -1187,6 +1187,17 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("STREAMING") ||
       Option(e2.getCause).exists(_.getMessage.contains("STREAMING")),
       e2.getMessage)
+    // the measured entries agree end-to-end: full-history drain (one
+    // batch per commit, per-version censuses exact) and the
+    // steady-state fixed-delta twin (one batch, inserts only)
+    Tables.register(spark, sf)
+    val cdc = EngineOps.queries("eng_stream_cdc")(spark, sf).collect()(0)
+    assert(cdc.getAs[Boolean]("per_version_ok"), cdc.toString)
+    assert(cdc.getAs[Long]("n_batches") == 3L, cdc.toString)
+    assert(cdc.getAs[Long]("n_delete") > 0L, cdc.toString)
+    val sd = EngineOps.queries("eng_stream_cdc_small_delta")(spark, sf).collect()(0)
+    assert(sd.getAs[Boolean]("ok"), sd.toString)
+    assert(sd.getAs[Long]("n_batches") == 1L, sd.toString)
   }
 
   test("runtime filters prune reader rows and DML rewrite groups (eng_dsv2_runtime_filter)") {
