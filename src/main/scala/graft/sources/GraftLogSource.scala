@@ -1522,7 +1522,8 @@ private[graft] class GlogChangeFeedStreamTable(val path: String)
 private[graft] class GlogChangeFeedSource(spark: SparkSession, path: String,
     metadataPath: String,
     startingVersion: Option[Long], maxVersionsPerTrigger: Option[Long])
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
 
   private def dir = GraftLogSource.resolveDir(path)
@@ -1580,15 +1581,49 @@ private[graft] class GlogChangeFeedSource(spark: SparkSession, path: String,
 
   override def schema: StructType = GraftLogSource.ChangeFeedSchema
 
-  override def getOffset: Option[OffsetV1] = {
-    val latest = GraftLogSource.manifestVersions(dir, conf)
-      .lastOption.getOrElse(initV)
+  /** Trigger.AvailableNow: freeze the drain END at start (committed
+    * versions are immutable, so freezing the version freezes the
+    * backlog). Implemented HERE rather than through Spark's generic
+    * V1 AvailableNowSourceWrapper because the wrapper snapshots ONE
+    * getOffset result as the terminal offset — it would turn a
+    * maxVersionsPerTrigger-paced drain into a single unbounded batch.
+    * With the native implementation the engine keeps triggering and
+    * [[getOffset]] advances budget-by-budget to the frozen end, so
+    * AvailableNow drains paced AND terminates (spec-asserted). */
+  @volatile private var frozenEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenEnd = Some(GraftLogSource.manifestVersions(dir, conf)
+      .lastOption.getOrElse(initV))
+
+  private def nextTarget(): Option[GlogCdcOffset] = {
+    val latest = frozenEnd.getOrElse(
+      GraftLogSource.manifestVersions(dir, conf).lastOption.getOrElse(initV))
     val budget = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
     val target =
       if (latest - lastPlanned <= budget) math.max(latest, lastPlanned)
       else lastPlanned + budget // admission: at most `budget` versions/trigger
     if (target > lastPlanned) lastPlanned = target
     if (lastPlanned > initV) Some(new GlogCdcOffset(initV, lastPlanned)) else None
+  }
+
+  override def getOffset: Option[OffsetV1] = nextTarget()
+
+  // SupportsAdmissionControl spelling of the same advance (the engine
+  // prefers this over getOffset once the interface is present): the
+  // budget is the source's own option, so the default read limit
+  // stays allAvailable and `limit` needs no interpretation.
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    if (start != null) { // re-home on the engine's own notion of progress
+      try { val v = versionOf(start); if (v > lastPlanned) lastPlanned = v }
+      catch { case _: IllegalArgumentException => }
+    }
+    nextTarget().orNull
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1)

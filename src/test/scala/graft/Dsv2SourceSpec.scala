@@ -1166,6 +1166,31 @@ class Dsv2SourceSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(nNetBatches.get() == 1L, s"net drain used ${nNetBatches.get()} batches")
     assert(net.get().sorted == feed(1, 8), s"net delta diverged: ${net.get()}")
+    // AvailableNow WITH admission control: the source's native
+    // SupportsTriggerAvailableNow freezes the end and getOffset walks
+    // to it budget-by-budget — paced batches AND termination (the
+    // generic V1 wrapper would have collapsed this into one unbounded
+    // batch)
+    val nPaced = new java.util.concurrent.atomic.AtomicLong()
+    val pacedRows = new java.util.concurrent.atomic.AtomicLong()
+    val q4 = spark.readStream.format("glog").option("path", path)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        nPaced.incrementAndGet()
+        pacedRows.addAndGet(b.count()): Unit
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cdc_ck4").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q4.awaitTermination()
+    assert(nPaced.get() == 7L,
+      s"paced AvailableNow drain used ${nPaced.get()} batches, want 7 (v1..v8)")
+    assert(pacedRows.get() == (1 to 7).map(v => feed(v, v + 1).length).sum,
+      s"paced drain row total diverged: ${pacedRows.get()}")
     // validation is loud: unretained startingVersion; batch spelling
     val e1 = intercept[Exception] {
       val qq = spark.readStream.format("glog").option("path", path)
