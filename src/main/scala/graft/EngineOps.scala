@@ -4311,7 +4311,9 @@ object EngineOps {
         |FROM s ORDER BY vec_id""".stripMargin,
     "eng_mlp_forward" -> mlpOracleSql,
     "eng_lang_id" -> langIdOracleSql,
+    "eng_ema_stateful" -> emaOracleSql,
     "eng_ann_lsh_topk" -> annLshOracleSql,
+    "eng_ann_lsh_pairs" -> annLshPairsOracleSql,
     // exact brute-force cosine top-k: both engines compute the same
     // sequential float→double dot/norms; rank-boundary gaps in the
     // fixed fixture are ≥1e-3 (empirically checked), far above any
@@ -4328,6 +4330,36 @@ object EngineOps {
         |  FROM xe, pr)
         |SELECT id, round(c, 4) AS cosine FROM sc
         |ORDER BY c DESC NULLS LAST, id ASC LIMIT 10""".stripMargin,
+    // SQ8 quantized top-k: the full pipeline replayed — symmetric
+    // int8 codes (absmax/127 scale, round-HALF-EVEN like math.rint,
+    // clamp), code cosine as a ratio of EXACT integer sums (identical
+    // doubles on both engines — no fp-order anywhere), top-50
+    // candidates with id tie-break, exact-cosine re-rank
+    "eng_ann_sq8_topk" ->
+      """WITH xe AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, x,
+        |  list_max(list_transform(x, v -> abs(v))) / 127.0 AS sc FROM xe),
+        |c AS (SELECT vec_id, x,
+        |  CASE WHEN sc > 0 THEN list_transform(x, v ->
+        |         greatest(-127.0, least(127.0, round_even(v / sc, 0))))
+        |       ELSE list_transform(x, v -> 0.0) END AS codes FROM q),
+        |pr AS (SELECT codes AS pc, x AS px FROM c WHERE vec_id = 0),
+        |ac AS (SELECT vec_id AS id, x,
+        |  list_dot_product(codes, pc) AS dot,
+        |  list_dot_product(codes, codes) AS ssq,
+        |  list_dot_product(pc, pc) AS psq
+        |  FROM c, pr WHERE vec_id <> 0),
+        |acos AS (SELECT id, x, CASE WHEN ssq = 0 OR psq = 0 THEN NULL
+        |  ELSE dot / (sqrt(ssq) * sqrt(psq)) END AS a FROM ac),
+        |cand AS (SELECT id, x FROM acos
+        |         ORDER BY a DESC NULLS LAST, id ASC LIMIT 50),
+        |fin AS (SELECT id, list_dot_product(x, px) /
+        |    (sqrt(list_dot_product(x, x)) * sqrt(list_dot_product(px, px))) AS c2
+        |  FROM cand, pr)
+        |SELECT id, round(c2, 4) AS cosine FROM fin
+        |ORDER BY c2 DESC NULLS LAST, id ASC LIMIT 10""".stripMargin,
     // exact φ-heavy-hitters: the Misra-Gries sketch is only the
     // CANDIDATE generator (superset guarantee) — the operator's output
     // is the exact counts over the true hitters, which is plain SQL
@@ -4535,6 +4567,33 @@ object EngineOps {
         |         level NULLS FIRST, trend NULLS FIRST,
         |         forecast NULLS FIRST""".stripMargin)
 
+  /** The eng_ema_stateful oracle: the per-user EMA recurrence
+    * replayed as a DuckDB RECURSIVE CTE (the forecast_holt pattern —
+    * pure double arithmetic folded in the same (ts, event_id) order
+    * on both engines is bit-stable). The decay coefficient is
+    * RENDERED FROM THE RUNTIME DOUBLE (Double.toString(1 - alpha)):
+    * `1 - 0.3` is NOT the double literal `0.7`, and emitting the
+    * rounded literal would drift the fold by an ulp per step. */
+  private def emaOracleSql: String = {
+    val alpha = 0.3
+    val a = alpha.toString
+    val b = (1 - alpha).toString // 0.7000000000000001 — the exact bits
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT user_id, event_id,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY epoch_us(ts), event_id) AS i,
+       |         CAST(value AS DOUBLE) AS v
+       |  FROM events),
+       |fit AS (
+       |  SELECT user_id, event_id, i, v AS ema FROM pts WHERE i = 1
+       |  UNION ALL
+       |  SELECT p.user_id, p.event_id, p.i, $a * p.v + $b * f.ema
+       |  FROM fit f JOIN pts p ON p.user_id = f.user_id AND p.i = f.i + 1)
+       |SELECT user_id, event_id AS eventId, round(ema, 4) AS ema
+       |FROM fit
+       |ORDER BY user_id NULLS FIRST, eventId NULLS FIRST""".stripMargin
+  }
+
   /** The eng_lang_id oracle, generated from the SAME marker lexicons
     * the Spark plan ships (TextFunctions.markerLexicons — the
     * cascadeOracleSql no-drift pattern). Tokenization is the same
@@ -4574,12 +4633,44 @@ object EngineOps {
     * only thing the bucket consumes — agrees exactly; the fixture's
     * dots sit far from 0), candidates = buckets within hamming 3 of
     * the probe's, ranking = exact cosine with id tie-break. */
-  private def annLshOracleSql: String = {
-    val ps = operators.SimilaritySearch.planes(10, 64, 42L)
+  /** LSH bucket id as generated SQL: Σ 2^i over the ±1 hyperplanes
+    * whose dot with `in` is positive — shared by the eng_ann_lsh_topk
+    * and eng_ann_lsh_pairs oracle generators. */
+  private def lshBucketSql(ps: Array[Array[Double]], in: String): String = {
     def lst(v: Array[Double]): String = v.mkString("[", ",", "]")
-    def bucket(in: String): String = ps.zipWithIndex.map { case (p, i) =>
+    ps.zipWithIndex.map { case (p, i) =>
       s"CASE WHEN list_dot_product($in, ${lst(p)}) > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
+  }
+
+  /** The eng_ann_lsh_pairs oracle, generated from the same
+    * planes(8, 64, 42) literals: bucket → size-guarded self-join →
+    * exact cosine ≥ 0.2 → rounded total order, exactly the operator's
+    * pipeline (one hash per vector, so the max-per-pair aggregate is
+    * the identity here and both engines agree on every row). */
+  private def annLshPairsOracleSql: String = {
+    val b = lshBucketSql(operators.SimilaritySearch.planes(8, 64, 42L), "x")
+    s"""WITH xe AS (SELECT vec_id AS id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+       |  FROM embeddings),
+       |bx AS (SELECT id, x, $b AS b FROM xe),
+       |ok AS (SELECT b FROM bx GROUP BY b
+       |       HAVING count(*) >= 2 AND count(*) <= 1024),
+       |g AS (SELECT bx.* FROM bx JOIN ok USING (b)),
+       |pairs AS (SELECT a.id AS id_a, b2.id AS id_b,
+       |  list_dot_product(a.x, b2.x) /
+       |    (sqrt(list_dot_product(a.x, a.x)) *
+       |     sqrt(list_dot_product(b2.x, b2.x))) AS c
+       |  FROM g a JOIN g b2 ON a.b = b2.b AND a.id < b2.id),
+       |agg AS (SELECT id_a, id_b, max(c) AS c FROM pairs GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, round(c, 4) AS cosine FROM agg WHERE c >= 0.2
+       |ORDER BY round(c, 4) DESC NULLS LAST, id_a NULLS FIRST,
+       |         id_b NULLS FIRST LIMIT 50""".stripMargin
+  }
+
+  private def annLshOracleSql: String = {
+    val ps = operators.SimilaritySearch.planes(10, 64, 42L)
+    def bucket(in: String): String = lshBucketSql(ps, in)
     s"""WITH pr AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS p
        |  FROM embeddings WHERE vec_id = 0),
        |pb AS (SELECT ${bucket("p")} AS pbucket, p FROM pr),

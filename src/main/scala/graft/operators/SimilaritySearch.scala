@@ -278,11 +278,16 @@ object SimilaritySearch {
     * and size-cap survival are spec-asserted), so queries need no
     * re-index and the codebook needs no re-fit. Cells within budget
     * are byte-untouched — work is O(appended cells), not O(layout).
-    * A maintenance op like the glog compact/vacuum: not safe under
-    * concurrent queries/appends of the same layout (swap window is
-    * add-new-then-drop-old per cell). Returns cells rewritten.
-    * Reference analog: tools/model_to_flash.py:160-250 slices layers
-    * over 256 KB — never one unbounded blob. */
+    * Driver-side planning is one union branch per BIN: bounded by the
+    * bytes appended since the last compaction divided by the target
+    * (+1 per touched cell), i.e. O(maintenance delta), never
+    * O(layout) — a nightly pass over a 100 TB layout plans only that
+    * day's over-budget cells. A maintenance op like the glog
+    * compact/vacuum: not safe under concurrent queries/appends of the
+    * same layout (swap window is add-new-then-drop-old per cell).
+    * Returns cells rewritten. Reference analog:
+    * tools/model_to_flash.py:160-250 slices layers over 256 KB —
+    * never one unbounded blob. */
   def compactIvfPartitioned(spark: org.apache.spark.sql.SparkSession,
                             path: String, maxFilesPerCell: Int = 1,
                             targetFileBytes: Long = 128L << 20): Int = {
