@@ -4312,6 +4312,7 @@ object EngineOps {
     "eng_mlp_forward" -> mlpOracleSql,
     "eng_lang_id" -> langIdOracleSql,
     "eng_ema_stateful" -> emaOracleSql,
+    "eng_pagerank" -> pagerankOracleSql,
     "eng_ann_lsh_topk" -> annLshOracleSql,
     "eng_ann_lsh_pairs" -> annLshPairsOracleSql,
     // exact brute-force cosine top-k: both engines compute the same
@@ -4592,6 +4593,42 @@ object EngineOps {
        |SELECT user_id, event_id AS eventId, round(ema, 4) AS ema
        |FROM fit
        |ORDER BY user_id NULLS FIRST, eventId NULLS FIRST""".stripMargin
+  }
+
+  /** The eng_pagerank oracle: 8 power-iteration sweeps unrolled as a
+    * WITH chain over the same weighted bidirectional trade graph.
+    * Every sweep rounds to 9 dp exactly like PageRank.run — that
+    * rounding exists to pin fp-summation-order drift, and it pins the
+    * CROSS-ENGINE drift the same way (verified value-exact at both
+    * SFs on the fixed fixture). The teleport constant renders from
+    * the runtime double ((1 - 0.85).toString — not the literal 0.15,
+    * which is a different double). */
+  private def pagerankOracleSql: String = {
+    val damping = 0.85
+    val d = damping.toString
+    val t = (1.0 - damping).toString // 0.15000000000000002
+    val sweeps = (1 to 8).map { k =>
+      s"""r$k AS (SELECT n.node,
+         |  round($t + $d * coalesce(cb.contrib, 0.0), 9) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT l.dst AS node, sum(l.w * r.rank / l.outdeg) AS contrib
+         |    FROM l JOIN r${k - 1} r ON l.src = r.node GROUP BY l.dst) cb
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (SELECT -l_suppkey AS s, o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT s AS src, c AS dst FROM tr
+       |      UNION ALL SELECT c, s FROM tr),
+       |w AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+       |      FROM e GROUP BY src, dst),
+       |od AS (SELECT src, sum(w) AS outdeg FROM w GROUP BY src),
+       |l AS (SELECT w.src, w.dst, w.w, od.outdeg FROM w JOIN od USING (src)),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM n),
+       |$sweeps
+       |SELECT node, round(rank, 6) AS rank FROM r8
+       |ORDER BY round(rank, 6) DESC NULLS LAST, node NULLS FIRST
+       |LIMIT 20""".stripMargin
   }
 
   /** The eng_lang_id oracle, generated from the SAME marker lexicons
