@@ -4313,6 +4313,7 @@ object EngineOps {
     "eng_lang_id" -> langIdOracleSql,
     "eng_ema_stateful" -> emaOracleSql,
     "eng_pagerank" -> pagerankOracleSql,
+    "eng_anomaly_forecast" -> anomalyOracleSql,
     "eng_ann_lsh_topk" -> annLshOracleSql,
     "eng_ann_lsh_pairs" -> annLshPairsOracleSql,
     // exact brute-force cosine top-k: both engines compute the same
@@ -4629,6 +4630,56 @@ object EngineOps {
        |SELECT node, round(rank, 6) AS rank FROM r8
        |ORDER BY round(rank, 6) DESC NULLS LAST, node NULLS FIRST
        |LIMIT 20""".stripMargin
+  }
+
+  /** The eng_anomaly_forecast oracle: the one-step-ahead Holt
+    * residual fold replayed as a RECURSIVE CTE (per-point r9 rounding
+    * replicated via round_even — math.rint is half-even), then the
+    * exact median/MAD calibration and the 5.19-MAD count in plain
+    * SQL (quantile_cont is the same linear-interpolation percentile
+    * Spark's `percentile` computes). Smoothing coefficients render
+    * from the runtime doubles. */
+  private def anomalyOracleSql: String = {
+    val (alpha, beta) = (0.3, 0.1)
+    val (a, a1, b, b1) =
+      (alpha.toString, (1 - alpha).toString, beta.toString, (1 - beta).toString)
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT user_id AS key,
+       |         CAST(trunc(epoch_us(ts) / 86400000000.0) AS BIGINT) AS t,
+       |         sum(value) / count(*) AS v
+       |  FROM events WHERE user_id < 100
+       |  GROUP BY 1, 2),
+       |pts AS (
+       |  SELECT key, v,
+       |         row_number() OVER (PARTITION BY key ORDER BY t, v) AS i,
+       |         count(*) OVER (PARTITION BY key) AS n
+       |  FROM daily),
+       |fit AS (
+       |  SELECT key, i, n, CAST(v AS DOUBLE) AS level,
+       |         CAST(0.0 AS DOUBLE) AS trend, CAST(0.0 AS DOUBLE) AS resid
+       |  FROM pts WHERE i = 1
+       |  UNION ALL
+       |  SELECT p.key, p.i, p.n,
+       |         $a * p.v + $a1 * (f.level + f.trend),
+       |         $b * (($a * p.v + $a1 * (f.level + f.trend)) - f.level)
+       |           + $b1 * f.trend,
+       |         round_even((p.v - (f.level + f.trend)) * 1000000000.0, 0)
+       |           / 1000000000.0
+       |  FROM fit f JOIN pts p ON p.key = f.key AND p.i = f.i + 1),
+       |med AS (SELECT key, quantile_cont(resid, 0.5) AS med
+       |        FROM fit GROUP BY key),
+       |mad AS (SELECT f.key,
+       |          quantile_cont(abs(f.resid - m.med), 0.5) AS mad,
+       |          any_value(m.med) AS med
+       |        FROM fit f JOIN med m ON f.key = m.key GROUP BY f.key)
+       |SELECT f.key AS key, CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(sum(CASE WHEN abs(f.resid - d.med) > 5.19 * d.mad
+       |                      AND d.mad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_anomalies,
+       |       round(max(abs(f.resid)), 4) AS max_abs_resid
+       |FROM fit f JOIN mad d ON f.key = d.key GROUP BY f.key
+       |ORDER BY key NULLS FIRST, n_points NULLS FIRST,
+       |         n_anomalies NULLS FIRST, max_abs_resid NULLS FIRST""".stripMargin
   }
 
   /** The eng_lang_id oracle, generated from the SAME marker lexicons
