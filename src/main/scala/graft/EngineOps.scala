@@ -4316,6 +4316,7 @@ object EngineOps {
     "eng_anomaly_forecast" -> anomalyOracleSql,
     "eng_ann_lsh_topk" -> annLshOracleSql,
     "eng_ann_lsh_pairs" -> annLshPairsOracleSql,
+    "eng_embed_dedup" -> embedDedupOracleSql,
     // exact brute-force cosine top-k: both engines compute the same
     // sequential float→double dot/norms; rank-boundary gaps in the
     // fixed fixture are ≥1e-3 (empirically checked), far above any
@@ -4754,6 +4755,48 @@ object EngineOps {
        |SELECT id_a, id_b, round(c, 4) AS cosine FROM agg WHERE c >= 0.2
        |ORDER BY round(c, 4) DESC NULLS LAST, id_a NULLS FIRST,
        |         id_b NULLS FIRST LIMIT 50""".stripMargin
+  }
+
+  /** The eng_embed_dedup oracle: the planted-copy corpus rebuilt in
+    * SQL (DuckDB FLOAT×FLOAT is the same IEEE float32 multiply Spark
+    * applies — verified bit-exact against numpy), the 4-bit LSH pair
+    * join replayed from the planes(4, 64, 42) literals (derived bits:
+    * 520 vectors / targetBucket 64), and connected components as a
+    * transitive min-label closure (a recursive UNION over the tiny
+    * ≥0.95-cosine pair set — the labels are min member ids, exactly
+    * localUnionFind's representative). All output columns integers. */
+  private def embedDedupOracleSql: String = {
+    val b = lshBucketSql(operators.SimilaritySearch.planes(4, 64, 42L), "x")
+    s"""WITH RECURSIVE dup AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(embedding, e -> e * CAST(1.001 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id < 20),
+       |corpus AS (SELECT vec_id, embedding FROM embeddings
+       |           UNION ALL SELECT vec_id, embedding FROM dup),
+       |xe AS (SELECT vec_id AS id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM corpus),
+       |bx AS (SELECT id, x, $b AS bk FROM xe),
+       |ok AS (SELECT bk FROM bx GROUP BY bk
+       |       HAVING count(*) >= 2 AND count(*) <= 1024),
+       |g AS (SELECT bx.* FROM bx JOIN ok USING (bk)),
+       |pairs AS (SELECT a.id AS id_a, b2.id AS id_b,
+       |  list_dot_product(a.x, b2.x) /
+       |    (sqrt(list_dot_product(a.x, a.x)) *
+       |     sqrt(list_dot_product(b2.x, b2.x))) AS c
+       |  FROM g a JOIN g b2 ON a.bk = b2.bk AND a.id < b2.id),
+       |agg AS (SELECT id_a, id_b FROM (
+       |          SELECT id_a, id_b, max(c) AS c FROM pairs GROUP BY id_a, id_b)
+       |        WHERE c >= 0.95),
+       |und AS (SELECT id_a AS a, id_b AS b FROM agg
+       |        UNION SELECT id_b, id_a FROM agg),
+       |nodes AS (SELECT DISTINCT a AS node FROM und),
+       |reach AS (SELECT node, node AS lab FROM nodes
+       |          UNION SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node),
+       |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(node) AS BIGINT) AS id_sum
+       |FROM comp GROUP BY cluster
+       |ORDER BY cluster NULLS FIRST, n_members NULLS FIRST,
+       |         id_sum NULLS FIRST""".stripMargin
   }
 
   private def annLshOracleSql: String = {
