@@ -260,15 +260,18 @@ object SimilaritySearch {
     * layout: [[appendToIvfPartitioned]] adds one parquet file per
     * touched cell per delta batch, so after N daily deltas a cell
     * holds ~N small files and scan cost degrades to open/seek
-    * overhead. A cell is over budget when it holds more data files
-    * than max(`maxFilesPerCell`, the bin count a `targetFileBytes`
-    * packing needs); every over-budget cell is rewritten into
-    * SIZE-CAPPED files — `ceil(cellBytes / targetFileBytes)`-ish via
-    * deterministic first-fit-decreasing packing ([[packBins]]) —
-    * never one unbounded blob: the cell count is fixed by the
-    * codebook, so at 100 TB a cell holds ~corpus/nCells bytes and a
-    * single-file rewrite would funnel hundreds of GB through one
-    * task AND strip the cell's scans of intra-cell parallelism.
+    * overhead. A cell holding more than `maxFilesPerCell` data files
+    * bin-packs under `targetFileBytes` (deterministic
+    * first-fit-decreasing, [[packBins]]) and rewrites ONLY the
+    * multi-file bins into SIZE-CAPPED files — never one unbounded
+    * blob (the cell count is fixed by the codebook, so at 100 TB a
+    * cell holds ~corpus/nCells bytes and a single-file rewrite would
+    * funnel hundreds of GB through one task AND strip the cell's
+    * scans of intra-cell parallelism), and never a re-read of a
+    * singleton bin: a file that packs with nothing (a previous
+    * pass's already-capped output) stays byte-untouched, so the
+    * steady-state nightly pass costs O(bytes appended since the last
+    * pass), not O(cell bytes).
     * All over-budget cells compact in ONE Spark job (a union of
     * per-bin coalesced reads — one task per output file, no shuffle,
     * parallel across cells and across bins within a cell; the same
@@ -301,14 +304,25 @@ object SimilaritySearch {
       s.isDirectory && s.getPath.getName.startsWith("cell="))
       .sortBy(_.getPath.getName)
     // plan (driver-side, O(listing)): per over-budget cell, the FFD
-    // bins its files pack into under the byte budget
+    // bins its files pack into under the byte budget — but only
+    // MULTI-FILE bins rewrite. A singleton bin is a file that packs
+    // with nothing (typically a previous pass's already-capped
+    // output): re-reading it would make every nightly pass O(cell
+    // bytes) instead of O(bytes appended since the last pass), and
+    // consolidating it buys no file-count reduction.
     val plans = cells.flatMap { c =>
       val parts = dataFiles(c.getPath)
-      val bins = packBins(
-        parts.map(p => p.getPath.getName -> p.getLen).toSeq, targetFileBytes)
-      if (parts.length > math.max(maxFilesPerCell, bins.length))
-        Some((c.getPath, parts, bins))
-      else None
+      if (parts.length <= maxFilesPerCell) None
+      else {
+        val bins = packBins(
+          parts.map(p => p.getPath.getName -> p.getLen).toSeq, targetFileBytes)
+          .filter(_.length > 1)
+        if (bins.isEmpty) None
+        else {
+          val rewriting = bins.flatten.toSet
+          Some((c.getPath, parts.filter(p => rewriting(p.getPath.getName)), bins))
+        }
+      }
     }
     if (plans.isEmpty) return 0
     val tmp = new org.apache.hadoop.fs.Path(dir, ".compact-tmp")

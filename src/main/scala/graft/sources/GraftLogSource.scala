@@ -480,12 +480,18 @@ object GraftLogSource {
     * directory or written by pre-round-13 code (unknown →
     * conservatively kept by every predicate).
     *
-    * Line format (TAB-separated, back-compatible): `name`,
-    * `name ts ts` (legacy), or `name ts ts uid uid etypes` with `-`
-    * for an unknown numeric pair and `*` for an unknown dictionary
-    * (etypes comma-joined — a type containing a comma, TAB or
-    * newline is never dictionarized; the writer already rejects
-    * TAB/newline in data). */
+    * Line format (TAB-separated): `name`, `name ts ts` (legacy), or
+    * `name ts ts uid uid etypes` with `-` for an unknown numeric
+    * pair and `*` for an unknown dictionary (etypes comma-joined — a
+    * type the join cannot represent exactly, i.e. one containing a
+    * comma or the empty string, degrades the dictionary to unknown;
+    * the writer already rejects TAB/newline in data). Compatibility
+    * is NEW-READS-OLD: round-13+ readers parse every older form, but
+    * a pre-round-13 reader cannot parse a stats-bearing line (it
+    * fails loudly as a missing-file name, like every prior manifest
+    * format extension — the delta records, the checkpoint header);
+    * rolling BACK the library below a table's writer version is not
+    * a supported operation. */
   case class ManifestEntry(name: String, tsRange: Option[(Long, Long)],
       uidRange: Option[(Long, Long)] = None,
       etypes: Option[Seq[String]] = None) {
@@ -497,7 +503,9 @@ object GraftLogSource {
       else {
         def num(r: Option[(Long, Long)]): String =
           r.map { case (a, b) => s"$a\t$b" }.getOrElse("-\t-")
-        val et = etypes.map(_.mkString(",")).getOrElse("*")
+        // an empty dictionary is unrepresentable in the comma join
+        // (and means "stats unknown", never "file holds no types")
+        val et = etypes.filter(_.nonEmpty).map(_.mkString(",")).getOrElse("*")
         s"$name\t${num(tsRange)}\t${num(uidRange)}\t$et"
       }
   }
@@ -508,7 +516,8 @@ object GraftLogSource {
       case Array(n, a, b) => ManifestEntry(n, pair(a, b))
       case Array(n, a, b, c, d, et) =>
         ManifestEntry(n, pair(a, b), pair(c, d),
-          if (et == "*") None else Some(et.split(',').toSeq.filter(_.nonEmpty)))
+          Some(et.split(',').toSeq.filter(_.nonEmpty))
+            .filter(s => et != "*" && s.nonEmpty))
       case _ => ManifestEntry(line, None)
     }
   }
@@ -831,6 +840,25 @@ object GraftLogSource {
          catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false })
   }
 
+  /** Write `content` to a dot-temp beside `dst` and publish it via
+    * [[publishIfAbsent]] — the shared atomic publish-once-text
+    * primitive behind vacuum's checkpoint sidecar, the streaming
+    * sink's epoch version sidecar, and the CDC stream's start marker.
+    * On a lost race the temp is removed (every caller's content is a
+    * pure function of the destination, so the winner wrote the same
+    * thing). Returns whether THIS call published. */
+  private[graft] def publishTextIfAbsent(fs: FileSystem, dst: Path,
+      content: String): Boolean = {
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val won = publishIfAbsent(fs, tmp, dst)
+    if (!won) fs.delete(tmp, false): Unit
+    won
+  }
+
   /** Thrown when a manifest transform finds another writer already
     * swapped out files this commit was about to replace (two DELETEs
     * rewriting the same file, a compact racing a DELETE): the loser
@@ -905,13 +933,22 @@ object GraftLogSource {
 
   /** Grace window [[vacuum]] applies before unlinking an unreferenced
     * file: only orphans OLDER than this (by modification time) are
-    * reclaimed, so a concurrent commit's just-renamed,
+    * reclaimed, so a concurrent commit's just-claimed,
     * not-yet-CAS'd files — which look orphaned for the instant
     * between their claim and their manifest CAS — survive a racing
-    * vacuum (the Delta/Iceberg retention-interval pattern). 10
-    * minutes dwarfs any claim→CAS window by orders of magnitude;
-    * `graceMs = 0` is the explicit I-know-nothing-is-in-flight
-    * spelling for controlled maintenance. */
+    * vacuum (the Delta/Iceberg retention-interval pattern).
+    * [[renameStagedIn]] RE-STAMPS each file's mtime at claim time
+    * (rename/hard-link preserve the temp's write-finish time, which
+    * for a straggler-delayed job can be arbitrarily old), so the
+    * clock the grace measures really is claim→CAS — a window of
+    * milliseconds that 10 minutes dwarfs. Still-STAGED `.inprogress`
+    * temps of a job that runs longer than the grace can be reclaimed
+    * by a concurrent vacuum: that job then fails LOUDLY at commit
+    * (claim of a missing temp) and re-runs — never silent corruption;
+    * size graceMs above the longest expected write job when vacuums
+    * run concurrent with ingest. `graceMs = 0` is the explicit
+    * I-know-nothing-is-in-flight spelling for controlled
+    * maintenance. */
   val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
 
   /** Reclaim files no retained snapshot references: data files outside
@@ -949,14 +986,9 @@ object GraftLogSource {
     val minRetained = retained.head
     if (!fs.exists(checkpointPath(dir, minRetained))) {
       val entries = resolveEntries(dir, conf, minRetained)
-      val tmp = new Path(metaDir(dir),
-        s".checkpoint-${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(entries.map(_.line).mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!publishIfAbsent(fs, tmp, checkpointPath(dir, minRetained)))
-        fs.delete(tmp, false): Unit // a racing vacuum wrote the same content
+      // a lost race means a racing vacuum published the same content
+      publishTextIfAbsent(fs, checkpointPath(dir, minRetained),
+        entries.map(_.line).mkString("", "\n", "\n")): Unit
     }
     val listing =
       (try fs.listStatus(dir)
@@ -1001,28 +1033,44 @@ object GraftLogSource {
     *   .option("changeFeedFrom", a).option("changeFeedTo", b).load()`
     * — rewritten to this plan by graft.plans.GraftExtensions. */
   /** Memo of the change feed's manifest diff, keyed by
-    * (qualified dir, from, to) WITHIN a session: committed versions
-    * are IMMUTABLE, so the name diff never changes once resolved —
-    * without this, repeated re-analysis of plans referencing a feed
-    * (the ChangeFeedRewrite resolution rule fires per analysis pass)
-    * and every streaming CDC micro-batch would re-resolve two
-    * manifest chains (O(live files) text) per touch. Driver-side,
-    * bounded LRU per session (a deleted-and-recreated directory
-    * restarts version numbering, so the memo must not outlive the
-    * session that observed the old generation) — the analyzer-rule
-    * twin of the stream's add-list memo. */
+    * (qualified dir, from, to, to-manifest identity) WITHIN a
+    * session: committed versions are IMMUTABLE, so the name diff
+    * never changes once resolved — without this, repeated re-analysis
+    * of plans referencing a feed (the ChangeFeedRewrite resolution
+    * rule fires per analysis pass) and every streaming CDC
+    * micro-batch would re-resolve two manifest chains (O(live files)
+    * text) per touch. The identity component — (mtime, len) of the
+    * `to` version's manifest/checkpoint file, one getFileStatus — is
+    * what makes a DELETED-AND-RECREATED directory (version numbering
+    * restarts, names can recur) miss instead of serving the old
+    * generation's diff; per-session WeakHashMap scoping additionally
+    * bounds lifetime. The analyzer-rule twin of the stream's
+    * add-list memo. */
+  private type FeedDiffKey = (String, Long, Long, Long)
   private val feedDiffMemos = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.LinkedHashMap[(String, Long, Long), (Set[String], Set[String])]]())
+      java.util.LinkedHashMap[FeedDiffKey, (Set[String], Set[String])]]())
   private def feedDiffMemo(spark: SparkSession)
-      : java.util.LinkedHashMap[(String, Long, Long), (Set[String], Set[String])] =
+      : java.util.LinkedHashMap[FeedDiffKey, (Set[String], Set[String])] =
     feedDiffMemos.computeIfAbsent(spark, _ =>
-      new java.util.LinkedHashMap[(String, Long, Long), (Set[String], Set[String])](
+      new java.util.LinkedHashMap[FeedDiffKey, (Set[String], Set[String])](
           64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long, Long), (Set[String], Set[String])])
+            e: java.util.Map.Entry[FeedDiffKey, (Set[String], Set[String])])
             : Boolean = size() > 256
       })
+
+  /** Identity of a committed version's metadata file for the memo key
+    * (manifest, else the checkpoint sidecar a vacuum may have left as
+    * the only resolvable form): mtime ⊕ length. -1 = not found — the
+    * caller skips caching and lets resolution fail loudly. */
+  private def manifestIdentity(fs: FileSystem, dir: Path, v: Long): Long = {
+    def statOf(p: Path): Option[Long] =
+      try { val s = fs.getFileStatus(p); Some(s.getModificationTime ^ s.getLen) }
+      catch { case _: java.io.FileNotFoundException => None }
+    statOf(manifestPath(dir, v)).orElse(statOf(checkpointPath(dir, v)))
+      .getOrElse(-1L)
+  }
 
   def changeFeed(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame = {
@@ -1031,18 +1079,22 @@ object GraftLogSource {
     import org.apache.spark.sql.functions.{col, lit}
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
-    val key = (censusKey(dir, fsFor(dir, conf)), fromVersion, toVersion)
+    val fs = fsFor(dir, conf)
+    val ident = manifestIdentity(fs, dir, toVersion)
+    val key = (censusKey(dir, fs), fromVersion, toVersion, ident)
     val memo = feedDiffMemo(spark)
-    val (a, b) = memo.synchronized {
-      val got = memo.get(key)
-      if (got != null) got
-      else {
-        val computed = (
-          liveSnapshot(dir, conf, Some(fromVersion)).get._2.toSet,
-          liveSnapshot(dir, conf, Some(toVersion)).get._2.toSet)
-        memo.put(key, computed): Unit
-        computed
-      }
+    // resolve OUTSIDE the monitor: a miss pays two manifest-chain
+    // reads (filesystem IO), and holding the lock through them would
+    // serialize every concurrent feed/CDC planning in the session; a
+    // rare duplicate resolve on a race is harmless (versions are
+    // immutable)
+    val cached = memo.synchronized(Option(memo.get(key)))
+    val (a, b) = cached.getOrElse {
+      val computed = (
+        liveSnapshot(dir, conf, Some(fromVersion)).get._2.toSet,
+        liveSnapshot(dir, conf, Some(toVersion)).get._2.toSet)
+      if (ident != -1L) memo.synchronized(memo.put(key, computed)): Unit
+      computed
     }
     val dataCols = SchemaFixed.fieldNames.map(col).toSeq
     def rowsOf(version: Long, names: Set[String]) = spark.read
@@ -1096,9 +1148,17 @@ object GraftLogSource {
         else {
           val name = fileName(nextIdx, m.min, m.max)
           nextIdx += 1
-          if (publishIfAbsent(fs, new Path(m.tempPath), new Path(dir, name)))
+          if (publishIfAbsent(fs, new Path(m.tempPath), new Path(dir, name))) {
+            // restart the vacuum grace clock at CLAIM time: rename and
+            // hard-link both preserve the temp's write-finish mtime,
+            // so a straggler-delayed job's files would otherwise look
+            // older than the grace window during the short
+            // claim→manifest-CAS gap vacuum's grace exists to protect
+            try fs.setTimes(new Path(dir, name),
+              System.currentTimeMillis(), -1): Unit
+            catch { case _: UnsupportedOperationException => }
             done += ManifestEntry(name, m.tsRange, m.uidRange, m.etypesOpt)
-          else { collided = true; remaining :+= m }
+          } else { collided = true; remaining :+= m }
         }
       }
     }
@@ -1558,13 +1618,7 @@ private[graft] class GlogChangeFeedSource(spark: SparkSession, path: String,
         case None => vs.max
       }
       fs.mkdirs(marker.getParent): Unit
-      val tmp = new Path(marker.getParent,
-        s".graft-cdc-start.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!GraftLogSource.publishIfAbsent(fs, tmp, marker))
-        fs.delete(tmp, false): Unit
+      GraftLogSource.publishTextIfAbsent(fs, marker, s"$v\n"): Unit
       readBack()
     }
   }
@@ -2887,15 +2941,10 @@ private[graft] class GlogStreamingWrite(path: String, schema: StructType)
       GraftLogSource.commitManifest(dir, conf)(live => live ++ entries)
     // publish the committed version as the immutable sidecar — the
     // replay's primary commit proof; the marker is never rewritten
-    // after the CAS (see [[versionSidecar]])
-    val scTmp = new Path(GraftLogSource.metaDir(dir),
-      s"._epoch-$epochId.version.${java.util.UUID.randomUUID()}.tmp")
-    val scOut = fs.create(scTmp, true)
-    try scOut.write(s"$committedV\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally scOut.close()
-    if (!GraftLogSource.publishIfAbsent(fs, scTmp, versionSidecar(dir, epochId)))
-      fs.delete(scTmp, false): Unit // already proven by an earlier attempt
+    // after the CAS (see [[versionSidecar]]). A lost race means an
+    // earlier attempt already proved this epoch.
+    GraftLogSource.publishTextIfAbsent(fs, versionSidecar(dir, epochId),
+      s"$committedV\n"): Unit
     // GC dead markers + sidecars: epochs below this one can never
     // replay once this commit was invoked (the engine checkpoints
     // batch N-1 before asking the sink to commit batch N)
@@ -2961,7 +3010,12 @@ private[sources] class GlogStatsAcc {
     if (uid < uidMin) uidMin = uid
     if (uid > uidMax) uidMax = uid
     if (!overflow) {
-      if (etype.indexOf(',') >= 0) overflow = true
+      // a type the comma-joined encoding cannot represent EXACTLY
+      // (separator inside it, or the empty string — which a join
+      // silently erases) degrades the whole dictionary to unknown:
+      // an exact-dictionary claim missing a real value would both
+      // mis-prune reads and mis-prove full-coverage DELETEs
+      if (etype.isEmpty || etype.indexOf(',') >= 0) overflow = true
       else {
         set += etype
         if (set.size > GraftLogSource.EtypeDictCap) overflow = true

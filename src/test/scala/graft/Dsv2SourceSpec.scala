@@ -1770,6 +1770,33 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(GraftLogSource.tsMicrosOf(pre).contains(-1500000L))
   }
 
+  test("change-feed diff memo misses on a recreated directory at the same path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cfm").toFile
+    val path = dir.getAbsolutePath
+    import spark.implicits._
+    def build(rows: Seq[(Long, Double)]): Unit = rows.foreach { case (id, v) =>
+      Seq((id, new java.sql.Timestamp(1000L * id), id, "click", v, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.format("glog").option("path", path)
+        .mode("append").save()
+    }
+    def feedIds(): Seq[Long] = GraftLogSource.changeFeed(spark, path, 1, 2)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    build(Seq((1L, 1.0), (2L, 2.0)))            // generation 1: v1, v2
+    assert(feedIds() == Seq(2L))                // memo now holds (path,1,2)
+    // destroy and rebuild at the SAME path with DIFFERENT data —
+    // version numbering restarts, so a stale per-path memo would plan
+    // the new feed against the old generation's file names
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(dir)
+    build(Seq((7L, 7.0), (8L, 8.0)))            // generation 2: v1, v2
+    assert(feedIds() == Seq(8L),
+      "stale change-feed memo served the old generation's diff")
+  }
+
   test("vacuum grace window: a racing in-flight commit survives; aged orphans reclaim") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_vgrace").toFile
@@ -1799,6 +1826,22 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // the slow commit completes; its rows are intact
     GraftLogSource.commitManifest(p, conf)(live => live ++ inFlight): Unit
     assert(spark.read.format("glog").option("path", path).load().count() == 2)
+    // the grace clock starts at CLAIM, not at task write-finish:
+    // rename/hard-link preserve the temp's mtime, so a straggler-aged
+    // temp claimed NOW must still survive a racing default-grace
+    // vacuum — renameStagedIn restamps it
+    val wOld = stage(9L)
+    val tempPath = { // the staged temp (GlogCommit is package-private)
+      val m = wOld.getClass.getMethod("tempPath")
+      new java.io.File(m.invoke(wOld).asInstanceOf[String])
+    }
+    assert(tempPath.setLastModified(
+      System.currentTimeMillis() - GraftLogSource.DefaultVacuumGraceMs - 60000L))
+    val claimedOld = GraftLogSource.renameStagedIn(p, conf, Array(wOld))
+    assert(GraftLogSource.vacuum(path) == 0,
+      "vacuum reclaimed a freshly-claimed file with an old write mtime")
+    GraftLogSource.commitManifest(p, conf)(live => live ++ claimedOld): Unit
+    assert(spark.read.format("glog").option("path", path).load().count() == 3)
     // a genuinely AGED orphan (mtime pushed past the grace window) is
     // reclaimed by the same default-grace vacuum
     val w3 = stage(3L)
@@ -1808,7 +1851,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
       System.currentTimeMillis() - GraftLogSource.DefaultVacuumGraceMs - 60000L))
     assert(GraftLogSource.vacuum(path) == 1, "aged orphan not reclaimed")
     assert(!f.exists())
-    assert(spark.read.format("glog").option("path", path).load().count() == 2)
+    assert(spark.read.format("glog").option("path", path).load().count() == 3)
   }
 
   test("manifest user_id/event_type stats prune at planning; full coverage deletes unopened") {
@@ -1869,6 +1912,34 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val live = GraftLogSource.listCommitted(p, conf, Seq.empty)
       ._1.map(_.getPath.getName).toSeq
     assert(live == Seq(names(1)), live.mkString(","))
+    // an event_type the comma-joined dictionary cannot represent
+    // EXACTLY (empty string / embedded comma) degrades the whole
+    // dictionary to unknown — an "exact" dictionary missing a real
+    // value would mis-prune reads and mis-prove full-coverage DELETEs
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_glog_et").toFile
+    val w2 = new graft.sources.GlogWriterFactory(dir2.getAbsolutePath)
+      .createWriter(0, 1L)
+    Seq((1L, ""), (2L, "click")).foreach { case (id, et) =>
+      w2.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString(et), 1.0,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+    }
+    new graft.sources.GlogBatchWrite(dir2.getAbsolutePath,
+      GraftLogSource.SchemaFixed, truncateFirst = false)
+      .commit(Array(w2.commit()))
+    val p2 = new Path(dir2.getAbsolutePath)
+    val ent = GraftLogSource.liveEntries(p2, conf).get._2.head
+    assert(ent.etypes.isEmpty, s"unrepresentable type dictionarized: $ent")
+    // the ''-typed row stays readable under its own predicate…
+    assert(spark.read.format("glog").option("path", dir2.getAbsolutePath)
+      .load().filter(col("event_type") === "").count() == 1)
+    // …and DELETE of the other type must NOT claim full coverage
+    GraftLogSource.deleteMatching(p2,
+      Array[Filter](EqualTo("event_type", "click")))
+    assert(spark.read.format("glog").option("path", dir2.getAbsolutePath)
+      .load().count() == 1, "full-coverage mis-proof destroyed rows")
+
     // entry line format: full stats round-trip; legacy forms parse
     val full = GraftLogSource.ManifestEntry("f.glog", Some((1L, 2L)),
       Some((10L, 20L)), Some(Seq("a", "b")))

@@ -288,6 +288,24 @@ class SimilaritySearchSpec extends AnyFunSuite {
     // idempotent: the packed layout is within budget
     assert(SimilaritySearch.compactIvfPartitioned(
       spark, s"$tmp/idx", maxFilesPerCell = 1, targetFileBytes = target) == 0)
+    // steady state: a further small append repacks only the NEW tail —
+    // files that pack with nothing (previous passes' capped outputs)
+    // are never re-read or rewritten, so nightly maintenance costs
+    // O(bytes appended), not O(cell bytes)
+    val capped = after.map(f => f.toString -> java.nio.file.Files.size(f)).toMap
+    SimilaritySearch.appendToIvfPartitioned(spark,
+      emb.filter(col("vec_id") % 16 === 2), "vec_id", "embedding",
+      s"$tmp/idx"): Unit
+    val preTopk2 = topk()
+    SimilaritySearch.compactIvfPartitioned(spark, s"$tmp/idx",
+      maxFilesPerCell = 1, targetFileBytes = target): Unit
+    val after2 = files().map(f => f.toString -> java.nio.file.Files.size(f)).toMap
+    val survivors = capped.keySet.intersect(after2.keySet)
+    assert(survivors.nonEmpty,
+      s"every previously-capped file was rewritten: ${capped.keySet}")
+    assert(survivors.forall(k => capped(k) == after2(k)),
+      "a surviving capped file changed size")
+    assert(topk() == preTopk2, "steady-state compaction changed top-k")
     // packBins unit invariants: deterministic, byte-capped, lone bin
     // for an over-target file
     val bins = SimilaritySearch.packBins(
