@@ -4313,6 +4313,8 @@ object EngineOps {
     "eng_lang_id" -> langIdOracleSql,
     "eng_ema_stateful" -> emaOracleSql,
     "eng_pagerank" -> pagerankOracleSql,
+    "eng_bm25_topk" -> bm25OracleSql,
+    "eng_hybrid_search" -> hybridOracleSql,
     "eng_anomaly_forecast" -> anomalyOracleSql,
     "eng_ann_lsh_topk" -> annLshOracleSql,
     "eng_ann_lsh_pairs" -> annLshPairsOracleSql,
@@ -4596,6 +4598,71 @@ object EngineOps {
        |FROM fit
        |ORDER BY user_id NULLS FIRST, eventId NULLS FIRST""".stripMargin
   }
+
+  /** The eng_bm25_topk oracle: corpus stats (df per query term, avg
+    * token length over the SAME whitespace tokenization — empties
+    * included, verified parity with TextTokens.split), the Lucene idf
+    * ln((N−df+0.5)/(df+0.5)+1) computed in SQL, and the per-term
+    * scores summed in the operator's left-to-right order. Constants
+    * render from the runtime doubles (k1+1, 1−b). The only libm
+    * crossing is ln — a 1-ulp divergence sits ~6 orders of magnitude
+    * under the 6-dp rounding (verified value-exact at both SFs). */
+  /** The raw-BM25-score CTE block (tc/cnt/st/sc — `sc` holds
+    * (id, s)) shared by the bm25 and hybrid oracles. */
+  private def bm25ScoreCtes: String = {
+    val terms = bm25Terms
+    val (k1, b) = (1.2, 0.75)
+    val cnts = terms.indices.map(i =>
+      s"len(list_filter(tk, t -> t = '${terms(i)}')) AS c$i").mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN c$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      s"(ln((st.n - st.df$i + 0.5) / (st.df$i + 0.5) + 1.0) * " +
+        s"(CAST(c$i AS DOUBLE) * ${(k1 + 1.0).toString}) / " +
+        s"(CAST(c$i AS DOUBLE) + ${k1.toString} * (${(1 - b).toString} + " +
+        s"${b.toString} * CAST(dl AS DOUBLE) / st.avgdl)))"
+    }.mkString(" + ") // left-to-right like terms.reduce(_ + _)
+    s"""tc AS (SELECT doc_id AS id,
+       |  string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+       |cnt AS (SELECT id, len(tk) AS dl, $cnts FROM tc),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  avg(CAST(dl AS DOUBLE)) AS avgdl, $dfs FROM cnt),
+       |sc AS (SELECT id, $score AS s FROM cnt, st)""".stripMargin
+  }
+
+  private def bm25OracleSql: String =
+    s"""WITH $bm25ScoreCtes
+       |SELECT id, round(s, 6) AS bm25 FROM sc WHERE s > 0.0
+       |ORDER BY round(s, 6) DESC NULLS LAST, id ASC LIMIT 15""".stripMargin
+
+  /** The eng_hybrid_search oracle: both retriever runs replayed (the
+    * r6-rounded BM25 top-50 and the raw-cosine dense top-50), 1-based
+    * ranks re-derived per run with the same (score desc, id)
+    * tie-break, and the RRF sum Σ 1/(60+rank) — two commutative
+    * terms, no fp-order — rounded to 6 dp. */
+  private def hybridOracleSql: String =
+    s"""WITH $bm25ScoreCtes,
+       |lex AS (SELECT id, round(s, 6) AS s FROM sc WHERE s > 0.0
+       |        ORDER BY round(s, 6) DESC NULLS LAST, id ASC LIMIT 50),
+       |lexr AS (SELECT id, row_number() OVER (
+       |           ORDER BY s DESC NULLS LAST, id ASC) AS rank FROM lex),
+       |pr AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS p
+       |       FROM embeddings WHERE vec_id = 0),
+       |xe AS (SELECT vec_id AS id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |dsc AS (SELECT id, list_dot_product(x, p) /
+       |    (sqrt(list_dot_product(x, x)) * sqrt(list_dot_product(p, p))) AS s
+       |  FROM xe, pr),
+       |den AS (SELECT id, s FROM dsc
+       |        ORDER BY s DESC NULLS LAST, id ASC LIMIT 50),
+       |denr AS (SELECT id, row_number() OVER (
+       |           ORDER BY s DESC NULLS LAST, id ASC) AS rank FROM den),
+       |u AS (SELECT id, rank FROM lexr UNION ALL SELECT id, rank FROM denr)
+       |SELECT id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+       |       CAST(count(*) AS BIGINT) AS n_runs
+       |FROM u GROUP BY id
+       |ORDER BY rrf_score DESC NULLS LAST, id ASC LIMIT 15""".stripMargin
 
   /** The eng_pagerank oracle: 8 power-iteration sweeps unrolled as a
     * WITH chain over the same weighted bidirectional trade graph.
