@@ -4315,6 +4315,7 @@ object EngineOps {
     "eng_pagerank" -> pagerankOracleSql,
     "eng_bm25_topk" -> bm25OracleSql,
     "eng_hybrid_search" -> hybridOracleSql,
+    "eng_lm_score" -> lmScoreOracleSql,
     "eng_anomaly_forecast" -> anomalyOracleSql,
     "eng_ann_lsh_topk" -> annLshOracleSql,
     "eng_ann_lsh_pairs" -> annLshPairsOracleSql,
@@ -4607,6 +4608,40 @@ object EngineOps {
     * render from the runtime doubles (k1+1, 1−b). The only libm
     * crossing is ln — a 1-ulp divergence sits ~6 orders of magnitude
     * under the 6-dp rounding (verified value-exact at both SFs). */
+  /** The eng_lm_score oracle: the trigram model TRAINED in SQL (same
+    * char trigrams over lowercased text, same Laplace smoothing, the
+    * same (count desc, tri) vocab tie-break) and the per-doc mean
+    * log-prob with the OOV floor — the compiled kernel's relational
+    * parity spelling, which LmScoreSpec already pins the kernel to.
+    * ln is the only libm crossing; the per-lang report rounds to
+    * 4 dp and the -7.2 gate sits far from every score. */
+  private val lmScoreOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+      |           WHERE length(text) >= 3),
+      |tg AS (SELECT doc_id, lang,
+      |  unnest(list_transform(range(1, length(t) - 1),
+      |    i -> substr(t, CAST(i AS INT), 3))) AS tri FROM d),
+      |cnts AS (SELECT lang, tri, count(*) AS c FROM tg GROUP BY lang, tri),
+      |tot AS (SELECT lang, sum(c) AS total, count(*) AS vocab
+      |        FROM cnts GROUP BY lang),
+      |model AS (SELECT c.lang, c.tri,
+      |  ln((c.c + 1.0) / (t.total + t.vocab)) AS logp,
+      |  ln(1.0 / (t.total + t.vocab)) AS fl,
+      |  row_number() OVER (PARTITION BY c.lang
+      |                     ORDER BY c.c DESC, c.tri) AS rn
+      |  FROM cnts c JOIN tot t USING (lang)),
+      |m AS (SELECT lang, tri, logp, fl FROM model WHERE rn <= 4096),
+      |floors AS (SELECT lang, min(fl) AS lang_floor FROM m GROUP BY lang),
+      |sc AS (SELECT tg.doc_id, tg.lang,
+      |         avg(coalesce(m2.logp, floors.lang_floor)) AS s
+      |       FROM tg JOIN floors USING (lang)
+      |            LEFT JOIN m m2 ON m2.lang = tg.lang AND m2.tri = tg.tri
+      |       GROUP BY tg.doc_id, tg.lang)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(avg(s), 4) AS mean_score,
+      |       CAST(count(CASE WHEN s < -7.2 THEN 1 END) AS BIGINT) AS n_below
+      |FROM sc GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   /** The raw-BM25-score CTE block (tc/cnt/st/sc — `sc` holds
     * (id, s)) shared by the bm25 and hybrid oracles. */
   private def bm25ScoreCtes: String = {
