@@ -578,8 +578,12 @@ object EngineOps {
     }
     val compactOk = topk(comp) == topk(fullPath) && filesAfter < filesBefore
     deleteRecursively(java.nio.file.Paths.get(comp))
+    // the cap carries the SAME 1.5× slack the spec allows: bins pack
+    // by INPUT byte sums, and re-encoding/compression can legitimately
+    // exceed the target a little — a strict <= would flake at larger
+    // SFs where a bin lands near the boundary
     Seq((filesBefore, filesAfter, cellsRewritten, compactOk,
-        maxFileBytes <= target))
+        maxFileBytes <= target * 3 / 2))
       .toDF("delta_files", "compact_files", "cells_rewritten", "ok",
         "size_capped")
   }
@@ -3249,16 +3253,36 @@ object EngineOps {
     import spark.implicits._
     import graft.sources.GraftLogSource
     val (path, nHigh, nTop, nTiny) = ensureChangeFeedFixture(spark, dir)
-    def census(feed: DataFrame, name: String,
-        wantIns: Long, wantDel: Long): (String, Long, Long, Boolean) = {
-      val m = feed.groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val (ins, del) = (m.getOrElse("insert", 0L), m.getOrElse("delete", 0L))
-      (name, ins, del, ins == wantIns && del == wantDel)
+    // the `to` endpoint's commit time — the manifest file's mtime, the
+    // same clock TIMESTAMP AS OF resolves against — for the
+    // _commit_timestamp census below
+    def commitMs(v: Long): Long = {
+      val d = GraftLogSource.resolveDir(path)
+      GraftLogSource.fsFor(d, GraftLogSource.driverHadoopConf())
+        .getFileStatus(GraftLogSource.manifestPath(d, v)).getModificationTime
+    }
+    // one pass per stage: change-type counts PLUS the CDC metadata
+    // census — every row must stamp the range's `to` endpoint
+    // (_commit_version == to, one distinct _commit_timestamp equal to
+    // that manifest's commit mtime; the Delta-CDF attribution contract)
+    def census(feed: DataFrame, name: String, to: Long,
+        wantIns: Long, wantDel: Long): (String, Long, Long, Boolean, Boolean) = {
+      val r = feed.agg(
+        count(when(col("_change_type") === "insert", 1)).as("ins"),
+        count(when(col("_change_type") === "delete", 1)).as("del"),
+        countDistinct(col("_commit_version")).as("nv"),
+        min(col("_commit_version")).as("v"),
+        countDistinct(col("_commit_timestamp")).as("nt"),
+        min(col("_commit_timestamp")).as("t")).collect()(0)
+      val (ins, del) = (r.getLong(0), r.getLong(1))
+      val metaOk = r.getLong(2) == 1L && r.getLong(3) == to &&
+        r.getLong(4) == 1L && r.getTimestamp(5).getTime == commitMs(to)
+      (name, ins, del, ins == wantIns && del == wantDel, metaOk)
     }
     def stage(name: String, a: Long, b: Long,
-        wantIns: Long, wantDel: Long): (String, Long, Long, Boolean) =
-      census(GraftLogSource.changeFeed(spark, path, a, b), name, wantIns, wantDel)
+        wantIns: Long, wantDel: Long): (String, Long, Long, Boolean, Boolean) =
+      census(GraftLogSource.changeFeed(spark, path, a, b), name, b,
+        wantIns, wantDel)
     // the public DataFrame spelling — same plan after the
     // GraftExtensions rewrite, exercised end-to-end
     val pub = spark.read.format("glog").option("path", path)
@@ -3267,8 +3291,8 @@ object EngineOps {
       stage("1_append_range", 1L, 2L, nHigh, 0L),
       stage("2_delete_range", 2L, 3L, 0L, nTop),
       stage("3_composed", 1L, 3L, nHigh - nTop, 0L),
-      census(pub, "4_public_option", nTiny, 0L))
-      .toDF("stage", "n_insert", "n_delete", "ok")
+      census(pub, "4_public_option", 4L, nTiny, 0L))
+      .toDF("stage", "n_insert", "n_delete", "ok", "meta_ok")
       .orderBy(col("stage"))
   }
 
@@ -3291,8 +3315,12 @@ object EngineOps {
       }.sum
     val ins = rows.count(_.getString(6) == "insert").toLong
     val del = rows.count(_.getString(6) == "delete").toLong
+    // metadata attribution rides along: the v3→v4 range stamps every
+    // row with _commit_version 4 and a non-null commit timestamp
+    val metaOk = rows.forall(r =>
+      r.getLong(7) == 4L && r.getTimestamp(8) != null)
     Seq((nTiny, ins, del,
-        ins == nTiny && del == 0L && emitted <= 2L * nTiny))
+        ins == nTiny && del == 0L && emitted <= 2L * nTiny && metaOk))
       .toDF("n_delta", "n_insert", "n_delete", "ok")
   }
 
@@ -3315,7 +3343,8 @@ object EngineOps {
     import spark.implicits._
     val (path, nHigh, nTop, nTiny) = ensureChangeFeedFixture(spark, dir)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_entry_ck")
-    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
     try {
       val q = spark.readStream.format("glog").option("path", path)
         .option("readChangeFeed", "true")
@@ -3324,9 +3353,19 @@ object EngineOps {
         .load()
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          val m = b.groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          batches.add((m.getOrElse("insert", 0L), m.getOrElse("delete", 0L))): Unit
+          // change-type counts plus the metadata census: each
+          // per-commit micro-batch must stamp EXACTLY its producing
+          // version (one distinct _commit_version / _commit_timestamp
+          // pair; -1 records a violation)
+          val r = b.agg(
+            count(when(col("_change_type") === "insert", 1)),
+            count(when(col("_change_type") === "delete", 1)),
+            countDistinct(col("_commit_version")),
+            min(col("_commit_version")),
+            countDistinct(col("_commit_timestamp"))).collect()(0)
+          val v = if (r.getLong(2) == 1L && r.getLong(4) == 1L) r.getLong(3)
+                  else -1L
+          batches.add((r.getLong(0), r.getLong(1), v)): Unit
         }
         .option("checkpointLocation", ckpt.toString)
         .start()
@@ -3336,10 +3375,13 @@ object EngineOps {
     } finally deleteRecursively(ckpt)
     import scala.jdk.CollectionConverters._
     val got = batches.asScala.toSeq
-    val want = Seq((nHigh, 0L), (0L, nTop), (nTiny, 0L))
-    Seq((got.length.toLong,
-        got.map(_._1).sum, got.map(_._2).sum, got == want))
-      .toDF("n_batches", "n_insert", "n_delete", "per_version_ok")
+    // one batch per commit, in commit order, each attributed to its
+    // producing manifest version via the CDC metadata columns
+    val want = Seq((nHigh, 0L, 2L), (0L, nTop, 3L), (nTiny, 0L, 4L))
+    Seq((got.length.toLong, got.map(_._1).sum, got.map(_._2).sum,
+        got == want, got.map(_._3) == want.map(_._3)))
+      .toDF("n_batches", "n_insert", "n_delete", "per_version_ok",
+        "commit_version_ok")
   }
 
   /** MEASURED steady-state CDC stream cost — the scale claim
@@ -3354,7 +3396,8 @@ object EngineOps {
     import spark.implicits._
     val (path, _, _, nTiny) = ensureChangeFeedFixture(spark, dir)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcsd_ck")
-    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
     try {
       val q = spark.readStream.format("glog").option("path", path)
         .option("readChangeFeed", "true")
@@ -3362,9 +3405,13 @@ object EngineOps {
         .load()
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          val m = b.groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          batches.add((m.getOrElse("insert", 0L), m.getOrElse("delete", 0L))): Unit
+          val r = b.agg(
+            count(when(col("_change_type") === "insert", 1)),
+            count(when(col("_change_type") === "delete", 1)),
+            countDistinct(col("_commit_version")),
+            min(col("_commit_version"))).collect()(0)
+          val v = if (r.getLong(2) == 1L) r.getLong(3) else -1L
+          batches.add((r.getLong(0), r.getLong(1), v)): Unit
         }
         .option("checkpointLocation", ckpt.toString)
         .start()
@@ -3374,8 +3421,10 @@ object EngineOps {
     } finally deleteRecursively(ckpt)
     import scala.jdk.CollectionConverters._
     val got = batches.asScala.toSeq
+    // the single drained commit attributes to version 4 (metadata
+    // census folded into ok — values unchanged when correct)
     Seq((got.length.toLong, got.map(_._1).sum,
-        got == Seq((nTiny, 0L))))
+        got == Seq((nTiny, 0L, 4L))))
       .toDF("n_batches", "n_insert", "ok")
   }
 
@@ -4316,6 +4365,7 @@ object EngineOps {
     "eng_bm25_topk" -> bm25OracleSql,
     "eng_hybrid_search" -> hybridOracleSql,
     "eng_lm_score" -> lmScoreOracleSql,
+    "eng_wordpiece" -> wordpieceOracleSql,
     "eng_anomaly_forecast" -> anomalyOracleSql,
     "eng_ann_lsh_topk" -> annLshOracleSql,
     "eng_ann_lsh_pairs" -> annLshPairsOracleSql,
@@ -4641,6 +4691,78 @@ object EngineOps {
       |       round(avg(s), 4) AS mean_score,
       |       CAST(count(CASE WHEN s < -7.2 THEN 1 END) AS BIGINT) AS n_below
       |FROM sc GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** The eng_wordpiece oracle: greedy longest-match WordPiece
+    * REPLAYED in SQL. The vocabulary rides the query as literals (the
+    * same plan-shipped lexicon the LSH/lm_score oracles generate
+    * from), and the greedy loop is a recursive CTE advancing one
+    * piece per step — at each cursor the longest matching vocab piece
+    * wins (start pieces match literally, continuation pieces match
+    * their core after the implicit '##'), and a position with NO
+    * match collapses the WHOLE word to [UNK] (the public BERT
+    * contract, WordPieceExpr.tokenizeWord). Tokenization runs over
+    * DISTINCT words only (the corpus repeats a small lexicon) and
+    * joins back per (doc, word-index) to rebuild each doc's ordered
+    * piece stream for the sample column. Pure string/integer work —
+    * the only fp is the final 4-dp pieces-per-token division of two
+    * exact integer sums. */
+  private def wordpieceOracleSql: String = {
+    val vocab = graft.expressions.WordPieceExpr.defaultVocab
+    def esc(s: String): String = s.replace("'", "''")
+    val rows = vocab.map { p =>
+      val cont = p.startsWith("##")
+      val core = if (cont) p.substring(2) else p
+      s"('${esc(p)}','${esc(core)}',$cont)"
+    }.mkString(",")
+    s"""WITH RECURSIVE vocab(piece, core, iscont) AS (VALUES $rows),
+       |words AS (
+       |  SELECT doc_id, idx, ws[idx] AS word FROM (
+       |    SELECT doc_id, ws,
+       |           CAST(unnest(range(1, len(ws) + 1)) AS INT) AS idx
+       |    FROM (SELECT doc_id,
+       |            string_split_regex(text, '\\s+') AS ws FROM documents))
+       |  WHERE ws[idx] <> ''),
+       |uw AS (SELECT DISTINCT word FROM words),
+       |tok AS (
+       |  SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+       |         len(word) > 200 AS unk
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT word,
+       |         CASE WHEN ml IS NULL THEN len(word) ELSE pos + ml END,
+       |         CASE WHEN ml IS NULL THEN pieces
+       |              ELSE list_append(pieces,
+       |                CASE WHEN pos = 0 THEN substr(word, 1, ml)
+       |                     ELSE '##' || substr(word, pos + 1, ml) END) END,
+       |         ml IS NULL
+       |  FROM (
+       |    SELECT t.word, t.pos, t.pieces,
+       |      (SELECT max(CASE WHEN t.pos = 0 THEN len(v.piece)
+       |                       ELSE len(v.core) END)
+       |       FROM vocab v
+       |       WHERE CASE WHEN t.pos = 0
+       |             THEN substr(t.word, 1, len(v.piece)) = v.piece
+       |             ELSE v.iscont AND
+       |               substr(t.word, t.pos + 1, len(v.core)) = v.core END) AS ml
+       |    FROM tok t WHERE t.pos < len(t.word) AND NOT t.unk)),
+       |wpw AS (
+       |  SELECT word, CASE WHEN unk THEN ['[UNK]'] ELSE pieces END AS pieces
+       |  FROM tok WHERE unk OR pos >= len(word)),
+       |docp AS (
+       |  SELECT w.doc_id, flatten(list(p.pieces ORDER BY w.idx)) AS wp
+       |  FROM words w JOIN wpw p USING (word) GROUP BY w.doc_id),
+       |perdoc AS (
+       |  SELECT d.source,
+       |         COALESCE(len(p.wp), 0) AS np,
+       |         len(string_split_regex(d.text, '\\s+')) AS nt,
+       |         COALESCE(array_to_string(p.wp[1:5], '|'), '') AS sample
+       |  FROM documents d LEFT JOIN docp p USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(np) AS BIGINT) AS n_pieces,
+       |       round(CAST(sum(np) AS DOUBLE) / sum(nt), 4) AS pieces_per_token,
+       |       min(sample) AS sample_pieces
+       |FROM perdoc GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+  }
 
   /** The raw-BM25-score CTE block (tc/cnt/st/sc — `sc` holds
     * (id, s)) shared by the bm25 and hybrid oracles. */

@@ -341,7 +341,16 @@ object SimilaritySearch {
           .withColumn("bin", lit(ci * 100000 + bi))
       }
     }.toSeq
-    branches.reduce(_ unionByName _)
+    // BALANCED union fold (depth log2 bins, not bins): after a long
+    // maintenance gap the backlog can be thousands of bins, and a
+    // left-deep reduce would hand the analyzer a thousands-deep Union
+    // it walks quadratically — the plan's row content is identical
+    @scala.annotation.tailrec
+    def balancedUnion(dfs: Seq[org.apache.spark.sql.DataFrame])
+        : org.apache.spark.sql.DataFrame =
+      if (dfs.lengthCompare(1) == 0) dfs.head
+      else balancedUnion(dfs.grouped(2).map(_.reduce(_ unionByName _)).toSeq)
+    balancedUnion(branches)
       .write.partitionBy("cell", "bin")
       .option("compression", "zstd").parquet(tmp.toString)
     // swap per cell: land the packed files under fresh names first,

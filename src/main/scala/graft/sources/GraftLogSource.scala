@@ -103,6 +103,9 @@ private[graft] class SerializableConf(@transient private var conf: Configuration
   * planning census below is DRIVER-side bookkeeping only.
   */
 object GraftLogSource {
+  private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftLogSource])
+
   val SchemaFixed: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -111,11 +114,22 @@ object GraftLogSource {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Schema of a change-feed read: the data columns plus
-    * `_change_type` ('insert' | 'delete'). */
+  /** Schema of a change-feed read (batch AND stream): the data
+    * columns plus the CDC metadata columns of the Delta CDF contract —
+    *  - `_change_type`: 'insert' | 'delete';
+    *  - `_commit_version`: the manifest version that PRODUCED the row
+    *    (the feed's `to` endpoint — exact per-commit attribution when
+    *    the range spans one version, which is the stream's
+    *    `maxVersionsPerTrigger = 1` shape; a multi-version NET feed
+    *    stamps the range's end, documented on [[changeFeed]]);
+    *  - `_commit_timestamp`: that version's commit time (its manifest
+    *    file's modification time — the same filesystem clock
+    *    TIMESTAMP AS OF resolves against). */
   val ChangeFeedSchema: StructType =
-    StructType(SchemaFixed.fields :+
-      StructField("_change_type", StringType, nullable = false))
+    StructType(SchemaFixed.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false),
+      StructField("_commit_timestamp", TimestampType, nullable = false)))
 
   /** Partition count a clustered write requests (see
     * GlogClusteredWrite): pinned so the committed file count — and
@@ -462,6 +476,30 @@ object GraftLogSource {
     * bytes per entry on adversarial data. */
   private[graft] val EtypeDictCap = 8
 
+  /** Escape one event_type value for the comma-joined dictionary
+    * encodings (manifest line + commit message): '%' → %25,
+    * ',' → %2C, the empty string → %00 (a bare join would silently
+    * erase it), and a lone '*' → %2A (it would collide with the
+    * unknown-dictionary sentinel). Keeps the dictionary EXACT for
+    * values the round-13 encoding had to degrade to unknown — one
+    * comma-bearing or empty type no longer forfeits pruning for the
+    * file's other types. Decode is new-reads-old: a legacy raw value
+    * passes through unchanged unless it contains a literal escape
+    * sequence, which legacy writers could not have committed (they
+    * degraded any such dictionary to '*'). */
+  private[sources] def etypeEscape(t: String): String =
+    if (t.isEmpty) "%00"
+    else if (t == "*") "%2A"
+    else t.replace("%", "%25").replace(",", "%2C")
+  private[sources] def etypeUnescape(t: String): String =
+    if (t == "%00") ""
+    else if (t == "%2A") "*"
+    else t.replace("%2C", ",").replace("%25", "%")
+  private[sources] def etypesJoin(ts: Seq[String]): String =
+    ts.map(etypeEscape).mkString(",")
+  private[sources] def etypesSplit(s: String): Seq[String] =
+    s.split(',').toSeq.filter(_.nonEmpty).map(etypeUnescape)
+
   /** One live file in a manifest: its name (the value zone map rides
     * the NAME, unchanged) plus manifest-carried file statistics on
     * the OTHER filterable columns, collected for free by the writers
@@ -482,10 +520,11 @@ object GraftLogSource {
     *
     * Line format (TAB-separated): `name`, `name ts ts` (legacy), or
     * `name ts ts uid uid etypes` with `-` for an unknown numeric
-    * pair and `*` for an unknown dictionary (etypes comma-joined — a
-    * type the join cannot represent exactly, i.e. one containing a
-    * comma or the empty string, degrades the dictionary to unknown;
-    * the writer already rejects TAB/newline in data). Compatibility
+    * pair and `*` for an unknown dictionary (etypes comma-joined,
+    * each value [[etypeEscape]]d so commas, '%', the empty string,
+    * and a lone '*' all round-trip EXACTLY instead of degrading the
+    * whole dictionary to unknown; the writer already rejects
+    * TAB/newline in data). Compatibility
     * is NEW-READS-OLD: round-13+ readers parse every older form, but
     * a pre-round-13 reader cannot parse a stats-bearing line (it
     * fails loudly as a missing-file name, like every prior manifest
@@ -505,7 +544,7 @@ object GraftLogSource {
           r.map { case (a, b) => s"$a\t$b" }.getOrElse("-\t-")
         // an empty dictionary is unrepresentable in the comma join
         // (and means "stats unknown", never "file holds no types")
-        val et = etypes.filter(_.nonEmpty).map(_.mkString(",")).getOrElse("*")
+        val et = etypes.filter(_.nonEmpty).map(etypesJoin).getOrElse("*")
         s"$name\t${num(tsRange)}\t${num(uidRange)}\t$et"
       }
   }
@@ -516,8 +555,7 @@ object GraftLogSource {
       case Array(n, a, b) => ManifestEntry(n, pair(a, b))
       case Array(n, a, b, c, d, et) =>
         ManifestEntry(n, pair(a, b), pair(c, d),
-          Some(et.split(',').toSeq.filter(_.nonEmpty))
-            .filter(s => et != "*" && s.nonEmpty))
+          Some(etypesSplit(et)).filter(s => et != "*" && s.nonEmpty))
       case _ => ManifestEntry(line, None)
     }
   }
@@ -931,6 +969,25 @@ object GraftLogSource {
       s"glog: manifest CAS under $dir did not converge after $attempt attempts")
   }
 
+  /** Parse a user-supplied timestamp option to epoch millis: numeric
+    * epoch millis, `yyyy-MM-dd HH:mm:ss[.f…]` (the JDBC timestamp
+    * form, session-local zone), or an ISO-8601 instant. Loud on
+    * anything else. */
+  private[sources] def parseTimestampMs(option: String, s: String): Long = {
+    val t = s.trim
+    t.toLongOption.getOrElse {
+      try java.sql.Timestamp.valueOf(t).getTime
+      catch { case _: IllegalArgumentException =>
+        try java.time.Instant.parse(t).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"glog: $option must be epoch millis, " +
+              s"'yyyy-MM-dd HH:mm:ss[.f]', or an ISO-8601 instant, got '$s'")
+        }
+      }
+    }
+  }
+
   /** Grace window [[vacuum]] applies before unlinking an unreferenced
     * file: only orphans OLDER than this (by modification time) are
     * reclaimed, so a concurrent commit's just-claimed,
@@ -950,6 +1007,15 @@ object GraftLogSource {
     * I-know-nothing-is-in-flight spelling for controlled
     * maintenance. */
   val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
+  /** Suffix of the claim-time sidecar [[renameStagedIn]] publishes
+    * when the store rejects `setTimes` (object stores, some HDFS
+    * configs): the sidecar's OWN creation mtime carries the claim
+    * time the grace clock needs; [[vacuum]] prefers it over the data
+    * file's (write-finish) mtime and reclaims it once the claim is
+    * resolved. Never matches a data (.glog) or temp (.inprogress)
+    * name, so readers and the zone-map listing never see it. */
+  private[sources] val ClaimSuffix = ".claim"
 
   /** Reclaim files no retained snapshot references: data files outside
     * the union of the newest `retainVersions` manifests (DML/compact
@@ -995,13 +1061,43 @@ object GraftLogSource {
        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
         .filter(_.isFile)
     var removed = 0
+    var gracedSkips = 0
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
-    listing.filter { s =>
+    // claim-time sidecars (setTimes-rejecting stores): the grace clock
+    // takes max(data mtime, sidecar mtime) so a claim whose rename
+    // preserved an ancient write-finish time still gets its full grace
+    val claimMtimes: Map[String, Long] = listing
+      .filter(_.getPath.getName.endsWith(ClaimSuffix))
+      .map(s => s.getPath.getName.stripSuffix(ClaimSuffix) ->
+        s.getModificationTime).toMap
+    val deleted = scala.collection.mutable.Set.empty[String]
+    listing.filter(s => !s.getPath.getName.endsWith(ClaimSuffix)).foreach { s =>
       val n = s.getPath.getName
-      ((n.endsWith(".glog") && !keep(n)) || n.endsWith(".inprogress")) &&
-        s.getModificationTime <= cutoff // grace: in-flight claims survive
-    }.foreach { s =>
-      if (fs.delete(s.getPath, false)) removed += 1
+      val orphan = (n.endsWith(".glog") && !keep(n)) || n.endsWith(".inprogress")
+      if (orphan) {
+        val effMtime =
+          math.max(s.getModificationTime, claimMtimes.getOrElse(n, Long.MinValue))
+        if (effMtime <= cutoff) {
+          if (fs.delete(s.getPath, false)) { removed += 1; deleted += n }
+        } else gracedSkips += 1 // in-flight claim (or fresh orphan) survives
+      }
+    }
+    if (gracedSkips > 0)
+      // surface the safe-by-default behavior change (round-13+): a
+      // vacuum right after a DELETE/compact reclaims nothing until the
+      // orphans age past graceMs — pass graceMs = 0 when provably
+      // quiescent
+      logger.info(s"glog vacuum($dir): $gracedSkips orphan(s) " +
+        s"within the ${math.max(0L, graceMs)} ms grace window were kept " +
+        "(in-flight-commit protection); re-run later or pass graceMs = 0 " +
+        "if nothing is in flight")
+    // claim sidecars whose job is done: the claim is live (its CAS
+    // landed), or its data file is gone (vacuumed above, or never
+    // committed and already reclaimed)
+    val present = listing.map(_.getPath.getName).toSet
+    claimMtimes.keysIterator.foreach { base =>
+      if (keep(base) || deleted(base) || !present(base))
+        fs.delete(new Path(dir, base + ClaimSuffix), false): Unit
     }
     versions.filter(_ < minRetained).foreach { v =>
       fs.delete(manifestPath(dir, v), false): Unit
@@ -1045,8 +1141,11 @@ object GraftLogSource {
     * restarts, names can recur) miss instead of serving the old
     * generation's diff; per-session WeakHashMap scoping additionally
     * bounds lifetime. The analyzer-rule twin of the stream's
-    * add-list memo. */
-  private type FeedDiffKey = (String, Long, Long, Long)
+    * add-list memo. The identity rides the key as SEPARATE (mtime,
+    * length) components — an XOR fold could collide a
+    * delete-and-recreate on a coarse-mtime filesystem and serve the
+    * old generation's diff. */
+  private type FeedDiffKey = (String, Long, Long, Long, Long)
   private val feedDiffMemos = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.LinkedHashMap[FeedDiffKey, (Set[String], Set[String])]]())
@@ -1060,18 +1159,32 @@ object GraftLogSource {
             : Boolean = size() > 256
       })
 
-  /** Identity of a committed version's metadata file for the memo key
-    * (manifest, else the checkpoint sidecar a vacuum may have left as
-    * the only resolvable form): mtime ⊕ length. -1 = not found — the
-    * caller skips caching and lets resolution fail loudly. */
-  private def manifestIdentity(fs: FileSystem, dir: Path, v: Long): Long = {
-    def statOf(p: Path): Option[Long] =
-      try { val s = fs.getFileStatus(p); Some(s.getModificationTime ^ s.getLen) }
+  /** (mtime, length) of a committed version's metadata file — the
+    * memo-key identity (manifest, else the checkpoint sidecar a
+    * vacuum may have left as the only resolvable form), and the
+    * mtime doubles as the version's COMMIT TIMESTAMP (the same
+    * filesystem clock TIMESTAMP AS OF resolves against). (-1, -1) =
+    * not found — the caller skips caching and lets resolution fail
+    * loudly. */
+  private def manifestStat(fs: FileSystem, dir: Path, v: Long): (Long, Long) = {
+    def statOf(p: Path): Option[(Long, Long)] =
+      try { val s = fs.getFileStatus(p); Some((s.getModificationTime, s.getLen)) }
       catch { case _: java.io.FileNotFoundException => None }
     statOf(manifestPath(dir, v)).orElse(statOf(checkpointPath(dir, v)))
-      .getOrElse(-1L)
+      .getOrElse((-1L, -1L))
   }
 
+  /** CDC metadata attribution (`_commit_version` /
+    * `_commit_timestamp`): every row stamps the feed's `to` ENDPOINT
+    * — the version (and its manifest mtime) whose snapshot produced
+    * the net change. When the range spans ONE commit (to == from+1 —
+    * the streaming source's `maxVersionsPerTrigger = 1` default
+    * admission) this is exact per-commit attribution, Delta-CDF
+    * style; a multi-version NET feed collapses intermediate commits
+    * by construction (an insert-then-delete within the range cancels
+    * entirely), so its rows attribute to the range's end — the
+    * documented endpoint-stamping contract, chosen over per-version
+    * unions to keep IO O(changed files between the endpoints). */
   def changeFeed(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame = {
     require(fromVersion <= toVersion,
@@ -1080,8 +1193,8 @@ object GraftLogSource {
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
     val fs = fsFor(dir, conf)
-    val ident = manifestIdentity(fs, dir, toVersion)
-    val key = (censusKey(dir, fs), fromVersion, toVersion, ident)
+    val (toMtime, toLen) = manifestStat(fs, dir, toVersion)
+    val key = (censusKey(dir, fs), fromVersion, toVersion, toMtime, toLen)
     val memo = feedDiffMemo(spark)
     // resolve OUTSIDE the monitor: a miss pays two manifest-chain
     // reads (filesystem IO), and holding the lock through them would
@@ -1093,7 +1206,7 @@ object GraftLogSource {
       val computed = (
         liveSnapshot(dir, conf, Some(fromVersion)).get._2.toSet,
         liveSnapshot(dir, conf, Some(toVersion)).get._2.toSet)
-      if (ident != -1L) memo.synchronized(memo.put(key, computed)): Unit
+      if (toMtime != -1L) memo.synchronized(memo.put(key, computed)): Unit
       computed
     }
     val dataCols = SchemaFixed.fieldNames.map(col).toSeq
@@ -1111,6 +1224,12 @@ object GraftLogSource {
     added.exceptAll(removed).withColumn("_change_type", lit("insert"))
       .unionAll(
         removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+      // metadata stamps are pure literals (the version + its manifest
+      // mtime, both already on the driver from planning) — zero
+      // executor-side cost, and the EXCEPT ALL above stays over the
+      // data columns only
+      .withColumn("_commit_version", lit(toVersion))
+      .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(toMtime)))
   }
 
   /** Claim-based job-commit tail shared by every write shape: rename
@@ -1156,7 +1275,17 @@ object GraftLogSource {
             // claim→manifest-CAS gap vacuum's grace exists to protect
             try fs.setTimes(new Path(dir, name),
               System.currentTimeMillis(), -1): Unit
-            catch { case _: UnsupportedOperationException => }
+            catch { case _: UnsupportedOperationException =>
+              // store rejects mtime re-stamps: publish a claim-time
+              // SIDECAR instead — creating a file stamps its own mtime
+              // with no setTimes needed, and vacuum's grace check takes
+              // max(data mtime, sidecar mtime), so the straggler+vacuum
+              // race stays closed instead of silently degrading to the
+              // temp's write-finish clock (vacuum reclaims the sidecar
+              // once the claim is live or its file is gone)
+              publishTextIfAbsent(fs,
+                new Path(dir, name + ClaimSuffix), ""): Unit
+            }
             done += ManifestEntry(name, m.tsRange, m.uidRange, m.etypesOpt)
           } else { collided = true; remaining :+= m }
         }
@@ -1357,7 +1486,7 @@ object GraftLogSource {
       val (tsA, tsB) = e.tsRange.getOrElse((Long.MinValue, Long.MaxValue))
       val (uA, uB) = e.uidRange.getOrElse((Long.MaxValue, Long.MinValue))
       GlogCommit(new Path(staging, e.name).toString, 1L, mn, mx, tsA, tsB,
-        uA, uB, e.etypes.map(_.mkString(",")).getOrElse("*"))
+        uA, uB, e.etypes.map(etypesJoin).getOrElse("*"))
         : WriterCommitMessage
     }
     val newEntries = renameStagedIn(dir, conf, claims.toArray)
@@ -1489,6 +1618,8 @@ class GraftLogSource extends TableProvider
       parameters.get("startingVersion").map(s => s.toLongOption.getOrElse(
         throw new IllegalArgumentException(
           s"glog: startingVersion must be a numeric manifest version, got '$s'"))),
+      parameters.get("startingTimestamp")
+        .map(GraftLogSource.parseTimestampMs("startingTimestamp", _)),
       parameters.get("maxVersionsPerTrigger").map(s =>
         s.toLongOption.filter(_ >= 1L).getOrElse(
           throw new IllegalArgumentException(
@@ -1556,8 +1687,20 @@ private[graft] class GlogChangeFeedStreamTable(val path: String)
   * (codegen_cim.py:524-548).
   *
   *  - `startingVersion` (default: the newest version at stream start
-  *    — "changes from now on") must be a retained manifest version;
-  *    a vacuumed start fails loudly, never silently skips.
+  *    — "changes from now on") is the snapshot the stream starts
+  *    AFTER — EXCLUSIVE: the named version's own changes are never
+  *    emitted; the first batch is changeFeed(startingVersion, next).
+  *    (Delta's option of the same name is inclusive — ours anchors on
+  *    the snapshot you already hold, which is what a caught-up batch
+  *    consumer hands over.) Must be a retained manifest version; a
+  *    vacuumed start fails loudly, never silently skips.
+  *  - `startingTimestamp` (mutually exclusive with startingVersion):
+  *    the stream starts after the newest version whose commit
+  *    (manifest mtime) is <= the timestamp — the batch TIMESTAMP AS
+  *    OF resolution reused for the stream's zero point. A timestamp
+  *    before the first commit fails loudly (there is no pre-history
+  *    snapshot to diff against), as does one on a table with no
+  *    manifest history.
   *  - `maxVersionsPerTrigger` bounds admission: each getOffset
   *    advances at most that many versions, so a backlogged feed
   *    drains in bounded batches. A multi-version batch emits the NET
@@ -1581,7 +1724,8 @@ private[graft] class GlogChangeFeedStreamTable(val path: String)
   * spelling rewrites through ChangeFeedRewrite. */
 private[graft] class GlogChangeFeedSource(spark: SparkSession, path: String,
     metadataPath: String,
-    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Long])
+    startingVersion: Option[Long], startingTimestampMs: Option[Long],
+    maxVersionsPerTrigger: Option[Long])
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
@@ -1608,14 +1752,33 @@ private[graft] class GlogChangeFeedSource(spark: SparkSession, path: String,
         s"glog readChangeFeed: $path has no manifest history — the change " +
           "feed is defined over committed manifest versions (write through " +
           "the connector once, or stream the plain append feed instead)")
-      val v = startingVersion match {
-        case Some(want) =>
+      require(startingVersion.isEmpty || startingTimestampMs.isEmpty,
+        "glog readChangeFeed: startingVersion and startingTimestamp are " +
+          "mutually exclusive — pass one anchor, not both")
+      val v = (startingVersion, startingTimestampMs) match {
+        case (Some(want), _) =>
           require(vs.contains(want),
             s"glog readChangeFeed: startingVersion $want is not a retained " +
               s"manifest version of $path (available: ${vs.head}..${vs.last}; " +
               "older versions may have been vacuumed)")
           want
-        case None => vs.max
+        case (None, Some(ts)) =>
+          // the batch TIMESTAMP AS OF resolution (GlogCatalog
+          // loadTable(timestampMicros)) reused for the stream's zero
+          // point: newest retained version committed at or before ts
+          // — the stream starts AFTER that snapshot (same exclusivity
+          // as startingVersion)
+          val dfs = GraftLogSource.fsFor(dir, conf)
+          val eligible = vs.filter { mv =>
+            dfs.getFileStatus(GraftLogSource.manifestPath(dir, mv))
+              .getModificationTime <= ts
+          }
+          require(eligible.nonEmpty,
+            s"glog readChangeFeed: no committed version of $path at or " +
+              s"before startingTimestamp $ts ms (oldest retained manifest " +
+              s"is version ${vs.head})")
+          eligible.max
+        case (None, None) => vs.max
       }
       fs.mkdirs(marker.getParent): Unit
       GraftLogSource.publishTextIfAbsent(fs, marker, s"$v\n"): Unit
@@ -1714,11 +1877,11 @@ private[graft] class GlogChangeFeedSource(spark: SparkSession, path: String,
 private[graft] class GlogCdcOffset(val init: Long, val v: Long)
     extends org.apache.spark.sql.execution.streaming.Offset {
   override def json(): String = s"""{"init":$init,"v":$v}"""
-  override def equals(o: Any): Boolean = o match {
-    case g: GlogCdcOffset => g.init == init && g.v == v
-    case _ => false
-  }
-  override def hashCode(): Int = (init * 31 + v).toInt
+  // equals/hashCode: INHERITED json-equality from the Offset base
+  // class — a class-matching override would break symmetry with a
+  // checkpoint-restored SerializedOffset (it equals us by json, we
+  // would not equal it), which a direction-sensitive engine compare
+  // could read as spurious new data after a restart
 }
 
 private[graft] object GlogCdcOffset {
@@ -2238,11 +2401,8 @@ private[graft] class GlogOffset(val anchor: Long, val v: Long, val i: Int)
   /** Baseline-mode convenience (fixture dirs, legacy checkpoints). */
   def this(n: Int) = this(0L, 0L, n)
   override def json(): String = s"""{"a":$anchor,"v":$v,"i":$i}"""
-  override def equals(o: Any): Boolean = o match {
-    case g: GlogOffset => g.anchor == anchor && g.v == v && g.i == i
-    case _ => false
-  }
-  override def hashCode(): Int = (anchor * 961 + v * 31 + i).toInt
+  // equals/hashCode: inherited json-equality (see GlogCdcOffset —
+  // symmetry with checkpoint-restored SerializedOffsets)
 }
 
 private[graft] object GlogOffset {
@@ -2998,9 +3158,11 @@ private[sources] class GlogClusteredWrite(path: String, schema: StructType,
 /** Task-side accumulator for the manifest file stats every write
   * path collects for free: user_id min/max plus the exact distinct
   * event_type dictionary (bounded by
-  * [[GraftLogSource.EtypeDictCap]]; a type containing the
-  * dictionary's separator, or an over-cap domain, degrades to
-  * unknown — conservative on the read side). */
+  * [[GraftLogSource.EtypeDictCap]]; only an over-cap domain degrades
+  * to unknown — commas, '%', '*', and the empty string all
+  * round-trip exactly through [[GraftLogSource.etypeEscape]], so one
+  * odd value no longer forfeits pruning for the file's other
+  * types). */
 private[sources] class GlogStatsAcc {
   var uidMin: Long = Long.MaxValue
   var uidMax: Long = Long.MinValue
@@ -3010,20 +3172,13 @@ private[sources] class GlogStatsAcc {
     if (uid < uidMin) uidMin = uid
     if (uid > uidMax) uidMax = uid
     if (!overflow) {
-      // a type the comma-joined encoding cannot represent EXACTLY
-      // (separator inside it, or the empty string — which a join
-      // silently erases) degrades the whole dictionary to unknown:
-      // an exact-dictionary claim missing a real value would both
-      // mis-prune reads and mis-prove full-coverage DELETEs
-      if (etype.isEmpty || etype.indexOf(',') >= 0) overflow = true
-      else {
-        set += etype
-        if (set.size > GraftLogSource.EtypeDictCap) overflow = true
-      }
+      set += etype
+      if (set.size > GraftLogSource.EtypeDictCap) overflow = true
     }
   }
   def etypesEncoded: String =
-    if (overflow || set.isEmpty) "*" else set.mkString(",")
+    if (overflow || set.isEmpty) "*"
+    else GraftLogSource.etypesJoin(set.toSeq)
 }
 
 private[sources] case class GlogCommit(tempPath: String, rows: Long,
@@ -3041,7 +3196,7 @@ private[sources] case class GlogCommit(tempPath: String, rows: Long,
     if (rows == 0 || uidMin > uidMax) None else Some((uidMin, uidMax))
   def etypesOpt: Option[Seq[String]] =
     if (rows == 0 || etypes == "*" || etypes.isEmpty) None
-    else Some(etypes.split(',').toSeq.filter(_.nonEmpty))
+    else Some(GraftLogSource.etypesSplit(etypes))
 }
 
 private[graft] class GlogBatchWrite(path: String, schema: StructType,

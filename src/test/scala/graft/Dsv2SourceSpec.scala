@@ -4,6 +4,18 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.GraftLogSource
 
+/** A local FileSystem that REJECTS `setTimes` — the object-store shape
+  * (S3A and friends cannot re-stamp mtimes). Registered under the
+  * `nst:` scheme by the claim-sidecar spec below to prove the vacuum
+  * grace clock stays honest when renameStagedIn cannot restart it via
+  * setTimes. */
+class NoSetTimesFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("nst:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path,
+      mtime: Long, atime: Long): Unit =
+    throw new UnsupportedOperationException("nst:// does not support setTimes")
+}
+
 class Dsv2SourceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
@@ -927,6 +939,18 @@ class Dsv2SourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.sources.GlogOffset.parse("not-an-offset")
     }
+    // json-equality is SYMMETRIC with checkpoint-restored
+    // SerializedOffsets (the Offset base-class contract): a
+    // direction-sensitive compare in the engine must never read a
+    // restored offset as new data
+    import org.apache.spark.sql.execution.streaming.SerializedOffset
+    val ser = SerializedOffset(o.json())
+    assert((o: Any) == (ser: Any) && (ser: Any) == (o: Any))
+    val cdc = new graft.sources.GlogCdcOffset(2L, 7L)
+    val cdcBack = graft.sources.GlogCdcOffset.parse(cdc.json())
+    assert(cdcBack.init == 2L && cdcBack.v == 7L && cdcBack == cdc)
+    val cdcSer = SerializedOffset(cdc.json())
+    assert((cdc: Any) == (cdcSer: Any) && (cdcSer: Any) == (cdc: Any))
   }
 
   test("public change-feed options validate loudly") {
@@ -1087,8 +1111,17 @@ class Dsv2SourceSpec extends AnyFunSuite {
         .mode("append").save()
     (0L until 4L).foreach(i => appendRows(Seq((i, i.toDouble)))) // v1..v4
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toString
+    // rows compare INCLUDING the CDC metadata columns: stream and
+    // batch must agree on _commit_version AND _commit_timestamp (both
+    // resolve the same manifest mtime), not just on the data rows
+    type CdcRow = (Long, String, Long, Long)
+    def cdcRows(df: org.apache.spark.sql.DataFrame): Seq[CdcRow] =
+      df.select(col("event_id"), col("_change_type"),
+          col("_commit_version"), col("_commit_timestamp"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getTimestamp(3).getTime)).toSeq.sorted
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[
-      (Long, Seq[(Long, String)])]()
+      (Long, Seq[CdcRow])]()
     def startStream() = spark.readStream.format("glog").option("path", path)
       .option("readChangeFeed", "true")
       .option("startingVersion", "1")
@@ -1096,15 +1129,12 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .load()
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        batches.add((id, b.select(col("event_id"), col("_change_type"))
-          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)): Unit
+        batches.add((id, cdcRows(b))): Unit
       }
       .option("checkpointLocation", ckpt)
       .start()
-    def feed(a: Long, b: Long): Seq[(Long, String)] =
-      GraftLogSource.changeFeed(spark, path, a, b)
-        .select(col("event_id"), col("_change_type"))
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    def feed(a: Long, b: Long): Seq[CdcRow] =
+      cdcRows(GraftLogSource.changeFeed(spark, path, a, b))
     val q = startStream()
     q.processAllAvailable()
     // admission control: maxVersionsPerTrigger=1 → one batch per
@@ -1114,6 +1144,11 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(phase1.map(_._2) == Seq(feed(1, 2), feed(2, 3), feed(3, 4)),
       s"per-version drain diverged: $phase1")
     assert(phase1.flatMap(_._2).forall(_._2 == "insert"))
+    // per-commit attribution: each single-version batch stamps exactly
+    // its producing version
+    assert(phase1.map(_._2.map(_._3).distinct) ==
+      Seq(Seq(2L), Seq(3L), Seq(4L)),
+      s"_commit_version attribution diverged: $phase1")
     // DELETE (metadata-only: single-row files fully covered) + append,
     // mid-stream: deletes arrive as rows, THEN the new insert — in
     // commit order
@@ -1126,9 +1161,10 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val phase2 = batches.asScala.toSeq.drop(phase1.length)
     assert(phase2.map(_._2) == Seq(feed(4, 5), feed(5, 6)),
       s"delete/insert phase diverged: $phase2")
-    assert(phase2.head._2 == Seq((2L, "delete"), (3L, "delete")),
+    assert(phase2.head._2.map(t => (t._1, t._2)) ==
+      Seq((2L, "delete"), (3L, "delete")),
       s"deletes not delivered: ${phase2.head}")
-    assert(phase2(1)._2 == Seq((9L, "insert")))
+    assert(phase2(1)._2.map(t => (t._1, t._2)) == Seq((9L, "insert")))
     q.stop()
     // copy-on-write DELETE while the stream is DOWN: survivors of the
     // rewritten file must cancel (EXCEPT ALL) — only the true delete
@@ -1144,12 +1180,12 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val phase3 = batches.asScala.toSeq.drop(phase1.length + phase2.length)
     assert(phase3.map(_._2) == Seq(feed(6, 7), feed(7, 8)),
       s"restart phase diverged: $phase3")
-    assert(phase3(1)._2 == Seq((10L, "delete")),
+    assert(phase3(1)._2.map(t => (t._1, t._2)) == Seq((10L, "delete")),
       s"carried survivor not cancelled: ${phase3(1)}")
     // a fresh unbounded stream (no maxVersionsPerTrigger) emits the
     // NET delta in one batch — exactly batch changeFeed(1, latest)
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cdc_ck2").toString
-    val net = new java.util.concurrent.atomic.AtomicReference[Seq[(Long, String)]](Seq.empty)
+    val net = new java.util.concurrent.atomic.AtomicReference[Seq[CdcRow]](Seq.empty)
     val nNetBatches = new java.util.concurrent.atomic.AtomicLong()
     val q3 = spark.readStream.format("glog").option("path", path)
       .option("readChangeFeed", "true").option("startingVersion", "1")
@@ -1157,8 +1193,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         nNetBatches.incrementAndGet()
-        net.set(net.get() ++ b.select(col("event_id"), col("_change_type"))
-          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq): Unit
+        net.set(net.get() ++ cdcRows(b)): Unit
       }
       .option("checkpointLocation", ckpt2)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1166,6 +1201,10 @@ class Dsv2SourceSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(nNetBatches.get() == 1L, s"net drain used ${nNetBatches.get()} batches")
     assert(net.get().sorted == feed(1, 8), s"net delta diverged: ${net.get()}")
+    // endpoint stamping, the documented multi-version NET contract:
+    // the collapsed range attributes every row to its `to` endpoint
+    assert(net.get().map(_._3).distinct == Seq(8L),
+      s"net batch did not stamp the range end: ${net.get()}")
     // AvailableNow WITH admission control: the source's native
     // SupportsTriggerAvailableNow freezes the end and getOffset walks
     // to it budget-by-budget — paced batches AND termination (the
@@ -1218,6 +1257,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
     Tables.register(spark, sf)
     val cdc = EngineOps.queries("eng_stream_cdc")(spark, sf).collect()(0)
     assert(cdc.getAs[Boolean]("per_version_ok"), cdc.toString)
+    assert(cdc.getAs[Boolean]("commit_version_ok"), cdc.toString)
     assert(cdc.getAs[Long]("n_batches") == 3L, cdc.toString)
     assert(cdc.getAs[Long]("n_delete") > 0L, cdc.toString)
     val sd = EngineOps.queries("eng_stream_cdc_small_delta")(spark, sf).collect()(0)
@@ -1854,6 +1894,175 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(spark.read.format("glog").option("path", path).load().count() == 3)
   }
 
+  test("setTimes-rejecting store: claim sidecar keeps the vacuum grace clock honest") {
+    import org.apache.hadoop.fs.Path
+    // register a local FS whose setTimes is unsupported (the object-
+    // store shape): renameStagedIn must fall back to the claim-time
+    // sidecar instead of silently reverting the grace clock to the
+    // temp's write-finish mtime
+    spark.sparkContext.hadoopConfiguration.set("fs.nst.impl",
+      classOf[NoSetTimesFileSystem].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_glog_nst").toFile
+    val path = "nst:" + local.getAbsolutePath
+    val p = new Path(path)
+    val conf = GraftLogSource.driverHadoopConf()
+    def stage(id: Long)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.GlogWriterFactory(path).createWriter(0, id)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("e"), id.toDouble,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+      w.commit()
+    }
+    new graft.sources.GlogBatchWrite(path, GraftLogSource.SchemaFixed,
+      truncateFirst = false).commit(Array(stage(1L)))            // v1
+    def localFiles(): Seq[String] = local.list().toSeq.sorted
+    // the fallback fired: every committed file carries a sidecar
+    assert(localFiles().exists(_.endsWith(".glog.claim")),
+      s"no claim sidecar under setTimes-rejecting store: ${localFiles()}")
+    // THE race: a straggler-aged temp (write finished long ago) is
+    // claimed NOW; rename preserves the ancient mtime and setTimes
+    // cannot re-stamp it — without the sidecar a racing default-grace
+    // vacuum would silently reclaim a file about to be CAS'd live
+    val wOld = stage(9L)
+    val tempLocal = {
+      val m = wOld.getClass.getMethod("tempPath")
+      new java.io.File(
+        new Path(m.invoke(wOld).asInstanceOf[String]).toUri.getPath)
+    }
+    assert(tempLocal.setLastModified(
+      System.currentTimeMillis() - GraftLogSource.DefaultVacuumGraceMs - 60000L))
+    val claimed = GraftLogSource.renameStagedIn(p, conf, Array(wOld))
+    assert(GraftLogSource.vacuum(path) == 0,
+      "vacuum reclaimed a freshly-claimed straggler file (grace clock " +
+        "reverted to write-finish time despite the claim sidecar)")
+    GraftLogSource.commitManifest(p, conf)(live => live ++ claimed): Unit
+    assert(spark.read.format("glog").option("path", path).load().count() == 2)
+    // sidecars of LIVE claims are housekept by the next vacuum
+    GraftLogSource.vacuum(path, graceMs = 0L): Unit
+    assert(!localFiles().exists(_.endsWith(".glog.claim")),
+      s"fulfilled claim sidecars not reclaimed: ${localFiles()}")
+    // an aged orphan is reclaimed WITH its sidecar
+    val orphan = GraftLogSource.renameStagedIn(p, conf, Array(stage(3L))).head.name
+    val of = new java.io.File(local, orphan)
+    val ocl = new java.io.File(local, orphan + ".claim")
+    assert(ocl.exists())
+    val aged = System.currentTimeMillis() - GraftLogSource.DefaultVacuumGraceMs - 60000L
+    assert(of.setLastModified(aged) && ocl.setLastModified(aged))
+    assert(GraftLogSource.vacuum(path) == 1, "aged orphan not reclaimed")
+    assert(!of.exists() && !ocl.exists(), "orphan or its sidecar survived")
+    assert(spark.read.format("glog").option("path", path).load().count() == 2)
+  }
+
+  test("event_type dictionary: commas, empty, '%', '*' round-trip exactly and still prune") {
+    // encoding layer round-trips every odd value the round-13 comma
+    // join had to degrade to unknown
+    val weird = Seq("", "%", "*", "a,b", "x%2Cy", "%00")
+    val entry = GraftLogSource.ManifestEntry("f.glog", Some((1L, 2L)),
+      Some((3L, 4L)), Some(weird))
+    assert(GraftLogSource.ManifestEntry.parse(entry.line) == entry,
+      s"etype escape round-trip failed: ${entry.line}")
+    // end-to-end: one file holding {'', 'a,b', 'click'} keeps an EXACT
+    // dictionary — a filter on a type it lacks prunes it, a filter on
+    // any of its own types (comma-bearing or empty included) keeps it
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_etesc").toFile
+    val path = dir.getAbsolutePath
+    import spark.implicits._
+    def write(types: Seq[String], base: Long): Unit =
+      types.zipWithIndex.map { case (t, i) =>
+        (base + i, new java.sql.Timestamp(1000L * (base + i)), base + i,
+          t, (base + i).toDouble, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.format("glog").option("path", path)
+        .mode("append").save()
+    write(Seq("", "a,b", "click"), 10L) // file A
+    write(Seq("other"), 20L)            // file B
+    def kept(t: String): Long = {
+      spark.read.format("glog").option("path", path).load()
+        .filter(col("event_type") === t).count()
+      GraftLogSource.planCensus.get(path)._2.toLong
+    }
+    assert(kept("zzz") == 0, "absent type did not prune both files")
+    assert(kept("click") == 1, "file A's dictionary degraded (round-13 " +
+      "behavior: one odd value forfeits pruning for the normal types)")
+    assert(kept("a,b") == 1)
+    assert(kept("") == 1)
+    assert(kept("other") == 1)
+    // and the values themselves round-trip through the scan
+    val got = spark.read.format("glog").option("path", path).load()
+      .filter(col("event_type") === "a,b").collect()
+    assert(got.length == 1 && got(0).getLong(0) == 11L, got.toSeq)
+  }
+
+  test("readChangeFeed startingTimestamp: mtime resolution, exclusivity, loud validation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cdcts").toFile
+    val path = dir.getAbsolutePath
+    import spark.implicits._
+    def append(id: Long): Unit =
+      Seq((id, new java.sql.Timestamp(1000L * id), id, "click",
+        id.toDouble, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.format("glog").option("path", path)
+        .mode("append").save()
+    (1L to 3L).foreach(append) // v1..v3
+    // pin the commit clock deterministically: manifest mtimes ARE the
+    // timestamp ledger the resolution reads
+    val p = new org.apache.hadoop.fs.Path(path)
+    def manifestFile(v: Long) = new java.io.File(
+      GraftLogSource.manifestPath(p, v).toUri.getPath)
+    val t0 = System.currentTimeMillis() - 100000000L
+    (1L to 3L).foreach(v =>
+      assert(manifestFile(v).setLastModified(t0 + v * 1000L)))
+    def drainFrom(opts: Map[String, String]): Seq[(Long, Long)] = {
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      // paced per-commit so _commit_version attribution is exact (an
+      // unbounded drain would NET the backlog and stamp its endpoint)
+      var r = spark.readStream.format("glog").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("event_id"), col("_commit_version")).collect()
+            .foreach(x => rows.add((x.getLong(0), x.getLong(1)))): Unit
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_cdcts_ck").toString)
+        .start()
+      try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
+      finally if (q.isActive) q.stop()
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq.sorted
+    }
+    def msgChain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    // anchored AT the v2 commit time → the stream starts AFTER v2
+    // (startingVersion exclusivity, timestamp spelling): only v3 emits
+    assert(drainFrom(Map("startingTimestamp" -> (t0 + 2000L).toString)) ==
+      Seq((3L, 3L)))
+    // between v1 and v2 → resolves to v1 → v2 and v3 emit
+    assert(drainFrom(Map("startingTimestamp" -> (t0 + 1500L).toString)) ==
+      Seq((2L, 2L), (3L, 3L)))
+    // the ISO-8601 spelling parses to the same anchor
+    assert(drainFrom(Map("startingTimestamp" ->
+      java.time.Instant.ofEpochMilli(t0 + 2000L).toString)) == Seq((3L, 3L)))
+    // before the first commit: loud (no pre-history snapshot to diff)
+    val e1 = intercept[Exception] {
+      drainFrom(Map("startingTimestamp" -> (t0 - 1000L).toString)) }
+    assert(msgChain(e1).contains("startingTimestamp"), msgChain(e1))
+    // both anchors: loud
+    val e2 = intercept[Exception] {
+      drainFrom(Map("startingTimestamp" -> (t0 + 2000L).toString,
+        "startingVersion" -> "2")) }
+    assert(msgChain(e2).contains("mutually exclusive"), msgChain(e2))
+    // unparseable: loud, names the option
+    val e3 = intercept[Exception] {
+      drainFrom(Map("startingTimestamp" -> "not-a-time")) }
+    assert(msgChain(e3).contains("startingTimestamp"), msgChain(e3))
+  }
+
   test("manifest user_id/event_type stats prune at planning; full coverage deletes unopened") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.sources.{EqualTo, Filter, LessThanOrEqual}
@@ -1912,10 +2121,11 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val live = GraftLogSource.listCommitted(p, conf, Seq.empty)
       ._1.map(_.getPath.getName).toSeq
     assert(live == Seq(names(1)), live.mkString(","))
-    // an event_type the comma-joined dictionary cannot represent
-    // EXACTLY (empty string / embedded comma) degrades the whole
-    // dictionary to unknown — an "exact" dictionary missing a real
-    // value would mis-prune reads and mis-prove full-coverage DELETEs
+    // an event_type the bare comma join could not represent (empty
+    // string / embedded comma) now round-trips EXACTLY through the
+    // escape encoding — the dictionary stays exact instead of
+    // degrading to unknown, and both pruning and full-coverage proofs
+    // stay correct for every value
     val dir2 = java.nio.file.Files.createTempDirectory("graft_glog_et").toFile
     val w2 = new graft.sources.GlogWriterFactory(dir2.getAbsolutePath)
       .createWriter(0, 1L)
@@ -1930,11 +2140,13 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .commit(Array(w2.commit()))
     val p2 = new Path(dir2.getAbsolutePath)
     val ent = GraftLogSource.liveEntries(p2, conf).get._2.head
-    assert(ent.etypes.isEmpty, s"unrepresentable type dictionarized: $ent")
+    assert(ent.etypes.contains(Seq("", "click")),
+      s"odd values no longer round-trip exactly: $ent")
     // the ''-typed row stays readable under its own predicate…
     assert(spark.read.format("glog").option("path", dir2.getAbsolutePath)
       .load().filter(col("event_type") === "").count() == 1)
-    // …and DELETE of the other type must NOT claim full coverage
+    // …and DELETE of the other type must NOT claim full coverage (the
+    // exact dictionary holds '' too, which the predicate does not)
     GraftLogSource.deleteMatching(p2,
       Array[Filter](EqualTo("event_type", "click")))
     assert(spark.read.format("glog").option("path", dir2.getAbsolutePath)
@@ -2066,9 +2278,20 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val pub = spark.read.format("glog").option("path", path)
       .option("changeFeedFrom", "1").option("changeFeedTo", "2").load()
     assert(pub.columns.toSeq ==
-      GraftLogSource.SchemaFixed.fieldNames.toSeq :+ "_change_type")
+      GraftLogSource.SchemaFixed.fieldNames.toSeq ++
+        Seq("_change_type", "_commit_version", "_commit_timestamp"))
     assert(ids(pub.filter(col("_change_type") === "insert")) ==
       ids(ev.filter(col("value") >= cut)))
+    // CDC metadata through the public spelling: the v1→v2 range stamps
+    // version 2 and the v2 manifest's commit mtime on every row
+    val pubMeta = pub
+      .select(col("_commit_version"), col("_commit_timestamp"))
+      .distinct().collect()
+    assert(pubMeta.length == 1 && pubMeta(0).getLong(0) == 2L, pubMeta.toSeq)
+    val v2ms = GraftLogSource.fsFor(p4, conf)
+      .getFileStatus(GraftLogSource.manifestPath(p4, 2L)).getModificationTime
+    assert(pubMeta(0).getTimestamp(1).getTime == v2ms,
+      s"_commit_timestamp ${pubMeta(0).getTimestamp(1)} != manifest mtime $v2ms")
     // downstream operators resolve against the substituted plan
     assert(pub.groupBy(col("_change_type")).count().collect().length == 1)
 
@@ -2080,6 +2303,9 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("1_append_range", "2_delete_range", "3_composed", "4_public_option"))
     assert(rows.forall(_.getBoolean(3)), rows.mkString("; "))
+    // CDC metadata census: every stage stamped its `to` endpoint's
+    // version + manifest commit mtime
+    assert(rows.forall(_.getBoolean(4)), rows.mkString("; "))
     assert(rows.map(_.getLong(1)).sum > 0)
   }
 
