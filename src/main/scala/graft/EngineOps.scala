@@ -4366,6 +4366,7 @@ object EngineOps {
     "eng_hybrid_search" -> hybridOracleSql,
     "eng_lm_score" -> lmScoreOracleSql,
     "eng_wordpiece" -> wordpieceOracleSql,
+    "eng_kmeans_fit" -> kmeansOracleSql,
     "eng_anomaly_forecast" -> anomalyOracleSql,
     "eng_ann_lsh_topk" -> annLshOracleSql,
     "eng_ann_lsh_pairs" -> annLshPairsOracleSql,
@@ -4762,6 +4763,74 @@ object EngineOps {
        |       round(CAST(sum(np) AS DOUBLE) / sum(nt), 4) AS pieces_per_token,
        |       min(sample) AS sample_pieces
        |FROM perdoc GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+  }
+
+  /** The eng_kmeans_fit oracle: 5 spherical-Lloyd sweeps UNROLLED as
+    * a WITH chain over the same embeddings — init is the first 8
+    * vectors by id (sampledCodebook), each sweep assigns by cosine
+    * (list_dot_product is the same sequential float→double
+    * accumulation VecDotExpr compiles; ties pick the higher cell like
+    * greatest(struct)), re-sums the FLOAT-cast unit vectors per cell,
+    * and re-normalizes with KMeans.fit's own 9-dp round_even — the
+    * rounding that exists to pin fp-summation-order drift pins the
+    * cross-engine drift here exactly as in the pagerank oracle. The
+    * reported objective/max_move round to 6 dp (rint == round_even);
+    * the early-stop rule (previous raw max_move > 1e-4) is replayed
+    * as WHERE guards on the unioned per-sweep rows. The only
+    * unordered float sums are the per-cell aggregates, absorbed by
+    * the 9-dp/6-dp grids (stability probed empirically, the
+    * eng_pagerank discipline). */
+  private def kmeansOracleSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""sc$k AS (SELECT xn.vec_id, c.cell,
+         |  list_dot_product(xn.v, c.cl) /
+         |    (xn.nv * sqrt(list_dot_product(c.cl, c.cl))) AS cos
+         |  FROM xn, c$k c),
+         |b$k AS (SELECT vec_id, cell, cos FROM (
+         |    SELECT vec_id, cell, cos, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+         |    FROM sc$k) WHERE rn = 1),
+         |g$k AS (SELECT CAST(count(*) AS BIGINT) AS total, sum(cos) AS sumcos,
+         |  CAST(count(DISTINCT cell) AS INT) AS used FROM b$k),
+         |u$k AS (SELECT b.cell, d.i AS d,
+         |  sum(CAST(CAST(xn.v[d.i] * (1.0 / xn.nv) AS FLOAT) AS DOUBLE)) AS s
+         |  FROM b$k b JOIN xn USING (vec_id), dms d GROUP BY b.cell, d.i),
+         |nn$k AS (SELECT cell, sl, sqrt(list_dot_product(sl, sl)) AS nrm
+         |  FROM (SELECT cell, list(s ORDER BY d) AS sl FROM u$k GROUP BY cell)),
+         |c${k + 1} AS (SELECT c.cell,
+         |  CASE WHEN n.cell IS NOT NULL AND n.nrm <> 0.0
+         |       THEN list_transform(n.sl,
+         |              e -> round_even(e / n.nrm * 1e9, 0) / 1e9)
+         |       ELSE c.cl END AS cl
+         |  FROM c$k c LEFT JOIN nn$k n USING (cell)),
+         |mv$k AS (SELECT max(sqrt(list_dot_product(df, df))) AS m FROM (
+         |  SELECT list_transform(range(1, len(a.cl) + 1),
+         |    i -> a.cl[CAST(i AS INT)] - b.cl[CAST(i AS INT)]) AS df
+         |  FROM c$k a JOIN c${k + 1} b USING (cell))),
+         |r$k AS (SELECT $k AS iter,
+         |  round_even((SELECT sumcos / total FROM g$k) * 1e6, 0) / 1e6
+         |    AS objective,
+         |  round_even((SELECT m FROM mv$k) * 1e6, 0) / 1e6 AS max_move,
+         |  (SELECT used FROM g$k) AS used_cells)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 5).map { k =>
+      val guards = (1 until k)
+        .map(j => s"(SELECT m FROM mv$j) > 0.0001").mkString(" AND ")
+      val where = if (guards.isEmpty) "" else s" WHERE $guards"
+      s"SELECT iter, objective, max_move, used_cells FROM r$k$where"
+    }.mkString("\nUNION ALL ")
+    s"""WITH x AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |xn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM x),
+       |dms AS (SELECT CAST(unnest(range(1, len(v) + 1)) AS INT) AS i
+       |  FROM (SELECT v FROM x WHERE vec_id = (SELECT min(vec_id) FROM x))),
+       |c1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1
+       |    AS cell, v AS cl
+       |  FROM (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT 8)),
+       |$iters
+       |$rows
+       |ORDER BY iter""".stripMargin
   }
 
   /** The raw-BM25-score CTE block (tc/cnt/st/sc — `sc` holds
