@@ -3428,6 +3428,50 @@ object EngineOps {
       .toDF("n_batches", "n_insert", "ok")
   }
 
+  /** MEASURED table-history surface (GraftLogSource.history — the
+    * DESCRIBE HISTORY analog, how a user finds the version or
+    * timestamp to hand to versionAsOf/timestampAsOf/changeFeedFrom/
+    * startingVersion): over the shared change-feed fixture
+    * (v1 overwrite, v2 append, v3 copy-on-write DELETE, v4 small
+    * append), the history must list the four retained versions in
+    * commit order with non-decreasing manifest-mtime timestamps and
+    * EXACT add/remove censuses — the overwrite's single file, the
+    * append's +1, the rewrite's +1/-1 swap (live count unchanged),
+    * the small append's +1; the oldest row's deltas are unknown
+    * (its predecessor may be vacuumed) and census as -1. `ok` also
+    * pins the round-trip a user actually performs: reading
+    * `timestampAsOf` the NEWEST row's commit timestamp pins the same
+    * snapshot as `versionAsOf` its version (newest only — an older
+    * version's mtime could tie with its successor's on a
+    * coarse-clock store, which timestamp addressing resolves to the
+    * newer commit by contract). Driver-side O(versions) like Delta's
+    * DESCRIBE HISTORY. */
+  private def dsv2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (path, _, _, _) = ensureChangeFeedFixture(spark, dir)
+    val h = sources.GraftLogSource.history(spark, path).collect()
+    def pinnedCount(key: String, value: String): Long =
+      spark.read.format("glog").option("path", path)
+        .option(key, value).load().count()
+    val tsOrdered = h.map(_.getTimestamp(1).getTime).sliding(2)
+      .forall(w => w.length < 2 || w(0) <= w(1))
+    val newest = h.last
+    val roundTrip = pinnedCount("timestampAsOf",
+        newest.getTimestamp(1).getTime.toString) ==
+      pinnedCount("versionAsOf", newest.getLong(0).toString)
+    // (version, n_live, n_added, n_removed) expectations per fixture
+    val want = Seq((1L, 1L, -1L, -1L), (2L, 2L, 1L, 0L),
+      (3L, 2L, 1L, 1L), (4L, 3L, 1L, 0L))
+    val got = h.map(r => (r.getLong(0), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    val globalOk = tsOrdered && roundTrip && got == want
+    got.map { case (v, live, add, rem) =>
+      (v, live, add, rem, globalOk)
+    }.toDF("version", "n_live_files", "n_added", "n_removed", "ok")
+      .orderBy(col("version"))
+  }
+
   /** MEASURED manifest-carried ts statistics — file-level stats on a
     * SECOND column (the value zone map rides the file NAMES; ts
     * min/max ride the MANIFEST, collected for free by the writers —
@@ -4275,6 +4319,7 @@ object EngineOps {
     "eng_dsv2_manifest" -> dsv2Manifest,
     "eng_dsv2_ts_stats" -> dsv2TsStats,
     "eng_dsv2_changefeed" -> dsv2ChangeFeed,
+    "eng_dsv2_history" -> dsv2History,
     "eng_changefeed_small_delta" -> changeFeedSmallDelta,
     "eng_stream_cdc" -> streamCdc,
     "eng_stream_cdc_small_delta" -> streamCdcSmallDelta,

@@ -988,6 +988,74 @@ object GraftLogSource {
     }
   }
 
+  /** Newest committed version whose manifest mtime is <= `tsMs` — the
+    * TIMESTAMP AS OF resolution (GlogCatalog.loadTable's rule) as a
+    * reusable helper behind every timestamp-addressed spelling: the
+    * `timestampAsOf` reader option, the CDC stream's
+    * `startingTimestamp`, and the batch feed's
+    * `changeFeedFrom/ToTimestamp` endpoints. Loud (naming the
+    * offending option) when the table has no history or no version
+    * qualifies — never a silent earliest/latest fallback. */
+  private[sources] def versionAtTimestamp(dir: Path, conf: Configuration,
+      tsMs: Long, option: String): Long = {
+    val fs = fsFor(dir, conf)
+    val versions = manifestVersions(dir, conf)
+    require(versions.nonEmpty,
+      s"glog: $option needs manifest history at $dir (write through the " +
+        "connector once)")
+    val eligible = versions.filter { v =>
+      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMs
+    }
+    require(eligible.nonEmpty,
+      s"glog: no committed version of $dir at or before $option $tsMs ms " +
+        s"(oldest retained manifest is version ${versions.head})")
+    eligible.max
+  }
+
+  /** Commit history of a glog table — one row per RETAINED manifest
+    * version, newest last: the version, its commit timestamp (the
+    * manifest file's mtime — the same clock every timestamp-addressed
+    * spelling resolves against), the live-file count, and the
+    * added/removed file counts vs the PREVIOUS retained version
+    * (NULL for the oldest row, whose predecessor may have been
+    * vacuumed). The DESCRIBE HISTORY analog: how a user finds the
+    * version or timestamp to hand to versionAsOf / timestampAsOf /
+    * changeFeedFrom / startingVersion. Driver-side O(versions ·
+    * manifest lines) over the retained chain — bounded by vacuum
+    * retention exactly like Delta's DESCRIBE HISTORY, returned as a
+    * local DataFrame. */
+  def history(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val conf = driverHadoopConf()
+    val dir = resolveDir(path)
+    val fs = fsFor(dir, conf)
+    val versions = manifestVersions(dir, conf)
+    val rows = versions.foldLeft(
+        (Option.empty[Set[String]], Seq.newBuilder[org.apache.spark.sql.Row])) {
+      case ((prev, out), v) =>
+        val names = liveSnapshot(dir, conf, Some(v)).map(_._2.toSet)
+          .getOrElse(Set.empty[String])
+        val ts = new java.sql.Timestamp(
+          fs.getFileStatus(manifestPath(dir, v)).getModificationTime)
+        val (added, removed) = prev match {
+          case Some(p) => (java.lang.Long.valueOf((names -- p).size.toLong),
+            java.lang.Long.valueOf((p -- names).size.toLong))
+          case None => (null, null) // predecessor may be vacuumed — unknown
+        }
+        out += org.apache.spark.sql.Row(
+          v, ts, names.size.toLong, added, removed)
+        (Some(names), out)
+    }._2.result()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("commit_timestamp", TimestampType, nullable = false),
+        StructField("n_live_files", LongType, nullable = false),
+        StructField("n_added", LongType, nullable = true),
+        StructField("n_removed", LongType, nullable = true))))
+  }
+
   /** Grace window [[vacuum]] applies before unlinking an unreferenced
     * file: only orphans OLDER than this (by modification time) are
     * reclaimed, so a concurrent commit's just-claimed,
@@ -1557,6 +1625,8 @@ class GraftLogSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.containsKey("changeFeedFrom") ||
         options.containsKey("changeFeedTo") ||
+        options.containsKey("changeFeedFromTimestamp") ||
+        options.containsKey("changeFeedToTimestamp") ||
         options.getBoolean("readChangeFeed", false))
       GraftLogSource.ChangeFeedSchema
     else GraftLogSource.SchemaFixed
@@ -1573,19 +1643,40 @@ class GraftLogSource extends TableProvider
     }
     if (opt("readChangeFeed").exists(_.equalsIgnoreCase("true")))
       return new GlogChangeFeedStreamTable(properties.get("path"))
-    (opt("changeFeedFrom"), opt("changeFeedTo")) match {
-      case (None, None) =>
-        new GlogTable(properties.get("path"),
-          !"false".equalsIgnoreCase(properties.getOrDefault("pushdown", "true")))
-      case (from, to) =>
-        def v(name: String, s: Option[String]): Long = s
+    val cfKeys = Seq("changeFeedFrom", "changeFeedTo",
+      "changeFeedFromTimestamp", "changeFeedToTimestamp")
+    if (cfKeys.forall(k => opt(k).isEmpty))
+      new GlogTable(properties.get("path"),
+        !"false".equalsIgnoreCase(properties.getOrDefault("pushdown", "true")))
+    else {
+      // each endpoint independently takes a version OR a timestamp
+      // (resolved like TIMESTAMP AS OF — endpoints can mix, e.g. a
+      // checkpointed from-version with a wall-clock to-timestamp)
+      def endpoint(which: String): Long = {
+        val vKey = s"changeFeed$which"
+        val tKey = s"changeFeed${which}Timestamp"
+        val (v, t) = (opt(vKey), opt(tKey))
+        require(v.isEmpty || t.isEmpty,
+          s"glog change feed: $vKey and $tKey are mutually exclusive — " +
+            s"address the $which endpoint one way")
+        v.map(s => s.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"glog: $vKey must be a numeric manifest version")))
+          .orElse(t.map { s =>
+            val path = properties.get("path")
+            require(path != null,
+              "graft-log source requires option(\"path\", dir)")
+            GraftLogSource.versionAtTimestamp(
+              GraftLogSource.resolveDir(path),
+              GraftLogSource.driverHadoopConf(),
+              GraftLogSource.parseTimestampMs(tKey, s), tKey)
+          })
           .getOrElse(throw new IllegalArgumentException(
-            s"glog change feed requires BOTH changeFeedFrom and " +
-              s"changeFeedTo (missing $name)"))
-          .toLongOption.getOrElse(throw new IllegalArgumentException(
-            s"glog: $name must be a numeric manifest version"))
-        new GlogChangeFeedTable(properties.get("path"),
-          v("changeFeedFrom", from), v("changeFeedTo", to))
+            s"glog change feed requires BOTH endpoints " +
+              s"(missing $vKey or $tKey)"))
+      }
+      new GlogChangeFeedTable(properties.get("path"),
+        endpoint("From"), endpoint("To"))
     }
   }
   override def supportsExternalMetadata(): Boolean = false
@@ -1763,21 +1854,11 @@ private[graft] class GlogChangeFeedSource(spark: SparkSession, path: String,
               "older versions may have been vacuumed)")
           want
         case (None, Some(ts)) =>
-          // the batch TIMESTAMP AS OF resolution (GlogCatalog
-          // loadTable(timestampMicros)) reused for the stream's zero
-          // point: newest retained version committed at or before ts
-          // — the stream starts AFTER that snapshot (same exclusivity
-          // as startingVersion)
-          val dfs = GraftLogSource.fsFor(dir, conf)
-          val eligible = vs.filter { mv =>
-            dfs.getFileStatus(GraftLogSource.manifestPath(dir, mv))
-              .getModificationTime <= ts
-          }
-          require(eligible.nonEmpty,
-            s"glog readChangeFeed: no committed version of $path at or " +
-              s"before startingTimestamp $ts ms (oldest retained manifest " +
-              s"is version ${vs.head})")
-          eligible.max
+          // the TIMESTAMP AS OF resolution reused for the stream's
+          // zero point — the stream starts AFTER that snapshot (same
+          // exclusivity as startingVersion)
+          GraftLogSource.versionAtTimestamp(dir, conf, ts,
+            "startingTimestamp")
         case (None, None) => vs.max
       }
       fs.mkdirs(marker.getParent): Unit
@@ -1918,14 +1999,28 @@ private[sources] class GlogTable(path: String, pushdown: Boolean,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // timestampAsOf: the reader-option spelling of the catalog's
+    // TIMESTAMP AS OF — resolved HERE (planning time, one listing +
+    // stat pass) to a pinned version so everything downstream is the
+    // one versionAsOf code path
+    val tsPin = Option(options.get("timestampAsOf")).map { s =>
+      require(options.get("versionAsOf") == null,
+        "glog: versionAsOf and timestampAsOf are mutually exclusive — " +
+          "pin the snapshot one way")
+      GraftLogSource.versionAtTimestamp(GraftLogSource.resolveDir(path),
+        GraftLogSource.driverHadoopConf(),
+        GraftLogSource.parseTimestampMs("timestampAsOf", s), "timestampAsOf")
+    }
     new GlogScanBuilder(path, pushdown,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      versionAsOf =
-        pinnedVersion.orElse(Option(options.get("versionAsOf")).map(_.toLong)),
+      versionAsOf = pinnedVersion
+        .orElse(Option(options.get("versionAsOf")).map(_.toLong))
+        .orElse(tsPin),
       filesOf = Option(options.get("filesOf")).map(s =>
         s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet),
       ignoreChanges = options.getBoolean("ignoreChanges", false))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"glog: cannot write to the time-travel snapshot ${name()} — " +

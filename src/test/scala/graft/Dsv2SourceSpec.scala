@@ -2063,6 +2063,75 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(msgChain(e3).contains("startingTimestamp"), msgChain(e3))
   }
 
+  test("time-addressed surface: history, timestampAsOf, feed timestamp endpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_hist").toFile
+    val path = dir.getAbsolutePath
+    import spark.implicits._
+    def append(id: Long): Unit =
+      Seq((id, new java.sql.Timestamp(1000L * id), id, "click",
+        id.toDouble, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.format("glog").option("path", path)
+        .mode("append").save()
+    (1L to 3L).foreach(append) // v1..v3, one file each
+    // pin the commit clock (manifest mtimes ARE the ledger)
+    val p = new org.apache.hadoop.fs.Path(path)
+    def manifestFile(v: Long) = new java.io.File(
+      GraftLogSource.manifestPath(p, v).toUri.getPath)
+    val t0 = System.currentTimeMillis() - 200000000L
+    (1L to 3L).foreach(v =>
+      assert(manifestFile(v).setLastModified(t0 + v * 1000L)))
+    // ---- history: versions in order, pinned timestamps, exact deltas
+    val h = GraftLogSource.history(spark, path).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), h.mkString(";"))
+    assert(h.map(_.getTimestamp(1).getTime).toSeq ==
+      Seq(t0 + 1000L, t0 + 2000L, t0 + 3000L), h.mkString(";"))
+    assert(h.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L)) // n_live_files
+    assert(h.head.isNullAt(3) && h.head.isNullAt(4),
+      "oldest row must report unknown deltas") // predecessor unknowable
+    assert(h.drop(1).map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 0L), (1L, 0L)))
+    // ---- timestampAsOf pins the same snapshot the version does
+    def cnt(opts: (String, String)*): Long = {
+      var r = spark.read.format("glog").option("path", path)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().count()
+    }
+    assert(cnt("timestampAsOf" -> (t0 + 2000L).toString) == 2L)
+    assert(cnt("timestampAsOf" -> (t0 + 2500L).toString) == 2L) // between commits
+    assert(cnt("timestampAsOf" ->
+      java.time.Instant.ofEpochMilli(t0 + 1000L).toString) == 1L)
+    val e0 = intercept[Exception] {
+      cnt("timestampAsOf" -> (t0 - 1L).toString) }
+    assert(e0.getMessage.contains("timestampAsOf"), e0.getMessage)
+    val e1 = intercept[Exception] {
+      cnt("timestampAsOf" -> (t0 + 2000L).toString, "versionAsOf" -> "2") }
+    assert(e1.getMessage.contains("mutually exclusive"), e1.getMessage)
+    // ---- feed endpoints by timestamp (mixing with a version is fine)
+    def feedIds(opts: (String, String)*): Seq[Long] = {
+      var r = spark.read.format("glog").option("path", path)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().select(col("event_id")).collect().map(_.getLong(0)).toSeq.sorted
+    }
+    assert(feedIds("changeFeedFromTimestamp" -> (t0 + 1000L).toString,
+      "changeFeedToTimestamp" -> (t0 + 3000L).toString) == Seq(2L, 3L))
+    assert(feedIds("changeFeedFrom" -> "2",
+      "changeFeedToTimestamp" -> (t0 + 3000L).toString) == Seq(3L))
+    val e2 = intercept[Exception] {
+      feedIds("changeFeedFrom" -> "1",
+        "changeFeedFromTimestamp" -> (t0 + 1000L).toString,
+        "changeFeedTo" -> "3") }
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      feedIds("changeFeedFromTimestamp" -> (t0 + 1000L).toString) }
+    assert(e3.getMessage.contains("changeFeedTo"), e3.getMessage)
+    // ---- the measured entry agrees end-to-end
+    Tables.register(spark, sf)
+    val rows = EngineOps.queries("eng_dsv2_history")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.forall(_.getBoolean(4)), rows.mkString("; "))
+  }
+
   test("manifest user_id/event_type stats prune at planning; full coverage deletes unopened") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.sources.{EqualTo, Filter, LessThanOrEqual}
