@@ -1103,7 +1103,8 @@ object GraftLogSource {
     * to reclaim everything when provably quiescent. Returns the
     * number of data files removed. */
   def vacuum(path: String, retainVersions: Int = 1,
-             graceMs: Long = DefaultVacuumGraceMs): Int = {
+             graceMs: Long = DefaultVacuumGraceMs,
+             dryRun: Boolean = false): Int = {
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
     val fs = fsFor(dir, conf)
@@ -1113,6 +1114,25 @@ object GraftLogSource {
     val keep: Set[String] = retained
       .flatMap(v => liveSnapshot(dir, conf, Some(v)).map(_._2).getOrElse(Seq.empty))
       .toSet
+    // DRY RUN: report the data files a real vacuum would reclaim and
+    // mutate NOTHING — no checkpoint anchor, no manifest GC, no
+    // sidecar/tmp sweeps (the Delta `VACUUM ... DRY RUN` contract)
+    if (dryRun) {
+      val cutoffDry = System.currentTimeMillis() - math.max(0L, graceMs)
+      val ls =
+        (try fs.listStatus(dir)
+         catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+          .filter(_.isFile)
+      val claims = ls.filter(_.getPath.getName.endsWith(ClaimSuffix))
+        .map(s => s.getPath.getName.stripSuffix(ClaimSuffix) ->
+          s.getModificationTime).toMap
+      return ls.count { s =>
+        val n = s.getPath.getName
+        ((n.endsWith(".glog") && !keep(n)) || n.endsWith(".inprogress")) &&
+          math.max(s.getModificationTime,
+            claims.getOrElse(n, Long.MinValue)) <= cutoffDry
+      }
+    }
     // anchor the retained chain: a full checkpoint at the oldest
     // retained version (no-op when one exists or the manifest there
     // is already full — resolve would stop at it anyway, but the
@@ -1171,6 +1191,20 @@ object GraftLogSource {
       fs.delete(manifestPath(dir, v), false): Unit
       fs.delete(checkpointPath(dir, v), false): Unit
     }
+    // crashed publish temps (`.name.uuid.tmp` — a manifest CAS, claim
+    // sidecar, or epoch marker whose writer died between create and
+    // rename): invisible to every reader and referenced by nothing,
+    // but they leak forever without a sweep; the same grace cutoff
+    // protects an in-flight publisher's fresh temp
+    def sweepTmps(d: Path): Unit =
+      (try fs.listStatus(d)
+       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+        .filter(s => s.isFile && s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith(".tmp") &&
+          s.getModificationTime <= cutoff)
+        .foreach(s => fs.delete(s.getPath, false): Unit)
+    sweepTmps(dir)
+    sweepTmps(metaDir(dir))
     removed
   }
 

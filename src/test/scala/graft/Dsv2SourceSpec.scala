@@ -1894,6 +1894,52 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(spark.read.format("glog").option("path", path).load().count() == 3)
   }
 
+  test("vacuum: dry run mutates nothing; crashed publish temps are swept") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_vdry").toFile
+    val path = dir.getAbsolutePath
+    val p = new Path(path)
+    val conf = GraftLogSource.driverHadoopConf()
+    def stage(id: Long)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.GlogWriterFactory(path).createWriter(0, id)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, id * 1000L, id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("e"), id.toDouble,
+          org.apache.spark.unsafe.types.UTF8String.fromString("{}"))))
+      w.commit()
+    }
+    new graft.sources.GlogBatchWrite(path, GraftLogSource.SchemaFixed,
+      truncateFirst = false).commit(Array(stage(1L)))            // v1
+    val aged = System.currentTimeMillis() - GraftLogSource.DefaultVacuumGraceMs - 60000L
+    // an AGED orphan (claimed, never CAS'd, past the grace window)
+    val orphan = GraftLogSource.renameStagedIn(p, conf, Array(stage(2L))).head.name
+    val of = new java.io.File(dir, orphan)
+    assert(of.setLastModified(aged))
+    // crashed publish temps in the table dir and the meta dir —
+    // invisible to readers, referenced by nothing, leak without a sweep
+    val tmpData = new java.io.File(dir, ".part-x.glog.claim.dead.tmp")
+    val tmpMeta = new java.io.File(
+      GraftLogSource.metaDir(p).toUri.getPath, ".manifest-dead.tmp")
+    java.nio.file.Files.writeString(tmpData.toPath, "x"): Unit
+    java.nio.file.Files.writeString(tmpMeta.toPath, "x"): Unit
+    assert(tmpData.setLastModified(aged) && tmpMeta.setLastModified(aged))
+    // a FRESH temp (an in-flight publisher) must survive any sweep
+    val tmpFresh = new java.io.File(dir, ".part-y.glog.claim.live.tmp")
+    java.nio.file.Files.writeString(tmpFresh.toPath, "x"): Unit
+    // DRY RUN: reports the one reclaimable data file, mutates NOTHING
+    assert(GraftLogSource.vacuum(path, dryRun = true) == 1)
+    assert(of.exists() && tmpData.exists() && tmpMeta.exists(),
+      "dry run mutated the table")
+    // the real vacuum reclaims the orphan AND sweeps the aged temps
+    assert(GraftLogSource.vacuum(path) == 1)
+    assert(!of.exists(), "aged orphan survived")
+    assert(!tmpData.exists() && !tmpMeta.exists(),
+      "crashed publish temps not swept")
+    assert(tmpFresh.exists(), "fresh in-flight temp was swept")
+    assert(spark.read.format("glog").option("path", path).load().count() == 1)
+  }
+
   test("setTimes-rejecting store: claim sidecar keeps the vacuum grace clock honest") {
     import org.apache.hadoop.fs.Path
     // register a local FS whose setTimes is unsupported (the object-
