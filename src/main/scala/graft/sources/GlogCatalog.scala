@@ -156,24 +156,20 @@ class GlogCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `TIMESTAMP AS OF t`: the newest manifest version whose commit
-    * mtime is <= t (Spark hands micros since epoch). Approximate the
-    * way all mtime-based time travel is — the filesystem clock is the
+    * mtime is <= t (Spark hands micros since epoch) — the SHARED
+    * [[GraftLogSource.versionAtTimestamp]] resolution, so the SQL
+    * spelling, the `timestampAsOf` reader option, the CDC stream's
+    * `startingTimestamp`, and the feed's timestamp endpoints all pin
+    * the same version for the same instant. Approximate the way all
+    * mtime-based time travel is — the filesystem clock is the
     * ledger. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = GraftLogSource.resolveDir(tablePath(ident).toString)
-    val cutoffMillis = timestampMicros / 1000L
-    val versions = GraftLogSource.manifestVersions(dir, conf)
-    val eligible = versions.filter { v =>
-      fs.getFileStatus(GraftLogSource.manifestPath(dir, v))
-        .getModificationTime <= cutoffMillis
-    }
-    if (eligible.isEmpty) throw new IllegalArgumentException(
-      s"glog: no committed version of ${ident} at or before timestamp " +
-        s"$timestampMicros (oldest manifest is " +
-        s"${versions.headOption.getOrElse(-1L)})")
+    val v = GraftLogSource.versionAtTimestamp(dir, conf,
+      timestampMicros / 1000L, "TIMESTAMP AS OF")
     new GlogTable(tablePath(ident).toString, pushdown = true,
-      tableProps = readProps(ident), pinnedVersion = Some(eligible.max))
+      tableProps = readProps(ident), pinnedVersion = Some(v))
   }
 
   /** A table is a directory CARRYING the marker — a bare namespace

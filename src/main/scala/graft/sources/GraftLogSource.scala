@@ -483,10 +483,18 @@ object GraftLogSource {
     * unknown-dictionary sentinel). Keeps the dictionary EXACT for
     * values the round-13 encoding had to degrade to unknown — one
     * comma-bearing or empty type no longer forfeits pruning for the
-    * file's other types. Decode is new-reads-old: a legacy raw value
-    * passes through unchanged unless it contains a literal escape
-    * sequence, which legacy writers could not have committed (they
-    * degraded any such dictionary to '*'). */
+    * file's other types.
+    *
+    * New-reads-old is carried by a FORMAT MARKER, not by hoping:
+    * [[etypesJoin]] prefixes the escaped join with [[EtypesMarker]]
+    * ("%1" — unreachable by the encoder, whose output only ever
+    * contains '%' inside %25/%2C/%00/%2A), and [[etypesSplit]]
+    * unescapes ONLY marked fields. A legacy round-13 field (raw
+    * comma join) splits verbatim — a legacy value like 'a%2Cb'
+    * (legal then: no comma, no empty) is preserved, never mis-decoded
+    * to 'a,b' (which would both mis-prune reads and mis-prove
+    * full-coverage DELETEs on the old data). */
+  private[sources] val EtypesMarker = "%1"
   private[sources] def etypeEscape(t: String): String =
     if (t.isEmpty) "%00"
     else if (t == "*") "%2A"
@@ -496,9 +504,12 @@ object GraftLogSource {
     else if (t == "%2A") "*"
     else t.replace("%2C", ",").replace("%25", "%")
   private[sources] def etypesJoin(ts: Seq[String]): String =
-    ts.map(etypeEscape).mkString(",")
+    EtypesMarker + ts.map(etypeEscape).mkString(",")
   private[sources] def etypesSplit(s: String): Seq[String] =
-    s.split(',').toSeq.filter(_.nonEmpty).map(etypeUnescape)
+    if (s.startsWith(EtypesMarker))
+      s.substring(EtypesMarker.length)
+        .split(',').toSeq.filter(_.nonEmpty).map(etypeUnescape)
+    else s.split(',').toSeq.filter(_.nonEmpty) // legacy raw: verbatim
 
   /** One live file in a manifest: its name (the value zone map rides
     * the NAME, unchanged) plus manifest-carried file statistics on
@@ -970,14 +981,24 @@ object GraftLogSource {
   }
 
   /** Parse a user-supplied timestamp option to epoch millis: numeric
-    * epoch millis, `yyyy-MM-dd HH:mm:ss[.f…]` (the JDBC timestamp
-    * form, session-local zone), or an ISO-8601 instant. Loud on
-    * anything else. */
-  private[sources] def parseTimestampMs(option: String, s: String): Long = {
+    * epoch millis, `yyyy-MM-dd HH:mm:ss[.f…]` (resolved in the
+    * SESSION time zone — `spark.sql.session.timeZone`, the same clock
+    * a SQL `TIMESTAMP AS OF` literal resolves under; NOT the JVM
+    * default, which can silently skew the pinned snapshot by the
+    * zone offset on clusters whose JVMs don't run UTC), or an
+    * ISO-8601 instant. Loud on anything else. */
+  private[graft] def parseTimestampMs(option: String, s: String): Long = {
     val t = s.trim
     t.toLongOption.getOrElse {
-      try java.sql.Timestamp.valueOf(t).getTime
-      catch { case _: IllegalArgumentException =>
+      try {
+        val ldt = java.time.LocalDateTime.parse(t.replaceFirst(" ", "T"))
+        val zone = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(sp => java.time.ZoneId.of(
+            sp.conf.get("spark.sql.session.timeZone")))
+          .getOrElse(java.time.ZoneId.systemDefault())
+        ldt.atZone(zone).toInstant.toEpochMilli
+      } catch { case _: java.time.format.DateTimeParseException =>
         try java.time.Instant.parse(t).toEpochMilli
         catch { case _: java.time.format.DateTimeParseException =>
           throw new IllegalArgumentException(
@@ -1020,31 +1041,51 @@ object GraftLogSource {
     * (NULL for the oldest row, whose predecessor may have been
     * vacuumed). The DESCRIBE HISTORY analog: how a user finds the
     * version or timestamp to hand to versionAsOf / timestampAsOf /
-    * changeFeedFrom / startingVersion. Driver-side O(versions ·
-    * manifest lines) over the retained chain — bounded by vacuum
-    * retention exactly like Delta's DESCRIBE HISTORY, returned as a
-    * local DataFrame. */
+    * changeFeedFrom / startingVersion. Driver-side: ONE full resolve
+    * for the oldest retained version, then a FORWARD fold applying
+    * each later manifest's body in turn — O(versions) manifest
+    * reads, never O(versions · chain) re-resolves — bounded by
+    * vacuum retention exactly like Delta's DESCRIBE HISTORY,
+    * returned as a local DataFrame. */
   def history(spark: SparkSession, path: String)
       : org.apache.spark.sql.DataFrame = {
     val conf = driverHadoopConf()
     val dir = resolveDir(path)
     val fs = fsFor(dir, conf)
     val versions = manifestVersions(dir, conf)
-    val rows = versions.foldLeft(
-        (Option.empty[Set[String]], Seq.newBuilder[org.apache.spark.sql.Row])) {
-      case ((prev, out), v) =>
-        val names = liveSnapshot(dir, conf, Some(v)).map(_._2.toSet)
-          .getOrElse(Set.empty[String])
+    val rows = versions.zipWithIndex.foldLeft(
+        (Set.empty[String], Seq.newBuilder[org.apache.spark.sql.Row])) {
+      case ((prev, out), (v, i)) =>
+        // oldest retained version: full resolve (walks to its
+        // checkpoint anchor); every later version: apply ITS manifest
+        // body to the running set — a delta applies its R/A records,
+        // a full/checkpointed manifest restates the set outright
+        val names: Set[String] =
+          if (i == 0) resolveEntries(dir, conf, v).map(_.name).toSet
+          else {
+            val lines = readLinesOf(fs, manifestPath(dir, v))
+            if (lines.headOption.contains(DeltaHeader)) {
+              val s = scala.collection.mutable.Set.empty[String] ++ prev
+              lines.tail.foreach(_.split("\t", 2) match {
+                case Array("R", name) => s -= name
+                case Array("A", rest) => s += ManifestEntry.parse(rest).name
+                case other => throw new IllegalStateException(
+                  s"glog: unparseable delta-manifest record under $dir: " +
+                    s"'${other.mkString("\t")}'")
+              })
+              s.toSet
+            } else lines.filterNot(_.startsWith("#"))
+              .map(ManifestEntry.parse(_).name).toSet
+          }
         val ts = new java.sql.Timestamp(
           fs.getFileStatus(manifestPath(dir, v)).getModificationTime)
-        val (added, removed) = prev match {
-          case Some(p) => (java.lang.Long.valueOf((names -- p).size.toLong),
-            java.lang.Long.valueOf((p -- names).size.toLong))
-          case None => (null, null) // predecessor may be vacuumed — unknown
-        }
+        val (added, removed) =
+          if (i == 0) (null, null) // predecessor may be vacuumed — unknown
+          else (java.lang.Long.valueOf((names -- prev).size.toLong),
+            java.lang.Long.valueOf((prev -- names).size.toLong))
         out += org.apache.spark.sql.Row(
           v, ts, names.size.toLong, added, removed)
-        (Some(names), out)
+        (names, out)
     }._2.result()
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -1114,25 +1155,32 @@ object GraftLogSource {
     val keep: Set[String] = retained
       .flatMap(v => liveSnapshot(dir, conf, Some(v)).map(_._2).getOrElse(Seq.empty))
       .toSet
-    // DRY RUN: report the data files a real vacuum would reclaim and
-    // mutate NOTHING — no checkpoint anchor, no manifest GC, no
-    // sidecar/tmp sweeps (the Delta `VACUUM ... DRY RUN` contract)
-    if (dryRun) {
-      val cutoffDry = System.currentTimeMillis() - math.max(0L, graceMs)
-      val ls =
-        (try fs.listStatus(dir)
-         catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
-          .filter(_.isFile)
-      val claims = ls.filter(_.getPath.getName.endsWith(ClaimSuffix))
-        .map(s => s.getPath.getName.stripSuffix(ClaimSuffix) ->
-          s.getModificationTime).toMap
-      return ls.count { s =>
-        val n = s.getPath.getName
-        ((n.endsWith(".glog") && !keep(n)) || n.endsWith(".inprogress")) &&
-          math.max(s.getModificationTime,
-            claims.getOrElse(n, Long.MinValue)) <= cutoffDry
-      }
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+    val listing =
+      (try fs.listStatus(dir)
+       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
+        .filter(_.isFile)
+    // claim-time sidecars (setTimes-rejecting stores): the grace clock
+    // takes max(data mtime, sidecar mtime) so a claim whose rename
+    // preserved an ancient write-finish time still gets its full grace
+    val claimMtimes: Map[String, Long] = listing
+      .filter(_.getPath.getName.endsWith(ClaimSuffix))
+      .map(s => s.getPath.getName.stripSuffix(ClaimSuffix) ->
+        s.getModificationTime).toMap
+    // ONE candidate selection shared by dry-run and the real pass —
+    // the single property a dry run exists to guarantee is that it
+    // reports exactly the set the real pass would reclaim
+    val orphans = listing.filter { s =>
+      val n = s.getPath.getName
+      !n.endsWith(ClaimSuffix) &&
+        ((n.endsWith(".glog") && !keep(n)) || n.endsWith(".inprogress"))
     }
+    val (reclaim, graced) = orphans.partition(s =>
+      math.max(s.getModificationTime,
+        claimMtimes.getOrElse(s.getPath.getName, Long.MinValue)) <= cutoff)
+    // DRY RUN: report and mutate NOTHING — no checkpoint anchor, no
+    // manifest GC, no sidecar/tmp sweeps (Delta's VACUUM ... DRY RUN)
+    if (dryRun) return reclaim.length
     // anchor the retained chain: a full checkpoint at the oldest
     // retained version (no-op when one exists or the manifest there
     // is already full — resolve would stop at it anyway, but the
@@ -1144,38 +1192,17 @@ object GraftLogSource {
       publishTextIfAbsent(fs, checkpointPath(dir, minRetained),
         entries.map(_.line).mkString("", "\n", "\n")): Unit
     }
-    val listing =
-      (try fs.listStatus(dir)
-       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] })
-        .filter(_.isFile)
     var removed = 0
-    var gracedSkips = 0
-    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
-    // claim-time sidecars (setTimes-rejecting stores): the grace clock
-    // takes max(data mtime, sidecar mtime) so a claim whose rename
-    // preserved an ancient write-finish time still gets its full grace
-    val claimMtimes: Map[String, Long] = listing
-      .filter(_.getPath.getName.endsWith(ClaimSuffix))
-      .map(s => s.getPath.getName.stripSuffix(ClaimSuffix) ->
-        s.getModificationTime).toMap
     val deleted = scala.collection.mutable.Set.empty[String]
-    listing.filter(s => !s.getPath.getName.endsWith(ClaimSuffix)).foreach { s =>
-      val n = s.getPath.getName
-      val orphan = (n.endsWith(".glog") && !keep(n)) || n.endsWith(".inprogress")
-      if (orphan) {
-        val effMtime =
-          math.max(s.getModificationTime, claimMtimes.getOrElse(n, Long.MinValue))
-        if (effMtime <= cutoff) {
-          if (fs.delete(s.getPath, false)) { removed += 1; deleted += n }
-        } else gracedSkips += 1 // in-flight claim (or fresh orphan) survives
-      }
+    reclaim.foreach { s =>
+      if (fs.delete(s.getPath, false)) { removed += 1; deleted += s.getPath.getName }
     }
-    if (gracedSkips > 0)
+    if (graced.nonEmpty)
       // surface the safe-by-default behavior change (round-13+): a
       // vacuum right after a DELETE/compact reclaims nothing until the
       // orphans age past graceMs — pass graceMs = 0 when provably
       // quiescent
-      logger.info(s"glog vacuum($dir): $gracedSkips orphan(s) " +
+      logger.info(s"glog vacuum($dir): ${graced.length} orphan(s) " +
         s"within the ${math.max(0L, graceMs)} ms grace window were kept " +
         "(in-flight-commit protection); re-run later or pass graceMs = 0 " +
         "if nothing is in flight")
@@ -1369,25 +1396,29 @@ object GraftLogSource {
         else {
           val name = fileName(nextIdx, m.min, m.max)
           nextIdx += 1
+          // restart the vacuum grace clock at CLAIM time, BEFORE the
+          // rename publishes the file under its final name: re-stamp
+          // the TEMP's mtime (rename/hard-link preserve it), so a
+          // straggler-delayed job's file is never visible to a racing
+          // vacuum with its ancient write-finish mtime — not even for
+          // the instant between rename and a post-rename re-stamp
+          try fs.setTimes(new Path(m.tempPath),
+            System.currentTimeMillis(), -1): Unit
+          catch { case _: UnsupportedOperationException =>
+            // store rejects mtime re-stamps: publish a claim-time
+            // SIDECAR instead — creating a file stamps its own mtime
+            // with no setTimes needed, and vacuum's grace check takes
+            // max(data mtime, sidecar mtime). Published BEFORE the
+            // rename for the same no-visible-stale-instant reason. A
+            // lost claim leaves it behind ON PURPOSE: the winner of
+            // the name may itself be relying on this very sidecar
+            // (publish-if-absent — first writer wins), so deleting it
+            // here could strip a LIVE claim's grace protection;
+            // vacuum reclaims it once the claim resolves either way
+            publishTextIfAbsent(fs,
+              new Path(dir, name + ClaimSuffix), ""): Unit
+          }
           if (publishIfAbsent(fs, new Path(m.tempPath), new Path(dir, name))) {
-            // restart the vacuum grace clock at CLAIM time: rename and
-            // hard-link both preserve the temp's write-finish mtime,
-            // so a straggler-delayed job's files would otherwise look
-            // older than the grace window during the short
-            // claim→manifest-CAS gap vacuum's grace exists to protect
-            try fs.setTimes(new Path(dir, name),
-              System.currentTimeMillis(), -1): Unit
-            catch { case _: UnsupportedOperationException =>
-              // store rejects mtime re-stamps: publish a claim-time
-              // SIDECAR instead — creating a file stamps its own mtime
-              // with no setTimes needed, and vacuum's grace check takes
-              // max(data mtime, sidecar mtime), so the straggler+vacuum
-              // race stays closed instead of silently degrading to the
-              // temp's write-finish clock (vacuum reclaims the sidecar
-              // once the claim is live or its file is gone)
-              publishTextIfAbsent(fs,
-                new Path(dir, name + ClaimSuffix), ""): Unit
-            }
             done += ManifestEntry(name, m.tsRange, m.uidRange, m.etypesOpt)
           } else { collided = true; remaining :+= m }
         }

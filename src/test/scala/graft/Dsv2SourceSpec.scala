@@ -2009,6 +2009,17 @@ class Dsv2SourceSpec extends AnyFunSuite {
       Some((3L, 4L)), Some(weird))
     assert(GraftLogSource.ManifestEntry.parse(entry.line) == entry,
       s"etype escape round-trip failed: ${entry.line}")
+    // LEGACY (round-13) dictionaries carry NO format marker and split
+    // VERBATIM: a raw 'a%2Cb' value — legal then (no comma, no empty)
+    // — must never mis-decode to 'a,b', which would both mis-prune
+    // reads and mis-prove full-coverage DELETEs on the old data
+    val legacy = GraftLogSource.ManifestEntry
+      .parse("f.glog\t1\t2\t3\t4\ta%2Cb,x")
+    assert(legacy.etypes.contains(Seq("a%2Cb", "x")), legacy.toString)
+    // re-committing it writes the MARKED escaped form, which
+    // round-trips exactly
+    assert(GraftLogSource.ManifestEntry.parse(legacy.line) == legacy,
+      legacy.line)
     // end-to-end: one file holding {'', 'a,b', 'click'} keeps an EXACT
     // dictionary — a filter on a type it lacks prunes it, a filter on
     // any of its own types (comma-bearing or empty included) keeps it
@@ -2150,6 +2161,18 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val e0 = intercept[Exception] {
       cnt("timestampAsOf" -> (t0 - 1L).toString) }
     assert(e0.getMessage.contains("timestampAsOf"), e0.getMessage)
+    // the JDBC form resolves in the SESSION zone (the clock SQL
+    // TIMESTAMP AS OF literals use), never the JVM default
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // 1970-01-02 00:00 in New York (EST, UTC-5) == 05:00 UTC
+      assert(GraftLogSource.parseTimestampMs("t", "1970-01-02 00:00:00") ==
+        29L * 3600000L)
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(GraftLogSource.parseTimestampMs("t", "1970-01-02 00:00:00") ==
+        24L * 3600000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     val e1 = intercept[Exception] {
       cnt("timestampAsOf" -> (t0 + 2000L).toString, "versionAsOf" -> "2") }
     assert(e1.getMessage.contains("mutually exclusive"), e1.getMessage)
