@@ -163,6 +163,65 @@ object EngineOps {
       .orderBy(col("cluster"), col("n_members"), col("id_sum"))
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-dedup, Abbas et al.
+    * '23): spherical-k-means codebook (8 cells, 3 sweeps, first-8
+    * init) over the planted-copy corpus (the same 20 deterministic
+    * near-copies as eng_embed_dedup — ×1.001f scaling, cosine 1 with
+    * the originals and scale-invariant under the cosine argmax, so
+    * each copy co-locates with its source by construction), cosine
+    * within-cell pairs at ≥0.95, connected components, keep-min-id.
+    * The 100 TB shape — BOTH knobs of the paper's recipe: k SCALES
+    * with the corpus (one cell per ~64 vectors, so within-cell pair
+    * work stays linear in n, never quadratic), and the codebook FITS
+    * on a bounded deterministic sample (first 4096 by id — fit cost
+    * O(sample · k · dim), linear in n through k, while the full
+    * corpus is only ever ASSIGNED, one codegen'd argmax pass). ONE
+    * shuffle on the learned cell id; cross-cell pairs never form —
+    * the data-shaped-bucket sibling of eng_embed_dedup's LSH buckets.
+    * Census: per-cell member/survivor counts; `ok` pins that EXACTLY
+    * the 20 planted copies drop (never an original) and all 20
+    * planted pairs surfaced. Golden+spec, not oracle: per-row k-means
+    * CELL assignment parity across engines is not defensible (a
+    * cosine near-tie can resolve differently), while the aggregate
+    * k-means history is (eng_kmeans_fit). */
+  private def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dups = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    // the corpus feeds the codebook fit (3 distributed aggregates),
+    // the assignment, and the pair join — materialize once
+    val corpus = base.unionByName(dups).localCheckpoint(true)
+    val n = corpus.count()
+    val k = math.max(8L, math.min(4096L, n / 64L)).toInt
+    val sample = corpus.orderBy(col("vec_id")).limit(4096).localCheckpoint(true)
+    val init = SimilaritySearch.sampledCodebook(sample, "vec_id", "embedding", k)
+    val (codebook, _) = KMeans.fit(sample, "embedding", maxIter = 3,
+      tol = 1e-4, init)
+    val pairs = SimilaritySearch.semanticDedupPairs(
+        corpus, "vec_id", "embedding", codebook, minCosine = 0.95)
+      .localCheckpoint(true)
+    val dropped = operators.DedupClusters
+      .connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("vec_id"))
+    val droppedIds = dropped.collect().map(_.getLong(0)).toSet
+    val wantDropped = (0L until 20L).map(_ + 100000L).toSet
+    val planted = pairs
+      .filter(col("id_b") === col("id_a") + lit(100000L)).count()
+    val globalOk = droppedIds == wantDropped && planted == 20L &&
+      pairs.count() == 20L
+    SimilaritySearch.assignCells(corpus, "vec_id", "embedding", codebook)
+      .withColumn("dropped",
+        when(col("vec_id").isInCollection(droppedIds), 1L).otherwise(0L))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dropped")).as("n_dropped"))
+      .withColumn("ok", lit(globalOk))
+      .select(col("cell"), col("n_members"), col("n_dropped"), col("ok"))
+      .orderBy(col("cell"))
+  }
+
   /** The full corpus-cleaning pipeline a training-data run actually
     * executes, end to end: exact dedup (md5 keep-min) → SimHash
     * near-dup pairs over the survivors → connected components → drop
@@ -4290,6 +4349,7 @@ object EngineOps {
     "eng_dup_clusters" -> dupClusters,
     "eng_dedup_pipeline" -> dedupPipeline,
     "eng_embed_dedup" -> embedDedup,
+    "eng_semantic_dedup" -> semanticDedup,
     "eng_sliding_window" -> slidingWindow,
     "eng_ann_brute_topk" -> annBrute,
     "eng_ann_lsh_topk" -> annLsh,

@@ -32,7 +32,8 @@ object ScaleBench {
     "ql22_shard_assign", "ql23_ngram_coverage",
     "eng_pagerank", "eng_minhash_lsh_dedup", "eng_simhash_dedup",
     "eng_incremental_dedup",
-    "eng_dedup_pipeline", "eng_embed_dedup", "eng_ann_brute_topk",
+    "eng_dedup_pipeline", "eng_embed_dedup", "eng_semantic_dedup",
+    "eng_ann_brute_topk",
     "eng_ann_lsh_topk", "eng_ann_ivf_topk", "eng_ann_ivfpq_topk",
     "eng_heavy_hitters", "eng_salted_agg",
     "eng_bpe_train", "eng_ann_sq8_topk",

@@ -1,0 +1,160 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine-argmax cell id of a vector under a codebook attached as a
+  * plan REFERENCE object — the SemDeDup / k-means assignment kernel
+  * for codebooks too large to inline as literals: the Column spelling
+  * (greatest over k structs of vecCosine against k literal arrays)
+  * UNROLLS k·dim arithmetic into generated code and breaches janino's
+  * 64 KB method limit around k ≈ 100 (the PqNearestExpr rationale);
+  * this kernel is one tight double loop, code size constant in k·dim.
+  *
+  * Scores EXACTLY like the literal spelling: VecDotExpr's
+  * left-to-right double accumulation for dot(v, c) and ||v||, the
+  * per-centroid norms precomputed once with the same fold (the same
+  * doubles the literal vecL2 would produce), score =
+  * dot / (||v|| · ||c||), and ties resolve to the HIGHER cell like
+  * greatest(struct(score, cell)) — so swapping spellings never moves
+  * an assignment. NULL on null input, any null element, or a vector
+  * whose length ≠ dim (the VecDotExpr discipline); NaN scores (a
+  * zero vector) leave the argmax unspecified like the literal
+  * spelling's NaN struct ordering. */
+case class CellAssignExpr(child: Expression, flat: Array[Double],
+                          k: Int, dim: Int)
+    extends UnaryExpression {
+
+  require(flat.length == k * dim,
+    s"flat codebook length ${flat.length} != $k*$dim")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  /** Per-centroid L2 norms, computed with the literal spelling's own
+    * left-to-right fold so the division sees identical doubles. */
+  @transient private lazy val normC: Array[Double] =
+    Array.tabulate(k) { c =>
+      var d = 0.0
+      var j = 0
+      while (j < dim) { val x = flat(c * dim + j); d += x * x; j += 1 }
+      math.sqrt(d)
+    }
+
+  @transient private lazy val elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val mayHaveNullElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** Content-based equality (the PqNearestExpr discipline): the
+    * default case-class equals compares `flat` referentially, which
+    * would defeat canonicalization/CSE across separate flatten
+    * calls. */
+  override def equals(other: Any): Boolean = other match {
+    case that: CellAssignExpr =>
+      child == that.child && k == that.k && dim == that.dim &&
+        java.util.Arrays.equals(flat, that.flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(k), Int.box(dim),
+      Int.box(java.util.Arrays.hashCode(flat)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_assign expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(vAny: Any): Any = {
+    val v = vAny.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val isF = elemIsFloat
+    // ||v||: the same left-to-right fold as vecL2(v)
+    var nv = 0.0
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      val x = if (isF) v.getFloat(j).toDouble else v.getDouble(j)
+      nv += x * x
+      j += 1
+    }
+    val nvS = math.sqrt(nv)
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      val off = c * dim
+      var i = 0
+      while (i < dim) {
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * flat(off + i)
+        i += 1
+      }
+      val s = dot / (nvS * normC(c))
+      if (s >= bestS) { bestS = s; best = c } // tie → higher cell
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("cellFlat", flat, "double[]")
+    val normRef = ctx.addReferenceObj("cellNorms", normC, "double[]")
+    val getter = (v: String, j: String) =>
+      if (elemIsFloat) s"(double) $v.getFloat($j)" else s"$v.getDouble($j)"
+    nullSafeCodeGen(ctx, ev, v => {
+      val nv = ctx.freshName("nv")
+      val nvS = ctx.freshName("nvS")
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $nv = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    $nullCheck
+         |    double $x = ${getter(v, j)};
+         |    $nv += $x * $x;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $nvS = Math.sqrt($nv);
+         |    int $best = 0;
+         |    double $bestS = Double.NEGATIVE_INFINITY;
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      double $dot = 0.0;
+         |      int $off = $c * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $dot += ${getter(v, i)} * $flatRef[$off + $i];
+         |      }
+         |      double $s = $dot / ($nvS * $normRef[$c]);
+         |      if ($s >= $bestS) { $bestS = $s; $best = $c; }
+         |    }
+         |    ${ev.value} = $best;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellAssignExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "cell_assign"
+}

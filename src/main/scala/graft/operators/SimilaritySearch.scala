@@ -80,6 +80,50 @@ object SimilaritySearch {
     greatest(scored: _*).getField("cell")
   }
 
+  /** Per-vector cell assignment by COSINE argmax against the codebook
+    * (KMeans.fit's own assignment rule — scale-invariant, so a
+    * near-copy and its source score every centroid identically and
+    * co-locate by construction; ties resolve to the higher cell like
+    * greatest(struct)). Compiled kernel with the codebook as a plan
+    * REFERENCE object ([[graft.expressions.CellAssignExpr]]) — code
+    * size constant in k·dim, so k can scale with the corpus (the
+    * literal greatest-over-structs spelling breaches janino's method
+    * limit around k ≈ 100); scores the identical doubles, asserted
+    * differentially in SimilaritySearchSpec. Broadcast-free: the
+    * codebook ships with the plan. Returns (idCol, cell, vecCol). */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val expr = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.CellAssignExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(col(vecCol)),
+        centroids.flatten, centroids.length, centroids.head.length))
+    corpus.select(col(idCol), expr.as("cell"), col(vecCol))
+  }
+
+  /** SemDeDup-style semantic near-dup candidate pairs (Abbas et al.
+    * '23, arXiv:2303.09540 — cluster the embedding space, then dedup
+    * WITHIN clusters only): cosine-argmax cell assignment under a
+    * k-means codebook, then a same-cell pair join keeping pairs with
+    * cosine >= `minCosine`. The pattern that keeps embedding dedup
+    * tractable at 100 TB: ONE shuffle on the cell id, pair work
+    * quadratic only within a cell — k grows with the corpus so cell
+    * sizes stay bounded, and cross-cell pairs are never formed
+    * (the LSH-bucket analog with learned, data-shaped buckets).
+    * Returns (cell, id_a, id_b, cosine) with id_a < id_b. */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], minCosine: Double): DataFrame = {
+    val assigned = assignCells(corpus, idCol, vecCol, centroids)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", vecCosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= lit(minCosine))
+      .select(col("cell"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Deterministic sampled codebook: the first `nCentroids` vectors by
     * id (driver holds nCentroids × dim doubles — same footprint class
     * as LSH planes). */

@@ -578,4 +578,58 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("id")).toSet
     assert((brute & refined).size >= 8, s"refined recall ${(brute & refined).size}/10")
   }
+
+  test("SemDeDup: copies co-locate with their source cell and drop; originals survive") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    Tables.register(spark, sf)
+    val base = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    val dups = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus = base.unionByName(dups)
+    val init = SimilaritySearch.sampledCodebook(corpus, "vec_id", "embedding", 8)
+    val (cb, _) = graft.operators.KMeans.fit(corpus, "embedding",
+      maxIter = 3, tol = 1e-4, init)
+    // cosine is scale-invariant: every planted copy lands in its
+    // source's cell — verified directly on the assignment
+    val cells = SimilaritySearch.assignCells(corpus, "vec_id", "embedding", cb)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 20L).foreach(i =>
+      assert(cells(i) == cells(i + 100000L), s"copy of $i changed cell"))
+    // the compiled kernel scores the identical doubles the literal
+    // greatest-over-structs spelling does (differential, every row)
+    val literal = {
+      import graft.functions.VectorFunctions.vecCosine
+      val scored = cb.zipWithIndex.map { case (c, i) =>
+        struct(vecCosine(col("embedding"), array(c.map(lit): _*)).as("score"),
+          lit(i).as("cell"))
+      }
+      corpus.select(col("vec_id"), greatest(scored: _*).getField("cell").as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(literal == cells, "compiled cell assignment diverged from the literal spelling")
+    // the within-cell pair join finds EXACTLY the 20 planted pairs
+    // (the synthetic corpus holds no other >=0.95 cosine pair)
+    val pairs = SimilaritySearch.semanticDedupPairs(
+      corpus, "vec_id", "embedding", cb, minCosine = 0.95)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 20L).map(i => (i, i + 100000L)).toSet, pairs)
+    // keep-min-id survivors = the original corpus exactly
+    val dropped = graft.operators.DedupClusters
+      .connectedComponents(
+        SimilaritySearch.semanticDedupPairs(
+          corpus, "vec_id", "embedding", cb, 0.95)
+          .select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .filter(col("node") =!= col("cluster"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == (0L until 20L).map(_ + 100000L).toSet, dropped)
+    // the measured entry agrees end-to-end
+    val rows = EngineOps.queries("eng_semantic_dedup")(spark, sf).collect()
+    assert(rows.forall(_.getBoolean(3)), rows.mkString("; "))
+    assert(rows.map(_.getLong(1)).sum == base.count() + 20, rows.mkString("; "))
+    assert(rows.map(_.getLong(2)).sum == 20L, rows.mkString("; "))
+  }
 }
