@@ -6,30 +6,37 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Cosine-argmax cell id of a vector under a codebook attached as a
-  * plan REFERENCE object — the SemDeDup / k-means assignment kernel
+/** Best-cell id of a vector under a codebook attached as a plan
+  * REFERENCE object — the SemDeDup / k-means / IVF assignment kernel
   * for codebooks too large to inline as literals: the Column spelling
-  * (greatest over k structs of vecCosine against k literal arrays)
-  * UNROLLS k·dim arithmetic into generated code and breaches janino's
-  * 64 KB method limit around k ≈ 100 (the PqNearestExpr rationale);
-  * this kernel is one tight double loop, code size constant in k·dim.
+  * (greatest over k structs of vecCosine/vecDot against k literal
+  * arrays) UNROLLS k·dim arithmetic into generated code and breaches
+  * janino's 64 KB method limit around k ≈ 100 (the PqNearestExpr
+  * rationale), silently dropping the whole projection to interpreted
+  * eval; this kernel is one tight double loop, code size constant in
+  * k·dim.
   *
-  * Scores EXACTLY like the literal spelling: VecDotExpr's
-  * left-to-right double accumulation for dot(v, c) and ||v||, the
-  * per-centroid norms precomputed once with the same fold (the same
-  * doubles the literal vecL2 would produce), score =
-  * dot / (||v|| · ||c||), and ties resolve to the HIGHER cell like
-  * greatest(struct(score, cell)) — so swapping spellings never moves
-  * an assignment. NULL on null input, any null element, or a vector
-  * whose length ≠ dim (the VecDotExpr discipline); NaN scores (a
-  * zero vector) leave the argmax unspecified like the literal
-  * spelling's NaN struct ordering. */
+  * `metric` picks the score: "cosine" (KMeans.fit's rule —
+  * dot / (||v|| · ||c||), scale-invariant) or "dot" (the IVF
+  * routing rule for unit-norm codebooks). Scores EXACTLY like the
+  * literal spelling: VecDotExpr's left-to-right double accumulation,
+  * per-centroid norms precomputed once with the same fold, and the
+  * argmax compares with java.lang.Double.compare — Spark's own
+  * double ordering, so ties resolve to the HIGHER cell and NaN
+  * outranks everything exactly like greatest(struct(score, cell));
+  * swapping spellings never moves an assignment (asserted
+  * differentially in SimilaritySearchSpec/KMeansSpec). NULL on null
+  * input, any null element, or a vector whose length ≠ dim (the
+  * VecDotExpr discipline). */
 case class CellAssignExpr(child: Expression, flat: Array[Double],
-                          k: Int, dim: Int)
+                          k: Int, dim: Int, metric: String = "cosine")
     extends UnaryExpression {
 
   require(flat.length == k * dim,
     s"flat codebook length ${flat.length} != $k*$dim")
+  require(metric == "cosine" || metric == "dot",
+    s"cell_assign metric must be 'cosine' or 'dot', got '$metric'")
+  private val useCosine = metric == "cosine"
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -56,11 +63,11 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
   override def equals(other: Any): Boolean = other match {
     case that: CellAssignExpr =>
       child == that.child && k == that.k && dim == that.dim &&
-        java.util.Arrays.equals(flat, that.flat)
+        metric == that.metric && java.util.Arrays.equals(flat, that.flat)
     case _ => false
   }
   override def hashCode(): Int =
-    java.util.Objects.hash(child, Int.box(k), Int.box(dim),
+    java.util.Objects.hash(child, Int.box(k), Int.box(dim), metric,
       Int.box(java.util.Arrays.hashCode(flat)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -73,16 +80,22 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
     val v = vAny.asInstanceOf[ArrayData]
     if (v.numElements() != dim) return null
     val isF = elemIsFloat
-    // ||v||: the same left-to-right fold as vecL2(v)
-    var nv = 0.0
-    var j = 0
-    while (j < dim) {
-      if (v.isNullAt(j)) return null
-      val x = if (isF) v.getFloat(j).toDouble else v.getDouble(j)
-      nv += x * x
-      j += 1
+    // ||v||: the same left-to-right fold as vecL2(v) (cosine only)
+    var nvS = 1.0
+    if (useCosine) {
+      var nv = 0.0
+      var j = 0
+      while (j < dim) {
+        if (v.isNullAt(j)) return null
+        val x = if (isF) v.getFloat(j).toDouble else v.getDouble(j)
+        nv += x * x
+        j += 1
+      }
+      nvS = math.sqrt(nv)
+    } else {
+      var j = 0
+      while (j < dim) { if (v.isNullAt(j)) return null; j += 1 }
     }
-    val nvS = math.sqrt(nv)
     var best = 0
     var bestS = Double.NegativeInfinity
     var c = 0
@@ -95,8 +108,10 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
         dot += x * flat(off + i)
         i += 1
       }
-      val s = dot / (nvS * normC(c))
-      if (s >= bestS) { bestS = s; best = c } // tie → higher cell
+      val s = if (useCosine) dot / (nvS * normC(c)) else dot
+      // Spark's double ordering (Double.compare): tie → higher cell,
+      // NaN outranks — exactly greatest(struct(score, cell))
+      if (java.lang.Double.compare(s, bestS) >= 0) { bestS = s; best = c }
       c += 1
     }
     best
@@ -123,18 +138,30 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
         if (mayHaveNullElems)
           s"if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }"
         else ""
+      val normPass =
+        if (useCosine)
+          s"""
+             |double $nv = 0.0;
+             |for (int $j = 0; $j < $dim; $j++) {
+             |  $nullCheck
+             |  double $x = ${getter(v, j)};
+             |  $nv += $x * $x;
+             |}
+             |double $nvS = Math.sqrt($nv);""".stripMargin
+        else
+          s"""
+             |double $nvS = 1.0;
+             |for (int $j = 0; $j < $dim; $j++) {
+             |  $nullCheck
+             |}""".stripMargin
+      val score =
+        if (useCosine) s"$dot / ($nvS * $normRef[$c])" else dot
       s"""
          |if ($v.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $nv = 0.0;
-         |  for (int $j = 0; $j < $dim; $j++) {
-         |    $nullCheck
-         |    double $x = ${getter(v, j)};
-         |    $nv += $x * $x;
-         |  }
+         |  $normPass
          |  if (!${ev.isNull}) {
-         |    double $nvS = Math.sqrt($nv);
          |    int $best = 0;
          |    double $bestS = Double.NEGATIVE_INFINITY;
          |    for (int $c = 0; $c < $k; $c++) {
@@ -143,8 +170,8 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
          |      for (int $i = 0; $i < $dim; $i++) {
          |        $dot += ${getter(v, i)} * $flatRef[$off + $i];
          |      }
-         |      double $s = $dot / ($nvS * $normRef[$c]);
-         |      if ($s >= $bestS) { $bestS = $s; $best = $c; }
+         |      double $s = $score;
+         |      if (java.lang.Double.compare($s, $bestS) >= 0) { $bestS = $s; $best = $c; }
          |    }
          |    ${ev.value} = $best;
          |  }

@@ -42,13 +42,20 @@ object KMeans {
   final case class IterStat(iter: Int, objective: Double,
                             maxMove: Double, usedCells: Int)
 
-  /** Best (cosine, cell) struct for a vector under a literal codebook. */
-  private def best(centroids: Array[Array[Double]])(v: Column): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(vecCosine(v, array(c.map(lit): _*)).as("score"), lit(i).as("cell"))
-    }
-    greatest(scored: _*)
-  }
+  /** Best cell for a vector — the compiled cosine-argmax kernel
+    * (graft.expressions.CellAssignExpr, codebook as a plan reference
+    * object): the literal greatest-of-structs spelling breaches
+    * janino's 64 KB method limit around k ≈ 100 and silently drops
+    * the whole projection to interpreted eval — fatal for the
+    * SemDeDup-sized codebooks (k scales with the corpus) this fit
+    * now serves. Identical doubles and tie-break (Double.compare),
+    * so the fit history — oracle-checked as eng_kmeans_fit — is
+    * unchanged. */
+  private def bestCell(centroids: Array[Array[Double]])(v: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.CellAssignExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(v),
+        centroids.flatten, centroids.length, centroids.head.length, "cosine"))
 
   /** Lloyd iterations from `init` until max centroid movement <= tol
     * or `maxIter`; returns the final codebook (unit-norm rows, 9 dp)
@@ -66,14 +73,20 @@ object KMeans {
     val vecs = corpus.select(col(vecCol)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try while (iter < maxIter && moved > tol) {
-      val b = best(centroids)(col(vecCol))
+      val cell = bestCell(centroids)(col(vecCol))
+      // the best cell's cosine, recomputed against that one centroid
+      // (a single Literal of the whole codebook — one plan object,
+      // no k·dim code unrolling): the same doubles the kernel's
+      // argmax scored, so the objective is unchanged
+      val cbLit = typedLit(centroids.map(_.toSeq).toSeq)
+      val cos = vecCosine(col(vecCol), element_at(cbLit, cell + lit(1)))
       // vecSumAgg's input contract is array<float> (the embedding
       // storage type); normalizing costs one float rounding per
       // element (~1e-7 relative), far inside the 6-dp report grid
       val unit = vecScale(col(vecCol), lit(1.0) / vecL2(col(vecCol)))
         .cast("array<float>")
       val cells = vecs
-        .select(b.getField("cell").as("cell"), b.getField("score").as("cos"),
+        .select(cell.as("cell"), cos.as("cos"),
           unit.as("u"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sum(col("cos")).as("sum_cos"),

@@ -70,15 +70,19 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** Best cell for a vector under a literal codebook (dot score —
-    * cosine for unit-norm data): the IVF assignment expression shared
-    * by ivfTopK and lloydStep. */
-  private def nearestCell(centroids: Array[Array[Double]])(v: Column): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(vecDot(v, array(c.map(lit): _*)).as("score"), lit(i).as("cell"))
-    }
-    greatest(scored: _*).getField("cell")
-  }
+  /** Best cell for a vector under the codebook (dot score — cosine
+    * for unit-norm data): the IVF assignment expression shared by
+    * ivfTopK and lloydStep. Compiled kernel with the codebook as a
+    * plan reference object (CellAssignExpr "dot") — identical doubles
+    * and tie-break to the literal greatest-of-structs spelling
+    * (differential-asserted), but code size constant in k·dim, so an
+    * IVF layout can carry the thousands of cells a 100 TB corpus
+    * wants without breaching janino's method limit. */
+  private def nearestCell(centroids: Array[Array[Double]])(v: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.CellAssignExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expr(v),
+        centroids.flatten, centroids.length, centroids.head.length, "dot"))
 
   /** Per-vector cell assignment by COSINE argmax against the codebook
     * (KMeans.fit's own assignment rule — scale-invariant, so a

@@ -610,6 +610,24 @@ class SimilaritySearchSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     }
     assert(literal == cells, "compiled cell assignment diverged from the literal spelling")
+    // and the DOT metric (the IVF routing rule) matches its literal
+    // spelling too — same Double.compare ordering, tie to higher cell
+    val dotKernel = corpus.select(col("vec_id"),
+      org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.expressions.CellAssignExpr(
+          org.apache.spark.sql.graftshim.ColumnBridge.expr(col("embedding")),
+          cb.flatten, cb.length, cb.head.length, "dot")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dotLiteral = {
+      import graft.functions.VectorFunctions.vecDot
+      val scored = cb.zipWithIndex.map { case (c, i) =>
+        struct(vecDot(col("embedding"), array(c.map(lit): _*)).as("score"),
+          lit(i).as("cell"))
+      }
+      corpus.select(col("vec_id"), greatest(scored: _*).getField("cell").as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(dotLiteral == dotKernel, "dot-metric kernel diverged from the literal spelling")
     // the within-cell pair join finds EXACTLY the 20 planted pairs
     // (the synthetic corpus holds no other >=0.95 cosine pair)
     val pairs = SimilaritySearch.semanticDedupPairs(
