@@ -169,7 +169,9 @@ object EngineOps {
     * near-copies as eng_embed_dedup — ×1.001f scaling, cosine 1 with
     * the originals and scale-invariant under the cosine argmax, so
     * each copy co-locates with its source by construction), cosine
-    * within-cell pairs at ≥0.95, connected components, keep-min-id.
+    * within-cell pairs at ≥0.95, connected components, keep-min-id
+    * (survivors via a distributed LEFT ANTI join — the production
+    * drop, no driver round-trip).
     * The 100 TB shape — BOTH knobs of the paper's recipe: k SCALES
     * with the corpus (one cell per ~64 vectors, so within-cell pair
     * work stays linear in n, never quadratic), and the codebook FITS
@@ -206,19 +208,31 @@ object EngineOps {
       .connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
       .filter(col("node") =!= col("cluster"))
       .select(col("node").as("vec_id"))
+      .localCheckpoint(true) // two consumers: the anti join + the census
+    // THE production drop — a distributed LEFT ANTI join on the id
+    // (the eng_dedup_pipeline shape): survivors never round-trip
+    // through the driver, so the spelling holds at any corpus size
+    val assigned = SimilaritySearch
+      .assignCells(corpus, "vec_id", "embedding", codebook)
+      .localCheckpoint(true) // member census + survivor census
+    val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
+    // CENSUS-ONLY collect: bounded by the PLANT count (20 copies by
+    // construction), never by the corpus — it exists to pin that
+    // exactly the planted copies drop, not to compute the drop
     val droppedIds = dropped.collect().map(_.getLong(0)).toSet
     val wantDropped = (0L until 20L).map(_ + 100000L).toSet
     val planted = pairs
       .filter(col("id_b") === col("id_a") + lit(100000L)).count()
     val globalOk = droppedIds == wantDropped && planted == 20L &&
       pairs.count() == 20L
-    SimilaritySearch.assignCells(corpus, "vec_id", "embedding", codebook)
-      .withColumn("dropped",
-        when(col("vec_id").isInCollection(droppedIds), 1L).otherwise(0L))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_members"), sum(col("dropped")).as("n_dropped"))
+    val members = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val survivors = kept.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_kept"))
+    members.join(survivors, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        (col("n_members") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
       .withColumn("ok", lit(globalOk))
-      .select(col("cell"), col("n_members"), col("n_dropped"), col("ok"))
       .orderBy(col("cell"))
   }
 
@@ -3212,10 +3226,12 @@ object EngineOps {
       reclaimed >= 1 && countNow() == nLow + 2 && v1Fails)
     // stage 5: MANY-COMMIT metadata scaling — 20 more single-row
     // appends (the per-epoch streaming-sink shape); each non-
-    // checkpoint commit writes a 2-line DELTA no matter how many
-    // files are live (O(delta) metadata bytes per commit), with a
-    // full checkpoint every CheckpointEvery-th version bounding the
-    // resolve chain — the Delta/Iceberg checkpoint+deltas shape.
+    // checkpoint commit writes a ONE-RECORD delta beyond its O(1)
+    // '#' headers (the #delta dispatch + #glog-format declaration) no
+    // matter how many files are live (O(delta) metadata bytes per
+    // commit), with a full checkpoint every CheckpointEvery-th
+    // version bounding the resolve chain — the Delta/Iceberg
+    // checkpoint+deltas shape.
     (10L to 29L).foreach { i =>
       val (bw, msg) = staged(900000L + i, i.toDouble)
       bw.commit(msg)
@@ -3229,14 +3245,15 @@ object EngineOps {
           java.nio.charset.StandardCharsets.UTF_8)
           .linesIterator.filter(_.nonEmpty).toSeq
       }
-    val deltas = manifests.filter(_.headOption.contains("#delta"))
-    val maxDeltaLines = deltas.map(_.length).maxOption.getOrElse(0)
-    val s5 = ("5_delta_chain", deltas.length.toLong, maxDeltaLines.toLong,
-      deltas.length == 19 && maxDeltaLines == 2 &&
+    def records(m: Seq[String]): Int = m.count(l => !l.startsWith("#"))
+    val deltas = manifests.filter(_.contains("#delta"))
+    val maxDeltaRecords = deltas.map(records).maxOption.getOrElse(0)
+    val s5 = ("5_delta_chain", deltas.length.toLong, maxDeltaRecords.toLong,
+      deltas.length == 19 && maxDeltaRecords == 1 &&
         countNow() == nLow + 22 &&
         // the one checkpoint commit in the window (v16) carries the
         // FULL list: 3 pre-existing files + the 11 appends v6..v16
-        manifests.exists(m => !m.headOption.contains("#delta") && m.length == 14))
+        manifests.exists(m => !m.contains("#delta") && records(m) == 14))
     Seq(s1, s2, s3, s4, s5)
       .map { case (st, a, b, ok) => (st, a, b, ok) }
       .toDF("stage", "n_a", "n_b", "ok")
@@ -3503,8 +3520,10 @@ object EngineOps {
     * snapshot as `versionAsOf` its version (newest only — an older
     * version's mtime could tie with its successor's on a
     * coarse-clock store, which timestamp addressing resolves to the
-    * newer commit by contract). Driver-side O(versions) like Delta's
-    * DESCRIBE HISTORY. */
+    * newer commit by contract), and that the SQL spelling —
+    * `SELECT * FROM glog_history('path')`, the TVF GraftExtensions
+    * registers — returns exactly the Scala API's rows. Driver-side
+    * O(versions) like Delta's DESCRIBE HISTORY. */
   private def dsv2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (path, _, _, _) = ensureChangeFeedFixture(spark, dir)
@@ -3524,7 +3543,12 @@ object EngineOps {
     val got = h.map(r => (r.getLong(0), r.getLong(2),
       if (r.isNullAt(3)) -1L else r.getLong(3),
       if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
-    val globalOk = tsOrdered && roundTrip && got == want
+    // SQL-surface parity census: the glog_history TVF (registered by
+    // GraftExtensions into the session's TableFunctionRegistry) must
+    // return EXACTLY the Scala API's rows — one code path
+    val sqlSame = spark.sql(s"SELECT * FROM glog_history('$path')")
+      .collect().toSeq == h.toSeq
+    val globalOk = tsOrdered && roundTrip && got == want && sqlSame
     got.map { case (v, live, add, rem) =>
       (v, live, add, rem, globalOk)
     }.toDF("version", "n_live_files", "n_added", "n_removed", "ok")

@@ -92,7 +92,9 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
         j += 1
       }
       nvS = math.sqrt(nv)
-    } else {
+    } else if (mayHaveNullElems) {
+      // dot metric needs no norm pass — only the null scan, and only
+      // when the array type admits null elements at all
       var j = 0
       while (j < dim) { if (v.isNullAt(j)) return null; j += 1 }
     }
@@ -148,12 +150,16 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
              |  $nv += $x * $x;
              |}
              |double $nvS = Math.sqrt($nv);""".stripMargin
-        else
+        else if (mayHaveNullElems)
           s"""
              |double $nvS = 1.0;
              |for (int $j = 0; $j < $dim; $j++) {
              |  $nullCheck
              |}""".stripMargin
+        else
+          // dot metric over a containsNull=false array: no norm, no
+          // null scan — the hot loop below is the only per-row pass
+          s"double $nvS = 1.0;"
       val score =
         if (useCosine) s"$dot / ($nvS * $normRef[$c])" else dot
       s"""

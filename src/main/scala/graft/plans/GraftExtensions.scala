@@ -18,7 +18,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VecDotRewrite)
     ext.injectResolutionRule(s => ChangeFeedRewrite(s))
+    ext.injectTableFunction(HistoryTvf.description)
   }
+}
+
+/** `SELECT * FROM glog_history('/path/to/table')` — the SQL spelling
+  * of [[graft.sources.GraftLogSource.history]] (the DESCRIBE HISTORY
+  * analog: version, commit_timestamp, n_live_files, n_added,
+  * n_removed per retained manifest version). Registered through the
+  * session's TableFunctionRegistry — the same registry `range(...)`
+  * lives in — so the analyzer resolves it like any built-in TVF and
+  * the rows are exactly the Scala API's (one code path). The path
+  * must be a string LITERAL: history is driver-side metadata
+  * resolution (O(retained versions) manifest reads at analysis
+  * time), not a distributed scan. */
+object HistoryTvf {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.types.StringType
+
+  val description: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("glog_history"),
+    new ExpressionInfo("graft.plans.HistoryTvf", "glog_history"),
+    (args: Seq[Expression]) => {
+      val path = args match {
+        case Seq(e) if e.foldable && e.dataType == StringType &&
+            e.eval() != null => e.eval().toString
+        case _ => throw new IllegalArgumentException(
+          "glog_history expects exactly one string-literal table path: " +
+            "glog_history('/path/to/table')")
+      }
+      graft.sources.GraftLogSource
+        .history(org.apache.spark.sql.SparkSession.active, path)
+        .queryExecution.analyzed
+    })
 }
 
 /** Resolves the PUBLIC change-feed reader spelling

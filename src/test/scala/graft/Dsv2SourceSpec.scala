@@ -384,20 +384,24 @@ class Dsv2SourceSpec extends AnyFunSuite {
     (1L to 40L).foreach(appendOne)
     val versions = GraftLogSource.manifestVersions(p, conf)
     assert(versions == (1L to 40L))
-    // per-commit metadata is O(delta): the non-checkpoint manifests
-    // are 2-line deltas (header + one add) no matter how many files
-    // are live; versions 1, 16, 32 are full
+    // per-commit metadata is O(delta): beyond the O(1) '#' headers
+    // (#delta dispatch, #glog-format declaration) a delta carries ONE
+    // add record no matter how many files are live; versions 1, 16,
+    // 32 are full
     val meta = new java.io.File(dir, GraftLogSource.MetaDirName)
     def linesOf(v: Long): Seq[String] = new String(
       java.nio.file.Files.readAllBytes(
         new java.io.File(meta, f"_v$v%012d.manifest").toPath), "UTF-8")
       .linesIterator.filter(_.nonEmpty).toSeq
-    assert(linesOf(1L).head != "#delta" && linesOf(16L).head != "#delta" &&
-      linesOf(32L).head != "#delta", "checkpoint versions must be full")
-    assert(linesOf(16L).length == 16 && linesOf(32L).length == 32)
+    def bodyOf(v: Long): Seq[String] = linesOf(v).filterNot(_.startsWith("#"))
+    assert(!linesOf(1L).contains("#delta") && !linesOf(16L).contains("#delta") &&
+      !linesOf(32L).contains("#delta"), "checkpoint versions must be full")
+    assert(linesOf(1L).contains(GraftLogSource.FormatHeader),
+      "manifests must declare their format")
+    assert(bodyOf(16L).length == 16 && bodyOf(32L).length == 32)
     (2L to 40L).filterNot(v => v % 16 == 0).foreach { v =>
-      assert(linesOf(v).head == "#delta" && linesOf(v).length == 2,
-        s"version $v is not a 2-line delta: ${linesOf(v)}")
+      assert(linesOf(v).head == "#delta" && bodyOf(v).length == 1,
+        s"version $v is not a one-record delta: ${linesOf(v)}")
     }
     // resolve through the chain is exact at every version
     def countAt(v: Long) = spark.read.format("glog").option("path", path)
@@ -1182,13 +1186,42 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"restart phase diverged: $phase3")
     assert(phase3(1)._2.map(t => (t._1, t._2)) == Seq((10L, "delete")),
       s"carried survivor not cancelled: ${phase3(1)}")
-    // a fresh unbounded stream (no maxVersionsPerTrigger) emits the
-    // NET delta in one batch — exactly batch changeFeed(1, latest)
+    // DEFAULT admission (no maxVersionsPerTrigger) is PER-COMMIT:
+    // a fresh stream over the 7-commit backlog drains one micro-batch
+    // per version, each stamping exactly its producing
+    // _commit_version (Delta-CDF-parity attribution out of the box)
+    val ckptDef = java.nio.file.Files.createTempDirectory("graft_cdc_ckd").toString
+    val defBatches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[CdcRow]]()
+    val qDef = spark.readStream.format("glog").option("path", path)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        defBatches.add(cdcRows(b)): Unit
+      }
+      .option("checkpointLocation", ckptDef)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qDef.awaitTermination()
+    val defGot = defBatches.asScala.toSeq
+    assert(defGot.length == 7L,
+      s"default drain used ${defGot.length} batches, want 7 (per commit)")
+    assert(defGot == (1 to 7).map(v => feed(v.toLong, v + 1L)),
+      s"default per-commit drain diverged: $defGot")
+    // distinct per-commit attribution across the whole backlog: each
+    // batch stamps exactly its producing version, in commit order
+    assert(defGot.map(_.map(_._3).distinct) ==
+      (2 to 8).map(v => Seq(v.toLong)),
+      s"default drain commit versions not per-batch distinct: $defGot")
+    // an explicitly RAISED budget is the NET catch-up opt-in: the
+    // whole backlog collapses into one batch — exactly batch
+    // changeFeed(1, latest)
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cdc_ck2").toString
     val net = new java.util.concurrent.atomic.AtomicReference[Seq[CdcRow]](Seq.empty)
     val nNetBatches = new java.util.concurrent.atomic.AtomicLong()
     val q3 = spark.readStream.format("glog").option("path", path)
       .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1000")
       .load()
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -2007,18 +2040,33 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val weird = Seq("", "%", "*", "a,b", "x%2Cy", "%00")
     val entry = GraftLogSource.ManifestEntry("f.glog", Some((1L, 2L)),
       Some((3L, 4L)), Some(weird))
-    assert(GraftLogSource.ManifestEntry.parse(entry.line) == entry,
+    assert(GraftLogSource.ManifestEntry.parse(entry.line, v2 = true) == entry,
       s"etype escape round-trip failed: ${entry.line}")
-    // LEGACY (round-13) dictionaries carry NO format marker and split
-    // VERBATIM: a raw 'a%2Cb' value — legal then (no comma, no empty)
-    // — must never mis-decode to 'a,b', which would both mis-prune
-    // reads and mis-prove full-coverage DELETEs on the old data
+    // decoding is gated OUT-OF-BAND by the carrying file's format
+    // header (v2), never by in-band sniffing:
+    // (a) LEGACY header-less (round-13) dictionaries split VERBATIM —
+    // a raw 'a%2Cb' value (legal then: no comma, no empty) must never
+    // mis-decode to 'a,b', which would both mis-prune reads and
+    // mis-prove full-coverage DELETEs on the old data
     val legacy = GraftLogSource.ManifestEntry
-      .parse("f.glog\t1\t2\t3\t4\ta%2Cb,x")
+      .parse("f.glog\t1\t2\t3\t4\ta%2Cb,x", v2 = false)
     assert(legacy.etypes.contains(Seq("a%2Cb", "x")), legacy.toString)
-    // re-committing it writes the MARKED escaped form, which
-    // round-trips exactly
-    assert(GraftLogSource.ManifestEntry.parse(legacy.line) == legacy,
+    // (b) a header-less MARKED field is AMBIGUOUS (a round-14 escaped
+    // join, or a freak round-13 raw value that happens to start with
+    // '%1') → the dictionary degrades to UNKNOWN: conservatively kept
+    // by every predicate, never proving DELETE coverage — the only
+    // reading safe for both generations
+    val ambiguous = GraftLogSource.ManifestEntry
+      .parse("f.glog\t1\t2\t3\t4\t%1a%2Cb,x", v2 = false)
+    assert(ambiguous.etypes.isEmpty,
+      s"header-less marked dictionary must degrade to unknown: $ambiguous")
+    // (c) the SAME field under a v2 header decodes exactly
+    assert(GraftLogSource.ManifestEntry
+      .parse("f.glog\t1\t2\t3\t4\t%1a%2Cb,x", v2 = true)
+      .etypes.contains(Seq("a,b", "x")))
+    // re-committing the legacy entry writes the escaped form under a
+    // header-bearing manifest, which round-trips exactly
+    assert(GraftLogSource.ManifestEntry.parse(legacy.line, v2 = true) == legacy,
       legacy.line)
     // end-to-end: one file holding {'', 'a,b', 'click'} keeps an EXACT
     // dictionary — a filter on a type it lacks prunes it, a filter on
@@ -2194,11 +2242,78 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val e3 = intercept[Exception] {
       feedIds("changeFeedFromTimestamp" -> (t0 + 1000L).toString) }
     assert(e3.getMessage.contains("changeFeedTo"), e3.getMessage)
+    // ---- SQL surface: the glog_history TVF is the SAME rows as the
+    // Scala API (one code path), composing like any relation
+    val sqlRows = spark.sql(s"SELECT * FROM glog_history('$path')").collect()
+    assert(sqlRows.toSeq == h.toSeq,
+      s"TVF diverged from the Scala API: ${sqlRows.mkString(";")}")
+    assert(spark.sql(
+        s"SELECT version FROM glog_history('$path') WHERE n_added = 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // loud validation: arity and literal-ness both name the function
+    val eTvf = intercept[Exception] {
+      spark.sql("SELECT * FROM glog_history()").collect() }
+    assert(eTvf.getMessage.contains("glog_history"), eTvf.getMessage)
     // ---- the measured entry agrees end-to-end
     Tables.register(spark, sf)
     val rows = EngineOps.queries("eng_dsv2_history")(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
     assert(rows.forall(_.getBoolean(4)), rows.mkString("; "))
+  }
+
+  test("vacuum checkpoint preserves commit time: _commit_timestamp exact after GC") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_ckts").toFile
+    val path = dir.getAbsolutePath
+    import spark.implicits._
+    def append(id: Long): Unit =
+      Seq((id, new java.sql.Timestamp(1000L * id), id, "click",
+        id.toDouble, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.format("glog").option("path", path)
+        .mode("append").save()
+    (1L to 3L).foreach(append) // v1..v3
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = GraftLogSource.driverHadoopConf()
+    val fs = GraftLogSource.fsFor(p, conf)
+    def manifestFile(v: Long) = new java.io.File(
+      GraftLogSource.manifestPath(p, v).toUri.getPath)
+    // pin the commit clock well in the past: the checkpoint's own
+    // mtime (vacuum time ≈ now) can then never masquerade as it
+    val t0 = System.currentTimeMillis() - 300000000L
+    (1L to 3L).foreach(v =>
+      assert(manifestFile(v).setLastModified(t0 + v * 1000L)))
+    def stampOf(from: Long, to: Long): Long =
+      GraftLogSource.changeFeed(spark, path, from, to)
+        .select(col("_commit_timestamp")).distinct().collect()
+        .map(_.getTimestamp(0).getTime).toSeq match {
+          case Seq(one) => one
+          case other => fail(s"non-unique stamp: $other")
+        }
+    assert(stampOf(2, 3) == t0 + 3000L)
+    // vacuum below the feed's `from`: v1 GC'd, checkpoint anchored at
+    // v2 — the feed over the retained range stamps the SAME commit
+    // time as before
+    assert(GraftLogSource.vacuum(path, retainVersions = 2, graceMs = 0L) >= 0)
+    assert(!manifestFile(1).exists(), "v1 manifest survived the vacuum")
+    assert(stampOf(2, 3) == t0 + 3000L,
+      "vacuum below the feed's from moved its _commit_timestamp")
+    // the checkpoint carries the anchored version's ORIGINAL commit
+    // time in its #commit-ts header (the checkpoint file's own mtime
+    // is vacuum time — useless for attribution)
+    val cp = GraftLogSource.checkpointPath(p, 2L)
+    assert(fs.exists(cp), "vacuum did not anchor a checkpoint at minRetained")
+    val cpLines = scala.io.Source.fromFile(cp.toUri.getPath).getLines().toSeq
+    assert(cpLines.contains(s"#commit-ts\t${t0 + 2000L}"),
+      s"checkpoint header missing/wrong: ${cpLines.take(3)}")
+    // the crashed-vacuum window (manifest gone, checkpoint the only
+    // resolvable form): manifestStat's fallback reads the header, so
+    // attribution stays EXACT — not the checkpoint's vacuum-time mtime
+    assert(manifestFile(2).delete())
+    assert(GraftLogSource.manifestStat(fs, p, 2L)._1 == t0 + 2000L,
+      "checkpoint fallback reported vacuum time, not commit time")
+    // header lines stay invisible to resolution: the checkpointed
+    // live list still parses (names intact) through the delta chain
+    assert(spark.read.format("glog").option("path", path).load().count() == 3L)
   }
 
   test("manifest user_id/event_type stats prune at planning; full coverage deletes unopened") {
@@ -2293,13 +2408,13 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // entry line format: full stats round-trip; legacy forms parse
     val full = GraftLogSource.ManifestEntry("f.glog", Some((1L, 2L)),
       Some((10L, 20L)), Some(Seq("a", "b")))
-    assert(GraftLogSource.ManifestEntry.parse(full.line) == full)
+    assert(GraftLogSource.ManifestEntry.parse(full.line, v2 = true) == full)
     val partial = GraftLogSource.ManifestEntry("f.glog", None,
       Some((10L, 20L)), None)
-    assert(GraftLogSource.ManifestEntry.parse(partial.line) == partial)
-    assert(GraftLogSource.ManifestEntry.parse("f.glog\t1\t2") ==
+    assert(GraftLogSource.ManifestEntry.parse(partial.line, v2 = true) == partial)
+    assert(GraftLogSource.ManifestEntry.parse("f.glog\t1\t2", v2 = false) ==
       GraftLogSource.ManifestEntry("f.glog", Some((1L, 2L))))
-    assert(GraftLogSource.ManifestEntry.parse("f.glog") ==
+    assert(GraftLogSource.ManifestEntry.parse("f.glog", v2 = false) ==
       GraftLogSource.ManifestEntry("f.glog", None))
   }
 
@@ -2502,7 +2617,7 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(byStage("3_concurrent").getLong(2) == 5L)   // +2 versions
     assert(byStage("4_vacuum").getLong(2) >= 1L)       // orphans reclaimed
     assert(byStage("5_delta_chain").getLong(1) == 19L) // 19 of 20 are deltas
-    assert(byStage("5_delta_chain").getLong(2) == 2L)  // 2-line deltas
+    assert(byStage("5_delta_chain").getLong(2) == 1L)  // one-record deltas
   }
 
   test("manifest CAS: concurrent committers all land, versions are a total order") {

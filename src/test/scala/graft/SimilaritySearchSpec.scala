@@ -650,4 +650,66 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == base.count() + 20, rows.mkString("; "))
     assert(rows.map(_.getLong(2)).sum == 20L, rows.mkString("; "))
   }
+
+  test("cell-assign kernel at k=4096: still compiled (no janino breach), scores exact") {
+    // the k ≈ 4096 path SemDeDup's k = n/64 rule reaches on a
+    // ~260k-vector corpus: the literal greatest-over-structs spelling
+    // breaches janino's 64 KB method limit around k ≈ 100, so THIS is
+    // the scale regime the kernel exists for. CODEGEN_ONLY turns the
+    // silent interpreted fallback into a hard failure (and wholeStage
+    // off forces the expression through the projection factory the
+    // flag governs), so a breach fails the test instead of hiding as
+    // a slow plan.
+    import org.apache.spark.sql.functions._
+    val k = 4096
+    val dim = 8
+    val flat = Array.tabulate(k * dim)(i => math.sin(i * 0.7312))
+    val df = spark.range(500).select(col("id"),
+      array((1 to dim).map(j =>
+        sin(col("id") * lit(0.13 * j)).cast("float")): _*).as("v"))
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val got =
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        df.select(col("id"),
+            org.apache.spark.sql.graftshim.ColumnBridge.column(
+              graft.expressions.CellAssignExpr(
+                org.apache.spark.sql.graftshim.ColumnBridge.expr(col("v")),
+                flat, k, dim, "cosine")).as("cell"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      } finally {
+        prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+          spark.conf.set("spark.sql.codegen.factoryMode", _))
+        prevWs.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+          spark.conf.set("spark.sql.codegen.wholeStage", _))
+      }
+    // independent plain-Scala re-derivation of the argmax (same
+    // Double.compare ordering: tie → higher cell, NaN outranks)
+    val normC = Array.tabulate(k) { c =>
+      var d = 0.0
+      (0 until dim).foreach(j => d += flat(c * dim + j) * flat(c * dim + j))
+      math.sqrt(d)
+    }
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      var nv = 0.0
+      v.foreach(x => nv += x.toDouble * x.toDouble)
+      val nvS = math.sqrt(nv)
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += v(i).toDouble * flat(c * dim + i); i += 1 }
+        val s = dot / (nvS * normC(c))
+        if (java.lang.Double.compare(s, bestS) >= 0) { bestS = s; best = c }
+        c += 1
+      }
+      assert(got(id) == best, s"kernel diverged at id=$id: ${got(id)} != $best")
+    }
+  }
 }
