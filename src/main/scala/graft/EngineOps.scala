@@ -175,8 +175,10 @@ object EngineOps {
     * The 100 TB shape — BOTH knobs of the paper's recipe: k SCALES
     * with the corpus (one cell per ~64 vectors, so within-cell pair
     * work stays linear in n, never quadratic), and the codebook FITS
-    * on a bounded deterministic sample (first 4096 by id — fit cost
-    * O(sample · k · dim), linear in n through k, while the full
+    * on a bounded deterministic sample (first max(4096, 16·k) by id,
+    * capped at 65536 since k caps at 4096 — the sample scales with k
+    * so the fit never degenerates to sample == k; fit cost
+    * O(sample · k · dim), while the full
     * corpus is only ever ASSIGNED, one codegen'd argmax pass). ONE
     * shuffle on the learned cell id; cross-cell pairs never form —
     * the data-shaped-bucket sibling of eng_embed_dedup's LSH buckets.
@@ -193,16 +195,39 @@ object EngineOps {
       .select((col("vec_id") + lit(100000L)).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
     // the corpus feeds the codebook fit (3 distributed aggregates),
-    // the assignment, and the pair join — materialize once
-    val corpus = base.unionByName(dups).localCheckpoint(true)
+    // the assignment, and the pair join — materialize once, spread
+    // over every core (the parquet read's handful of input splits
+    // would otherwise bound the O(n·k·dim) kernel pass)
+    val corpus = base.unionByName(dups)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     val n = corpus.count()
     val k = math.max(8L, math.min(4096L, n / 64L)).toInt
-    val sample = corpus.orderBy(col("vec_id")).limit(4096).localCheckpoint(true)
+    // the fit sample scales WITH k (16 points per centroid, floor
+    // 4096) so a large-k codebook never degenerates to sample == k
+    // (first-k init with no effective sweeps); k caps at 4096, so the
+    // sample caps at 65536 — still a bounded fit no matter the corpus
+    // repartition after the limit: a global sort-limit collapses to
+    // ONE partition, which would run every O(sample·k·dim) Lloyd
+    // sweep single-threaded — at k=4096 that is ~2e11 flops on one
+    // core. Row order doesn't matter downstream (assignment is
+    // per-row; vecSumAgg's partition-order wiggle is pinned by the
+    // fit's 9-dp rounding).
+    val sample = corpus.orderBy(col("vec_id"))
+      .limit(math.max(4096, 16 * k))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     val init = SimilaritySearch.sampledCodebook(sample, "vec_id", "embedding", k)
     val (codebook, _) = KMeans.fit(sample, "embedding", maxIter = 3,
       tol = 1e-4, init)
-    val pairs = SimilaritySearch.semanticDedupPairs(
-        corpus, "vec_id", "embedding", codebook, minCosine = 0.95)
+    // assign ONCE and share: the O(n·k·dim) argmax kernel pass is the
+    // entry's dominant per-row cost, and both the pair join and the
+    // member/survivor censuses need the same (id, cell) frame
+    val assigned = SimilaritySearch
+      .assignCells(corpus, "vec_id", "embedding", codebook)
+      .localCheckpoint(true)
+    val pairs = SimilaritySearch.semanticDedupPairsAssigned(
+        assigned, "vec_id", "embedding", minCosine = 0.95)
       .localCheckpoint(true)
     val dropped = operators.DedupClusters
       .connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
@@ -212,9 +237,6 @@ object EngineOps {
     // THE production drop — a distributed LEFT ANTI join on the id
     // (the eng_dedup_pipeline shape): survivors never round-trip
     // through the driver, so the spelling holds at any corpus size
-    val assigned = SimilaritySearch
-      .assignCells(corpus, "vec_id", "embedding", codebook)
-      .localCheckpoint(true) // member census + survivor census
     val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
     // CENSUS-ONLY collect: bounded by the PLANT count (20 copies by
     // construction), never by the corpus — it exists to pin that

@@ -71,7 +71,12 @@ object ScaleBench {
     for (dir <- Seq(sf01, sf1)) {
       Tables.register(spark, dir)
       spark.sql(QueryInventory.qa1.sparkSql).count()
-      sources.BucketedTables.ensureFacts(spark, dir)
+      // the bucketed-facts build is only consumed by eng_bucketed_star
+      // (which also ensures lazily); pre-building it for a subset run
+      // that never reads it would bucket the whole fact table at deep
+      // factors (sf13+) for nothing
+      if (entriesRun.contains("eng_bucketed_star"))
+        sources.BucketedTables.ensureFacts(spark, dir)
     }
 
     def once(name: String, dir: String): Double = {

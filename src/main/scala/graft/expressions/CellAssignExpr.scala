@@ -80,24 +80,23 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
     val v = vAny.asInstanceOf[ArrayData]
     if (v.numElements() != dim) return null
     val isF = elemIsFloat
-    // ||v||: the same left-to-right fold as vecL2(v) (cosine only)
+    // hoist the vector into a primitive double[] ONCE (dim accessor
+    // calls), so the k·dim hot loop below is pure primitive-array
+    // arithmetic instead of k·dim virtual ArrayData getters — same
+    // doubles in the same order, just a faster spelling
+    val vv = new Array[Double](dim)
     var nvS = 1.0
-    if (useCosine) {
-      var nv = 0.0
-      var j = 0
-      while (j < dim) {
-        if (v.isNullAt(j)) return null
-        val x = if (isF) v.getFloat(j).toDouble else v.getDouble(j)
-        nv += x * x
-        j += 1
-      }
-      nvS = math.sqrt(nv)
-    } else if (mayHaveNullElems) {
-      // dot metric needs no norm pass — only the null scan, and only
-      // when the array type admits null elements at all
-      var j = 0
-      while (j < dim) { if (v.isNullAt(j)) return null; j += 1 }
+    var nv = 0.0
+    var j = 0
+    while (j < dim) {
+      if (mayHaveNullElems && v.isNullAt(j)) return null
+      val x = if (isF) v.getFloat(j).toDouble else v.getDouble(j)
+      vv(j) = x
+      nv += x * x
+      j += 1
     }
+    // ||v||: the same left-to-right fold as vecL2(v) (cosine only)
+    if (useCosine) nvS = math.sqrt(nv)
     var best = 0
     var bestS = Double.NegativeInfinity
     var c = 0
@@ -106,8 +105,7 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
       val off = c * dim
       var i = 0
       while (i < dim) {
-        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
-        dot += x * flat(off + i)
+        dot += vv(i) * flat(off + i)
         i += 1
       }
       val s = if (useCosine) dot / (nvS * normC(c)) else dot
@@ -136,10 +134,16 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
       val dot = ctx.freshName("dot")
       val s = ctx.freshName("s")
       val x = ctx.freshName("x")
+      val vv = ctx.freshName("vv")
       val nullCheck =
         if (mayHaveNullElems)
           s"if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }"
         else ""
+      // the copy pass hoists the vector into a primitive double[]
+      // ONCE (dim accessor calls), so the k·dim hot loop below is
+      // pure primitive-array arithmetic instead of k·dim virtual
+      // ArrayData getters — same doubles in the same order; ||v|| is
+      // the same left-to-right fold as vecL2(v) (cosine only)
       val normPass =
         if (useCosine)
           s"""
@@ -147,25 +151,24 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
              |for (int $j = 0; $j < $dim; $j++) {
              |  $nullCheck
              |  double $x = ${getter(v, j)};
+             |  $vv[$j] = $x;
              |  $nv += $x * $x;
              |}
              |double $nvS = Math.sqrt($nv);""".stripMargin
-        else if (mayHaveNullElems)
+        else
           s"""
              |double $nvS = 1.0;
              |for (int $j = 0; $j < $dim; $j++) {
              |  $nullCheck
+             |  $vv[$j] = ${getter(v, j)};
              |}""".stripMargin
-        else
-          // dot metric over a containsNull=false array: no norm, no
-          // null scan — the hot loop below is the only per-row pass
-          s"double $nvS = 1.0;"
       val score =
         if (useCosine) s"$dot / ($nvS * $normRef[$c])" else dot
       s"""
          |if ($v.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
+         |  double[] $vv = new double[$dim];
          |  $normPass
          |  if (!${ev.isNull}) {
          |    int $best = 0;
@@ -174,7 +177,7 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
          |      double $dot = 0.0;
          |      int $off = $c * $dim;
          |      for (int $i = 0; $i < $dim; $i++) {
-         |        $dot += ${getter(v, i)} * $flatRef[$off + $i];
+         |        $dot += $vv[$i] * $flatRef[$off + $i];
          |      }
          |      double $s = $score;
          |      if (java.lang.Double.compare($s, $bestS) >= 0) { $bestS = $s; $best = $c; }

@@ -115,8 +115,18 @@ object SimilaritySearch {
     * (the LSH-bucket analog with learned, data-shaped buckets).
     * Returns (cell, id_a, id_b, cosine) with id_a < id_b. */
   def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], minCosine: Double): DataFrame = {
-    val assigned = assignCells(corpus, idCol, vecCol, centroids)
+      centroids: Array[Array[Double]], minCosine: Double): DataFrame =
+    semanticDedupPairsAssigned(
+      assignCells(corpus, idCol, vecCol, centroids), idCol, vecCol, minCosine)
+
+  /** [[semanticDedupPairs]] over an ALREADY-ASSIGNED corpus
+    * ((idCol, cell, vecCol) as [[assignCells]] returns): the argmax
+    * pass is the dominant per-row cost (O(k·dim) each), so a caller
+    * that also needs the assignment for membership/census work should
+    * assign once, checkpoint, and feed the same frame here instead of
+    * paying a second full kernel pass. */
+  def semanticDedupPairsAssigned(assigned: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double): DataFrame = {
     val a = assigned.select(col("cell"), col(idCol).as("id_a"),
       col(vecCol).as("_va"))
     val b = assigned.select(col("cell"), col(idCol).as("id_b"),
