@@ -194,28 +194,36 @@ object EngineOps {
     val dups = base.filter(col("vec_id") < 20)
       .select((col("vec_id") + lit(100000L)).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    // row count up front (parquet footers — no scan) so the
+    // partitioning decisions below can be size-gated
+    val n = t(spark, dir, "embeddings").count() + 20L
+    val dp = spark.sparkContext.defaultParallelism
     // the corpus feeds the codebook fit (3 distributed aggregates),
-    // the assignment, and the pair join — materialize once, spread
-    // over every core (the parquet read's handful of input splits
-    // would otherwise bound the O(n·k·dim) kernel pass)
-    val corpus = base.unionByName(dups)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // the assignment, and the pair join — materialize once. When the
+    // corpus is big, spread it over every core first (the parquet
+    // read's handful of input splits would otherwise bound the
+    // O(n·k·dim) kernel pass); a small corpus skips the shuffle —
+    // per-row work is too small to repay it
+    val corpusRaw = base.unionByName(dups)
+    val corpus = (if (n >= 32768) corpusRaw.repartition(dp) else corpusRaw)
       .localCheckpoint(true)
-    val n = corpus.count()
     val k = math.max(8L, math.min(4096L, n / 64L)).toInt
     // the fit sample scales WITH k (16 points per centroid, floor
     // 4096) so a large-k codebook never degenerates to sample == k
     // (first-k init with no effective sweeps); k caps at 4096, so the
     // sample caps at 65536 — still a bounded fit no matter the corpus
+    val sampleSize = math.max(4096, 16 * k)
     // repartition after the limit: a global sort-limit collapses to
     // ONE partition, which would run every O(sample·k·dim) Lloyd
     // sweep single-threaded — at k=4096 that is ~2e11 flops on one
-    // core. Row order doesn't matter downstream (assignment is
-    // per-row; vecSumAgg's partition-order wiggle is pinned by the
-    // fit's 9-dp rounding).
+    // core. Sized ~1024 rows/partition (capped at the core count) so
+    // a tiny sample doesn't fan into per-task overhead. Row order
+    // doesn't matter downstream (assignment is per-row; vecSumAgg's
+    // partition-order wiggle is pinned by the fit's 9-dp rounding).
+    val sampleParts = math.max(1, math.min(dp, sampleSize / 1024))
     val sample = corpus.orderBy(col("vec_id"))
-      .limit(math.max(4096, 16 * k))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .limit(sampleSize)
+      .repartition(sampleParts)
       .localCheckpoint(true)
     val init = SimilaritySearch.sampledCodebook(sample, "vec_id", "embedding", k)
     val (codebook, _) = KMeans.fit(sample, "embedding", maxIter = 3,
