@@ -18,7 +18,13 @@ import org.apache.spark.sql.types._
   *
   * `metric` picks the score: "cosine" (KMeans.fit's rule —
   * dot / (||v|| · ||c||), scale-invariant) or "dot" (the IVF
-  * routing rule for unit-norm codebooks). Scores EXACTLY like the
+  * routing rule for unit-norm codebooks). `withScore` returns
+  * struct<cell int, score double> instead of the bare cell id — the
+  * Lloyd-sweep shape, where the winning score feeds the objective:
+  * one kernel pass replaces argmax + a whole-codebook-literal
+  * re-score (`element_at(typedLit(codebook), cell+1)`), whose
+  * Literal alone is k·dim boxed doubles rebuilt and reshipped every
+  * sweep. Scores EXACTLY like the
   * literal spelling: VecDotExpr's left-to-right double accumulation,
   * per-centroid norms precomputed once with the same fold, and the
   * argmax compares with java.lang.Double.compare — Spark's own
@@ -29,7 +35,8 @@ import org.apache.spark.sql.types._
   * input, any null element, or a vector whose length ≠ dim (the
   * VecDotExpr discipline). */
 case class CellAssignExpr(child: Expression, flat: Array[Double],
-                          k: Int, dim: Int, metric: String = "cosine")
+                          k: Int, dim: Int, metric: String = "cosine",
+                          withScore: Boolean = false)
     extends UnaryExpression {
 
   require(flat.length == k * dim,
@@ -38,7 +45,11 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
     s"cell_assign metric must be 'cosine' or 'dot', got '$metric'")
   private val useCosine = metric == "cosine"
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType =
+    if (withScore)
+      StructType(Seq(StructField("cell", IntegerType, nullable = false),
+        StructField("score", DoubleType, nullable = false)))
+    else IntegerType
   override def nullable: Boolean = true
 
   /** Per-centroid L2 norms, computed with the literal spelling's own
@@ -63,12 +74,13 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
   override def equals(other: Any): Boolean = other match {
     case that: CellAssignExpr =>
       child == that.child && k == that.k && dim == that.dim &&
-        metric == that.metric && java.util.Arrays.equals(flat, that.flat)
+        metric == that.metric && withScore == that.withScore &&
+        java.util.Arrays.equals(flat, that.flat)
     case _ => false
   }
   override def hashCode(): Int =
     java.util.Objects.hash(child, Int.box(k), Int.box(dim), metric,
-      Int.box(java.util.Arrays.hashCode(flat)))
+      Boolean.box(withScore), Int.box(java.util.Arrays.hashCode(flat)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -114,7 +126,10 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
       if (java.lang.Double.compare(s, bestS) >= 0) { bestS = s; best = c }
       c += 1
     }
-    best
+    if (withScore)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](best, bestS))
+    else best
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -164,6 +179,11 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
              |}""".stripMargin
       val score =
         if (useCosine) s"$dot / ($nvS * $normRef[$c])" else dot
+      val emit =
+        if (withScore)
+          s"""${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+             |  new Object[]{Integer.valueOf($best), Double.valueOf($bestS)});""".stripMargin
+        else s"${ev.value} = $best;"
       s"""
          |if ($v.numElements() != $dim) {
          |  ${ev.isNull} = true;
@@ -182,7 +202,7 @@ case class CellAssignExpr(child: Expression, flat: Array[Double],
          |      double $s = $score;
          |      if (java.lang.Double.compare($s, $bestS) >= 0) { $bestS = $s; $best = $c; }
          |    }
-         |    ${ev.value} = $best;
+         |    $emit
          |  }
          |}
        """.stripMargin

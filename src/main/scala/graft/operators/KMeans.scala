@@ -51,11 +51,12 @@ object KMeans {
     * now serves. Identical doubles and tie-break (Double.compare),
     * so the fit history — oracle-checked as eng_kmeans_fit — is
     * unchanged. */
-  private def bestCell(centroids: Array[Array[Double]])(v: Column): Column =
+  private def bestCellScored(centroids: Array[Array[Double]])(v: Column): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       graft.expressions.CellAssignExpr(
         org.apache.spark.sql.graftshim.ColumnBridge.expr(v),
-        centroids.flatten, centroids.length, centroids.head.length, "cosine"))
+        centroids.flatten, centroids.length, centroids.head.length, "cosine",
+        withScore = true))
 
   /** Lloyd iterations from `init` until max centroid movement <= tol
     * or `maxIter`; returns the final codebook (unit-norm rows, 9 dp)
@@ -73,21 +74,21 @@ object KMeans {
     val vecs = corpus.select(col(vecCol)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try while (iter < maxIter && moved > tol) {
-      val cell = bestCell(centroids)(col(vecCol))
-      // the best cell's cosine, recomputed against that one centroid
-      // (a single Literal of the whole codebook — one plan object,
-      // no k·dim code unrolling): the same doubles the kernel's
-      // argmax scored, so the objective is unchanged
-      val cbLit = typedLit(centroids.map(_.toSeq).toSeq)
-      val cos = vecCosine(col(vecCol), element_at(cbLit, cell + lit(1)))
+      // ONE kernel pass per row returns (cell, winning cosine): the
+      // score is the same double the argmax compared (same folds as
+      // vecCosine against that centroid), so the objective is
+      // unchanged — and the k·dim codebook Literal the old re-score
+      // spelling rebuilt and reshipped every sweep is gone
+      val assigned = bestCellScored(centroids)(col(vecCol))
       // vecSumAgg's input contract is array<float> (the embedding
       // storage type); normalizing costs one float rounding per
       // element (~1e-7 relative), far inside the 6-dp report grid
       val unit = vecScale(col(vecCol), lit(1.0) / vecL2(col(vecCol)))
         .cast("array<float>")
       val cells = vecs
-        .select(cell.as("cell"), cos.as("cos"),
-          unit.as("u"))
+        .select(assigned.as("a"), unit.as("u"))
+        .select(col("a.cell").as("cell"), col("a.score").as("cos"),
+          col("u"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sum(col("cos")).as("sum_cos"),
           graft.functions.VecAggregates.vecSumAgg(col("u")).as("s"))
