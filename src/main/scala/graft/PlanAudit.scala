@@ -59,7 +59,9 @@ object PlanAudit {
     "qt4_hash_sample" ->
       "Deterministic bottom-k sample: ORDER BY hash LIMIT k plans as TakeOrderedAndProject — per-partition k-element heaps merged at the driver, no global Exchange/Sort of the table.",
     "eng_ann_ivf_topk" ->
-      "The ANN query reads the PERSISTED cell-partitioned corpus: PartitionFilters carries cell IN (the probe's nProbe cells), so the scan lists only those directories — no per-query corpus re-assignment (the round-9 scale-weak, closed: 10x-data ratio 1.0, BENCH_SCALE_ivfq.json); TakeOrderedAndProject replaces a global sort. The inline assignment spelling survives only as ivfTopK's documented fallback / differential foil.")
+      "The ANN query reads the PERSISTED cell-partitioned corpus: PartitionFilters carries cell IN (the probe's nProbe cells), so the scan lists only those directories — no per-query corpus re-assignment (the round-9 scale-weak, closed: 10x-data ratio 1.0, BENCH_SCALE_ivfq.json); TakeOrderedAndProject replaces a global sort. The inline assignment spelling survives only as ivfTopK's documented fallback / differential foil.",
+    "eng_semantic_dedup" ->
+      "SemDeDup cluster-then-dedup: the per-row cell assignment is ONE cell_assign kernel call (codebook as a plan reference object — no k*dim literal unrolling in the plan, no janino breach at k=4096), the within-cell pair join shuffles ONCE on the learned cell id (cells ~64 members since k scales with the corpus — pair work linear in n, cross-cell pairs never form), and the survivor drop is a LEFT ANTI join on the id. The assignment is computed once and shared (checkpointed) by the pair join and both censuses. Measured curve at one HEAD: 10x data -> 1.26x, 50x -> 2.60x, 132x (k at the 4096 cap) -> 4.34x (BENCH_SCALE_semdedup*.json).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
