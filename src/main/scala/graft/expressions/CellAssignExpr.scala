@@ -32,8 +32,12 @@ import org.apache.spark.sql.types._
   * outranks everything exactly like greatest(struct(score, cell));
   * swapping spellings never moves an assignment (asserted
   * differentially in SimilaritySearchSpec/KMeansSpec). NULL on null
-  * input, any null element, or a vector whose length ≠ dim (the
-  * VecDotExpr discipline). */
+  * input, a vector whose length ≠ dim, or — when the array TYPE
+  * admits null elements (containsNull=true) — any null element. A
+  * containsNull=false schema is trusted, the Spark convention: both
+  * eval paths skip the per-element check, and data that lies about
+  * its schema is undefined behavior exactly as in the built-in
+  * array expressions. */
 case class CellAssignExpr(child: Expression, flat: Array[Double],
                           k: Int, dim: Int, metric: String = "cosine",
                           withScore: Boolean = false)

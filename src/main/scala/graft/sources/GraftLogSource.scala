@@ -506,8 +506,10 @@ object GraftLogSource {
     *    only reading that is safe for BOTH generations (verbatim
     *    would mis-prune round-14 tables; unescaping would mis-prune
     *    and mis-prove DELETEs on round-13 tables). The entry regains
-    *    its exact dictionary the next time a rewrite/compact/vacuum
-    *    checkpoint re-encodes it under the header.
+    *    its exact dictionary only when an operation that RESCANS the
+    *    file's data re-derives it (compact/rewrite via GlogStatsAcc);
+    *    a vacuum or periodic checkpoint re-encodes the already-parsed
+    *    entry, so the degraded '*' persists through those.
     * The in-band marker is still written (it keeps [[etypesJoin]]/
     * [[etypesSplit]] a self-contained pair for the commit-message
     * channel, where both ends are the same library version). */
@@ -772,6 +774,18 @@ object GraftLogSource {
       fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
     try Iterator.continually(in.readLine()).takeWhile(_ != null)
       .filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
+  /** Only the LEADING '#' header lines of a manifest/checkpoint —
+    * stops reading at the first record line, so a header probe on a
+    * large checkpoint (O(live files) records) costs a few hundred
+    * bytes of IO, not the whole file. */
+  private def readHeaderLinesOf(fs: FileSystem, p: Path): Seq[String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).takeWhile(_.startsWith("#")).toSeq
     finally in.close()
   }
 
@@ -1386,7 +1400,7 @@ object GraftLogSource {
         // checkpoint's own mtime — vacuum time, the documented
         // legacy approximation
         val hdrTs =
-          try readLinesOf(fs, cp).takeWhile(_.startsWith("#"))
+          try readHeaderLinesOf(fs, cp)
             .collectFirst { case l if l.startsWith(CommitTsHeaderPrefix) =>
               l.stripPrefix(CommitTsHeaderPrefix).trim.toLongOption }.flatten
           catch { case _: java.io.FileNotFoundException => None }
