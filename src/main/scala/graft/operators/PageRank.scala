@@ -65,6 +65,25 @@ object PageRank {
         .join(weighted.groupBy(col("src")).agg(sum(col("w")).as("outdeg")),
           Seq("src")),
       checkpointDir) // (src, dst, w, outdeg)
+    // Nodes with NO in-edges settle at round((1−d) + d·0, 9) from
+    // sweep 1 on — a constant frame. Every node WITH an in-edge
+    // appears in every sweep's `contribs` (rank always covers all
+    // nodes and `linked` holds every distinct (src, dst) pair, so the
+    // grouped dst set is exactly the distinct-dst set each sweep).
+    // Stamping the constant once and UNIONING it per sweep therefore
+    // computes the identical ranks as the former
+    // `nodes LEFT JOIN contribs` + coalesce spelling (oracle-pinned)
+    // while removing one join per sweep — 8 broadcast builds/probes
+    // of the node table gone from the measured entry (guide §2.4:
+    // remove shuffles/joins outright when a precomputed frame already
+    // carries the answer). `d·0.0` is exact in fp, so the constant is
+    // bit-identical to the old coalesce path.
+    val noInRanks = Checkpoints.truncate(
+      nodes.join(weighted.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .select(col("node"),
+          round(lit(1.0 - damping) + lit(damping) * lit(0.0), 9).as("rank")),
+      checkpointDir)
     var rank = nodes.select(col("node"), lit(1.0).as("rank"))
     var i = 0
     while (i < iters) {
@@ -75,11 +94,11 @@ object PageRank {
           (col("w") * col("r") / col("outdeg")).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("contrib"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
+      val next = contribs
         .select(col("node"),
           round(lit(1.0 - damping) +
-            lit(damping) * coalesce(col("contrib"), lit(0.0)), 9).as("rank"))
+            lit(damping) * col("contrib"), 9).as("rank"))
+        .unionByName(noInRanks)
       rank = if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
         Checkpoints.truncate(next, checkpointDir)
       else next

@@ -277,7 +277,8 @@ object SimilaritySearch {
     * (assignment is deterministic) and spec-asserted. */
   def appendToIvfPartitioned(spark: org.apache.spark.sql.SparkSession,
                              delta: DataFrame, idCol: String, vecCol: String,
-                             path: String): (Long, Double, Double) = {
+                             path: String,
+                             withScore: Boolean = true): (Long, Double, Double) = {
     val cbRows = spark.read.parquet(s"$path/_codebook")
       .orderBy(col("cell")).collect()
     require(cbRows.nonEmpty, s"appendToIvfPartitioned: $path has no _codebook " +
@@ -291,7 +292,12 @@ object SimilaritySearch {
       .repartition(col("cell"))
       .write.partitionBy("cell").option("compression", "zstd")
       .mode("append").parquet(path)
-    (n, meanBestScore(delta, vecCol, centroids), objective)
+    // withScore = false skips the staleness aggregate (one full pass
+    // over the delta) for callers that discard it — e.g. a compaction
+    // scenario appending fixture batches; such calls read score ==
+    // objective (gap 0, "no drift signal computed")
+    (n, if (withScore) meanBestScore(delta, vecCol, centroids) else objective,
+      objective)
   }
 
   /** Deterministic first-fit-decreasing bin packing of (name, bytes)

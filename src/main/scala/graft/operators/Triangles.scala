@@ -242,7 +242,8 @@ object Triangles {
     * asserts equality across the gate and against brute force. */
   def triangleCountAuto(edges: DataFrame, directWorkFactor: Long = 16,
                         minWedgeWork: Long = 400000000L,
-                        knownWork: Option[(Long, Long)] = None): DataFrame = {
+                        knownWork: Option[(Long, Long)] = None,
+                        knownOriented: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("s1"), col("s2"))
@@ -253,8 +254,13 @@ object Triangles {
       // aggregate plus a driver bounds probe, so building it twice
       // on the direct path would double that work; lazy so the
       // decomposition route (which orients complement/sparse edge
-      // sets of its own) never builds it at all under knownWork
-      lazy val orientedE = orientByDegree(e)
+      // sets of its own) never builds it at all under knownWork.
+      // A caller that already oriented the SAME edge set (e.g.
+      // eng_triangles_deg reports the degree orientation's wedge
+      // census anyway) passes it through knownOriented — ideally
+      // persisted — so the degrees aggregate + bounds collect + the
+      // two orientation joins execute once, not twice (guide §2.4).
+      lazy val orientedE = knownOriented.getOrElse(orientByDegree(e))
       // callers that already censused the graph (eng_triangles_deg
       // reports edge and wedge counts anyway) pass (m, wDeg) through
       // knownWork so the cost probe isn't paid twice
