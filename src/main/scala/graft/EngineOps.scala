@@ -3135,11 +3135,14 @@ object EngineOps {
     if (wh.exists()) deleteRecursively(wh.toPath)
     wh.mkdirs()
     val ev = t(spark, dir, "events")
-    val nPurchase = ev.filter(col("event_type") === "purchase").count()
+    // two passes for the three expectation scalars (guide §1.2): the
+    // min/max pass fixes `cut`, the second folds both counts
     val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
     val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.5
-    val nHigh = ev.filter(col("event_type") === "purchase" &&
-      col("value") >= cut).count()
+    val pc = ev.agg(count(when(col("event_type") === "purchase", 1)),
+      count(when(col("event_type") === "purchase" && col("value") >= cut, 1)))
+      .collect()(0)
+    val (nPurchase, nHigh) = (pc.getLong(0), pc.getLong(1))
     // catalog name carries the SF: Spark caches catalog plugin
     // instances by name per session, so a shared name would pin the
     // FIRST warehouse across a multi-sf session (ScaleBench runs two
@@ -3164,7 +3167,8 @@ object EngineOps {
       val files = Option(new java.io.File(new java.io.File(wh, "lab"), "ev")
         .listFiles()).getOrElse(Array.empty)
         .map(_.getName).filter(_.endsWith(".glog"))
-      val s2 = ("2_insert", n(), files.length.toLong, n() == nPurchase &&
+      val nIns = n() // one read: the census and its check share it
+      val s2 = ("2_insert", nIns, files.length.toLong, nIns == nPurchase &&
         files.nonEmpty &&
         files.forall(sources.GraftLogSource.minMaxFromName(_).isDefined))
 
@@ -3174,8 +3178,9 @@ object EngineOps {
         s"SELECT count(*) FROM $cat.lab.ev WHERE event_type = 'upd'")
         .collect()(0).getLong(0)
       spark.sql(s"DELETE FROM $cat.lab.ev WHERE value >= $cut")
-      val s3 = ("3_dml", updated, n(),
-        updated == nHigh && n() == nPurchase - nHigh)
+      val nDml = n()
+      val s3 = ("3_dml", updated, nDml,
+        updated == nHigh && nDml == nPurchase - nHigh)
 
       spark.sql(s"ALTER TABLE $cat.lab.ev RENAME TO lab.ev2")
       val n2 = spark.sql(s"SELECT count(*) FROM $cat.lab.ev2")
@@ -3233,9 +3238,10 @@ object EngineOps {
       col("event_type"), col("value"), col("props"))
     val mm = ev.agg(min(col("value")), max(col("value"))).collect()(0)
     val cut = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) * 0.5
-    val (nLow, nHigh) =
-      (ev.filter(col("value") < cut).count(),
-        ev.filter(col("value") >= cut).count())
+    // one pass for both expectation counts (guide §1.2)
+    val nlh = ev.agg(count(when(col("value") < cut, 1)),
+      count(when(col("value") >= cut, 1))).collect()(0)
+    val (nLow, nHigh) = (nlh.getLong(0), nlh.getLong(1))
     // coalesce(1): one file per statement, so every file-level census
     // below (vacuum's reclaim count in particular) is independent of
     // defaultParallelism — goldens must not follow the CPU count

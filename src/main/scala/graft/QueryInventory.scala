@@ -385,7 +385,22 @@ object QueryInventory {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus NULLS FIRST""".stripMargin),
-    "percentile")
+    "percentile",
+    // ONE percentile buffer per group instead of two: the array form
+    // sorts each group's values once and interpolates both quantiles
+    // from the same counts map — value-identical (same expression
+    // class, same interpolation), asserted by the impl==sql spec.
+    // At 100 TB the exact-percentile buffer IS the cost (guide §1.2:
+    // don't build the same per-group state twice).
+    impl = Some { (spark, dir) =>
+      Tables.register(spark, dir)
+      spark.sql(
+        """SELECT o_orderstatus, round(ps[0], 4) AS p50, round(ps[1], 4) AS p90
+          |FROM (SELECT o_orderstatus,
+          |             percentile(o_totalprice, array(0.5, 0.9)) AS ps
+          |      FROM orders GROUP BY o_orderstatus)
+          |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
+    })
 
   /** Sparsity-bucketing analog (reference
     * /root/reference/mlir_compiler/sparsity_optimizer.py:66-112):
@@ -690,6 +705,11 @@ object QueryInventory {
   /** Ordered-set aggregates: percentile_cont / percentile_disc WITHIN
     * GROUP — the ANSI spelling beside qa4's percentile(); disc picks a
     * real row value, cont interpolates (ROUND 4). */
+  // Measured note (r15): folding the two percentile_cont calls into
+  // one percentile(col, array(...)) buffer (the qa4 win) does NOT pay
+  // here — the mixed percentile_disc buffer keeps the aggregate
+  // object-typed either way and the A/B read 1.12 s impl vs 0.97 s
+  // sql (min-of-4, local[32] sf0.1) — so qa16 keeps the plain spelling.
   val qa16 = shared("qa16_within_group",
     """SELECT o_orderstatus,
       |       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS q1,
@@ -2836,6 +2856,12 @@ object QueryInventory {
       |ORDER BY source NULLS FIRST, n_docs_with_dup NULLS FIRST,
       |         dup_token_frac NULLS FIRST, n_mostly_dup NULLS FIRST""".stripMargin),
     "dedup,spans,substring,llm")
+  // Measured note (r15): rewriting ql18's `count(*) OVER (PARTITION
+  // BY hs)` as groupBy(hs) + semi-join back (removing the hash-stream
+  // sort) was A/B'd at 1.9-2.3 s vs 1.1-1.6 s for the window spelling
+  // (min-of-4, local[32] sf0.1): the grouped spelling re-runs the
+  // tokenize+md5 explode for the join's probe side, which costs more
+  // than the sort it saves — the window spelling stays.
 
   /** Learned quality-filter APPLY (the fasttext-style classifier
     * every training-data pipeline runs after the heuristic pass,
