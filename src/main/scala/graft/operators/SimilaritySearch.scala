@@ -252,14 +252,45 @@ object SimilaritySearch {
       .write.mode("overwrite").parquet(s"$path/_codebook")
   }
 
+  /** `_codebook` sidecar rows, cached per (path, sidecar file
+    * metadata). The sidecar is a handful of rows but reading it is a
+    * full Spark job (scan + sort + collect), and maintenance flows
+    * (N appends + compaction + query parity checks) re-read it once
+    * per step — 5 sidecar jobs per eng_ivf_compaction pass before
+    * this cache (guide §1.2). Keyed on the sidecar directory's
+    * (name, size, mtime) listing, so any rewrite (writeIvfPartitioned
+    * overwrite re-fits) invalidates; the listing is one driver
+    * metadata walk, no job. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Seq[(String, Long, Long)]),
+      Array[org.apache.spark.sql.Row]]()
+  private def sidecarKey(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (String, Seq[(String, Long, Long)]) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_codebook")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val listing =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .sortBy(_._1).toSeq
+    (path, listing)
+  }
+  private[graft] def codebookRows(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Array[org.apache.spark.sql.Row] = {
+    // bound the cache: a long-lived session appending/re-fitting many
+    // layouts leaves one dead entry per superseded sidecar listing
+    if (codebookCache.size > 64) codebookCache.clear()
+    codebookCache.computeIfAbsent(sidecarKey(spark, path), _ =>
+      spark.read.parquet(s"$path/_codebook").orderBy(col("cell")).collect())
+  }
+
   /** Read a [[writeIvfPartitioned]] layout back as (data, codebook) —
     * the pairing is structural, so cell assignments and codebook can
     * never drift apart. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): (DataFrame, Array[Array[Double]]) = {
-    val cb = spark.read.parquet(s"$path/_codebook")
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toArray)
+    val cb = codebookRows(spark, path).map(_.getSeq[Double](1).toArray)
     (spark.read.parquet(path), cb)
   }
 
@@ -279,8 +310,7 @@ object SimilaritySearch {
                              delta: DataFrame, idCol: String, vecCol: String,
                              path: String,
                              withScore: Boolean = true): (Long, Double, Double) = {
-    val cbRows = spark.read.parquet(s"$path/_codebook")
-      .orderBy(col("cell")).collect()
+    val cbRows = codebookRows(spark, path)
     require(cbRows.nonEmpty, s"appendToIvfPartitioned: $path has no _codebook " +
       "sidecar — not a writeIvfPartitioned layout")
     val centroids = cbRows.map(_.getSeq[Double](1).toArray)

@@ -115,17 +115,30 @@ object Triangles {
     * < 2²⁷ — because the wedge join compares it ~2·wedges times and
     * a scalar double compare measures ~2× faster there than a
     * struct compare. The bounds are CHECKED at runtime (one
-    * aggregate over the small degree table, the same discipline as
+    * aggregate over the edge list, the same discipline as
     * triangleCount's packable guard): ids outside them fall back to
     * a lexicographic struct rank, trading the 2× for correctness on
     * arbitrary key spaces instead of silently mis-orienting. */
   def orientByDegree(edges: DataFrame): DataFrame = {
     val degTable = degrees(edges)
-    val b = degTable.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-      max(col("deg")).as("d"), count(lit(1)).as("n")).collect()(0)
+    // Runtime bounds probe over the EDGE list (typically cached by the
+    // caller), NOT over degTable: probing degTable executed the full
+    // degrees aggregate once for the probe and again when the
+    // orientation materializes (guide §1.2). The pack condition is
+    // unchanged: on a simple graph hi < 2²⁶ already implies
+    // maxDeg ≤ n − 1 ≤ hi − lo < 2²⁶ < 2²⁷, so the old explicit
+    // max-degree check was redundant. The broadcast gate (hint-only —
+    // physical choice, never results) uses the conservative vertex
+    // bound min(2m, hi − lo + 1) ≥ the exact count it replaces.
+    val b = edges.agg(min(least(col("s1"), col("s2"))).as("lo"),
+      max(greatest(col("s1"), col("s2"))).as("hi"),
+      count(lit(1)).as("m")).collect()(0)
     val packs = !b.isNullAt(0) && b.getLong(0) >= 0L &&
-      b.getLong(1) < (1L << 26) && b.getLong(2) < (1L << 27)
-    val deg = gatedBroadcast(degTable, b.getLong(3))
+      b.getLong(1) < (1L << 26)
+    val vertBound =
+      if (b.isNullAt(0)) 0L
+      else math.min(2L * b.getLong(2), b.getLong(1) - b.getLong(0) + 1L)
+    val deg = gatedBroadcast(degTable, vertBound)
     val (rank1, rank2) =
       if (packs)
         (col("d1.deg").cast("double") * lit((1L << 26).toDouble) + col("s1"),
