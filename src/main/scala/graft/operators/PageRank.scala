@@ -79,7 +79,10 @@ object PageRank {
     // carries the answer). `d·0.0` is exact in fp, so the constant is
     // bit-identical to the old coalesce path.
     val noInRanks = Checkpoints.truncate(
-      nodes.join(weighted.select(col("dst").as("node")).distinct(),
+      // dst set read from the CHECKPOINTED linked frame (identical
+      // distinct-dst set as `weighted`), so building this does not
+      // re-execute the weighted aggregation
+      nodes.join(linked.select(col("dst").as("node")).distinct(),
           Seq("node"), "left_anti")
         .select(col("node"),
           round(lit(1.0 - damping) + lit(damping) * lit(0.0), 9).as("rank")),
