@@ -47,17 +47,12 @@ object PageRank {
     // sweep, which outweighs its per-stage re-planning cost. Keep
     // adaptive planning on.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    // node universe and the WEIGHTED fan-out-annotated edge list, each
-    // computed ONCE and checkpointed — every sweep reuses them.
-    // Multi-edges collapse to (src, dst, w): a hot pair contributes
-    // w·rank/outdeg in one row instead of w rows — at 100 TB this is
-    // the edge-compression that keeps per-sweep shuffle volume bounded
-    // by DISTINCT pairs, not raw edge count (identical math: outdeg is
-    // the weight sum).
-    val nodes = Checkpoints.truncate(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct(),
-      checkpointDir)
+    // the WEIGHTED fan-out-annotated edge list, computed ONCE and
+    // checkpointed — every sweep reuses it. Multi-edges collapse to
+    // (src, dst, w): a hot pair contributes w·rank/outdeg in one row
+    // instead of w rows — at 100 TB this is the edge-compression that
+    // keeps per-sweep shuffle volume bounded by DISTINCT pairs, not
+    // raw edge count (identical math: outdeg is the weight sum).
     val weighted = e.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
     val linked = Checkpoints.truncate(
@@ -65,36 +60,46 @@ object PageRank {
         .join(weighted.groupBy(col("src")).agg(sum(col("w")).as("outdeg")),
           Seq("src")),
       checkpointDir) // (src, dst, w, outdeg)
-    // Nodes with NO in-edges settle at round((1−d) + d·0, 9) from
-    // sweep 1 on — a constant frame. Every node WITH an in-edge
-    // appears in every sweep's `contribs` (rank always covers all
-    // nodes and `linked` holds every distinct (src, dst) pair, so the
-    // grouped dst set is exactly the distinct-dst set each sweep).
-    // Stamping the constant once and UNIONING it per sweep therefore
-    // computes the identical ranks as the former
+    // Nodes with NO in-edges (they appear only as src) settle at
+    // round((1−d) + d·0, 9) from sweep 1 on — a constant frame built
+    // once from the checkpointed edge list. Every node WITH an
+    // in-edge appears in every sweep's `contribs` (rank always covers
+    // all nodes and `linked` holds every distinct (src, dst) pair, so
+    // the grouped dst set is exactly the distinct-dst set each
+    // sweep). Stamping the constant once and UNIONING it per sweep
+    // therefore computes the identical ranks as the former
     // `nodes LEFT JOIN contribs` + coalesce spelling (oracle-pinned)
     // while removing one join per sweep — 8 broadcast builds/probes
     // of the node table gone from the measured entry (guide §2.4:
     // remove shuffles/joins outright when a precomputed frame already
     // carries the answer). `d·0.0` is exact in fp, so the constant is
-    // bit-identical to the old coalesce path.
+    // bit-identical to the old coalesce path. With the per-sweep join
+    // gone, the full node-universe frame is never needed either: the
+    // union of contribs and this frame IS the universe.
     val noInRanks = Checkpoints.truncate(
-      // dst set read from the CHECKPOINTED linked frame (identical
-      // distinct-dst set as `weighted`), so building this does not
-      // re-execute the weighted aggregation
-      nodes.join(linked.select(col("dst").as("node")).distinct(),
+      linked.select(col("src").as("node")).distinct()
+        .join(linked.select(col("dst").as("node")).distinct(),
           Seq("node"), "left_anti")
         .select(col("node"),
           round(lit(1.0 - damping) + lit(damping) * lit(0.0), 9).as("rank")),
       checkpointDir)
-    var rank = nodes.select(col("node"), lit(1.0).as("rank"))
+    var rank: DataFrame = null
     var i = 0
     while (i < iters) {
-      val contribs = linked
-        .join(rank.select(col("node").as("src_r"), col("rank").as("r")),
-          col("src") === col("src_r"))
-        .select(col("dst").as("node"),
-          (col("w") * col("r") / col("outdeg")).as("c"))
+      // sweep 1's rank is the constant 1.0 for EVERY node, so its
+      // join is a multiplication by lit(1.0) — skip the join, keep
+      // the expression shape (w · 1.0 / outdeg ≡ w · r / outdeg at
+      // r = 1.0, exact in fp), same 9-dp pin
+      val contribs = (
+        if (rank == null)
+          linked.select(col("dst").as("node"),
+            (col("w") * lit(1.0) / col("outdeg")).as("c"))
+        else
+          linked
+            .join(rank.select(col("node").as("src_r"), col("rank").as("r")),
+              col("src") === col("src_r"))
+            .select(col("dst").as("node"),
+              (col("w") * col("r") / col("outdeg")).as("c")))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("contrib"))
       val next = contribs
