@@ -3441,9 +3441,10 @@ object EngineOps {
     * fixture's v3→v4 delta is ONE file of a FIXED row count while the
     * table underneath grows with SF, so this entry's scale ratio
     * tracks the DELTA (flat), not the table. `ok` additionally pins
-    * the IO bound: the feed's readers emit at most 2× the delta rows
-    * (each EXCEPT ALL side plans only the diffed files via `filesOf`;
-    * files common to both versions are never opened). */
+    * the IO bound: the feed's readers emit at most 1× the delta rows
+    * (each diffed side plans only the changed files via `filesOf` and
+    * the signed diff scans each side ONCE; files common to both
+    * versions are never opened). */
   private def changeFeedSmallDelta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (path, _, _, nTiny) = ensureChangeFeedFixture(spark, dir)
@@ -3461,7 +3462,7 @@ object EngineOps {
     val metaOk = rows.forall(r =>
       r.getLong(7) == 4L && r.getTimestamp(8) != null)
     Seq((nTiny, ins, del,
-        ins == nTiny && del == 0L && emitted <= 2L * nTiny && metaOk))
+        ins == nTiny && del == 0L && emitted <= nTiny && metaOk))
       .toDF("n_delta", "n_insert", "n_delete", "ok")
   }
 
@@ -3474,7 +3475,7 @@ object EngineOps {
     * micro-batch per commit, each equal to batch changeFeed(v, v+1):
     * the append's inserts, then the DELETE's deletes (the
     * copy-on-write rewrite's carried survivors cancelled by the
-    * feed's EXCEPT ALL), then the small append's inserts — insert AND
+    * feed's multiset diff), then the small append's inserts — insert AND
     * delete rows, in commit order, IO bounded by the manifest diff
     * (`filesOf`). Censuses: batch count (admission control), exact
     * per-phase insert/delete totals. Reference analog: the 1 kHz loop

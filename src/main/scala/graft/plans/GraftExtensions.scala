@@ -58,7 +58,7 @@ object HistoryTvf {
 /** Resolves the PUBLIC change-feed reader spelling
   * (`spark.read.format("glog").option("changeFeedFrom", a)
   * .option("changeFeedTo", b)`): the provider returns a marker
-  * [[graft.sources.GlogChangeFeedTable]] (the feed's EXCEPT ALL
+  * [[graft.sources.GlogChangeFeedTable]] (the feed's multiset-diff
   * composition cannot live inside one DSv2 scan), and this rule swaps
   * its relation for [[graft.sources.GraftLogSource.changeFeed]]'s
   * analyzed plan during resolution — downstream operators keep their

@@ -1334,9 +1334,11 @@ object GraftLogSource {
     * that changed between `fromVersion` and `toVersion`.
     *
     * File-level diff first (manifest set difference), then a
-    * row-level multiset EXCEPT ALL between the added-file rows and
-    * the removed-file rows, so a copy-on-write rewrite's carried-over
-    * survivors cancel and only true row changes emit. The diffed file
+    * row-level signed multiset diff between the added-file rows and
+    * the removed-file rows (EXCEPT ALL semantics, computed as one
+    * grouped sum of ±1 so each side is scanned once), so a
+    * copy-on-write rewrite's carried-over survivors cancel and only
+    * true row changes emit. The diffed file
     * sets travel into scan PLANNING through the `filesOf` read option
     * (the static twin of the runtime `_file` group filter), so files
     * common to both versions are never planned, opened, or parsed —
@@ -1444,6 +1446,7 @@ object GraftLogSource {
       if (toMtime != -1L) memo.synchronized(memo.put(key, computed)): Unit
       computed
     }
+    import org.apache.spark.sql.functions.{abs, sum, when}
     val dataCols = SchemaFixed.fieldNames.map(col).toSeq
     def rowsOf(version: Long, names: Set[String]) = spark.read
       .format("glog").option("path", path)
@@ -1456,12 +1459,41 @@ object GraftLogSource {
       .select(dataCols: _*)
     val added = rowsOf(toVersion, b -- a)
     val removed = rowsOf(fromVersion, a -- b)
-    added.exceptAll(removed).withColumn("_change_type", lit("insert"))
-      .unionAll(
-        removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+    // SIGNED multiset diff — one union + ONE grouped aggregate — in
+    // place of the former `added.exceptAll(removed)` /
+    // `removed.exceptAll(added)` PAIR. Row-identical: for a row with
+    // multiplicity x among the added-file rows and y among the
+    // removed-file rows, the pair emitted max(x−y,0) 'insert's and
+    // max(y−x,0) 'delete's; sum(±1) = x−y yields the same |x−y| rows
+    // typed by the sign (at most one direction is ever nonzero), and
+    // both spellings group through the same hash-aggregate float
+    // normalization. What the pair paid twice now happens once: each
+    // diffed side is planned and SCANNED once (each exceptAll rewrite
+    // re-scanned BOTH sides), one exchange instead of two, one
+    // aggregate pipeline instead of two — feed IO is 1× the changed
+    // files, not 2× (guide §2.4/§8; Dsv2SourceSpec's differential
+    // suite pins equality against the exceptAll-pair spelling,
+    // duplicate multiplicities included). Replication of a surviving
+    // row |cnt| times goes through the same streaming ReplicateRows
+    // generator exceptAll's own rewrite uses — no per-row array.
+    val signed = added.withColumn("_sign", lit(1L))
+      .unionAll(removed.withColumn("_sign", lit(-1L)))
+      .groupBy(dataCols: _*)
+      .agg(sum(col("_sign")).as("_cnt"))
+      .where(col("_cnt") =!= 0L)
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val replicated = signed.select(ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.ReplicateRows(
+        (abs(col("_cnt")) +: dataCols :+ col("_cnt"))
+          .map(ColumnBridge.expr))))
+      .toDF(SchemaFixed.fieldNames.toIndexedSeq :+ "_cnt": _*)
+    replicated
+      .withColumn("_change_type",
+        when(col("_cnt") > 0L, lit("insert")).otherwise(lit("delete")))
+      .drop("_cnt")
       // metadata stamps are pure literals (the version + its manifest
       // mtime, both already on the driver from planning) — zero
-      // executor-side cost, and the EXCEPT ALL above stays over the
+      // executor-side cost, and the signed diff above stays over the
       // data columns only
       .withColumn("_commit_version", lit(toVersion))
       .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(toMtime)))
@@ -1788,7 +1820,7 @@ object GraftLogSource {
   *
   * Also a [[org.apache.spark.sql.sources.StreamSourceProvider]]: the
   * row-level CDC stream (`readStream ... option("readChangeFeed",
-  * "true")`) is an EXCEPT ALL composition per micro-batch — a plan no
+  * "true")`) is a multiset-diff composition per micro-batch — a plan no
   * single DSv2 scan can express — so it rides Spark's V1 streaming
   * Source API (whose `getBatch` returns an arbitrary DataFrame; the
   * same seam Delta's streaming source uses). The resolver falls back
@@ -1900,8 +1932,8 @@ class GraftLogSource extends TableProvider
   * (`option("changeFeedFrom", a).option("changeFeedTo", b)`): it
   * never executes — graft.plans.GraftExtensions' resolution rule
   * replaces its relation with [[GraftLogSource.changeFeed]]'s plan
-  * (the EXCEPT ALL composition cannot be expressed inside one DSv2
-  * scan). Reading it WITHOUT the extension registered fails loudly at
+  * (the multiset-diff composition cannot be expressed inside one
+  * DSv2 scan). Reading it WITHOUT the extension registered fails loudly at
   * planning instead of silently mis-reading. */
 private[graft] class GlogChangeFeedTable(val path: String,
     val fromVersion: Long, val toVersion: Long)
@@ -1925,7 +1957,7 @@ private[graft] class GlogChangeFeedTable(val path: String,
   * (`readStream ... option("readChangeFeed", "true")`): it claims no
   * MICRO_BATCH_READ capability, which makes Spark's resolver fall
   * back to the provider's V1 [[GlogChangeFeedSource]] — the only API
-  * whose per-batch plan can carry the feed's EXCEPT ALL composition.
+  * whose per-batch plan can carry the feed's multiset-diff composition.
   * A BATCH read of this spelling fails loudly toward the batch
   * options instead of mis-reading. */
 private[graft] class GlogChangeFeedStreamTable(val path: String)
@@ -1949,7 +1981,7 @@ private[graft] class GlogChangeFeedStreamTable(val path: String)
   * been delivered", and each micro-batch is exactly
   * `changeFeed(P, P')` — data columns plus `_change_type`
   * ('insert' | 'delete'), insert AND delete rows, carried-over
-  * rewrite survivors cancelled by the feed's EXCEPT ALL, IO bounded
+  * rewrite survivors cancelled by the feed's multiset diff, IO bounded
   * by the `filesOf` planning restriction to the manifest diff
   * (O(changed files), never O(table)). Reference analog: the 1 kHz
   * loop consumes every sample, corrections included
@@ -1993,7 +2025,7 @@ private[graft] class GlogChangeFeedStreamTable(val path: String)
   *    `startingVersion` option on an EXISTING checkpoint is ignored
   *    in favor of the persisted one (the Kafka startingOffsets
   *    contract).
-  * V1 Source (not DSv2): `getBatch` must return the EXCEPT ALL
+  * V1 Source (not DSv2): `getBatch` must return the multiset-diff
   * composition as one DataFrame — the same reason the batch public
   * spelling rewrites through ChangeFeedRewrite. */
 private[graft] class GlogChangeFeedSource(spark: SparkSession, path: String,

@@ -2495,10 +2495,11 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val nHigh = ev.filter(col("value") >= cut).count()
     val nSurv = ev.filter(col("value") >= cut && col("value") < cut2).count()
     // delete-range feed reads ONLY the rewritten files (dropped high
-    // files + their survivor rewrites), each once per EXCEPT ALL side
+    // files + their survivor rewrites), each side scanned ONCE by the
+    // signed diff (the former exceptAll pair scanned each side twice)
     // — never the untouched low half of the table
-    assert(emitted(feed(2L, 3L)) <= 2L * (nHigh + nSurv),
-      "delete-range feed read files common to both versions")
+    assert(emitted(feed(2L, 3L)) <= nHigh + nSurv,
+      "delete-range feed read files common to both versions (or re-scanned a side)")
     // v4: ONE appended small file — the daily-ingest shape
     val tiny = ev.orderBy(col("event_id")).limit(5)
     tiny.coalesce(1).write.format("glog")
@@ -2506,11 +2507,12 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val f34 = feed(3L, 4L)
     assert(ids(f34.filter(col("_change_type") === "insert")) == ids(tiny))
     assert(f34.filter(col("_change_type") === "delete").count() == 0)
-    // the whole feed parses at most 2x the appended rows — the table
-    // itself is never opened (pre-fix this was O(table): every live
-    // file of both versions was planned and read)
-    assert(emitted(feed(3L, 4L)) <= 10L,
-      "small-delta feed re-read the table")
+    // the whole feed parses at most the appended rows, ONCE — the
+    // table itself is never opened (pre-fix this was O(table): every
+    // live file of both versions was planned and read; pre-round-15
+    // the exceptAll pair read the appended file twice)
+    assert(emitted(feed(3L, 4L)) <= 5L,
+      "small-delta feed re-read the table or re-scanned the delta")
     // mechanism: a filesOf scan PLANS exactly the named file
     val conf = GraftLogSource.driverHadoopConf()
     val p4 = new org.apache.hadoop.fs.Path(path)
@@ -2560,6 +2562,83 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // version + manifest commit mtime
     assert(rows.forall(_.getBoolean(4)), rows.mkString("; "))
     assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("change feed signed diff ≡ the exceptAll pair (duplicates, nulls, -0.0)") {
+    // Differential contract for the round-15 feed optimization: the
+    // signed multiset diff (one union + one grouped sum of ±1 +
+    // ReplicateRows) must emit EXACTLY the multiset the former
+    // `added.exceptAll(removed) ∪ removed.exceptAll(added)` pair
+    // emitted — duplicate multiplicities replicated, exact
+    // cancellation, and float -0.0 normalization all flowing through
+    // the same aggregate semantics (nulls cannot reach the feed: the
+    // glog format is dense by contract). The expected side below IS
+    // the old spelling, computed live.
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_cfdiff").toFile
+    val path = dir.getAbsolutePath
+    import spark.implicits._
+    def row(id: Long, v: Double, p: String) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        id * 10, "e", v, p)
+    // v1: r×3, s×1, u×2, z(-0.0)×1
+    val v1 = Seq(
+      row(1L, 1.5, "r"), row(1L, 1.5, "r"), row(1L, 1.5, "r"),
+      row(2L, 2.5, "s"),
+      row(3L, 3.5, "u"), row(3L, 3.5, "u"),
+      row(4L, -0.0, "z"))
+    // v2: r×1 (net −2), s×2 (net +1), u×2 (exact cancel),
+    // z(+0.0)×2 (net +1 after float normalization), t×4 (net +4)
+    val v2 = Seq(
+      row(1L, 1.5, "r"),
+      row(2L, 2.5, "s"), row(2L, 2.5, "s"),
+      row(3L, 3.5, "u"), row(3L, 3.5, "u"),
+      row(4L, 0.0, "z"), row(4L, 0.0, "z"),
+      row(5L, 5.5, "t"), row(5L, 5.5, "t"), row(5L, 5.5, "t"),
+      row(5L, 5.5, "t"))
+    val names = GraftLogSource.SchemaFixed.fieldNames.toSeq
+    v1.toDF(names: _*).coalesce(1).write.format("glog")
+      .option("path", path).mode("overwrite").save()            // v1
+    v2.toDF(names: _*).coalesce(1).write.format("glog")
+      .option("path", path).mode("overwrite").save()            // v2
+    // full overwrite ⇒ every file changed ⇒ the full-snapshot
+    // exceptAll pair is exactly what the feed's diffed-file reads see
+    def snap(v: Long) = spark.read.format("glog").option("path", path)
+      .option("versionAsOf", v.toString).load()
+      .select(names.map(col): _*)
+    val added = snap(2L)
+    val removed = snap(1L)
+    val expected = added.exceptAll(removed)
+      .withColumn("_change_type", lit("insert"))
+      .unionAll(removed.exceptAll(added)
+        .withColumn("_change_type", lit("delete")))
+      .collect().map(_.toString).sorted.toSeq
+    val feed = GraftLogSource.changeFeed(spark, path, 1L, 2L)
+    val got = feed.drop("_commit_version", "_commit_timestamp")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected,
+      s"signed diff diverged from the exceptAll pair:\n got=$got\n exp=$expected")
+    // spot-pin the multiset: 6 inserts (s+1, z+1, t+4), 2 deletes (r−2)
+    assert(got.count(_.contains("insert")) == 6 &&
+      got.count(_.contains("delete")) == 2, got)
+    // structural claim: ONE scan per diffed side, ONE exchange (the
+    // exceptAll pair planned 4 scans + 2 exchanges)
+    feed.write.format("noop").mode("overwrite").save()
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p +: (p match {
+        case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case q: QueryStageExec => flat(q.plan)
+        case other => other.children.flatMap(flat)
+      })
+    }
+    val ran = flat(feed.queryExecution.executedPlan)
+    assert(ran.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]) == 2,
+      "feed must scan each diffed side exactly once")
+    assert(ran.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 1,
+      "feed must shuffle exactly once")
   }
 
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF through the catalog") {
