@@ -47,6 +47,22 @@ class PageRankSpec extends AnyFunSuite {
     assert(run(2) == run(13))
   }
 
+  test("ranks are identical across the broadcast gate (hint+dst-cluster vs plain)") {
+    import spark.implicits._
+    // multi-edges, a hub, pure sources and a cycle — every structural
+    // case the gate's two physical plans must agree on
+    val edges = ((0L until 300L).map(i => (i % 17, (i * 7 + 3) % 23)) ++
+      Seq((100L, 1L), (100L, 1L), (1L, 100L))).toDF("src", "dst")
+    def run(): Seq[(Long, Double)] =
+      PageRank.run(edges, iters = 6)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val withGate = run() // default bound: gate passes (tiny graph)
+    val key = PageRank.BroadcastMaxRowsKey
+    spark.conf.set(key, "1") // force the gate OFF: plain join, no re-cluster
+    val noGate = try run() finally spark.conf.unset(key)
+    assert(withGate == noGate)
+  }
+
   test("reliable checkpointing yields identical ranks to localCheckpoint") {
     import spark.implicits._
     val edges = (0L until 300L).map(i => (i % 17, (i * 7 + 3) % 23))
