@@ -315,13 +315,21 @@ object SimilaritySearch {
       "sidecar — not a writeIvfPartitioned layout")
     val centroids = cbRows.map(_.getSeq[Double](1).toArray)
     val objective = cbRows.head.getDouble(3)
-    val n = delta.count()
-    if (n == 0) return (0L, objective, objective)
+    // The row count rides the write pass as an observed metric (the
+    // eng_observed_metrics pattern) instead of a separate delta.count()
+    // — one full delta scan removed per append; an exact integer, so
+    // no fp-order concern. An EMPTY delta now runs one cheap zero-row
+    // write job (lands only a _SUCCESS marker) instead of skipping it;
+    // the returned triple for that case is unchanged.
+    val obs = org.apache.spark.sql.Observation()
     delta.select(col(idCol), col(vecCol).as(vecCol, fpMetadata(centroids)),
         nearestCell(centroids)(col(vecCol)).as("cell"))
+      .observe(obs, count(lit(1)).as("n"))
       .repartition(col("cell"))
       .write.partitionBy("cell").option("compression", "zstd")
       .mode("append").parquet(path)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0) return (0L, objective, objective)
     // withScore = false skips the staleness aggregate (one full pass
     // over the delta) for callers that discard it — e.g. a compaction
     // scenario appending fixture batches; such calls read score ==
