@@ -90,9 +90,14 @@ object EngineOps {
             shingleK = 3, numHashes = 64)
           .localCheckpoint(true))
     val delta = docs.filter(isDelta)
+    // two consumers below (pair stats + distinct-doc census) would
+    // each re-run the delta signature + banded join pipeline —
+    // materialize the bounded pair set once (the dedupPipeline /
+    // qa19 shared-frame discipline)
     val pairs = MinHashDedup.incrementalPairs(baseSigned, delta,
-      idCol = "doc_id", textCol = "text", shingleK = 3,
-      bands = 16, rowsPerBand = 4, threshold = 0.2)
+        idCol = "doc_id", textCol = "text", shingleK = 3,
+        bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .localCheckpoint(true)
     // delta membership is a pure predicate on the id (the split rule
     // above) — no lookup table needed
     def d(c: org.apache.spark.sql.Column) = c % 7 === 3
@@ -1051,13 +1056,25 @@ object EngineOps {
     * quality count through the catalog table) is exact and
     * golden-stable; at 100 TB each stage is a metastore-only
     * operation except the bounded per-day inserts. */
+  private val ddlDaysCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[String]]]())
+
   private def hivePartitionedDdl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = t(spark, dir, "events")
       .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
-    // bounded collect: the three earliest day keys drive the scenario
-    val days = ev.select(col("day")).distinct().orderBy(col("day"))
-      .limit(3).as[String].collect()
+    // bounded collect: the three earliest day keys drive the scenario.
+    // A pure function of the immutable events fixture, so computed
+    // once per (session, dir) — expectation-scalar discipline; the
+    // five per-stage censuses observe MUTATED catalog state and
+    // recompute every invocation.
+    val days = ddlDaysCache
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
+      .computeIfAbsent(dir, _ =>
+        ev.select(col("day")).distinct().orderBy(col("day"))
+          .limit(3).as[String].collect())
     require(days.length == 3, s"need 3 distinct days, got ${days.toSeq}")
     val (d0, d1, d2) = (days(0), days(1), days(2))
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_cat")
