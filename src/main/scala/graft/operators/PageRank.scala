@@ -103,7 +103,24 @@ object PageRank {
     val linked =
       if (bcastRank)
         Checkpoints.truncate(linked0.repartition(col("dst")), checkpointDir)
-      else linked0
+      else
+        // PAST the gate (the 100 TB regime): the checkpointed RDD scan
+        // reports UnknownPartitioning, so EnsureRequirements used to
+        // re-exchange the FULL edge list on src inside EVERY sweep —
+        // 8 sweeps × full edge shuffle, the dominant at-scale cost
+        // (guide §2.4). Re-declaring the src-clustering with an
+        // explicit repartition makes the exchange a visible, reusable
+        // subtree: within one checkpoint segment every sweep's join
+        // shares ONE edge exchange (ReuseExchange / AQE stage reuse —
+        // the sweeps reference the identical plan), so the edge list
+        // moves once per segment (iters/checkpointEvery executions)
+        // instead of once per sweep, and only the |nodes|-row rank
+        // side shuffles per sweep. Deliberately NOT persist()ed: the
+        // result is returned lazily, so run() has no unpersist point
+        // and a CacheManager entry would leak across invocations —
+        // the once-per-segment re-shuffle is the bounded, leak-free
+        // trade.
+        linked0.repartition(col("src"))
     def rankHint(df: DataFrame): DataFrame =
       if (bcastRank) broadcast(df) else df
     // Nodes with NO in-edges (they appear only as src) settle at
@@ -122,9 +139,13 @@ object PageRank {
     // bit-identical to the old coalesce path. With the per-sweep join
     // gone, the full node-universe frame is never needed either: the
     // union of contribs and this frame IS the universe.
+    // built from linked0 (NOT linked): the anti-join's narrow src/dst
+    // projections shuffle on their own keys anyway, so routing them
+    // through the full-width clustered exchange would shuffle the wide
+    // rows once for nothing (guide §2.3 — project before the exchange)
     val noInRanks = Checkpoints.truncate(
-      linked.select(col("src").as("node")).distinct()
-        .join(linked.select(col("dst").as("node")).distinct(),
+      linked0.select(col("src").as("node")).distinct()
+        .join(linked0.select(col("dst").as("node")).distinct(),
           Seq("node"), "left_anti")
         .select(col("node"),
           round(lit(1.0 - damping) + lit(damping) * lit(0.0), 9).as("rank")),

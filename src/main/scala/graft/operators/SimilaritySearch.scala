@@ -261,10 +261,23 @@ object SimilaritySearch {
     * (name, size, mtime) listing, so any rewrite (writeIvfPartitioned
     * overwrite re-fits) invalidates; the listing is one driver
     * metadata walk, no job. */
-  private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[
+  // bounded by LRU eviction (access-ordered LinkedHashMap): a
+  // long-lived session appending/re-fitting many layouts leaves one
+  // dead entry per superseded sidecar listing. The former
+  // past-64 `clear()` dumped the LIVE entries too — a momentary
+  // sidecar re-read storm in exactly the many-layout session the
+  // bound exists for; evicting only the eldest keeps the hot set.
+  private val codebookCache: java.util.Map[
       (String, Seq[(String, Long, Long)]),
-      Array[org.apache.spark.sql.Row]]()
+      Array[org.apache.spark.sql.Row]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          (String, Seq[(String, Long, Long)]),
+          Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Seq[(String, Long, Long)]),
+              Array[org.apache.spark.sql.Row]]): Boolean = size() > 64
+      })
   private def sidecarKey(spark: org.apache.spark.sql.SparkSession,
                          path: String): (String, Seq[(String, Long, Long)]) = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_codebook")
@@ -278,9 +291,6 @@ object SimilaritySearch {
   }
   private[graft] def codebookRows(spark: org.apache.spark.sql.SparkSession,
                                   path: String): Array[org.apache.spark.sql.Row] = {
-    // bound the cache: a long-lived session appending/re-fitting many
-    // layouts leaves one dead entry per superseded sidecar listing
-    if (codebookCache.size > 64) codebookCache.clear()
     codebookCache.computeIfAbsent(sidecarKey(spark, path), _ =>
       spark.read.parquet(s"$path/_codebook").orderBy(col("cell")).collect())
   }

@@ -167,6 +167,30 @@ class InventorySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"impl != sparkSql for: $offenders")
   }
 
+  test("qw5 two-phase ntile (gate forced on) equals the SQL window exactly") {
+    // the default-gated impl path at test SFs is the SQL plan itself
+    // (covered by the impl==sql sweep above); this pins the TWO-PHASE
+    // spelling — range partition + local rank + offset merge +
+    // closed-form ntile/percent_rank — to the window's exact rows,
+    // including the ntile remainder-bucket arithmetic
+    Tables.register(spark, dir)
+    spark.conf.set(QueryInventory.TwoPhaseNtileMinBytesKey, "0")
+    try {
+      val viaImpl = QueryInventory.qw5.impl.get(spark, dir)
+      // the gate must actually have routed to the two-phase plan: its
+      // only window is the pid-partitioned local row_number — the
+      // global ntile/percent_rank window (the "No Partition Defined"
+      // single-partition sort) is gone, replaced by closed-form math
+      val plan = viaImpl.queryExecution.executedPlan.toString
+      assert(!plan.contains("ntile(") && !plan.contains("percent_rank()"),
+        "gate-forced qw5 impl still planned the global window:\n" + plan.take(800))
+      assert(plan.contains("row_number()"), plan.take(800))
+      val a = viaImpl.collect().map(_.toString).toSeq
+      val b = spark.sql(QueryInventory.qw5.sparkSql).collect().map(_.toString).toSeq
+      assert(a == b)
+    } finally spark.conf.unset(QueryInventory.TwoPhaseNtileMinBytesKey)
+  }
+
   test("no contract query plans a cartesian product (beyond declared tiny probes)") {
     Tables.register(spark, dir)
     // declared exceptions: qj6 is the 5×25 cross-join contract query

@@ -124,6 +124,46 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  test("edge-iterator route equals the wedge-join route across the gate flip") {
+    import spark.implicits._
+    // the hub's in-degree of 200 exercises SortedIntersectCountExpr's
+    // binary-search mode (tiny in(a) probed against the huge in(hub));
+    // K5 exercises the balanced merge mode
+    val star = ((1L to 200L).map(i => (i, 1000L)) ++ Seq((1L, 2L), (5L, 7L)))
+      .toDF("s1", "s2")
+    val k5 = (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)).toDF("s1", "s2")
+    def both(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val viaIntersect = scalar(Triangles.triangleCountAuto(df)) // default gate: on
+      spark.conf.set(Triangles.BroadcastMaxRowsKey, "0")         // force wedge join
+      val viaWedges = try scalar(Triangles.triangleCountAuto(df))
+        finally spark.conf.unset(Triangles.BroadcastMaxRowsKey)
+      (viaIntersect, viaWedges)
+    }
+    assert(both(star) == ((2L, 2L)))  // {1,2,hub} and {5,7,hub}
+    assert(both(k5) == ((10L, 10L))) // C(5,3)
+  }
+
+  test("SortedIntersectCountExpr.count: merge and binary-search modes agree with sets") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Long*) = ArrayData.toArrayData(xs.toArray)
+    def f(a: ArrayData, b: ArrayData): Long =
+      graft.expressions.SortedIntersectCountExpr.count(a, b)
+    assert(f(arr(), arr(1L)) == 0L)
+    assert(f(arr(1L, 2L, 3L), arr(2L, 3L, 4L)) == 2L)
+    // skewed sizes route through the binary-search mode, both ways
+    val large = arr((0L until 1000L).map(_ * 3): _*)
+    assert(f(arr(299L, 300L), large) == 1L)
+    assert(f(large, arr(299L, 300L)) == 1L)
+    assert(f(arr(5000L), large) == 0L) // beyond the large array's max
+    // randomized cross-check against plain set intersection
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val a = rnd.shuffle((0L until 500L).toList).take(rnd.nextInt(60)).sorted
+      val b = rnd.shuffle((0L until 500L).toList).take(rnd.nextInt(400)).sorted
+      assert(f(arr(a: _*), arr(b: _*)) == (a.toSet & b.toSet).size.toLong)
+    }
+  }
+
   test("work-gated count: complement identity equals direct on both sides of the gate") {
     import spark.implicits._
     // dense: 12-clique minus a perfect matching — 60 of 66 pairs are
